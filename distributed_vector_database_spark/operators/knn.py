@@ -1,0 +1,184 @@
+"""k-NN search operators — the reference's flagship read path, Spark-first.
+
+Reference flow (SURVEY §3.1): coordinator broadcasts SearchRequest to
+every node sequentially (src/coordinator/handler.py:191-199), each node
+runs hnswlib knn_query with 2x over-fetch and post-filters deleted ids
+(src/datanode/handler.py:344-408), coordinator dedups by key and takes
+global ascending top-k on squared-L2 score
+(src/coordinator/handler.py:201-216).
+
+Spark design: the scatter-gather IS the shuffle. `knn_exact` expresses
+the whole thing declaratively — broadcast-literal query vector, codegen'd
+squared-L2 expression, `orderBy(score).limit(k)` which Catalyst plans as
+TakeOrderedAndProject: each partition computes a local top-k and only
+n_partitions*k rows ever move, exactly the reference's "top-k pushdown to
+data nodes" (src/coordinator/handler.py:186-189) but parallel instead of
+sequential. At 100 TB this is a single scan + a k-row-per-partition
+reduce; no full sort, no full shuffle.
+
+`knn_sharded` reproduces the per-node-kernel shape explicitly (a
+partition-local top-k inside mapInPandas with the reference's 2x
+over-fetch, then the same global merge) — it exists to prove the custom
+per-partition-ANN harness produces hash-identical results to the
+declarative plan, so the same merge can later host an hnswlib/IVF kernel.
+
+The declared-but-dead SearchRequest fields are implemented for real:
+`filter` (metadata equality, src/vector_db.thrift:26, dropped by the
+reference coordinator at src/coordinator/handler.py:186-189) becomes a
+pushed-down predicate BEFORE the distance computation; `threshold`
+(src/vector_db.thrift:27, commented out at src/datanode/handler.py:394-396)
+becomes a post-distance filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.config import DEFAULT_TOP_K, OVERFETCH
+from distributed_vector_database_spark.functions.vector import squared_l2, vector_lit
+
+SCORE_DECIMALS = 6  # stable rounding for oracle hash comparisons
+
+
+def _effective_k(k: int) -> int:
+    # top_k <= 0 falls back to 5, pinned from src/datanode/handler.py:346
+    return DEFAULT_TOP_K if k <= 0 else k
+
+
+def knn_exact(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_TOP_K,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+    threshold: float | None = None,
+    extra_cols: Sequence[str] = ("label",),
+) -> DataFrame:
+    """Exact top-k by squared L2 distance (ascending; lower = better,
+    matching src/coordinator/handler.py:212).
+
+    Ties broken by key so results are deterministic for hash oracles.
+    Returns (key, *extra_cols, score).
+    """
+    k = _effective_k(k)
+    if predicate is not None:
+        df = df.filter(predicate)  # metadata filter BEFORE distance — pushed to scan
+    scored = df.select(
+        key_col,
+        *extra_cols,
+        F.round(squared_l2(vec_col, query_vec), SCORE_DECIMALS).alias("score"),
+    )
+    if threshold is not None:
+        # threshold = max distance allowed (src/vector_db.thrift:27)
+        scored = scored.filter(F.col("score") <= float(threshold))
+    return scored.orderBy("score", key_col).limit(k)
+
+
+def knn_sharded(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_TOP_K,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: Sequence[str] = ("label",),
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Scatter-gather k-NN with an explicit per-partition kernel.
+
+    Shape of the reference's distributed search (SURVEY O5): partition
+    (≈ data node) -> local top-(2k) via a vectorized numpy kernel inside
+    mapInPandas (≈ hnswlib knn_query with over-fetch,
+    src/datanode/handler.py:364) -> dedup by key (O7) -> global
+    orderBy(score).limit(k) merge (O6). Exact kernel, so results
+    hash-match knn_exact; swap the numpy body for an ANN index to get the
+    approximate variant with the same merge.
+
+    Only ≤ 2k rows leave each partition — at 1000 executors the merge is
+    1000*2k rows regardless of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = _effective_k(k)
+    fetch = OVERFETCH * k
+    q = None  # built lazily inside executors
+
+    out_cols = [key_col, *extra_cols, "score"]
+    proj = df.select(key_col, *extra_cols, vec_col)
+    if num_shards is not None:
+        proj = proj.repartition(num_shards, key_col)
+
+    schema_parts = []
+    for f_ in proj.schema.fields:
+        if f_.name != vec_col:
+            schema_parts.append(f"{f_.name} {f_.dataType.simpleString()}")
+    schema_parts.append("score double")
+    out_schema = ", ".join(schema_parts)
+
+    qlist = [float(v) for v in query_vec]
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = np.asarray(qlist, dtype=np.float64)
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = mat - qv
+            scores = np.einsum("ij,ij->i", d, d)
+            cand = pdf[[key_col, *extra_cols]].copy()
+            cand["score"] = np.round(scores, SCORE_DECIMALS)
+            best = cand if best is None else pd.concat([best, cand])
+            # keep only the partition-local over-fetched top-k between batches
+            best = best.nsmallest(fetch, ["score", key_col])
+        if best is not None:
+            yield best[out_cols]
+
+    local = proj.mapInPandas(local_topk, schema=out_schema)
+    return (
+        local.dropDuplicates([key_col])  # replica-dedup, O7
+        .orderBy("score", key_col)
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    query_key: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_key: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN JOIN: for every query row, its top-k corpus
+    neighbors — the reference's O4/O5 generalized to query sets
+    (SURVEY §2.3 "similarity search").
+
+    Plan: broadcast the (small) query side against the corpus, codegen'd
+    distance, then rank per query. At scale: queries are usually ≪
+    corpus, so the broadcast avoids shuffling the 100 TB side entirely;
+    the window runs on (query_id) partitions of the scored stream.
+    """
+    from pyspark.sql.window import Window
+
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .select(
+            query_key,
+            corpus_key,
+            F.round(squared_l2(corpus_vec, F.col(query_vec)), SCORE_DECIMALS).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_key).orderBy("score", corpus_key)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "score", "rank")
+    )

@@ -1,0 +1,3 @@
+from distributed_vector_database_spark.sources.fixtures import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

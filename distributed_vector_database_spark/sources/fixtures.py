@@ -1,0 +1,43 @@
+"""Parquet sources for the fixture star schema + vector tables.
+
+Replaces the reference's storage stack (LevelDB point store + HNSW
+binary + WAL JSON-lines, src/datanode/handler.py:26-54) with columnar
+Parquet scans: predicate pushdown and column pruning come free from the
+DataSource V2 reader, so a point lookup (reference O3,
+src/datanode/handler.py:411-428) is a pushed-down key filter instead of
+a LevelDB get, and "never hydrate 512 floats when only keys are needed"
+(the reference always does, src/datanode/handler.py:399) is automatic
+column pruning.
+
+At 100 TB the only change is the path (and partitioned layout /
+bucketing by key for point-read-heavy workloads); the plan shape is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_vector_database_spark.config import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. `name` must be a known table."""
+    if name not in FIXTURE_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {FIXTURE_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the full fixture catalog as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
