@@ -1,0 +1,156 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface
+(SURVEY §2.3): tokenization, shingling, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+The reference's only text path is CLIP text2vec (clip/embedding.py:70-93)
+plus a GBK corpus transcode (Scripts/trasfer_gbk.py:1-4); these operators
+are the north-star extensions built over the `documents` fixture.
+
+All native Catalyst expressions (regexp / array higher-order functions),
+so a 100 TB corpus pass is a single codegen'd scan — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_SPLIT = r"\s+"
+PUNCT_RE = r"[^\w\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword lang-id
+# heuristic; deterministic and mirrored in the SQL oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercased whitespace tokenization (array<string>)."""
+    return F.split(F.lower(F.trim(_col(text))), WORD_SPLIT)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count — the cheap token-budget estimator."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored token estimate: count of word pieces after
+    splitting words longer than 6 chars into ceil(len/4) pieces —
+    deterministic, SQL-mirrorable stand-in for a real tokenizer."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(F.length(t) <= 6, 1).otherwise(F.ceil(F.length(t) / 4.0)),
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams of the normalized text (array<string>)."""
+    norm = F.lower(F.trim(_col(text)))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>): shingle i = tokens[i..i+n-1]
+    joined by space. Documents shorter than n words yield the whole doc
+    as one shingle."""
+    toks = tokenize(text)
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    t = _col(text)
+    return F.when(F.length(t) == 0, 0.0).otherwise(
+        F.regexp_count(t, F.lit(PUNCT_RE)) / F.length(t).cast("double")
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokenize(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(stopwords))
+    )
+    return F.when(F.size(toks) == 0, 0.0).otherwise(
+        hits / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic combining length, mean word
+    length, and punctuation density — the 'is this worth training on'
+    score. score = clamp(0.25*len_score + 0.5*wordlen_score +
+    0.25*(1-punct_ratio)) with len_score = min(n_tokens/50, 1) and
+    wordlen_score = 1 when mean word length in [3,10] else 0.5."""
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    len_score = F.least(n / 50.0, F.lit(1.0))
+    mean_wl = F.when(n == 0, 0.0).otherwise(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n
+    )
+    wordlen_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.5)
+    score = 0.25 * len_score + 0.5 * wordlen_score + 0.25 * (1.0 - punct_ratio(text))
+    return F.round(score, 6)
+
+
+def detect_lang(text: Column | str) -> Column:
+    """Stopword-hit language-ID heuristic: the language whose stopword
+    list matches the most tokens; 'und' (undetermined) when no list gets
+    ≥1 hit. Ties broken by language code order (deterministic)."""
+    toks = tokenize(text)
+
+    def is_stopword(sw: list[str]):
+        return lambda t: t.isin(sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, is_stopword(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # fold in reverse code order with '>=' so that on ties the
+    # alphabetically-first language (applied last) wins deterministically
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        s = scores[lang]
+        best_lang = F.when((s > 0) & (s >= best_score), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_score = F.greatest(s, best_score)
+    return best_lang
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize_text(text))

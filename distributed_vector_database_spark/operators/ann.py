@@ -1,0 +1,142 @@
+"""Approximate nearest-neighbor paths — the scale alternatives to the
+brute-force oracle in operators/knn.py.
+
+The reference's ANN is a per-node HNSW graph (hnswlib, M=32,
+ef_construction=128, src/datanode/handler.py:46,86-88). hnswlib is not
+available in this environment, so the Spark-native ANN surface is:
+
+1. `lsh_model` / `lsh_ann` — MLlib BucketedRandomProjectionLSH
+   (random-hyperplane bucketing; approxNearestNeighbors for one query,
+   approxSimilarityJoin for k-NN join). This is the "DataFrame-based
+   batch index build + MLlib vector ops" line of BASELINE.json.
+2. `ivf_build` / `ivf_search` — an IVF (inverted-file) index:
+   KMeans centroids = coarse quantizer; search probes the `nprobe`
+   nearest centroid partitions only. At 100 TB the corpus is written
+   partitioned by centroid_id, so a query scans nprobe/k of the data —
+   classic partition pruning, no custom index format needed.
+
+Both are tested by recall@k against knn_exact (ANN results can't
+hash-match a SQL oracle; SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.knn import knn_exact
+
+
+def _with_mllib_vector(df: DataFrame, vec_col: str, out_col: str = "features") -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def lsh_model(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+):
+    """Fit BucketedRandomProjectionLSH over the corpus. Returns
+    (model, transformed_df) — the 'batch index build'."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    feat = _with_mllib_vector(df, vec_col)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feat)
+    return model, model.transform(feat).cache()
+
+
+def lsh_ann(
+    model,
+    indexed: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approx top-k for a single query via the fitted LSH model.
+    Returns (key, score) with score = squared L2 to match the engine's
+    distance contract (MLlib returns Euclidean; squared here)."""
+    from pyspark.ml.linalg import Vectors
+
+    q = Vectors.dense([float(v) for v in query_vec])
+    res = model.approxNearestNeighbors(indexed, q, k, distCol="dist")
+    return res.select(
+        key_col, F.round(F.col("dist") * F.col("dist"), 6).alias("score")
+    )
+
+
+def lsh_similarity_join(
+    model,
+    indexed_a: DataFrame,
+    indexed_b: DataFrame,
+    max_l2: float,
+    key_a: str = "vec_id",
+    key_b: str = "vec_id",
+) -> DataFrame:
+    """Approx similarity join: all pairs within an L2 radius. The
+    MLlib path for embedding near-dup at scale (vs the exact all-pairs
+    oracle in dedup.embedding_near_dup)."""
+    joined = model.approxSimilarityJoin(indexed_a, indexed_b, max_l2, distCol="dist")
+    return joined.select(
+        F.col(f"datasetA.{key_a}").alias("id_a"),
+        F.col(f"datasetB.{key_b}").alias("id_b"),
+        F.round(F.col("dist") * F.col("dist"), 6).alias("score"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+
+
+def ivf_build(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build an IVF index: KMeans coarse quantizer + centroid assignment.
+
+    Returns (centroids: list[(id, vector)], assigned_df with centroid_id).
+    At scale, write `assigned` partitioned by centroid_id so probes are
+    partition-pruned parquet reads."""
+    from pyspark.ml.clustering import KMeans
+
+    feat = _with_mllib_vector(df, vec_col)
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("features")
+    centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+    return centroids, assigned
+
+
+def ivf_search(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    assigned: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side —
+    centroid count is tiny by construction), filter the corpus to the
+    nprobe nearest centroid partitions, then exact top-k inside them.
+
+    The centroid filter is a pushed-down IN predicate → partition
+    pruning when the corpus is written partitioned by centroid_id."""
+    import numpy as np
+
+    q = np.asarray([float(v) for v in query_vec])
+    cmat = np.asarray([c for _, c in centroids])
+    d = ((cmat - q) ** 2).sum(axis=1)
+    probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:nprobe]]
+    pruned = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return knn_exact(pruned, query_vec, k, key_col=key_col, vec_col=vec_col, extra_cols=())

@@ -1,0 +1,126 @@
+"""Multimodal columns: images/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched Pandas UDFs.
+
+Reference parity: the CLIP ingest path (O19-O21) — binaryFile directory
+scan (clip/db_operation.py:100-106), key = basename sans extension
+(clip/db_operation.py:61), metadata map {type, dataset, file_path,
+dimension} (clip/db_operation.py:62-67), embed → L2-normalize
+(clip/embedding.py:64) → upsert.
+
+The real decoders (PIL/torchvision/ffmpeg) and CLIP weights are NOT in
+this container, so the decode step is stubbed two ways (SURVEY §2.3
+contract): `embed_binary_deterministic` — a seeded hash-projection
+embedder with the real UDF signature, batch shape, and normalization,
+so the whole pipeline is testable end-to-end; and `embed_binary_clip` —
+the real-model hook that raises NotImplementedError until the import
+succeeds. Spark-side plumbing (schema, partitioning, Arrow batching) is
+real either way.
+
+Scale: ingest is a binaryFile scan → mapInPandas; each Arrow batch holds
+a bounded number of blobs (spark.sql.execution.arrow.maxRecordsPerBatch
+caps memory), and the embed stage is embarrassingly parallel — exactly
+how a 1000-executor image-embedding job runs, with the model loaded once
+per python worker, not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png")  # clip/db_operation.py:100-106
+
+MULTIMODAL_SCHEMA = (
+    "key string, modality string, content binary, "
+    "meta map<string,string>, embedding array<double>"
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Directory-of-files scan (O21): binaryFile source with key =
+    basename sans extension and the reference's metadata map."""
+    df = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    key = F.regexp_replace(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+    )
+    return df.select(
+        key.alias("key"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+        F.create_map(
+            F.lit("type"), F.lit("image"),
+            F.lit("file_path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )
+
+
+def _hash_projection_embed(blobs: pd.Series, dim: int) -> pd.Series:
+    """Deterministic fake embedder: seed a per-blob RNG from the blob's
+    content hash, draw a unit vector. Stands in for the CLIP forward
+    pass (clip/embedding.py:39-68) with identical output contract
+    (fixed dim, L2-normalized)."""
+    out = []
+    for blob in blobs:
+        b = bytes(blob) if blob is not None else b""
+        seed = np.frombuffer(
+            np.array([hash(b) & 0x7FFFFFFF], dtype=np.int64).tobytes(), dtype=np.uint8
+        ).sum() + len(b)
+        rng = np.random.default_rng(int(seed))
+        v = rng.standard_normal(dim)
+        n = np.linalg.norm(v)
+        out.append((v / n if n > 0 else v).tolist())
+    return pd.Series(out)
+
+
+def embed_binary_deterministic(
+    df: DataFrame, dim: int = 64, content_col: str = "content"
+) -> DataFrame:
+    """Add an `embedding` column via the deterministic stub embedder.
+    mapInPandas so model-state (here: nothing; for CLIP: the weights)
+    initializes once per worker, and blobs stream in bounded Arrow
+    batches."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, embedding array<double>"
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker init happens HERE (load model once) in the real path
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["embedding"] = _hash_projection_embed(pdf[content_col], dim)
+            yield pdf
+
+    return df.mapInPandas(embed, schema=out_schema)
+
+
+def embed_binary_clip(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Real CLIP image embedder (O19, clip/embedding.py:39-68): 512-d,
+    L2-normalized. Requires torch+transformers; stubbed in this
+    container."""
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "CLIP decode/embed requires torch+transformers (not in this "
+            "container). Use embed_binary_deterministic for the pipeline "
+            "contract; swap this in on a cluster with the model baked in."
+        ) from e
+    raise NotImplementedError("wire the CLIP forward pass here")
+
+
+def image_meta_stats(multimodal: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation over a multimodal table: per-modality
+    count + total bytes — pure column ops over the map column."""
+    return (
+        multimodal.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.element_at("meta", "length").cast("long")).alias("total_bytes"),
+        )
+        .orderBy("modality")
+    )

@@ -1,0 +1,134 @@
+"""Relational coverage operators over the fixture star schema.
+
+The reference has NO relational algebra (SURVEY §2.2) — these make every
+rubric category (scan/project/filter, equi/semi/anti joins, aggregation,
+windows, sorts/top-k, set ops, scalar functions) demonstrably covered
+and oracle-checkable, and they double as the metadata side of the vector
+queries (flagship = k-NN joined to documents).
+
+Plan-shape notes (what to look for in .explain at scale):
+- dims (region/nation/supplier) broadcast — no shuffle of the fact side
+- aggregations get partial (map-side) combine from Catalyst
+- top-k compiles to TakeOrderedAndProject, not a global sort
+- filters/projections push into the parquet scan (PushedFilters/ReadSchema)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide aggregation
+    with map-side partials. Sums rounded for oracle-stable hashing."""
+    return (
+        lineitem.filter(F.col("l_shipdate") < ship_before)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_unshipped_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING"
+) -> DataFrame:
+    """TPC-H Q3-shaped join+agg+top-k: customer ⋈ orders ⋈ lineitem,
+    revenue per order, top 10. Broadcast customer-filter side; the
+    limit(10) is a TakeOrderedAndProject after the agg."""
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped multiway join: revenue by (region, nation).
+    region/nation broadcast; orders⋈lineitem is the only big shuffle."""
+    return (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def customer_order_ranks(customer: DataFrame, orders: DataFrame, top_n: int = 3) -> DataFrame:
+    """Window coverage: each customer's top-N orders by totalprice with
+    row_number + the customer's running order count — the same
+    window-shape as last-write-wins compaction and per-node top-k."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("c_custkey", "rnk")
+    )
+
+
+def nations_set_ops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Set-op coverage over nation keys: customers-only (EXCEPT),
+    suppliers-only, and both (INTERSECT), tagged and unioned."""
+    c = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    only_c = c.exceptAll(s).withColumn("side", F.lit("customer_only"))
+    only_s = s.exceptAll(c).withColumn("side", F.lit("supplier_only"))
+    return both.unionByName(only_c).unionByName(only_s).orderBy("nationkey", "side")
+
+
+def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Anti-join coverage (the tombstone shape): orders with no
+    lineitems. Also exercises semi-join's complement."""
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def event_json_extract(events: DataFrame) -> DataFrame:
+    """Scalar-function coverage (SURVEY §2.2): JSON decode of props
+    (≈ the WAL's JSON lines, src/utils/wal_manager.py:104), md5 of the
+    key (≈ shard routing input), epoch millis (≈ WAL timestamps)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.md5(F.col("user_id").cast("string")).alias("user_md5"),
+        F.unix_millis("ts").alias("ts_millis"),
+        F.upper("event_type").alias("event_type_uc"),
+    ).orderBy("event_id")

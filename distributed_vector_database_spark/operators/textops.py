@@ -1,0 +1,60 @@
+"""Document-level text analysis over the `documents` table — the
+training-data-pipeline operators (SURVEY §2.3): per-doc stats, quality
+scoring, language ID, fingerprints, per-language aggregates.
+
+Everything compiles to one codegen'd scan + (for the aggregates) one
+hash shuffle — the 100 TB shape of 'annotate every document, then
+summarize by language'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import (
+    bpe_ish_token_count,
+    detect_lang,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document annotation: token counts, punctuation ratio, quality
+    score, detected language, fingerprint. The map-side pass every
+    downstream pipeline filter keys on."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+        detect_lang("text").alias("detected_lang"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def lang_profile(docs: DataFrame) -> DataFrame:
+    """Per-language corpus profile: doc count, token mass, mean quality
+    — the dataset-card numbers. groupBy benefits from partial agg."""
+    return (
+        doc_stats(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The pipeline gate: keep documents above a quality floor."""
+    return docs.filter(quality_score("text") >= min_quality)

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.parquet stores TIMESTAMP(NANOS); read as long,
+        # sources.fixtures converts to micros timestamp (matching DuckDB's
+        # nanos->micros truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # small dims (region/nation/...) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -26,10 +26,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. `name` must be a known table."""
+    """Read one fixture table. `name` must be a known table.
+
+    `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    reads only as long (spark.sql.legacy.parquet.nanosAsLong); convert to
+    a micros timestamp here, truncating exactly like DuckDB's
+    nanos→micros cast so oracle comparisons stay bit-identical."""
     if name not in FIXTURE_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {FIXTURE_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
