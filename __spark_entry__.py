@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship query at sf0.001 (filtered k-NN joined to
+                     document metadata — reference O4+O5+O6+O22 in one plan).
+queries()         -> every implemented operator from SURVEY.md §2 / §2.2 /
+                     §2.3 as (spark, sf_dir) -> DataFrame.
+oracle_sql()      -> DuckDB-equivalent ANSI SQL per query (omitted only for
+                     genuinely non-SQL ops: MLlib ANN, multimodal UDF path).
+
+Engine code lives in distributed_vector_database_spark/; this module only
+wires operators to the fixture tables and pins the query parameters shared
+by both sides (query vector = embeddings[vec_id=0], thresholds, dates).
+Scores/ratios are rounded identically on both sides so order-insensitive
+value hashes match despite double arithmetic.
 """
 
 from __future__ import annotations
@@ -12,27 +19,839 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.config import SHARD_COUNT
+from distributed_vector_database_spark.functions.hashing import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    shard_id,
+)
+from distributed_vector_database_spark.functions.text import LANG_STOPWORDS
+from distributed_vector_database_spark.functions.vector import l2_norm, normalize
+from distributed_vector_database_spark.operators import relational as R
+from distributed_vector_database_spark.operators.changelog import (
+    compact,
+    latest_per_key,
+    upsert,
+)
+from distributed_vector_database_spark.operators.dedup import (
+    dedup_by_key,
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from distributed_vector_database_spark.operators.knn import (
+    knn_exact,
+    knn_join,
+    knn_sharded,
+)
+from distributed_vector_database_spark.operators.textops import (
+    doc_stats,
+    lang_profile,
+    quality_filter,
+)
+from distributed_vector_database_spark.sources.fixtures import load_table
+from distributed_vector_database_spark.streaming.windows import (
+    session_windows,
+    sliding_user_activity,
+    tumbling_counts,
+)
+
+# ---------------------------------------------------------------------------
+# shared query parameters (pinned on BOTH the Spark and the oracle side)
+# ---------------------------------------------------------------------------
+QUERY_VEC_ID = 0          # query vector = embedding of vec_id 0
+KNN_K = 5
+KNN_JOIN_K = 3
+KNN_JOIN_NQUERIES = 5     # query set = vec_id < 5
+KNN_FILTER_LABEL = 3      # the declared-but-dead metadata filter, implemented
+KNN_THRESHOLD = 1.8       # the declared-but-dead score threshold, implemented
+COSINE_NEAR_DUP_T = 0.35
+JACCARD_T = 0.2
+SIMHASH_MAX_HAMMING = 3
+CHECKPOINT_TS = "2024-01-15 00:00:00"   # incremental-replay cutoff
+UPSERT_SPLIT_TS = "2024-01-16 00:00:00"  # base/changes split for upsert
+Q1_SHIP_BEFORE = "1998-09-01"
+QUALITY_MIN = 0.5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == QUERY_VEC_ID).first()
+    return list(row["embedding"])
+
+
+def _event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a change-log: user_id is the key, 'error' events are
+    DELETE tombstones, everything else is a PUT (the WAL shape,
+    src/utils/wal_manager.py:90-98)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "DELETE").otherwise("PUT").alias("op"),
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filtered k-NN over embeddings + join to documents
+    metadata (O4 search + O5 merge + O22 metadata projection)."""
+    return queries()["flagship_knn"](spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- vector / KV surface (SURVEY §2.1) --------------------------------
+
+    def flagship_knn(spark, sf):
+        emb = _emb(spark, sf)
+        docs = load_table(spark, sf, "documents")
+        top = knn_exact(emb, _query_vec(spark, sf), k=10)
+        return (
+            top.join(docs, top["vec_id"] == docs["doc_id"])
+            .select("vec_id", "label", "lang", "source", "score")
+            .orderBy("score", "vec_id")
+        )
+
+    q["flagship_knn"] = flagship_knn
+
+    def knn_exact_q(spark, sf):
+        return knn_exact(_emb(spark, sf), _query_vec(spark, sf), k=KNN_K)
+
+    q["knn_exact"] = knn_exact_q
+
+    def knn_filtered_q(spark, sf):
+        return knn_exact(
+            _emb(spark, sf),
+            _query_vec(spark, sf),
+            k=KNN_K,
+            predicate=F.col("label") == KNN_FILTER_LABEL,
+        )
+
+    q["knn_filtered"] = knn_filtered_q
+
+    def knn_threshold_q(spark, sf):
+        return knn_exact(
+            _emb(spark, sf),
+            _query_vec(spark, sf),
+            k=20,
+            threshold=KNN_THRESHOLD,
+        )
+
+    q["knn_threshold"] = knn_threshold_q
+
+    def knn_topk_default_q(spark, sf):
+        # top_k <= 0 falls back to 5 (src/datanode/handler.py:346)
+        return knn_exact(_emb(spark, sf), _query_vec(spark, sf), k=0)
+
+    q["knn_topk_default"] = knn_topk_default_q
+
+    def knn_sharded_q(spark, sf):
+        # custom mapInPandas kernel; exact → hash-matches the same oracle
+        return knn_sharded(
+            _emb(spark, sf), _query_vec(spark, sf), k=KNN_K, num_shards=SHARD_COUNT
+        )
+
+    q["knn_sharded"] = knn_sharded_q
+
+    def knn_join_q(spark, sf):
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return knn_join(qs, emb, k=KNN_JOIN_K)
+
+    q["knn_join"] = knn_join_q
+
+    def point_lookup_q(spark, sf):
+        # O3: pushed-down key predicate replaces the LevelDB get
+        return _emb(spark, sf).filter(F.col("vec_id") == 42).select(
+            "vec_id", "label", F.size("embedding").alias("dim")
+        )
+
+    q["point_lookup"] = point_lookup_q
+
+    def get_all_vectors_q(spark, sf):
+        # declared-unimplemented get_all_vectors() RPC (src/vector_db.thrift:86)
+        return _emb(spark, sf).agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum(l2_norm("embedding")), 4).alias("total_norm"),
+        )
+
+    q["get_all_vectors"] = get_all_vectors_q
+
+    def vector_normalize_q(spark, sf):
+        # O25 vector utils: norm + normalize with zero-guard
+        emb = _emb(spark, sf)
+        return emb.select(
+            "vec_id",
+            F.round(l2_norm("embedding"), 6).alias("norm"),
+            F.round(l2_norm(normalize("embedding")), 6).alias("unit_norm"),
+        ).orderBy("vec_id")
+
+    q["vector_normalize"] = vector_normalize_q
+
+    def dim_check_q(spark, sf):
+        # dim validation at write (src/datanode/handler.py:228-232)
+        emb = _emb(spark, sf)
+        return emb.agg(
+            F.sum(F.when(F.size("embedding") == 64, 1).otherwise(0))
+            .cast("long")
+            .alias("n_valid"),
+            F.sum(F.when(F.size("embedding") != 64, 1).otherwise(0))
+            .cast("long")
+            .alias("n_invalid"),
+        )
+
+    q["dim_check"] = dim_check_q
+
+    def shard_routing_q(spark, sf):
+        # O8: md5(key) % 4 routing as a derived column
+        return (
+            _emb(spark, sf)
+            .groupBy(shard_id("vec_id", SHARD_COUNT).alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("shard")
+        )
+
+    q["shard_routing"] = shard_routing_q
+
+    def dedup_by_key_q(spark, sf):
+        # O7: first-seen-wins across replicas (union simulates replicas)
+        emb = _emb(spark, sf).select("vec_id", "label")
+        u = emb.withColumn("src", F.lit(0)).unionByName(
+            emb.withColumn("src", F.lit(1))
+        )
+        return dedup_by_key(u, "vec_id", "src")
+
+    q["dedup_by_key"] = dedup_by_key_q
+
+    # ---- change-log state semantics (O1/O2/O11/O12) -----------------------
+
+    def changelog_compact_q(spark, sf):
+        state = compact(_event_log(spark, sf), key_col="key", ts_col="ts", seq_col="seq")
+        return state.select(
+            F.col("key").alias("user_id"), "value", F.col("seq").alias("last_event_id")
+        ).orderBy("user_id")
+
+    q["changelog_compact"] = changelog_compact_q
+
+    def changelog_incremental_q(spark, sf):
+        log = _event_log(spark, sf)
+        state = compact(
+            log,
+            key_col="key",
+            ts_col="ts",
+            seq_col="seq",
+            since_ts=F.lit(CHECKPOINT_TS).cast("timestamp"),
+        )
+        return state.select(
+            F.col("key").alias("user_id"), "value", F.col("seq").alias("last_event_id")
+        ).orderBy("user_id")
+
+    q["changelog_incremental"] = changelog_incremental_q
+
+    def upsert_semantics_q(spark, sf):
+        # O1: put-overwrites — newer rows (the 'changes') replace older
+        log = _event_log(spark, sf).select("key", "value", "ts", "seq")
+        split = F.lit(UPSERT_SPLIT_TS).cast("timestamp")
+        base = latest_per_key(log.filter(F.col("ts") < split), "key", "ts", "seq")
+        changes = latest_per_key(log.filter(F.col("ts") >= split), "key", "ts", "seq")
+        merged = upsert(base, changes, key_col="key", ts_col="ts")
+        return merged.select(
+            F.col("key").alias("user_id"), "value", F.col("seq").alias("last_event_id")
+        ).orderBy("user_id")
+
+    q["upsert_semantics"] = upsert_semantics_q
+
+    # ---- relational coverage (SURVEY §2.2) --------------------------------
+
+    def lineitem_filter_project_q(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return li.filter(
+            (F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.07)
+        ).select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+
+    q["scan_filter_project"] = lineitem_filter_project_q
+
+    q["pricing_summary"] = lambda spark, sf: R.pricing_summary(
+        load_table(spark, sf, "lineitem"), Q1_SHIP_BEFORE
+    )
+    q["top_orders_by_segment"] = lambda spark, sf: R.top_unshipped_orders(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+    q["regional_revenue"] = lambda spark, sf: R.regional_revenue(
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+    q["customer_order_ranks"] = lambda spark, sf: R.customer_order_ranks(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+    q["nations_set_ops"] = lambda spark, sf: R.nations_set_ops(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "supplier")
+    )
+    q["orders_without_lineitems"] = lambda spark, sf: R.orders_without_lineitems(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+    q["event_json_extract"] = lambda spark, sf: R.event_json_extract(
+        load_table(spark, sf, "events")
+    )
+
+    def topk_orders_q(spark, sf):
+        return (
+            load_table(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+
+    q["topk_orders"] = topk_orders_q
+
+    # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
+
+    q["doc_stats"] = lambda spark, sf: doc_stats(load_table(spark, sf, "documents"))
+    q["lang_profile"] = lambda spark, sf: lang_profile(
+        load_table(spark, sf, "documents")
+    )
+    q["quality_filter"] = lambda spark, sf: quality_filter(
+        load_table(spark, sf, "documents"), QUALITY_MIN
+    )
+    q["exact_dedup"] = lambda spark, sf: exact_dedup(
+        load_table(spark, sf, "documents")
+    )
+    q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=JACCARD_T
+    )
+    q["minhash_lsh_dedup"] = lambda spark, sf: minhash_lsh_pairs(
+        load_table(spark, sf, "documents")
+    )
+    q["simhash_dedup"] = lambda spark, sf: simhash_pairs(
+        load_table(spark, sf, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
+    q["embedding_near_dup"] = lambda spark, sf: embedding_near_dup(
+        _emb(spark, sf), threshold=COSINE_NEAR_DUP_T
+    )
+
+    # ---- streaming-shaped window aggregates (SURVEY §2.2 Streaming) -------
+
+    q["events_tumbling"] = lambda spark, sf: tumbling_counts(
+        load_table(spark, sf, "events")
+    )
+    q["events_sliding"] = lambda spark, sf: sliding_user_activity(
+        load_table(spark, sf, "events")
+    )
+    q["events_sessions"] = lambda spark, sf: session_windows(
+        load_table(spark, sf, "events")
+    )
+
+    # ---- ANN + multimodal (non-SQL-expressible: rows-only checks) ---------
+
+    def ann_lsh_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.ann import lsh_ann, lsh_model
+
+        emb = _emb(spark, sf)
+        model, indexed = lsh_model(emb)
+        return lsh_ann(model, indexed, _query_vec(spark, sf), k=10)
+
+    q["ann_lsh_topk"] = ann_lsh_topk_q
+
+    def ann_ivf_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.ann import ivf_build, ivf_search
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        return ivf_search(spark, centroids, assigned, _query_vec(spark, sf), k=10, nprobe=3)
+
+    q["ann_ivf_topk"] = ann_ivf_topk_q
+
+    def multimodal_embed_q(spark, sf):
+        from distributed_vector_database_spark.operators.multimodal import (
+            embed_binary_deterministic,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        mm = docs.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit("text").alias("modality"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+        embedded = embed_binary_deterministic(mm, dim=16)
+        return embedded.select(
+            "key", "modality", F.size("embedding").alias("dim")
+        )
+
+    q["multimodal_embed"] = multimodal_embed_q
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; fixture tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+# shared fragments
+_DV = "CAST(embedding AS DOUBLE[])"
+_QCTE = (
+    f"q AS (SELECT {_DV} AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
+)
+_SQL_SQ_L2 = (
+    "list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip("
+    + _DV
+    + ", qv)])"
+)
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_H32 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT)"
+_SHARD = (
+    "CAST(list_reduce([0] || [CAST(('0x'||c) AS INT) for c in "
+    "string_split(md5(CAST({key} AS VARCHAR)), '')], "
+    f"(acc, x) -> (acc*16 + x) % {SHARD_COUNT}) AS INT)"
+)
+
+_SHINGLES = (
+    "[array_to_string(list_slice(toks, i, i+2), ' ') "
+    "for i in generate_series(1, greatest(len(toks)-2, 1))]"
+)
+
+
+def _knn_sql(k: int, where: str = "", threshold: float | None = None) -> str:
+    thr = f"WHERE score <= {threshold}" if threshold is not None else ""
+    return f"""
+WITH {_QCTE},
+scored AS (
+  SELECT vec_id, label, round({_SQL_SQ_L2}, 6) AS score
+  FROM embeddings, q {where}
+)
+SELECT vec_id, label, score FROM scored {thr}
+ORDER BY score, vec_id LIMIT {k}
+"""
+
+
+def _doc_stats_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(toks, tk -> tk IN ({words}))) AS h_{lang}".format(
+            words=", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    # CASE in alphabetical order with >= against later langs only =
+    # alphabetical-first-wins on ties (mirrors functions/text.detect_lang)
+    case_parts = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{other}" for other in langs[i + 1:]]
+        case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, text, {_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_chars, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(list_sum([CASE WHEN length(tk) <= 6 THEN 1
+                        ELSE CAST(ceil(length(tk)/4.0) AS BIGINT) END
+                   for tk in toks]) AS BIGINT) AS n_bpe_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE)
+    END AS pr,
+    {hits}
+  FROM t
+),
+sc AS (
+  SELECT *,
+    least(CAST(len(toks) AS DOUBLE)/50.0, 1.0) AS len_score,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum([length(tk) for tk in toks]) / CAST(len(toks) AS DOUBLE)
+    END AS mean_wl
+  FROM s
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_bpe_tokens,
+  round(pr, 6) AS punct_ratio,
+  round(0.25*len_score
+        + 0.5*(CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        + 0.25*(1.0 - pr), 6) AS quality,
+  {lang_case} AS detected_lang,
+  md5({_NORM_TEXT}) AS fp
+FROM sc
+"""
+
+
+def _minhash_sql() -> str:
+    num_perm, bands, rpb = 16, 4, 4
+    h = _H32.format(x="s")
+    sig_exprs = ", ".join(
+        f"list_min([({a}*h + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in MINHASH_PERMS[:num_perm]
+    )
+    # one SELECT per band id, unioned (the banding explode)
+    band_selects = []
+    for i in range(bands):
+        key = " || '_' || ".join(
+            f"CAST(sig[{i * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+        )
+        band_selects.append(f"SELECT id, sig, {i} AS band, {key} AS band_key FROM sigs")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT id, list_distinct({_SHINGLES}) AS shingles FROM tok),
+hsets AS (SELECT id, [{h} for s in shingles] AS hs FROM sh),
+sigs AS (SELECT id, [{sig_exprs}] AS sig FROM hsets),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+  round(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) / {float(num_perm)}, 6) AS sig_match
+FROM cand
+"""
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    h = _H32.format(x="tk")
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+hs AS (SELECT id, [{h} for tk in toks] AS hashes FROM tok),
+sh AS (
+  SELECT id,
+    CAST(list_sum([
+      CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hashes]) > 0
+           THEN CAST(1 AS BIGINT) << b ELSE 0 END
+      for b in generate_series(0, 31)]) AS BIGINT) AS sh
+  FROM hs
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sh a, sh b
+WHERE a.id < b.id AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["flagship_knn"] = f"""
+WITH {_QCTE},
+scored AS (
+  SELECT vec_id, label, round({_SQL_SQ_L2}, 6) AS score
+  FROM embeddings, q
+),
+top AS (SELECT * FROM scored ORDER BY score, vec_id LIMIT 10)
+SELECT t.vec_id, t.label, d.lang, d.source, t.score
+FROM top t JOIN documents d ON t.vec_id = d.doc_id
+ORDER BY t.score, t.vec_id
+"""
+
+    o["knn_exact"] = _knn_sql(KNN_K)
+    o["knn_filtered"] = _knn_sql(KNN_K, where=f"WHERE label = {KNN_FILTER_LABEL}")
+    o["knn_threshold"] = _knn_sql(20, threshold=KNN_THRESHOLD)
+    o["knn_topk_default"] = _knn_sql(5)
+    o["knn_sharded"] = _knn_sql(KNN_K)  # exact kernel → same oracle
+
+    o["knn_join"] = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, {_DV} AS qv FROM embeddings
+  WHERE vec_id < {KNN_JOIN_NQUERIES}
+),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(CAST(e.embedding AS DOUBLE[]), qs.qv)]), 6) AS score
+  FROM embeddings e, qs
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
+"""
+
+    o["point_lookup"] = (
+        "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim "
+        "FROM embeddings WHERE vec_id = 42"
+    )
+
+    o["get_all_vectors"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  round(sum(sqrt(list_sum([x*x for x in {_DV}]))), 4) AS total_norm
+FROM embeddings
+"""
+
+    o["vector_normalize"] = f"""
+WITH n AS (
+  SELECT vec_id, {_DV} AS v, sqrt(list_sum([x*x for x in {_DV}])) AS nm
+  FROM embeddings
+)
+SELECT vec_id, round(nm, 6) AS norm,
+  round(sqrt(list_sum([(x/nm)*(x/nm) for x in v])), 6) AS unit_norm
+FROM n ORDER BY vec_id
+"""
+
+    o["dim_check"] = """
+SELECT CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+FROM embeddings
+"""
+
+    o["shard_routing"] = f"""
+SELECT {_SHARD.format(key='vec_id')} AS shard, CAST(count(*) AS BIGINT) AS n
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+    o["dedup_by_key"] = """
+WITH u AS (
+  SELECT vec_id, label, 0 AS src FROM embeddings
+  UNION ALL
+  SELECT vec_id, label, 1 AS src FROM embeddings
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY src) AS rn FROM u)
+SELECT vec_id, label, CAST(src AS INT) AS src FROM r WHERE rn = 1
+"""
+
+    _log_cte = """
+log AS (
+  SELECT user_id, CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END AS op,
+         value, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+)"""
+
+    o["changelog_compact"] = f"""
+WITH {_log_cte},
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+SELECT user_id, value, event_id AS last_event_id
+FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id
+"""
+
+    o["changelog_incremental"] = f"""
+WITH {_log_cte},
+f AS (SELECT * FROM log WHERE ts > TIMESTAMP '{CHECKPOINT_TS}'),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+SELECT user_id, value, event_id AS last_event_id
+FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id
+"""
+
+    o["upsert_semantics"] = f"""
+WITH {_log_cte},
+base AS (
+  SELECT user_id, value, ts, event_id, 0 AS src FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log WHERE ts < TIMESTAMP '{UPSERT_SPLIT_TS}'
+  ) WHERE rn = 1
+),
+changes AS (
+  SELECT user_id, value, ts, event_id, 1 AS src FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log WHERE ts >= TIMESTAMP '{UPSERT_SPLIT_TS}'
+  ) WHERE rn = 1
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, src DESC) AS rn FROM u)
+SELECT user_id, value, event_id AS last_event_id FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+    # ---- relational -------------------------------------------------------
+
+    o["scan_filter_project"] = """
+SELECT l_orderkey, l_partkey, l_quantity, l_discount
+FROM lineitem WHERE l_quantity >= 49 AND l_discount >= 0.07
+"""
+
+    o["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{Q1_SHIP_BEFORE} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    o["top_orders_by_segment"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+    o["regional_revenue"] = """
+SELECT r_name AS region_name, n_name AS nation_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY r_name, n_name
+ORDER BY region_name, nation_name
+"""
+
+    o["customer_order_ranks"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+  FROM orders
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, rnk
+FROM r JOIN customer ON o_custkey = c_custkey
+WHERE rnk <= 3 ORDER BY c_custkey, rnk
+"""
+
+    o["nations_set_ops"] = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS side FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS side FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+ORDER BY nationkey, side
+"""
+
+    o["orders_without_lineitems"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+ORDER BY o_orderkey
+"""
+
+    o["event_json_extract"] = """
+SELECT event_id,
+  CAST(props->>'$.k' AS INT) AS prop_k,
+  md5(CAST(user_id AS VARCHAR)) AS user_md5,
+  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
+  upper(event_type) AS event_type_uc
+FROM events ORDER BY event_id
+"""
+
+    o["topk_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+    # ---- text / dedup -----------------------------------------------------
+
+    o["doc_stats"] = _doc_stats_sql()
+
+    o["lang_profile"] = f"""
+WITH ds AS ({_doc_stats_sql()})
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  round(avg(quality), 6) AS avg_quality,
+  round(avg(n_chars), 6) AS avg_chars
+FROM ds GROUP BY lang ORDER BY lang
+"""
+
+    o["quality_filter"] = f"""
+WITH ds AS ({_doc_stats_sql()})
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN ds ON d.doc_id = ds.doc_id
+WHERE ds.quality >= {QUALITY_MIN}
+"""
+
+    o["exact_dedup"] = f"""
+SELECT md5({_NORM_TEXT}) AS fp, CAST(min(doc_id) AS BIGINT) AS rep_id,
+  CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+    o["ngram_jaccard_dedup"] = f"""
+WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT id, list_distinct({_SHINGLES}) AS shingles FROM tok),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    len(list_intersect(a.shingles, b.shingles)) AS inter,
+    len(a.shingles) AS size_a, len(b.shingles) AS size_b
+  FROM sh a, sh b WHERE a.id < b.id
+)
+SELECT id_a, id_b, round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE inter > 0 AND round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >= {JACCARD_T}
+"""
+
+    o["minhash_lsh_dedup"] = _minhash_sql()
+    o["simhash_dedup"] = _simhash_sql(SIMHASH_MAX_HAMMING)
+
+    o["embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      CASE WHEN sqrt(list_sum([x*x for x in a.v])) * sqrt(list_sum([x*x for x in b.v])) = 0.0 THEN 0.0
+           ELSE list_sum([pr[1]*pr[2] for pr in list_zip(a.v, b.v)])
+                / (sqrt(list_sum([x*x for x in a.v])) * sqrt(list_sum([x*x for x in b.v])))
+      END, 6) AS cosine
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_NEAR_DUP_T}
+"""
+
+    # ---- windows ----------------------------------------------------------
+
+    o["events_tumbling"] = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+  event_type, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["events_sliding"] = """
+WITH x AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - i * INTERVAL '1 hour' AS window_start,
+    user_id
+  FROM events, range(2) t(i)
+)
+SELECT window_start, user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY 1, 2
+"""
+
+    o["events_sessions"] = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+    return o

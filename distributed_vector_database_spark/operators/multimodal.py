@@ -64,13 +64,15 @@ def _hash_projection_embed(blobs: pd.Series, dim: int) -> pd.Series:
     content hash, draw a unit vector. Stands in for the CLIP forward
     pass (clip/embedding.py:39-68) with identical output contract
     (fixed dim, L2-normalized)."""
+    import hashlib
+
     out = []
     for blob in blobs:
         b = bytes(blob) if blob is not None else b""
-        seed = np.frombuffer(
-            np.array([hash(b) & 0x7FFFFFFF], dtype=np.int64).tobytes(), dtype=np.uint8
-        ).sum() + len(b)
-        rng = np.random.default_rng(int(seed))
+        # content-derived seed via md5 (stable across processes, unlike
+        # built-in hash() under randomized PYTHONHASHSEED)
+        seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
         v = rng.standard_normal(dim)
         n = np.linalg.norm(v)
         out.append((v / n if n > 0 else v).tolist())

@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.01,
+compare row count + (order-insensitive) value multiset.
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from distributed_vector_database_spark.config import FIXTURE_TABLES
+from distributed_vector_database_spark.session import get_spark
+
+
+def canon(v):
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return repr(v)
+
+
+def row_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = df.collect()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(rows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            n_rowsonly += 1
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols = [c.lower() for c in orel.columns]
+            orows = orel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        scols = [c.lower() for c in cols]
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(rows) != len(orows):
+            problems.append(f"rowcount spark={len(rows)} oracle={len(orows)}")
+        if not problems:
+            ms, mo = row_multiset(scols, rows), row_multiset(ocols, orows)
+            if ms != mo:
+                diff_s = list((ms - mo).items())[:3]
+                diff_o = list((mo - ms).items())[:3]
+                problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"pass  {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
