@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set = the flagship vector path + the heaviest relational/agg/
+window/dedup queries — the ones whose plans must survive a 100x scale-up.
+Each query is collected (or counted) to force full execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from distributed_vector_database_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_knn",
+    "knn_exact",
+    "knn_sharded",
+    "knn_join",
+    "pricing_summary",
+    "top_orders_by_segment",
+    "regional_revenue",
+    "customer_order_ranks",
+    "changelog_compact",
+    "doc_stats",
+    "lang_profile",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "events_tumbling",
+    "events_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="dvds-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch JIT/IO
+    qs["knn_exact"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

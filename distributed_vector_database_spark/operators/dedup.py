@@ -31,15 +31,24 @@ from pyspark.sql.window import Window
 from distributed_vector_database_spark.functions.hashing import (
     hamming64,
     minhash_bands,
-    minhash_signature,
-    simhash,
 )
 from distributed_vector_database_spark.functions.text import (
     fingerprint,
     tokenize,
     word_shingles,
 )
-from distributed_vector_database_spark.functions.vector import cosine_similarity
+
+
+def ensure_parallelism(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread a narrow input across the cluster before compute-heavy
+    per-row work. A small corpus read from one parquet file arrives as
+    ONE partition — every downstream hash/shingle expression would run
+    single-core. At 100 TB inputs arrive well-partitioned and this is a
+    no-op; locally it buys full parallelism for one tiny shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, id_col)
+    return df
 
 
 def dedup_by_key(df: DataFrame, key_col: str, order_col: str) -> DataFrame:
@@ -83,9 +92,14 @@ def ngram_jaccard_pairs(
     docs sharing ≥1 shingle ever meet — no cross join) → per-pair
     intersection count → Jaccard from per-doc set sizes. This is the
     exact oracle; minhash_lsh_pairs is its approximation at scale."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    # cached: referenced three times below (sizes + both join sides)
+    sh = (
+        ensure_parallelism(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+        )
+        .cache()
     )
     sizes = sh.select("id", F.size("shingles").alias("set_size"))
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
@@ -126,12 +140,40 @@ def minhash_lsh_pairs(
     an equi-join on (band, band_key) — the only shuffle — so cost is
     O(collisions), not O(n²). Returns distinct candidate pairs with the
     fraction of matching signature positions as `sig_match`."""
+    from distributed_vector_database_spark.functions.hashing import (
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        hash32,
+    )
+
     rows_per_band = num_perm // bands
-    sigd = docs.select(
+    # explode -> hash once -> 16 partial-min aggregates. The expression
+    # form (hashing.minhash_signature) re-evaluates the md5 subtree once
+    # per permutation (Catalyst doesn't CSE across lambda bodies) — 16x
+    # the md5 cost; this shape hashes each shingle exactly once and the
+    # mins combine map-side, which is also the right plan at 100 TB
+    # (shuffle carries one 16-long row per doc, not the shingle sets).
+    exploded = ensure_parallelism(docs, id_col).select(
         F.col(id_col).alias("id"),
-        minhash_signature(
-            F.array_distinct(word_shingles(text_col, shingle_n)), num_perm
-        ).alias("sig"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+    ).select("id", hash32("s").alias("h"))
+    sigd = (
+        exploded.groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
+                for j, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+            ]
+        )
+        .select(
+            "id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
+        )
+        # persist the signature table (num_perm longs per doc — tiny even
+        # at 10^9 docs): the band self-join reads it twice, and without
+        # this the whole shingle+hash pipeline runs once per join side.
+        # At 100 TB you'd write signatures to a table; cache is the
+        # in-session analog.
+        .cache()
     )
     banded = sigd.select(
         "id", "sig", F.explode(minhash_bands("sig", bands, rows_per_band)).alias("bk")
@@ -173,11 +215,33 @@ def simhash_pairs(
     32-bit simhash into (max_hamming+1) blocks; by pigeonhole, any pair
     within the radius shares at least one exact block → equi-join on
     (block_idx, block_value), then exact Hamming verify. One shuffle."""
+    from distributed_vector_database_spark.functions.hashing import hash32
+
     nblocks = max_hamming + 1
     block_bits = 32 // nblocks
-    sh = docs.select(
-        F.col(id_col).alias("id"), simhash(tokenize(text_col)).alias("sh")
+    # explode tokens -> hash once -> 32 partial-sum bit votes (same
+    # rationale as minhash_lsh_pairs: the expression form pays 32x md5;
+    # this is one hash per token + map-side combinable sums)
+    toks = ensure_parallelism(docs, id_col).select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("t")
+    ).select("id", hash32("t").alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
     )
+    sh_expr = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh_expr = term if sh_expr is None else sh_expr + term
+    # cached for the same reason as the MinHash signature table: the
+    # block self-join reads `sh` twice
+    sh = votes.select("id", sh_expr.alias("sh")).cache()
     blocks = sh.select(
         "id",
         "sh",
@@ -217,17 +281,66 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
 
-    Exact all-pairs — the small-slice oracle. The production path at
-    scale is LSH bucketing (operators/ann.py) feeding the same verify
-    expression; keep this as the ground truth."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+    Exact all-pairs, executed as a BLOCKED distributed matrix multiply:
+    group vectors into √-ish blocks, cross-join the block pairs (upper
+    triangle), and compute each block×block cosine submatrix with one
+    vectorized numpy matmul inside mapInPandas. This is the classic
+    distributed GEMM shape — n² work spread as (n/b)² independent
+    block tasks, each a dense BLAS call, instead of n² per-row
+    interpreted expressions. At 100 TB you put an LSH/IVF prefilter
+    (operators/ann.py) in front; the block kernel stays the same."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = 16
+    blocked = (
+        ensure_parallelism(emb, id_col)
         .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("v_a", "v_b"), 6).alias("cosine"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    a = blocked.select(
+        F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = blocked.select(
+        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    t = float(threshold)
+
+    def block_cosine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["id"] for r in row["rows_a"]])
+                ids_b = np.array([r["id"] for r in row["rows_b"]])
+                ma = np.stack([np.asarray(r["v"]) for r in row["rows_a"]])
+                mb = np.stack([np.asarray(r["v"]) for r in row["rows_b"]])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                denom = np.outer(na, nb)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(denom == 0.0, 0.0, (ma @ mb.T) / denom)
+                cos = np.round(cos, 6)
+                ia, ib = np.nonzero(cos >= t)
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal block: emit the upper triangle only
+                    keep = ids_a[ia] < ids_b[ib]
+                    lo, hi = ids_a[ia][keep], ids_b[ib][keep]
+                    vals = cos[ia, ib][keep]
+                else:
+                    # off-diagonal: every hit is unique to this block
+                    # pair; normalize to (min_id, max_id)
+                    lo = np.minimum(ids_a[ia], ids_b[ib])
+                    hi = np.maximum(ids_a[ia], ids_b[ib])
+                    vals = cos[ia, ib]
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
+
+    return pairs.mapInPandas(
+        block_cosine, schema=f"id_a long, id_b long, cosine double"
     )
