@@ -1,0 +1,91 @@
+"""Dedup tiers: constructed duplicates must be found."""
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.dedup import (
+    dedup_by_key,
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = "doc_id long, text string"
+
+
+def test_exact_dedup_collapses(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after normalization
+            (3, "something else"),
+        ],
+        DOCS,
+    )
+    res = {r["rep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert res == {1: 2, 3: 1}
+
+
+def _near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),          # near-duplicate
+            (3, "completely different words about spark query engines"),
+        ],
+        DOCS,
+    )
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_near_dup_docs(spark), threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_minhash_candidates_include_near_dup(spark):
+    pairs = minhash_lsh_pairs(_near_dup_docs(spark)).collect()
+    assert (1, 2) in {(p["id_a"], p["id_b"]) for p in pairs}
+    m = {(p["id_a"], p["id_b"]): p["sig_match"] for p in pairs}
+    assert m[(1, 2)] > 0.5
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+        DOCS,
+    )
+    pairs = {(p["id_a"], p["id_b"]): p["hamming"] for p in simhash_pairs(docs, 3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_embedding_near_dup_finds_duplicate_vector(spark):
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [-4.0, 3.0, -2.0, 1.0]
+    emb = spark.createDataFrame(
+        [(1, v), (2, list(v)), (3, w)], "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_dup(emb, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"], p["cosine"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_embedding_near_dup_cross_block_pair(spark):
+    # ids 1 and 18 land in different pmod-16 blocks; the blocked matmul
+    # must still surface the pair exactly once
+    v = [1.0, 0.0, 2.0]
+    emb = spark.createDataFrame(
+        [(1, v), (18, list(v)), (5, [9.0, -1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_near_dup(emb, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 18)]
+
+
+def test_dedup_by_key_first_wins(spark):
+    df = spark.createDataFrame(
+        [("k1", "first", 0), ("k1", "second", 1), ("k2", "only", 0)],
+        "key string, val string, ord int",
+    )
+    res = {r["key"]: r["val"] for r in dedup_by_key(df, "key", "ord").collect()}
+    assert res == {"k1": "first", "k2": "only"}

@@ -1,0 +1,77 @@
+"""k-NN semantics pinned from reference behavior (SURVEY §5.3)."""
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.knn import (
+    knn_exact,
+    knn_join,
+    knn_sharded,
+)
+
+
+def _qvec(tables):
+    return list(tables["embeddings"].filter("vec_id = 0").first()["embedding"])
+
+
+def test_topk_default_when_nonpositive(tables):
+    # top_k <= 0 treated as 5 (src/datanode/handler.py:346)
+    q = _qvec(tables)
+    assert knn_exact(tables["embeddings"], q, k=0).count() == 5
+    assert knn_exact(tables["embeddings"], q, k=-7).count() == 5
+
+
+def test_k_capped_by_corpus(tables):
+    # k = min(top_k, count) may return fewer rows (src/datanode/handler.py:357)
+    q = _qvec(tables)
+    small = tables["embeddings"].limit(3)
+    assert knn_exact(small, q, k=10).count() == 3
+
+
+def test_scores_ascending_self_first(tables):
+    # lower score = better; ascending sort (src/coordinator/handler.py:212)
+    q = _qvec(tables)
+    rows = knn_exact(tables["embeddings"], q, k=5).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores)
+    assert rows[0]["vec_id"] == 0 and rows[0]["score"] == 0.0
+
+
+def test_metadata_filter_prefilters(tables):
+    # the declared-but-dead search filter (src/vector_db.thrift:26),
+    # implemented as a pre-distance predicate
+    q = _qvec(tables)
+    rows = knn_exact(
+        tables["embeddings"], q, k=5, predicate=F.col("label") == 3
+    ).collect()
+    assert rows and all(r["label"] == 3 for r in rows)
+
+
+def test_threshold_cutoff(tables):
+    # the declared-but-dead threshold (src/vector_db.thrift:27)
+    q = _qvec(tables)
+    rows = knn_exact(tables["embeddings"], q, k=50, threshold=1.5).collect()
+    assert rows and all(r["score"] <= 1.5 for r in rows)
+
+
+def test_sharded_matches_exact(tables):
+    # the mapInPandas scatter-gather kernel must reproduce the
+    # declarative plan exactly (SURVEY §7 Phase 2)
+    q = _qvec(tables)
+    exact = [tuple(r) for r in knn_exact(tables["embeddings"], q, k=7).collect()]
+    sharded = [
+        tuple(r) for r in knn_sharded(tables["embeddings"], q, k=7, num_shards=4).collect()
+    ]
+    assert exact == sharded
+
+
+def test_knn_join_per_query_k(tables):
+    emb = tables["embeddings"]
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = knn_join(qs, emb, k=4)
+    counts = {r["query_id"]: r["n"] for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 4, 1: 4, 2: 4}
+    # each query's own vector is its nearest neighbor
+    own = res.filter("rank = 1").collect()
+    assert all(r["query_id"] == r["vec_id"] and r["score"] == 0.0 for r in own)
