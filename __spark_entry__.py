@@ -321,6 +321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "events")
     )
 
+    q["orders_rollup"] = lambda spark, sf: R.orders_rollup(
+        load_table(spark, sf, "orders")
+    )
+    q["customers_with_orders"] = lambda spark, sf: R.customers_with_orders(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+    q["metadata_map_filter"] = lambda spark, sf: R.metadata_map_filter(
+        load_table(spark, sf, "documents")
+    )
+
     def topk_orders_q(spark, sf):
         return (
             load_table(spark, sf, "orders")
@@ -756,6 +766,23 @@ SELECT event_id,
   epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
   upper(event_type) AS event_type_uc
 FROM events ORDER BY event_id
+"""
+
+    o["orders_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+    o["customers_with_orders"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+    o["metadata_map_filter"] = """
+SELECT doc_id, source FROM documents WHERE lang = 'en' ORDER BY doc_id
 """
 
     o["topk_orders"] = """

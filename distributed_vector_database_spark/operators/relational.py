@@ -121,6 +121,52 @@ def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFram
     )
 
 
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over (status, priority) — per
+    group, per status, and grand total in one pass (partial-agg
+    friendly; Catalyst expands to a single shuffle)."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi-join coverage (filter-by-key-set, SURVEY §2.2 Joins): the
+    probe side never duplicates and only the key column of orders is
+    read."""
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def metadata_map_filter(docs: DataFrame) -> DataFrame:
+    """MapType coverage — the reference's metadata map<string,string>
+    (src/vector_db.thrift:16) and its declared-but-dead search filter
+    (src/vector_db.thrift:26): build a metadata map, filter on a key's
+    value, project another key out of the map."""
+    with_meta = docs.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+        ).alias("metadata"),
+    )
+    return (
+        with_meta.filter(F.col("metadata")["lang"] == "en")
+        .select("doc_id", F.col("metadata")["source"].alias("source"))
+        .orderBy("doc_id")
+    )
+
+
 def event_json_extract(events: DataFrame) -> DataFrame:
     """Scalar-function coverage (SURVEY §2.2): JSON decode of props
     (≈ the WAL's JSON lines, src/utils/wal_manager.py:104), md5 of the
