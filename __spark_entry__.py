@@ -398,6 +398,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk_q
 
+    def text_to_doc_search_q(spark, sf):
+        # O20+O22: embed query text + corpus with the deterministic
+        # embedder, k-NN, project metadata. No SQL oracle (numpy RNG
+        # projection) → rows-only check; determinism itself is pinned in
+        # tests/test_semantic.py.
+        from distributed_vector_database_spark.operators.semantic import (
+            embed_text_column,
+            text_search,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        corpus = embed_text_column(docs, dim=32)
+        return text_search(corpus, "spark query engine", top_k=10, dim=32)
+
+    q["text_to_doc_search"] = text_to_doc_search_q
+
     def multimodal_embed_q(spark, sf):
         from distributed_vector_database_spark.operators.multimodal import (
             embed_binary_deterministic,

@@ -1,0 +1,82 @@
+"""Text→vector semantic search — the reference's CLIP text path
+(O20 text2vec, clip/embedding.py:70-93; O22 text_search,
+clip/db_operation.py:123-161) with a pluggable embedder.
+
+The real CLIP text tower needs torch+transformers (absent here); the
+deterministic hash-projection embedder carries the full contract
+(fixed dim, L2-normalized, content-addressed: same text → same vector
+on driver and executors alike), so the composition — embed query →
+k-NN over an embedded corpus → project metadata — is real and tested.
+Swap `text2vec`/`embed_text_column` for the CLIP versions on a cluster
+with the model and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.config import DEFAULT_TOP_K
+from distributed_vector_database_spark.operators.knn import knn_exact
+
+
+def text2vec(text: str, dim: int = 64) -> list[float]:
+    """Driver-side query embedding (O20): deterministic hash projection,
+    L2-normalized like the CLIP embedder (clip/embedding.py:89)."""
+    import pandas as pd
+
+    from distributed_vector_database_spark.operators.multimodal import (
+        _hash_projection_embed,
+    )
+
+    return list(_hash_projection_embed(pd.Series([text.encode("utf-8")]), dim)[0])
+
+
+def embed_text_column(
+    df: DataFrame, text_col: str = "text", dim: int = 64
+) -> DataFrame:
+    """Executor-side corpus embedding: Arrow-batched mapInPandas, model
+    state initialized once per worker (the CLIP-on-executors pattern,
+    SURVEY O19-O20). Produces exactly text2vec's vectors."""
+    import pandas as pd
+
+    from distributed_vector_database_spark.operators.multimodal import (
+        _hash_projection_embed,
+    )
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, embedding array<double>"
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = pdf[text_col].map(lambda t: (t or "").encode("utf-8"))
+            pdf["embedding"] = _hash_projection_embed(blobs, dim)
+            yield pdf
+
+    return df.mapInPandas(embed, schema=out_schema)
+
+
+def text_search(
+    corpus: DataFrame,
+    query_text: str,
+    top_k: int = DEFAULT_TOP_K,
+    key_col: str = "doc_id",
+    vec_col: str = "embedding",
+    project_cols: Sequence[str] = ("source",),
+    dim: int = 64,
+) -> DataFrame:
+    """O22: text2vec(query) → distributed k-NN → project metadata
+    columns with the score (the {file_path, score} projection of
+    clip/db_operation.py:148-158)."""
+    qvec = text2vec(query_text, dim)
+    return knn_exact(
+        corpus,
+        qvec,
+        k=top_k,
+        key_col=key_col,
+        vec_col=vec_col,
+        extra_cols=tuple(project_cols),
+    )

@@ -27,6 +27,19 @@ def get_spark(
     Env overrides: SPARK_GRAFT_CPUS (local core count),
     SPARK_GRAFT_SHUFFLE_PARTITIONS.
     """
+    # Make this package importable in executor Python workers no matter
+    # the driver's cwd: Pandas-UDF closures reference module functions by
+    # name (cloudpickle serializes installed modules by reference), so
+    # workers must be able to import us. Local mode inherits the driver
+    # process env; on a cluster you'd ship a wheel via --py-files, and
+    # executorEnv below covers it.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -51,6 +64,7 @@ def get_spark(
         # small dims (region/nation/...) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,216 @@
+"""VectorStore — the user-facing facade with the reference's verb set.
+
+Maps the reference's CLI/RPC surface (src/cli/main_cli.py:14-218:
+put / get / delete / search / list; coordinator handlers
+src/coordinator/handler.py:117-228) onto a directory-backed,
+change-log-structured Parquet store:
+
+    store = VectorStore(spark, "/data/my_store", dim=64)
+    store.put("k1", vec, {"type": "image"})          # O1 upsert
+    store.put_batch(df)                               # O21 batch ingest
+    store.get("k1")                                   # O3 point lookup
+    store.delete("k1")                                # O2 tombstone
+    store.search(qvec, top_k=5, filter={"type": "image"}, threshold=1.5)
+                                                      # O4/O5/O6 + declared
+                                                      #   filter/threshold
+    store.compact()                                   # O13/O14 checkpoint
+    store.count(), store.scan()                       # get_all_vectors
+
+Layout on disk (the WAL/checkpoint state machine of
+src/datanode/handler.py:156-219, as immutable Parquet):
+
+    <root>/changelog/   append-only op rows (op, key, vector, metadata, ts, seq)
+    <root>/snapshot/v=N versioned compacted snapshots
+
+Reads resolve snapshot ∪ compacted-changelog-tail — exactly the
+reference's checkpoint + incremental WAL replay (SURVEY §3.4). At
+scale: the changelog is the only window-sorted data; `compact()` folds
+it into the next snapshot version (the 200k-put rebuild / 2k-put
+checkpoint cadence becomes an explicit batch job). Writes are
+append-mode Parquet — single-writer, like the reference's per-node
+RLock discipline.
+
+Dimension is validated on every put (src/datanode/handler.py:228-232);
+`search(top_k<=0)` falls back to 5 (src/datanode/handler.py:346);
+scores are ascending squared-L2 (src/coordinator/handler.py:212).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.config import DEFAULT_TOP_K
+from distributed_vector_database_spark.operators.changelog import (
+    OP_DELETE,
+    OP_PUT,
+    apply_changelog,
+)
+from distributed_vector_database_spark.operators.knn import knn_exact
+from distributed_vector_database_spark.streaming.compaction import latest_version
+
+STATE_COLS = ["key", "vector", "metadata", "ts"]
+LOG_SCHEMA = (
+    "op string, key string, vector array<double>, "
+    "metadata map<string,string>, ts long, seq long"
+)
+
+
+class DimensionMismatch(ValueError):
+    pass
+
+
+class VectorStore:
+    def __init__(self, spark: SparkSession, root: str, dim: int):
+        self.spark = spark
+        self.root = root
+        self.dim = dim
+        self._log_dir = os.path.join(root, "changelog")
+        self._snap_dir = os.path.join(root, "snapshot")
+        self._seq = 0
+
+    # -- write path ---------------------------------------------------------
+
+    def _append_log(self, rows: list[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._log_dir)
+
+    def _next_ts_seq(self) -> tuple[int, int]:
+        self._seq += 1
+        return int(time.time() * 1000), self._seq
+
+    def put(
+        self,
+        key: str,
+        vector: Sequence[float],
+        metadata: dict[str, str] | None = None,
+    ) -> None:
+        """Upsert one record (O1). Dim-checked like
+        src/datanode/handler.py:228-232."""
+        vec = [float(v) for v in vector]
+        if len(vec) != self.dim:
+            raise DimensionMismatch(
+                f"vector dimension {len(vec)} != store dimension {self.dim}"
+            )
+        ts, seq = self._next_ts_seq()
+        self._append_log([(OP_PUT, str(key), vec, metadata or {}, ts, seq)])
+
+    def put_batch(self, records: DataFrame) -> None:
+        """Batch ingest (O21): DataFrame with (key, vector[, metadata]).
+        Dim-mismatched rows are rejected wholesale (fail-fast, unlike the
+        reference's silent per-file skip at clip/db_operation.py:100-121)."""
+        cols = records.columns
+        if "metadata" not in cols:
+            records = records.withColumn(
+                "metadata", F.create_map().cast("map<string,string>")
+            )
+        bad = records.filter(F.size("vector") != self.dim).count()
+        if bad:
+            raise DimensionMismatch(f"{bad} rows with dimension != {self.dim}")
+        ts, seq = self._next_ts_seq()
+        log = records.select(
+            F.lit(OP_PUT).alias("op"),
+            F.col("key").cast("string").alias("key"),
+            F.col("vector").cast("array<double>").alias("vector"),
+            F.col("metadata").cast("map<string,string>").alias("metadata"),
+            F.lit(ts).alias("ts"),
+            (F.lit(seq * 1_000_000) + F.monotonically_increasing_id()).alias("seq"),
+        )
+        log.write.mode("append").parquet(self._log_dir)
+        self._seq += 1
+
+    def delete(self, key: str) -> None:
+        """Tombstone a key (O2)."""
+        ts, seq = self._next_ts_seq()
+        self._append_log([(OP_DELETE, str(key), None, None, ts, seq)])
+
+    # -- state resolution ---------------------------------------------------
+
+    def _base(self) -> DataFrame:
+        v = latest_version(self._snap_dir)
+        if v >= 0:
+            return self.spark.read.parquet(f"{self._snap_dir}/v={v}")
+        return self.spark.createDataFrame(
+            [], "key string, vector array<double>, metadata map<string,string>, ts long"
+        )
+
+    def _log(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self._log_dir)
+        except Exception:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+
+    def state(self) -> DataFrame:
+        """Current state = snapshot ∪ compacted change-log tail
+        (recovery semantics of src/datanode/handler.py:181-219 as a pure
+        expression)."""
+        base = self._base()
+        log = self._log()
+        if log.isEmpty():
+            return base
+        return apply_changelog(
+            base, log.select("op", *STATE_COLS, "seq"), seq_col="seq"
+        ).select(*STATE_COLS)
+
+    # -- read path ----------------------------------------------------------
+
+    def get(self, key: str) -> dict | None:
+        """Point lookup (O3); None after delete
+        (src/datanode/handler.py:418-421)."""
+        rows = self.state().filter(F.col("key") == str(key)).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        return {"key": r["key"], "vector": list(r["vector"]), "metadata": dict(r["metadata"] or {})}
+
+    def search(
+        self,
+        query_vector: Sequence[float],
+        top_k: int = DEFAULT_TOP_K,
+        filter: dict[str, str] | None = None,  # noqa: A002 - reference name
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """k-NN over live state (O4-O7), with the declared-but-dead
+        metadata filter and threshold implemented for real
+        (src/vector_db.thrift:26-27). Ascending squared-L2 scores."""
+        pred = None
+        for k_, v_ in (filter or {}).items():
+            clause = F.col("metadata")[k_] == v_
+            pred = clause if pred is None else (pred & clause)
+        return knn_exact(
+            self.state(),
+            query_vector,
+            k=top_k,
+            key_col="key",
+            vec_col="vector",
+            predicate=pred,
+            threshold=threshold,
+            extra_cols=(),
+        )
+
+    def scan(self) -> DataFrame:
+        """Full scan (the declared get_all_vectors RPC,
+        src/vector_db.thrift:86)."""
+        return self.state()
+
+    def count(self) -> int:
+        return self.state().count()
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self) -> int:
+        """Fold the change-log into the next snapshot version
+        (O13 checkpoint + O14 rebuild: tombstones physically dropped).
+        Returns the new version id."""
+        new_state = self.state()
+        v = latest_version(self._snap_dir) + 1
+        new_state.write.mode("overwrite").parquet(f"{self._snap_dir}/v={v}")
+        # truncate the applied log (the WAL GC of src/utils/wal_manager.py:22-23)
+        import shutil
+
+        shutil.rmtree(self._log_dir, ignore_errors=True)
+        return v

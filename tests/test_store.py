@@ -1,0 +1,110 @@
+"""VectorStore facade: the reference's CLI/RPC verb set end-to-end
+(put/get/delete/search/compact over a directory-backed store)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.store import DimensionMismatch, VectorStore
+
+DIM = 4
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return VectorStore(spark, str(tmp_path / "store"), dim=DIM)
+
+
+def test_put_get_roundtrip(store):
+    store.put("a", [1.0, 0.0, 0.0, 0.0], {"type": "unit"})
+    got = store.get("a")
+    assert got == {
+        "key": "a",
+        "vector": [1.0, 0.0, 0.0, 0.0],
+        "metadata": {"type": "unit"},
+    }
+
+
+def test_put_overwrites(store):
+    # upsert replaces (src/datanode/handler.py:253-261)
+    store.put("a", [1.0, 0.0, 0.0, 0.0])
+    store.put("a", [0.0, 1.0, 0.0, 0.0], {"v": "2"})
+    assert store.count() == 1
+    assert store.get("a")["vector"] == [0.0, 1.0, 0.0, 0.0]
+
+
+def test_get_after_delete_none(store):
+    # (src/datanode/handler.py:418-421)
+    store.put("a", [1.0, 0.0, 0.0, 0.0])
+    store.delete("a")
+    assert store.get("a") is None
+    assert store.count() == 0
+
+
+def test_dim_mismatch_rejected(store):
+    # (src/datanode/handler.py:228-232)
+    with pytest.raises(DimensionMismatch):
+        store.put("bad", [1.0, 2.0])
+
+
+def test_search_excludes_deleted_and_ranks(store):
+    # search skips deleted ids (src/datanode/handler.py:378-380);
+    # ascending distance (src/coordinator/handler.py:212)
+    store.put("near", [1.0, 0.0, 0.0, 0.0])
+    store.put("far", [0.0, 5.0, 0.0, 0.0])
+    store.put("dead", [1.0, 0.1, 0.0, 0.0])
+    store.delete("dead")
+    rows = store.search([1.0, 0.0, 0.0, 0.0], top_k=10).collect()
+    assert [r["key"] for r in rows] == ["near", "far"]
+    assert rows[0]["score"] == 0.0
+
+
+def test_search_metadata_filter_and_threshold(store):
+    store.put("img1", [1.0, 0.0, 0.0, 0.0], {"type": "image"})
+    store.put("txt1", [1.0, 0.1, 0.0, 0.0], {"type": "text"})
+    store.put("img2", [0.0, 9.0, 0.0, 0.0], {"type": "image"})
+    rows = store.search([1.0, 0.0, 0.0, 0.0], top_k=10, filter={"type": "image"}).collect()
+    assert [r["key"] for r in rows] == ["img1", "img2"]
+    rows = store.search(
+        [1.0, 0.0, 0.0, 0.0], top_k=10, filter={"type": "image"}, threshold=1.0
+    ).collect()
+    assert [r["key"] for r in rows] == ["img1"]
+
+
+def test_search_topk_default(store):
+    for i in range(8):
+        store.put(f"k{i}", [float(i), 0.0, 0.0, 0.0])
+    # top_k <= 0 → 5 (src/datanode/handler.py:346)
+    assert store.search([0.0] * DIM, top_k=0).count() == 5
+
+
+def test_put_batch(store, spark):
+    df = spark.createDataFrame(
+        [(f"b{i}", [float(i), 1.0, 0.0, 0.0]) for i in range(10)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(df)
+    assert store.count() == 10
+
+
+def test_put_batch_dim_checked(store, spark):
+    df = spark.createDataFrame([("x", [1.0, 2.0])], "key string, vector array<double>")
+    with pytest.raises(DimensionMismatch):
+        store.put_batch(df)
+
+
+def test_compact_then_incremental(store):
+    # checkpoint + incremental replay (src/datanode/handler.py:181-219):
+    # state after compact + new writes == state from one continuous log
+    store.put("a", [1.0, 0.0, 0.0, 0.0])
+    store.put("b", [0.0, 1.0, 0.0, 0.0])
+    v = store.compact()
+    assert v == 0
+    store.put("a", [9.0, 0.0, 0.0, 0.0])   # overwrite post-checkpoint
+    store.delete("b")
+    store.put("c", [0.0, 0.0, 1.0, 0.0])
+    state = {r["key"]: list(r["vector"]) for r in store.scan().collect()}
+    assert state == {"a": [9.0, 0.0, 0.0, 0.0], "c": [0.0, 0.0, 1.0, 0.0]}
+    # second compact folds the tail; results stable
+    store.compact()
+    state2 = {r["key"]: list(r["vector"]) for r in store.scan().collect()}
+    assert state2 == state

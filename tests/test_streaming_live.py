@@ -1,0 +1,100 @@
+"""Live Structured Streaming: the same window spec run as a readStream
+(with watermark) must reproduce the batch oracle, and late events
+beyond the watermark must be dropped (SURVEY §5.5)."""
+
+import json
+
+from distributed_vector_database_spark.streaming.windows import tumbling_counts
+
+
+def _write_events(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:20:00", "event_type": "click", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 01:10:00", "event_type": "view", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01 02:05:00", "event_type": "click", "value": 4.0},
+    ]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    _write_events(src / "batch0.json", rows)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+    agg = tumbling_counts(stream, streaming=True)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_live").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["event_type"], r["value"]) for r in rows],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(batch).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    src = tmp_path / "late_in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+        agg = tumbling_counts(stream, streaming=True, watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 advances event time to 05:50 → watermark (2h) = 03:50
+    _write_events(
+        src / "b0.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 05:50:00", "event_type": "click", "value": 1.0},
+        ],
+    )
+    run_once()
+    # batch 2: an event far behind the watermark (dropped) + one at
+    # 09:00 that pushes the watermark to 07:00, finalizing the 05:00
+    # window so append mode emits it
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 2, "ts": "2024-01-01 00:30:00", "event_type": "stale", "value": 9.0},
+            {"event_id": 3, "ts": "2024-01-01 09:00:00", "event_type": "click", "value": 1.0},
+        ],
+    )
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    types = {r["event_type"] for r in rows}
+    # the on-time 05:00 click window finalized and was emitted...
+    assert "click" in types
+    # ...the behind-watermark stale event's window never materialized
+    assert "stale" not in types
