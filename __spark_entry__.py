@@ -366,6 +366,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), threshold=COSINE_NEAR_DUP_T
     )
 
+    def hash_sample_q(spark, sf):
+        from distributed_vector_database_spark.operators.sampling import hash_sample
+
+        docs = load_table(spark, sf, "documents")
+        return hash_sample(docs, "doc_id", 10).select("doc_id", "lang", "n_chars")
+
+    q["hash_sample"] = hash_sample_q
+
+    def stratified_sample_q(spark, sf):
+        from distributed_vector_database_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        return stratified_sample(docs, "lang", "doc_id", 5).select(
+            "doc_id", "lang"
+        ).orderBy("lang", "doc_id")
+
+    q["stratified_sample"] = stratified_sample_q
+
+    def ann_lsh_similarity_join_q(spark, sf):
+        from distributed_vector_database_spark.operators.ann import (
+            lsh_model,
+            lsh_similarity_join,
+        )
+
+        emb = _emb(spark, sf)
+        model, indexed = lsh_model(emb)
+        return lsh_similarity_join(model, indexed, indexed, max_l2=1.2)
+
+    q["ann_lsh_similarity_join"] = ann_lsh_similarity_join_q
+
     # ---- streaming-shaped window aggregates (SURVEY §2.2 Streaming) -------
 
     q["events_tumbling"] = lambda spark, sf: tumbling_counts(
@@ -861,6 +893,21 @@ p AS (
   FROM e a, e b WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_NEAR_DUP_T}
+"""
+
+    _H32_KEY = _H32.format(x="CAST(doc_id AS VARCHAR)")
+    o["hash_sample"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_H32_KEY} % 100 < 10
+"""
+
+    o["stratified_sample"] = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY {_H32_KEY}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY lang, doc_id
 """
 
     # ---- windows ----------------------------------------------------------

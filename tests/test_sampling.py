@@ -1,0 +1,46 @@
+"""Deterministic sampling/splitting: reproducible, disjoint, exhaustive."""
+
+from distributed_vector_database_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def test_hash_sample_deterministic(tables):
+    docs = tables["documents"]
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_split_disjoint_exhaustive(tables):
+    docs = tables["documents"]
+    train, test = train_test_split(docs, "doc_id", test_pct=20)
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr.isdisjoint(te)
+    assert len(tr) + len(te) == docs.count()
+    # sample rate in a sane band around 20%
+    assert 0.1 < len(te) / docs.count() < 0.3
+
+
+def test_split_is_content_stable(tables):
+    # membership is a function of the key alone — subsetting the corpus
+    # must not move any key across the split
+    docs = tables["documents"]
+    _, test_full = train_test_split(docs, "doc_id", test_pct=20)
+    subset = docs.filter("doc_id < 100")
+    _, test_sub = train_test_split(subset, "doc_id", test_pct=20)
+    full_ids = {r["doc_id"] for r in test_full.collect() if r["doc_id"] < 100}
+    sub_ids = {r["doc_id"] for r in test_sub.collect()}
+    assert full_ids == sub_ids
+
+
+def test_stratified_cap_per_stratum(tables):
+    docs = tables["documents"]
+    out = stratified_sample(docs, "lang", "doc_id", 5)
+    counts = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    langs_in = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["lang"] for r in counts} == langs_in
