@@ -1,0 +1,58 @@
+"""Source/sink breadth (SURVEY §2.2 Scans): the reference has only
+LevelDB/WAL/JSON-file storage; the engine reads/writes parquet, json,
+csv, binaryFile, with partition pruning on partitioned layouts."""
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.plans.explain import formatted_plan
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "j")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("id long, name string, v double").json(path)
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+
+
+def test_csv_roundtrip_with_header(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    path = str(tmp_path / "c")
+    df.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("id long, name string")
+        .csv(path)
+    )
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(100)], "id long, shard int, v double"
+    )
+    path = str(tmp_path / "p")
+    df.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("shard") == 2)
+    assert back.count() == 25
+    # partition pruning: only the shard=2 directory is scanned
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_parquet_write_sorted_within_partitions(spark, tmp_path):
+    # the compacted-snapshot layout: key-partitioned, sorted files so
+    # point reads prune row groups
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "key long, v double")
+    path = str(tmp_path / "s")
+    (
+        df.repartition(4, "key")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.filter("key = 42").count() == 1

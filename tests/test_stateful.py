@@ -1,0 +1,64 @@
+"""applyInPandasWithState: per-key state accumulates across
+micro-batches AND across query restarts (checkpoint recovery)."""
+
+import json
+
+from distributed_vector_database_spark.streaming.stateful import running_user_stats
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def test_state_accumulates_across_restarts(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = (
+            running_user_stats(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "b0.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:01", "user_id": 1, "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:02", "user_id": 1, "value": 5.0},
+            {"event_id": 3, "ts": "2024-01-01 00:00:03", "user_id": 2, "value": 1.0},
+        ],
+    )
+    run_once()
+    # restart with new data: user 1's state must carry the previous 15.0
+    _write(
+        src / "b1.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 00:10:00", "user_id": 1, "value": 2.5},
+            {"event_id": 5, "ts": "2024-01-01 00:10:01", "user_id": 3, "value": 7.0},
+        ],
+    )
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # keep the row with the max n_events per user
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            latest[r["user_id"]] = r
+    assert latest[1]["n_events"] == 3 and latest[1]["total_value"] == 17.5
+    assert latest[2]["n_events"] == 1 and latest[2]["total_value"] == 1.0
+    assert latest[3]["n_events"] == 1 and latest[3]["total_value"] == 7.0
+    assert str(latest[1]["last_ts"]).startswith("2024-01-01 00:10:00")
