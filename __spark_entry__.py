@@ -37,6 +37,7 @@ from distributed_vector_database_spark.operators.changelog import (
 )
 from distributed_vector_database_spark.operators.dedup import (
     dedup_by_key,
+    dedup_clusters,
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_pairs,
@@ -51,6 +52,7 @@ from distributed_vector_database_spark.operators.knn import (
 from distributed_vector_database_spark.operators.textops import (
     doc_stats,
     lang_profile,
+    pack_documents,
     quality_filter,
 )
 from distributed_vector_database_spark.sources.fixtures import load_table
@@ -353,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup"] = lambda spark, sf: exact_dedup(
         load_table(spark, sf, "documents")
     )
+    q["pack_documents"] = lambda spark, sf: pack_documents(
+        load_table(spark, sf, "documents"), token_budget=512
+    )
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -365,6 +370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup"] = lambda spark, sf: embedding_near_dup(
         _emb(spark, sf), threshold=COSINE_NEAR_DUP_T
     )
+
+    def near_dup_clusters_q(spark, sf):
+        # candidate pairs (MinHash LSH) resolved to min-id clusters via
+        # iterative label propagation; singletons represent themselves
+        docs = load_table(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(docs)
+        return dedup_clusters(docs.select(F.col("doc_id").alias("id")), pairs)
+
+    q["near_dup_clusters"] = near_dup_clusters_q
 
     def hash_sample_q(spark, sf):
         from distributed_vector_database_spark.operators.sampling import hash_sample
@@ -864,6 +878,22 @@ SELECT md5({_NORM_TEXT}) AS fp, CAST(min(doc_id) AS BIGINT) AS rep_id,
 FROM documents GROUP BY 1
 """
 
+    o["pack_documents"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prev
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+  CAST(floor(prev / 512) AS BIGINT) AS bin_id,
+  CAST(prev % 512 AS BIGINT) AS bin_offset
+FROM c
+"""
+
     o["ngram_jaccard_dedup"] = f"""
 WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT id, list_distinct({_SHINGLES}) AS shingles FROM tok),
@@ -879,6 +909,18 @@ WHERE inter > 0 AND round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >=
 """
 
     o["minhash_lsh_dedup"] = _minhash_sql()
+
+    o["near_dup_clusters"] = f"""
+WITH RECURSIVE cand AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+ids AS (SELECT doc_id AS id FROM documents),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id, CAST(min(r) AS BIGINT) AS rep_id FROM reach GROUP BY id
+"""
     o["simhash_dedup"] = _simhash_sql(SIMHASH_MAX_HAMMING)
 
     o["embedding_near_dup"] = f"""

@@ -273,6 +273,65 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into clusters: every id gets the
+    MIN id of its connected component as `rep_id` (singletons represent
+    themselves) — the cluster-pick step after MinHash/SimHash candidate
+    generation (SURVEY §2.3 / Phase 5).
+
+    Algorithm: iterative min-label propagation (Pregel-lite) — each
+    round every node takes the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds. Near-dup
+    components are small and dense, so this terminates in 2-4 rounds in
+    practice; `max_iterations` bounds pathological chains. Each round is
+    one join + one aggregate; labels are localCheckpoint'ed to keep the
+    lineage (and thus task closures) constant-size at scale.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("rep_id").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep_id"), F.coalesce(F.col("nbr_rep"), F.col("rep_id"))
+                ).alias("rep_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep_id") != F.col("o.rep_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -58,3 +58,41 @@ def lang_profile(docs: DataFrame) -> DataFrame:
 def quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The pipeline gate: keep documents above a quality floor."""
     return docs.filter(quality_score("text") >= min_quality)
+
+
+def pack_documents(
+    docs: DataFrame,
+    token_budget: int = 512,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins: within each
+    stratum (deterministic doc order), bin_id = floor(running token
+    count BEFORE this doc / budget) — cumulative-sum packing, the
+    standard approximation of sequence packing that stays a pure window
+    expression (no sequential state).
+
+    Scale shape: one window per stratum partition — parallel across
+    strata, never a global single-partition sort. Returns
+    (id, stratum, n_tokens, bin_id, bin_offset)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tokens = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        token_count("text").alias("n_tokens"),
+    )
+    cum = with_tokens.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    prev = (F.col("cum_tokens") - F.col("n_tokens")).cast("long")
+    return cum.select(
+        id_col,
+        stratum_col,
+        "n_tokens",
+        F.floor(prev / token_budget).cast("long").alias("bin_id"),
+        (prev % token_budget).cast("long").alias("bin_offset"),
+    )

@@ -1,0 +1,56 @@
+"""Cluster resolution (connected components) + sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.ann import hnsw_partition_ann
+from distributed_vector_database_spark.operators.dedup import dedup_clusters
+from distributed_vector_database_spark.operators.textops import pack_documents
+
+
+def test_dedup_clusters_components(spark):
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id long")
+    # chain 1-2-3-4 (tests multi-hop propagation), pair 10-11, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_no_pairs(spark):
+    ids = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, pairs).collect()}
+    assert got == {i: i for i in range(5)}
+
+
+def test_pack_documents_budget_respected(tables):
+    out = pack_documents(tables["documents"], token_budget=512)
+    rows = out.collect()
+    assert all(0 <= r["bin_offset"] < 512 for r in rows)
+    # bins are contiguous from 0 within each stratum
+    for lang in {r["lang"] for r in rows}:
+        bins = sorted({r["bin_id"] for r in rows if r["lang"] == lang})
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+def test_pack_documents_cumsum_consistency(spark):
+    docs = spark.createDataFrame(
+        [(i, "x", " ".join(["w"] * 100)) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_documents(docs, token_budget=250).collect()}
+    # 100-token docs, budget 250: docs 0,1,2 start before 250 ... pattern
+    assert [rows[i]["bin_id"] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+
+
+def test_hnsw_gated_without_library(tables):
+    try:
+        import hnswlib  # noqa: F401
+
+        pytest.skip("hnswlib present; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        hnsw_partition_ann(tables["embeddings"], [0.0] * 64, k=5)
