@@ -1,0 +1,64 @@
+"""Skew-handling primitives (SURVEY §4 / SCALE.md doctrine).
+
+AQE's skew-join splitting handles join skew automatically (enabled in
+session.py); these helpers cover the cases AQE doesn't:
+
+- salted_aggregate: two-phase aggregation for power-law key
+  distributions — phase 1 aggregates on (key, salt) so one hot key
+  spreads over `n_salts` reducers, phase 2 combines the partials.
+  Correct for any algebraic aggregate (sum/count/min/max here).
+- with_salt / explode_salt: the building blocks for manual salted
+  joins (replicate the small side per salt) when a broadcast is too
+  big and AQE's split granularity isn't enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Random-but-deterministic salt derived from the row content is
+    wrong for joins — use a uniform salt from a stable row id."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+
+
+def explode_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Replicate every row once per salt value (the small side of a
+    salted join)."""
+    return df.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: groupBy(key, salt) partial →
+    groupBy(key) final. `agg_exprs` maps output column → 'sum(col)' /
+    'count(1)' / 'min(col)' / 'max(col)' (algebraic aggs only — they
+    re-combine with the same function; avg must be expressed as
+    sum+count by the caller)."""
+    allowed = {"sum", "count", "min", "max"}
+    salted = with_salt(df, n_salts)
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        *[
+            F.expr(expr).alias(out)
+            for out, expr in agg_exprs.items()
+        ]
+    )
+    final_aggs = []
+    for out, expr in agg_exprs.items():
+        fn = expr.split("(", 1)[0].strip().lower()
+        if fn not in allowed:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; use sum/count/min/max")
+        refn = "sum" if fn == "count" else fn  # counts combine by summing
+        final_aggs.append(getattr(F, refn)(out).alias(out))
+    return phase1.groupBy(*key_cols).agg(*final_aggs)

@@ -1,0 +1,83 @@
+"""Skew-safe aggregation correctness + bucketed co-located joins
+(shuffle elimination — the 100 TB join strategy)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.skew import (
+    explode_salt,
+    salted_aggregate,
+    with_salt,
+)
+from distributed_vector_database_spark.plans.explain import formatted_plan
+
+
+def test_salted_aggregate_matches_plain(spark):
+    # heavily skewed: 90% of rows share one key
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_aggregate(
+            df, ["k"], {"total": "sum(v)", "n": "count(1)", "mx": "max(v)"}
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_aggregate_rejects_nonalgebraic(spark):
+    df = spark.range(10).select(F.lit("k").alias("k"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], {"a": "avg(v)"})
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(5_000).select(
+        F.when(F.col("id") % 5 < 4, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("dim"))
+    n_salts = 8
+    bs = with_salt(big, n_salts)
+    ss = explode_salt(small, n_salts)
+    salted = bs.join(ss, ["k", "__salt"]).select("k", "payload", "dim")
+    plain = big.join(small, "k").select("k", "payload", "dim")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    orders = spark.range(1_000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 100).alias("cust")
+    )
+    items = spark.range(5_000).select(
+        (F.col("id") % 1_000).alias("o_key"), F.col("id").alias("item")
+    )
+    for name, df in [("b_orders", orders), ("b_items", items)]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "o_key")
+            .sortBy("o_key")
+            .option("path", str(tmp_path / name))  # external: keep out of cwd
+            .saveAsTable(name)
+        )
+    # disable broadcast so the join strategy itself is under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_items"), "o_key")
+        plan = formatted_plan(j)
+        # co-located bucketed join: no Exchange feeds the SortMergeJoin
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
