@@ -285,6 +285,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["upsert_semantics"] = upsert_semantics_q
 
+    def asof_join_q(spark, sf):
+        # each purchase joined to the user's latest prior-or-equal signup
+        from distributed_vector_database_spark.operators.asof import asof_join
+
+        ev = load_table(spark, sf, "events")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        right = ev.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("signup_id"),
+            F.col("value").alias("signup_value"),
+        )
+        return asof_join(left, right).orderBy("user_id", "ts")
+
+    q["asof_join"] = asof_join_q
+
     # ---- relational coverage (SURVEY §2.2) --------------------------------
 
     def lineitem_filter_project_q(spark, sf):
@@ -745,6 +763,16 @@ changes AS (
 u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, src DESC) AS rn FROM u)
 SELECT user_id, value, event_id AS last_event_id FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+    o["asof_join"] = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type FROM events),
+l AS (SELECT user_id, ts, event_id AS purchase_id FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, event_id AS signup_id, value AS signup_value FROM e WHERE event_type = 'signup')
+SELECT l.user_id, l.ts, l.purchase_id,
+  r.signup_id AS right_signup_id, r.signup_value AS right_signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.user_id, l.ts
 """
 
     # ---- relational -------------------------------------------------------
