@@ -341,6 +341,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "events")
     )
 
+    q["event_range_join"] = lambda spark, sf: R.event_range_join(
+        load_table(spark, sf, "events")
+    )
+    q["event_value_percentiles"] = lambda spark, sf: R.event_value_percentiles(
+        load_table(spark, sf, "events")
+    )
+    q["orders_pivot"] = lambda spark, sf: R.orders_pivot(
+        load_table(spark, sf, "orders")
+    )
     q["orders_rollup"] = lambda spark, sf: R.orders_rollup(
         load_table(spark, sf, "orders")
     )
@@ -856,6 +865,34 @@ SELECT event_id,
   epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
   upper(event_type) AS event_type_uc
 FROM events ORDER BY event_id
+"""
+
+    o["event_range_join"] = """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+ORDER BY id_a, id_b
+"""
+
+    o["event_value_percentiles"] = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(min(value), 6) AS vmin,
+  round(max(value), 6) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    o["orders_pivot"] = """
+SELECT o_orderstatus,
+  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
+  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
     o["orders_rollup"] = """

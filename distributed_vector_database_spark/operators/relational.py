@@ -167,6 +167,89 @@ def metadata_map_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+def event_range_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Range (interval) join: pairs of a user's events within N minutes
+    of each other.
+
+    A naive inequality self-join is O(n²) per user; the scale shape used
+    here is the standard bucketed range join: equi-join on
+    (user, coarse time bucket) with the left side expanded to its
+    adjacent bucket, then the exact range filter. Each row meets only
+    rows in its own and neighboring buckets — the equi-join carries the
+    work, Catalyst shuffles once on (user, bucket)."""
+    if window_minutes <= 0:
+        raise ValueError("window_minutes must be positive")
+    bucket_sec = window_minutes * 60
+    base = events.select(
+        "user_id",
+        F.col("event_id"),
+        F.col("ts"),
+        F.floor(F.unix_micros("ts") / (bucket_sec * 1_000_000)).alias("bucket"),
+    )
+    # left expands to bucket and bucket+1 so every in-range pair meets
+    # exactly once with a.bucket <= b.bucket
+    left = base.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    right = base.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        "bucket",
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.unix_micros("ts_b") - F.unix_micros("ts_a"))
+                <= bucket_sec * 1_000_000
+            )
+        )
+        .select("user_id", "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear interpolation)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def orders_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot coverage: order counts by status x priority (explicit pivot
+    values so the schema is static — required for a deterministic
+    oracle and, at scale, for a single-pass plan)."""
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ORDER_PRIORITIES)
+        .count()
+        .orderBy("o_orderstatus")
+    )
+    # stable column names: URGENT/HIGH/... without the N- prefix
+    renames = {p: f"n_{p.split('-', 1)[1].replace(' ', '_').lower()}" for p in ORDER_PRIORITIES}
+    for old, new in renames.items():
+        pivoted = pivoted.withColumnRenamed(old, new)
+    return pivoted.na.fill(0)
+
+
 def event_json_extract(events: DataFrame) -> DataFrame:
     """Scalar-function coverage (SURVEY §2.2): JSON decode of props
     (≈ the WAL's JSON lines, src/utils/wal_manager.py:104), md5 of the
