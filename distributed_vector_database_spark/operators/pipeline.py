@@ -1,0 +1,66 @@
+"""The north-star composition: an end-to-end LLM training-data pipeline
+as one declarative DataFrame plan (SURVEY §2.3 — all four extension
+families chained):
+
+    documents
+      → quality gate            (textops.quality_score ≥ threshold)
+      → exact dedup             (keep min doc_id per fingerprint)
+      → near-dup cluster pick   (MinHash LSH pairs → connected
+                                 components → keep min-id reps)
+      → sequence packing        (per-language token-budget bins)
+
+Every stage is itself oracle-matched; the composition is too (the
+DuckDB oracle chains the same fragments). This is the query a data
+engineer actually runs at 100 TB — the stages share one scan of the
+corpus up to the sketch shuffle, and nothing here is driver-side
+except the label-propagation convergence loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import fingerprint, quality_score
+from distributed_vector_database_spark.operators.dedup import (
+    dedup_clusters,
+    minhash_lsh_pairs,
+)
+from distributed_vector_database_spark.operators.textops import pack_documents
+
+
+def training_pipeline(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    token_budget: int = 512,
+) -> DataFrame:
+    """Returns the surviving documents with their training-bin
+    assignment: (doc_id, lang, n_tokens, bin_id)."""
+    # 1. quality gate
+    gated = docs.filter(quality_score("text") >= min_quality)
+
+    # 2. exact dedup: keep the min doc_id per normalized-content
+    #    fingerprint (one hash shuffle)
+    reps = (
+        gated.select(F.col("doc_id"), fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_unique = gated.join(reps, "doc_id", "left_semi")
+
+    # 3. near-dup removal: MinHash-LSH candidates over the survivors,
+    #    connected components, keep only cluster representatives
+    pairs = minhash_lsh_pairs(exact_unique)
+    clusters = dedup_clusters(
+        exact_unique.select(F.col("doc_id").alias("id")), pairs
+    )
+    keepers = clusters.filter(F.col("id") == F.col("rep_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = exact_unique.join(keepers, "doc_id", "left_semi")
+
+    # 4. pack into fixed token budgets per language
+    return pack_documents(survivors, token_budget=token_budget).select(
+        "doc_id", "lang", "n_tokens", "bin_id"
+    )
