@@ -29,6 +29,17 @@ def test_csv_roundtrip_with_header(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, vec array<double>")
+    path = str(tmp_path / "o")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert {(r["id"], tuple(r["vec"])) for r in back.collect()} == {
+        (1, (1.0, 2.0)),
+        (2, (3.0, 4.0)),
+    }
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, i % 4, float(i)) for i in range(100)], "id long, shard int, v double"

@@ -83,6 +83,16 @@ def main():
     spark = get_spark(app_name="dvds-scale-smoke")
     out = {}
 
+    # warm each operator's codegen path at toy scale first: the sketch
+    # aggregates carry a one-time ~40-50s whole-stage-codegen compile
+    # cost that is per-JVM, not per-row — measuring it as "minhash time"
+    # would misattribute it (the bench harness warms the same way)
+    wdocs = synth_docs(spark, 1_000)
+    wemb = synth_embeddings(spark, 1_000)
+    minhash_lsh_pairs(wdocs).count()
+    simhash_pairs(wdocs, max_hamming=0).count()
+    knn_exact(wemb, [0.1] * 64, k=5, extra_cols=()).collect()
+
     emb = synth_embeddings(spark, size["n_vec"]).cache()
     emb.count()
     q = [0.5] * 64
@@ -115,6 +125,35 @@ def main():
     n = compact(log, seq_col="seq").count()
     out[f"changelog_compact_{size['n_log']}"] = time.time() - t0
     print(f"# compacted keys: {n}", file=sys.stderr)
+
+    # as-of join: every PUT joined to the user's latest prior DELETE
+    from distributed_vector_database_spark.operators.asof import asof_join
+
+    ev = log.select(
+        F.col("key").alias("user_id"),
+        F.col("ts"),
+        F.col("op"),
+        F.col("seq").alias("event_id"),
+    )
+    left = ev.filter(F.col("op") == "PUT").drop("op")
+    right = (
+        ev.filter(F.col("op") == "DELETE")
+        .drop("op")
+        .withColumnRenamed("event_id", "del_id")
+    )
+    t0 = time.time()
+    n = asof_join(left, right, on="ts", by="user_id").count()
+    out[f"asof_join_{size['n_log']}"] = time.time() - t0
+    print(f"# asof rows: {n}", file=sys.stderr)
+
+    # the full composed pipeline on the synthetic corpus
+    from distributed_vector_database_spark.operators.pipeline import training_pipeline
+
+    pdocs = docs.withColumn("lang", (F.col("doc_id") % 5).cast("string"))
+    t0 = time.time()
+    n = training_pipeline(pdocs).count()
+    out[f"training_pipeline_{size['n_doc']}"] = time.time() - t0
+    print(f"# pipeline survivors: {n}", file=sys.stderr)
 
     for k, v in out.items():
         print(f"{k}: {v:.2f}s")
