@@ -47,7 +47,10 @@ def training_pipeline(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_unique = gated.join(reps, "doc_id", "left_semi")
+    # cached: the survivors' subtree (quality expressions + fingerprint
+    # shuffle) feeds the sketch, the cluster ids, AND the final semi-join
+    # — without this it re-executes once per consumer
+    exact_unique = gated.join(reps, "doc_id", "left_semi").cache()
 
     # 3. near-dup removal: MinHash-LSH candidates over the survivors,
     #    connected components, keep only cluster representatives

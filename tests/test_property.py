@@ -1,0 +1,49 @@
+"""Property-based tests (hypothesis): the change-log fold must agree
+with a plain dict replay for ANY op sequence — the reference's WAL
+semantics (last-op-per-key, delete folds, resurrect-after-delete;
+src/utils/wal_manager.py:116-182) as an invariant, not an example."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_vector_database_spark.operators.changelog import compact
+
+KEYS = ["a", "b", "c", "d"]
+
+ops = st.lists(
+    st.tuples(
+        st.sampled_from(["PUT", "DELETE"]),
+        st.sampled_from(KEYS),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(ops)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compact_equals_dict_replay(spark, op_seq):
+    # seq index doubles as both timestamp and tie-break
+    rows = [
+        (op, key, float(val), i, i) for i, (op, key, val) in enumerate(op_seq)
+    ]
+    # dict oracle: replay in order, last op wins
+    state: dict[str, float] = {}
+    for op, key, val, _, _ in rows:
+        if op == "PUT":
+            state[key] = val
+        else:
+            state.pop(key, None)
+
+    if not rows:
+        return
+    log = spark.createDataFrame(
+        rows, "op string, key string, value double, ts long, seq long"
+    )
+    got = {r["key"]: r["value"] for r in compact(log, seq_col="seq").collect()}
+    assert got == state
