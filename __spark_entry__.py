@@ -27,7 +27,10 @@ from distributed_vector_database_spark.functions.hashing import (
     MINHASH_PRIME,
     shard_id,
 )
-from distributed_vector_database_spark.functions.text import LANG_STOPWORDS
+from distributed_vector_database_spark.functions.text import (
+    LANG_STOPWORDS,
+    LANG_TRIGRAMS,
+)
 from distributed_vector_database_spark.functions.vector import l2_norm, normalize
 from distributed_vector_database_spark.operators import relational as R
 from distributed_vector_database_spark.operators.changelog import (
@@ -382,6 +385,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup"] = lambda spark, sf: exact_dedup(
         load_table(spark, sf, "documents")
     )
+    def lang_id_ngram_q(spark, sf):
+        from distributed_vector_database_spark.functions.text import detect_lang_ngram
+
+        docs = load_table(spark, sf, "documents")
+        return docs.select(
+            "doc_id", detect_lang_ngram("text").alias("ngram_lang")
+        ).orderBy("doc_id")
+
+    q["lang_id_ngram"] = lang_id_ngram_q
+
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
     )
@@ -950,6 +963,31 @@ WHERE ds.quality >= {QUALITY_MIN}
 SELECT md5({_NORM_TEXT}) AS fp, CAST(min(doc_id) AS BIGINT) AS rep_id,
   CAST(count(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY 1
+"""
+
+    tg_langs = sorted(LANG_TRIGRAMS)
+    tg_hits = ", ".join(
+        "len(list_filter(grams, t -> t IN ({p}))) AS h_{lang}".format(
+            p=", ".join(f"'{x}'" for x in LANG_TRIGRAMS[lang]), lang=lang
+        )
+        for lang in tg_langs
+    )
+    tg_case_parts = []
+    for i, lang in enumerate(tg_langs):
+        conds = [f"h_{lang} > 0"] + [
+            f"h_{lang} >= h_{other}" for other in tg_langs[i + 1:]
+        ]
+        tg_case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    tg_case = "CASE " + " ".join(tg_case_parts) + " ELSE 'und' END"
+    o["lang_id_ngram"] = f"""
+WITH n AS (SELECT doc_id, lower(trim(text)) AS nm FROM documents),
+g AS (
+  SELECT doc_id,
+    [substring(nm, i, 3) for i in generate_series(1, greatest(length(nm)-2, 1))] AS grams
+  FROM n
+),
+h AS (SELECT doc_id, {tg_hits} FROM g)
+SELECT doc_id, {tg_case} AS ngram_lang FROM h ORDER BY doc_id
 """
 
     o["pack_documents"] = f"""

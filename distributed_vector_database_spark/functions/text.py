@@ -145,6 +145,40 @@ def detect_lang(text: Column | str) -> Column:
     return best_lang
 
 
+# tiny per-language character-trigram profiles for the n-gram lang-id
+# variant; deterministic and mirrored in the SQL oracle.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "es": ["que", "de ", "la ", "ent", "os "],
+    "de": ["der", "die", "und", "sch", "ein"],
+    "fr": ["les", "ent", "de ", "ion", "que"],
+}
+
+
+def detect_lang_ngram(text: Column | str, n: int = 3) -> Column:
+    """Character-n-gram language ID: the language whose trigram profile
+    matches the most of the text's char trigrams; 'und' when nothing
+    hits. Ties → alphabetically-first (same fold as detect_lang)."""
+    grams = char_ngrams(text, n)
+
+    def hits(profile: list[str]):
+        return lambda g: g.isin(profile)
+
+    scores = {
+        lang: F.size(F.filter(grams, hits(prof)))
+        for lang, prof in LANG_TRIGRAMS.items()
+    }
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_TRIGRAMS, reverse=True):
+        s = scores[lang]
+        best_lang = F.when((s > 0) & (s >= best_score), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_score = F.greatest(s, best_score)
+    return best_lang
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     strip."""

@@ -115,6 +115,88 @@ def embed_binary_clip(df: DataFrame, content_col: str = "content") -> DataFrame:
     raise NotImplementedError("wire the CLIP forward pass here")
 
 
+def resize_image(df: DataFrame, width: int, height: int, content_col: str = "content") -> DataFrame:
+    """Image resize UDF (O19-adjacent). Real decode needs PIL (absent
+    here) — gated exactly like the CLIP embedder; the Spark-side
+    contract (binary in → binary out + updated meta) is what matters."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires Pillow (not in this container); the "
+            "deterministic pipeline path is embed_binary_deterministic"
+        ) from e
+    raise NotImplementedError("wire PIL Image.resize here")
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    content_col: str = "content",
+    key_col: str = "key",
+) -> DataFrame:
+    """Video frame sampling as a flat-map: one input blob → n_frames
+    rows (key, frame_idx, frame binary). The real decoder (ffmpeg/
+    pyav) is absent, so frames are deterministic byte-slices of the
+    blob — the PLUMBING (mapInPandas fan-out, schema, bounded Arrow
+    batches) is the real contract; swap `slice_frames` for a decoder
+    on a cluster that has one.
+
+    Scale: fan-out happens executor-side (no shuffle); a 1h video
+    becomes rows in the same partition, and downstream embed stages
+    see plain binary rows."""
+    import pandas as pd
+
+    def slice_frames(blob: bytes, n: int) -> list[bytes]:
+        if not blob:
+            return [b""] * n
+        step = max(len(blob) // n, 1)
+        return [blob[i * step : (i + 1) * step] or blob[-step:] for i in range(n)]
+
+    def fan_out(batches):
+        for pdf in batches:
+            out = {"key": [], "frame_idx": [], "frame": []}
+            for _, row in pdf.iterrows():
+                blob = bytes(row[content_col]) if row[content_col] is not None else b""
+                for i, fr in enumerate(slice_frames(blob, n_frames)):
+                    out["key"].append(row[key_col])
+                    out["frame_idx"].append(i)
+                    out["frame"].append(fr)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, content_col).mapInPandas(
+        fan_out, schema="key string, frame_idx int, frame binary"
+    )
+
+
+def audio_features_deterministic(
+    df: DataFrame, n_mfcc: int = 13, content_col: str = "content"
+) -> DataFrame:
+    """Audio feature extraction stub: real MFCCs need librosa/ffmpeg;
+    this derives a deterministic n_mfcc-dim feature vector from byte
+    statistics of fixed-size chunks (content-addressed, normalized) so
+    the pipeline shape — binary → fixed-dim float features — is fully
+    testable."""
+    import numpy as np
+    import pandas as pd
+
+    def feats(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf[content_col]:
+                b = np.frombuffer(bytes(blob or b"\x00"), dtype=np.uint8).astype(np.float64)
+                chunks = np.array_split(b, n_mfcc)
+                v = np.array([c.mean() if len(c) else 0.0 for c in chunks])
+                n = np.linalg.norm(v)
+                out.append((v / n if n > 0 else v).tolist())
+            pdf = pdf.copy()
+            pdf["features"] = out
+            yield pdf
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(feats, schema=f"{fields}, features array<double>")
+
+
 def image_meta_stats(multimodal: DataFrame) -> DataFrame:
     """Typed-metadata aggregation over a multimodal table: per-modality
     count + total bytes — pure column ops over the map column."""
