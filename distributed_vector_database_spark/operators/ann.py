@@ -179,6 +179,25 @@ def ivf_build(
     return centroids, assigned
 
 
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned corpus partitioned by centroid_id — the
+    physical layout that makes probes partition-PRUNED parquet reads
+    (only nprobe/k of the files are ever opened). At 100 TB this is the
+    difference between an index probe and a full scan."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_read_probe(
+    spark: SparkSession, path: str, probe_ids: list[int]
+) -> DataFrame:
+    """Read only the probed centroid partitions (partition pruning —
+    verify with plans.explain: the scan shows PartitionFilters on
+    centroid_id and touches nprobe directories)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin(probe_ids))
+
+
 def ivf_search(
     spark: SparkSession,
     centroids: list[tuple[int, list[float]]],

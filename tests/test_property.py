@@ -21,6 +21,45 @@ ops = st.lists(
 )
 
 
+vectors = st.lists(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vectors, st.integers(min_value=1, max_value=6))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_knn_matches_numpy_oracle(spark, vecs, k):
+    """knn_exact == numpy argsort on rounded squared-L2 with id
+    tie-break, for arbitrary small corpora."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    q = vecs[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["vec_id"], r["score"])
+        for r in knn_exact(df, q, k=k, extra_cols=()).collect()
+    ]
+    arr = np.asarray(vecs, dtype=np.float64)
+    d = np.round(((arr - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1), 6)
+    order = sorted(range(len(vecs)), key=lambda i: (d[i], i))[:k]
+    assert got == [(i, d[i]) for i in order]
+
+
 @given(ops)
 @settings(
     max_examples=30,
