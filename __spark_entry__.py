@@ -509,6 +509,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_to_doc_search"] = text_to_doc_search_q
 
+    def ann_sq_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.quantization import (
+            sq_encode,
+            sq_search,
+            sq_train,
+        )
+
+        emb = _emb(spark, sf)
+        mins, maxs = sq_train(emb)
+        return sq_search(sq_encode(emb, mins, maxs), mins, maxs, _query_vec(spark, sf), k=10)
+
+    q["ann_sq_topk"] = ann_sq_topk_q
+
+    def ann_pq_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.quantization import (
+            pq_encode,
+            pq_search,
+            pq_train,
+        )
+
+        emb = _emb(spark, sf)
+        books = pq_train(emb, m=8, k_codebook=16)
+        return pq_search(pq_encode(emb, books), books, _query_vec(spark, sf), k=10)
+
+    q["ann_pq_topk"] = ann_pq_topk_q
+
     def multimodal_embed_q(spark, sf):
         from distributed_vector_database_spark.operators.multimodal import (
             embed_binary_deterministic,

@@ -1,0 +1,54 @@
+"""SQ/PQ: recall vs the exact oracle + compression contract."""
+
+import numpy as np
+import pytest
+
+from distributed_vector_database_spark.operators.knn import knn_exact
+from distributed_vector_database_spark.operators.quantization import (
+    pq_encode,
+    pq_search,
+    pq_train,
+    sq_encode,
+    sq_search,
+    sq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def qvec(tables):
+    return list(tables["embeddings"].filter("vec_id = 11").first()["embedding"])
+
+
+@pytest.fixture(scope="module")
+def exact_ids(tables, qvec):
+    return {r["vec_id"] for r in knn_exact(tables["embeddings"], qvec, k=10).collect()}
+
+
+def test_sq_recall(tables, qvec, exact_ids):
+    emb = tables["embeddings"]
+    mins, maxs = sq_train(emb)
+    encoded = sq_encode(emb, mins, maxs).cache()
+    codes = encoded.select("sq_codes").first()["sq_codes"]
+    assert len(codes) == 64 and all(0 <= c <= 255 for c in codes)
+    got = {r["vec_id"] for r in sq_search(encoded, mins, maxs, qvec, k=10).collect()}
+    recall = len(got & exact_ids) / len(exact_ids)
+    # int8 quantization is near-lossless for ranking
+    assert recall >= 0.8, f"SQ recall@10 too low: {recall}"
+
+
+def test_pq_recall_and_compression(tables, qvec, exact_ids):
+    emb = tables["embeddings"]
+    books = pq_train(emb, m=8, k_codebook=32)
+    assert len(books) == 8 and books[0].shape == (32, 8)
+    encoded = pq_encode(emb, books).cache()
+    codes = encoded.select("pq_codes").first()["pq_codes"]
+    # 64 float32 (256 B) -> 8 codes (8 B at uint8): 32x compression
+    assert len(codes) == 8 and all(0 <= c < 32 for c in codes)
+    got = {r["vec_id"] for r in pq_search(encoded, books, qvec, k=10).collect()}
+    recall = len(got & exact_ids) / len(exact_ids)
+    assert recall >= 0.3, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_rejects_indivisible_dim(tables):
+    with pytest.raises(ValueError):
+        pq_train(tables["embeddings"], m=7)
