@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "events")
     )
 
+    q["customers_above_avg_balance"] = lambda spark, sf: R.customers_above_avg_balance(
+        load_table(spark, sf, "customer")
+    )
     q["event_range_join"] = lambda spark, sf: R.event_range_join(
         load_table(spark, sf, "events")
     )
@@ -913,6 +916,14 @@ SELECT event_id,
   epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
   upper(event_type) AS event_type_uc
 FROM events ORDER BY event_id
+"""
+
+    o["customers_above_avg_balance"] = """
+SELECT c_custkey, c_acctbal,
+  round((SELECT avg(c_acctbal) FROM customer), 2) AS avg_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+ORDER BY c_custkey
 """
 
     o["event_range_join"] = """

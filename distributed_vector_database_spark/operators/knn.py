@@ -86,6 +86,8 @@ def knn_sharded(
     vec_col: str = "embedding",
     extra_cols: Sequence[str] = ("label",),
     num_shards: int | None = None,
+    predicate: Column | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Scatter-gather k-NN with an explicit per-partition kernel.
 
@@ -105,9 +107,13 @@ def knn_sharded(
 
     k = _effective_k(k)
     fetch = OVERFETCH * k
-    q = None  # built lazily inside executors
 
     out_cols = [key_col, *extra_cols, "score"]
+    if predicate is not None:
+        # metadata filter BEFORE the kernel — pushed into the scan, so
+        # partitions never materialize filtered-out vectors (the
+        # declared search filter, src/vector_db.thrift:26)
+        df = df.filter(predicate)
     proj = df.select(key_col, *extra_cols, vec_col)
     if num_shards is not None:
         proj = proj.repartition(num_shards, key_col)
@@ -139,11 +145,13 @@ def knn_sharded(
             yield best[out_cols]
 
     local = proj.mapInPandas(local_topk, schema=out_schema)
-    return (
-        local.dropDuplicates([key_col])  # replica-dedup, O7
-        .orderBy("score", key_col)
-        .limit(k)
-    )
+    merged = local.dropDuplicates([key_col])  # replica-dedup, O7
+    if threshold is not None:
+        # score cutoff after the kernel (src/vector_db.thrift:27); the
+        # 2x over-fetch above compensates for post-filtering, the
+        # reference's own trick (src/datanode/handler.py:364)
+        merged = merged.filter(F.col("score") <= float(threshold))
+    return merged.orderBy("score", key_col).limit(k)
 
 
 def knn_join(

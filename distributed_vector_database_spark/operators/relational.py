@@ -250,6 +250,23 @@ def orders_pivot(orders: DataFrame) -> DataFrame:
     return pivoted.na.fill(0)
 
 
+def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
+    """Scalar-subquery coverage: customers with above-average balance.
+    The aggregate is a 1-row broadcast crossJoin (Catalyst's plan for an
+    uncorrelated scalar subquery) — no driver round-trip."""
+    avg_df = customer.agg(F.avg("c_acctbal").alias("__avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.round("__avg_bal", 2).alias("avg_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def event_json_extract(events: DataFrame) -> DataFrame:
     """Scalar-function coverage (SURVEY §2.2): JSON decode of props
     (≈ the WAL's JSON lines, src/utils/wal_manager.py:104), md5 of the

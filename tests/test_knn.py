@@ -64,6 +64,25 @@ def test_sharded_matches_exact(tables):
     assert exact == sharded
 
 
+def test_sharded_filter_threshold_match_exact(tables):
+    q = _qvec(tables)
+    exact = [
+        tuple(r)
+        for r in knn_exact(
+            tables["embeddings"], q, k=10,
+            predicate=F.col("label") == 5, threshold=1.9,
+        ).collect()
+    ]
+    sharded = [
+        tuple(r)
+        for r in knn_sharded(
+            tables["embeddings"], q, k=10, num_shards=4,
+            predicate=F.col("label") == 5, threshold=1.9,
+        ).collect()
+    ]
+    assert exact == sharded and len(exact) > 0
+
+
 def test_knn_join_per_query_k(tables):
     emb = tables["embeddings"]
     qs = emb.filter("vec_id < 3").select(
