@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.config import DEFAULT_TOP_K, OVERFETCH
-from distributed_vector_database_spark.functions.vector import squared_l2, vector_lit
+from distributed_vector_database_spark.functions.vector import squared_l2
 
 SCORE_DECIMALS = 6  # stable rounding for oracle hash comparisons
 

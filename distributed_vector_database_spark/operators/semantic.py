@@ -16,7 +16,6 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.config import DEFAULT_TOP_K
 from distributed_vector_database_spark.operators.knn import knn_exact

@@ -14,7 +14,7 @@ session.py); these helpers cover the cases AQE doesn't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

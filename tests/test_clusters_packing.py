@@ -1,7 +1,6 @@
 """Cluster resolution (connected components) + sequence packing."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.operators.ann import hnsw_partition_ann
 from distributed_vector_database_spark.operators.dedup import dedup_clusters

@@ -1,7 +1,5 @@
 """Dedup tiers: constructed duplicates must be found."""
 
-from pyspark.sql import functions as F
-
 from distributed_vector_database_spark.operators.dedup import (
     dedup_by_key,
     embedding_near_dup,

@@ -3,7 +3,6 @@ probe reads, and a pruned-probe search still finds the exact neighbors
 when every relevant centroid is probed."""
 
 import numpy as np
-from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.operators.ann import (
     ivf_build,

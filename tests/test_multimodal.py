@@ -3,7 +3,6 @@ CLIP hook's gating (SURVEY §2.3 contract: decode stubbed, Spark-side
 schema/partitioning/UDF plumbing real and tested)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.operators.multimodal import (
     embed_binary_clip,

@@ -2,7 +2,6 @@
 (put/get/delete/search/compact over a directory-backed store)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.store import DimensionMismatch, VectorStore
 

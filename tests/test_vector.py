@@ -3,7 +3,6 @@
 import math
 
 import numpy as np
-from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.vector import (
     cosine_similarity,
