@@ -533,7 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        books = pq_train(emb, m=8, k_codebook=16)
+        books = pq_train(emb, m=8, k_codebook=32)
         return pq_search(pq_encode(emb, books), books, _query_vec(spark, sf), k=10)
 
     q["ann_pq_topk"] = ann_pq_topk_q

@@ -114,25 +114,44 @@ def pq_train(
     k_codebook: int = 32,
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample: int = 50_000,
 ) -> list[np.ndarray]:
-    """Learn M per-subspace codebooks with MLlib KMeans over the
-    DataFrame (distributed batch index build). Returns a list of
-    (k_codebook, dim/m) centroid arrays."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Learn M per-subspace codebooks on a deterministic hash-sampled
+    subset, k-means run driver-side in numpy.
 
+    PQ codebooks are universally trained on a bounded sample (FAISS
+    caps at ~256 points per centroid) — the statistics converge long
+    before the corpus size matters, so even at 100 TB the training
+    input is a ~50k-row collect; only ENCODING and SEARCH touch the
+    full corpus, and those are distributed. (An MLlib-KMeans-per-
+    subspace variant works but pays 8 sequential fit-job overheads for
+    identical codebooks.) Returns M (k_codebook, dim/m) arrays."""
     arr = F.col(vec_col).cast("array<double>")
     dim = df.select(F.size(arr).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+
+    sample = df.select(arr.alias("v"))
+    n_total = sample.count()
+    if n_total > train_sample:
+        sample = sample.sample(fraction=train_sample / n_total, seed=seed)
+    mat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
+
+    rng = np.random.default_rng(seed)
     books: list[np.ndarray] = []
     for j in range(m):
-        feats = df.select(
-            array_to_vector(F.slice(arr, j * sub + 1, sub)).alias("features")
-        )
-        model = KMeans(k=k_codebook, seed=seed + j, featuresCol="features").fit(feats)
-        books.append(np.asarray([np.asarray(c) for c in model.clusterCenters()]))
+        seg = mat[:, j * sub : (j + 1) * sub]
+        k = min(k_codebook, len(seg))
+        cent = seg[rng.choice(len(seg), size=k, replace=False)]
+        for _ in range(8):  # Lloyd's iterations; codebooks converge fast
+            d2 = ((seg[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = seg[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent.copy())
     return books
 
 
