@@ -173,16 +173,25 @@ class VectorStore:
         top_k: int = DEFAULT_TOP_K,
         filter: dict[str, str] | None = None,  # noqa: A002 - reference name
         threshold: float | None = None,
+        include_payload: bool = False,
     ) -> DataFrame:
         """k-NN over live state (O4-O7), with the declared-but-dead
         metadata filter and threshold implemented for real
-        (src/vector_db.thrift:26-27). Ascending squared-L2 scores."""
+        (src/vector_db.thrift:26-27). Ascending squared-L2 scores.
+
+        `include_payload=True` returns vector+metadata like the
+        reference's SearchResult.vectors (src/datanode/handler.py:
+        382-399) — but hydrated by a join AFTER the top-k, so only k
+        rows ever carry the payload. The reference hydrates every
+        candidate before truncation (src/datanode/handler.py:399); at
+        512-d that difference is the scan's entire payload bandwidth."""
+        state = self.state()
         pred = None
         for k_, v_ in (filter or {}).items():
             clause = F.col("metadata")[k_] == v_
             pred = clause if pred is None else (pred & clause)
-        return knn_exact(
-            self.state(),
+        top = knn_exact(
+            state,
             query_vector,
             k=top_k,
             key_col="key",
@@ -190,6 +199,13 @@ class VectorStore:
             predicate=pred,
             threshold=threshold,
             extra_cols=(),
+        )
+        if not include_payload:
+            return top
+        return (
+            top.join(state.select("key", "vector", "metadata"), "key")
+            .select("key", "score", "vector", "metadata")
+            .orderBy("score", "key")
         )
 
     def scan(self) -> DataFrame:

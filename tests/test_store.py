@@ -69,6 +69,15 @@ def test_search_metadata_filter_and_threshold(store):
     assert [r["key"] for r in rows] == ["img1"]
 
 
+def test_search_include_payload(store):
+    store.put("a", [1.0, 0.0, 0.0, 0.0], {"tag": "x"})
+    store.put("b", [0.0, 2.0, 0.0, 0.0], {"tag": "y"})
+    rows = store.search([1.0, 0.0, 0.0, 0.0], top_k=2, include_payload=True).collect()
+    assert [r["key"] for r in rows] == ["a", "b"]
+    assert rows[0]["vector"] == [1.0, 0.0, 0.0, 0.0]
+    assert dict(rows[0]["metadata"]) == {"tag": "x"}
+
+
 def test_search_topk_default(store):
     for i in range(8):
         store.put(f"k{i}", [float(i), 0.0, 0.0, 0.0])
