@@ -60,6 +60,37 @@ def test_knn_matches_numpy_oracle(spark, vecs, k):
     assert got == [(i, d[i]) for i in order]
 
 
+texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=40),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jaccard_pairs_invariants(spark, docs_txt):
+    """Jaccard is within [0,1], symmetric-by-construction (id_a<id_b),
+    and identical texts always score 1.0."""
+    from distributed_vector_database_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs_txt)] + [
+        (len(docs_txt), docs_txt[0])  # guaranteed exact duplicate of doc 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert all(0.0 <= p["jaccard"] <= 1.0 for p in pairs)
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+    dup = [p for p in pairs if p["id_a"] == 0 and p["id_b"] == len(docs_txt)]
+    assert dup and dup[0]["jaccard"] == 1.0
+
+
 @given(ops)
 @settings(
     max_examples=30,
