@@ -344,6 +344,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "events")
     )
 
+    q["distinct_user_counts"] = lambda spark, sf: R.distinct_user_counts(
+        load_table(spark, sf, "events")
+    )
+    q["customer_moving_avg"] = lambda spark, sf: R.customer_moving_avg(
+        load_table(spark, sf, "orders")
+    )
+    q["monthly_revenue"] = lambda spark, sf: R.monthly_revenue(
+        load_table(spark, sf, "orders")
+    )
     q["customers_above_avg_balance"] = lambda spark, sf: R.customers_above_avg_balance(
         load_table(spark, sf, "customer")
     )
@@ -916,6 +925,31 @@ SELECT event_id,
   epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
   upper(event_type) AS event_type_uc
 FROM events ORDER BY event_id
+"""
+
+    o["distinct_user_counts"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM events
+ORDER BY event_type
+"""
+
+    o["customer_moving_avg"] = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS moving_avg_3
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+    o["monthly_revenue"] = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+  round(sum(o_totalprice), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
 """
 
     o["customers_above_avg_balance"] = """

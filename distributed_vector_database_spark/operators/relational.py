@@ -250,6 +250,57 @@ def orders_pivot(orders: DataFrame) -> DataFrame:
     return pivoted.na.fill(0)
 
 
+def distinct_user_counts(events: DataFrame) -> DataFrame:
+    """Distinct-aggregation coverage: exact distinct users per event
+    type (Catalyst plans expand+two-phase agg) plus overall."""
+    per_type = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    overall = events.groupBy(F.lit("ALL").alias("event_type")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_type.unionByName(overall).orderBy("event_type")
+
+
+def customer_moving_avg(orders: DataFrame) -> DataFrame:
+    """Window-frame coverage: per customer, the moving average of the
+    last 3 orders' totalprice in orderdate order (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    # explicit floor(x*100+0.5)/100 instead of round(): Spark rounds the
+    # exact binary expansion (BigDecimal HALF_UP) while DuckDB rounds
+    # x*100 in floating point — they disagree on half-way-adjacent
+    # doubles; this formula is the same double ops in both engines
+    avg3 = F.avg("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.floor(avg3 * 100 + 0.5) / 100.0).alias("moving_avg_3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def monthly_revenue(orders: DataFrame) -> DataFrame:
+    """Date-function coverage: revenue by calendar month
+    (date_trunc ≡ DuckDB date_trunc)."""
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
 def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
     """Scalar-subquery coverage: customers with above-average balance.
     The aggregate is a 1-row broadcast crossJoin (Catalyst's plan for an
