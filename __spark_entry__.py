@@ -344,6 +344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "events")
     )
 
+    q["doc_token_positions"] = lambda spark, sf: R.doc_token_positions(
+        load_table(spark, sf, "documents")
+    )
+    q["events_with_prev"] = lambda spark, sf: R.events_with_prev(
+        load_table(spark, sf, "events")
+    )
     q["distinct_user_counts"] = lambda spark, sf: R.distinct_user_counts(
         load_table(spark, sf, "events")
     )
@@ -925,6 +931,24 @@ SELECT event_id,
   epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
   upper(event_type) AS event_type_uc
 FROM events ORDER BY event_id
+"""
+
+    o["doc_token_positions"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS token
+FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+ORDER BY doc_id, pos
+"""
+
+    o["events_with_prev"] = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+    lag(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value
+  FROM events
+)
+SELECT event_id, user_id, value, prev_value,
+  round(value - coalesce(prev_value, value), 2) AS delta
+FROM w ORDER BY event_id
 """
 
     o["distinct_user_counts"] = """

@@ -250,6 +250,35 @@ def orders_pivot(orders: DataFrame) -> DataFrame:
     return pivoted.na.fill(0)
 
 
+def doc_token_positions(docs: DataFrame, max_doc_id: int = 10) -> DataFrame:
+    """Generator/table-function coverage: one row per (doc, position,
+    token) via posexplode — the lateral-view shape (tokens of the first
+    few docs to keep output bounded)."""
+    from distributed_vector_database_spark.functions.text import tokenize
+
+    return (
+        docs.filter(F.col("doc_id") < max_doc_id)
+        .select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def events_with_prev(events: DataFrame) -> DataFrame:
+    """lag/lead window coverage: each event with the same user's
+    previous value and the delta."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.round(F.col("value") - F.coalesce(prev, F.col("value")), 2).alias("delta"),
+    ).orderBy("event_id")
+
+
 def distinct_user_counts(events: DataFrame) -> DataFrame:
     """Distinct-aggregation coverage: exact distinct users per event
     type (Catalyst plans expand+two-phase agg) plus overall."""
