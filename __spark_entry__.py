@@ -413,6 +413,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_ngram"] = lang_id_ngram_q
 
+    def repetition_scores_q(spark, sf):
+        from distributed_vector_database_spark.operators.textops import (
+            repetition_scores,
+        )
+
+        return repetition_scores(load_table(spark, sf, "documents"))
+
+    q["repetition_scores"] = repetition_scores_q
+
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
     )
@@ -1083,6 +1092,15 @@ g AS (
 ),
 h AS (SELECT doc_id, {tg_hits} FROM g)
 SELECT doc_id, {tg_case} AS ngram_lang FROM h ORDER BY doc_id
+"""
+
+    o["repetition_scores"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM tok),
+c AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
+SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep, CAST(sum(c) AS BIGINT) AS n_shingles,
+  round(CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT), 6) AS rep_ratio
+FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
     o["pack_documents"] = f"""

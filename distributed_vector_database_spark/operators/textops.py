@@ -60,6 +60,34 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     return docs.filter(quality_score("text") >= min_quality)
 
 
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    word n-grams taken by its single most frequent n-gram (1.0 = the
+    doc is one phrase repeated). Plan: explode shingles → per-(doc,
+    shingle) counts → per-doc max/total — two partial-agg shuffles,
+    linear in corpus size."""
+    from distributed_vector_database_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.col("doc_id"), F.explode(word_shingles("text", n)).alias("s")
+    )
+    counts = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_rep"),
+            F.sum("c").alias("n_shingles"),
+        )
+        .select(
+            "doc_id",
+            F.col("max_rep").cast("long").alias("max_rep"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round(F.col("max_rep") / F.col("n_shingles"), 6).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     token_budget: int = 512,
