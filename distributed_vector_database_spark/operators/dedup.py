@@ -132,6 +132,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash + LSH banding.
 
@@ -139,7 +140,17 @@ def minhash_lsh_pairs(
     num_perm/bands rows; docs sharing any full band collide. The join is
     an equi-join on (band, band_key) — the only shuffle — so cost is
     O(collisions), not O(n²). Returns distinct candidate pairs with the
-    fraction of matching signature positions as `sig_match`."""
+    fraction of matching signature positions as `sig_match`.
+
+    `bucket_cap` is the skew escape hatch for web-scale corpora, where
+    one giant cluster of near-identical boilerplate (a license header,
+    an error page) can put millions of docs in ONE band bucket and the
+    self-join's B² pairs on a single reducer. Buckets larger than the
+    cap emit STAR edges instead — every member paired with the bucket's
+    min-id representative, O(B) pairs — which preserves connected
+    components (all members stay linked through the rep), so
+    `dedup_clusters` over the pairs is unchanged; only the exhaustive
+    within-bucket pair list is given up, and only for outlier buckets."""
     from distributed_vector_database_spark.functions.hashing import (
         MINHASH_PERMS,
         MINHASH_PRIME,
@@ -178,9 +189,17 @@ def minhash_lsh_pairs(
     banded = sigd.select(
         "id", "sig", F.explode(minhash_bands("sig", bands, rows_per_band)).alias("bk")
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    if bucket_cap is None:
+        joinable = banded
+    else:
+        w = Window.partitionBy("band", "band_key")
+        sized = banded.withColumn("bsz", F.count("*").over(w)).withColumn(
+            "rep", F.min("id").over(w)
+        )
+        joinable = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz", "rep")
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "band_key"])
+        joinable.alias("a")
+        .join(joinable.alias("b"), ["band", "band_key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -190,6 +209,25 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if bucket_cap is not None:
+        # star edges for the capped buckets: rep = min(id) < id always,
+        # so (rep, id) respects the id_a < id_b pair convention
+        star = (
+            sized.filter((F.col("bsz") > bucket_cap) & (F.col("id") != F.col("rep")))
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(
+                sigd.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                "id_a",
+            )
+            .join(
+                sigd.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+                "id_b",
+            )
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+        cand = cand.select("id_a", "id_b", "sig_a", "sig_b").unionByName(star)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     match_frac = F.round(
         F.size(
             F.filter(

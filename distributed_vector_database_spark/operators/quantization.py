@@ -145,7 +145,9 @@ def pq_train(
         k = min(k_codebook, len(seg))
         cent = seg[rng.choice(len(seg), size=k, replace=False)]
         for _ in range(8):  # Lloyd's iterations; codebooks converge fast
-            d2 = ((seg[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # argmin over ||x-c||^2 == argmin over ||c||^2 - 2*x.c —
+            # matmul form keeps k=256 training cheap (no (n,k,sub) temp)
+            d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (seg @ cent.T)
             assign = d2.argmin(axis=1)
             for c in range(k):
                 members = seg[assign == c]
@@ -190,10 +192,18 @@ def pq_search(
     query_vec: Sequence[float],
     k: int = 10,
     key_col: str = "vec_id",
+    rerank: int = 4,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query, an (M, K) lookup table of
-    subspace distances; each candidate's score = sum of M table cells —
-    no float vectors are read at all."""
+    subspace distances; each candidate's score = sum of M table cells.
+
+    With `rerank > 0` (the FAISS `IndexRefine` pattern): ADC selects a
+    per-partition pool of `rerank*k` candidates, whose TRUE vectors are
+    then re-scored exactly — the full corpus is still scanned codes-only
+    (M bytes/row), and exact distances touch only the small pool, so the
+    refine step costs O(partitions * rerank * k * dim) regardless of
+    corpus size. `rerank=0` is pure ADC (no float reads at all)."""
     import pandas as pd
 
     m = len(codebooks)
@@ -207,6 +217,8 @@ def pq_search(
         ]
     )
     key_type = dict(encoded.dtypes)[key_col]
+    pool = max(k * rerank, k) if rerank else 2 * k
+    do_rerank = rerank > 0 and vec_col in encoded.columns
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best = None
@@ -215,13 +227,22 @@ def pq_search(
                 continue
             codes = np.stack(pdf["pq_codes"].to_numpy())
             s = lut[np.arange(m)[None, :], codes].sum(axis=1)
-            cand = pd.DataFrame({key_col: pdf[key_col].to_numpy(), "score": np.round(s, 6)})
+            cand = pd.DataFrame({key_col: pdf[key_col].to_numpy(), "score": s})
+            if do_rerank:
+                cand[vec_col] = pdf[vec_col].to_numpy()
             best = cand if best is None else pd.concat([best, cand])
-            best = best.nsmallest(2 * k, ["score", key_col])
-        if best is not None:
-            yield best
+            best = best.nsmallest(pool, ["score", key_col])
+        if best is None:
+            return
+        if do_rerank:
+            vecs = np.stack(best[vec_col].to_numpy()).astype(np.float64)
+            best = best.drop(columns=[vec_col])
+            best["score"] = ((vecs - q[None, :]) ** 2).sum(axis=1)
+        best["score"] = np.round(best["score"], 6)
+        yield best
 
-    local = encoded.select(key_col, "pq_codes").mapInPandas(
+    cols = [key_col, "pq_codes"] + ([vec_col] if do_rerank else [])
+    local = encoded.select(*cols).mapInPandas(
         topk, schema=f"{key_col} {key_type}, score double"
     )
     return local.orderBy("score", key_col).limit(k)

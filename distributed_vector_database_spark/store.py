@@ -65,19 +65,36 @@ class DimensionMismatch(ValueError):
 
 
 class VectorStore:
-    def __init__(self, spark: SparkSession, root: str, dim: int):
+    def __init__(self, spark: SparkSession, root: str, dim: int, buffer_rows: int = 1):
+        """`buffer_rows` > 1 buffers single-record put/delete driver-side
+        and writes one parquet file per `buffer_rows` records instead of
+        one per call — the small-files fix for chatty ingest (a parquet
+        footer per row is metadata-bound at any scale). Reads flush
+        automatically, so read-your-writes is preserved; the default 1
+        keeps strict write-through."""
         self.spark = spark
         self.root = root
         self.dim = dim
+        self.buffer_rows = max(1, buffer_rows)
         self._log_dir = os.path.join(root, "changelog")
         self._snap_dir = os.path.join(root, "snapshot")
         self._seq = 0
+        self._buf: list[tuple] = []
 
     # -- write path ---------------------------------------------------------
 
     def _append_log(self, rows: list[tuple]) -> None:
-        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        self._buf.extend(rows)
+        if len(self._buf) >= self.buffer_rows:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write buffered single-record ops as one log file."""
+        if not self._buf:
+            return
+        df = self.spark.createDataFrame(self._buf, LOG_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self._log_dir)
+        self._buf = []
 
     def _next_ts_seq(self) -> tuple[int, int]:
         self._seq += 1
@@ -139,6 +156,7 @@ class VectorStore:
         )
 
     def _log(self) -> DataFrame:
+        self.flush()
         try:
             return self.spark.read.parquet(self._log_dir)
         except Exception:

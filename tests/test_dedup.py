@@ -87,3 +87,34 @@ def test_dedup_by_key_first_wins(spark):
     )
     res = {r["key"]: r["val"] for r in dedup_by_key(df, "key", "ord").collect()}
     assert res == {"k1": "first", "k2": "only"}
+
+
+def test_minhash_bucket_cap_preserves_components(spark):
+    """bucket_cap=1 forces EVERY bucket onto the star-edge path; the
+    connected components of the resulting pairs must match the uncapped
+    candidate graph (the skew escape hatch trades exhaustive pairs for
+    O(B) edges, never connectivity)."""
+    from distributed_vector_database_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),
+            (3, base + " tonight!"),
+            (4, "completely different words about spark query engines"),
+            (5, "another unrelated document entirely about cooking pasta"),
+        ],
+        DOCS,
+    )
+    ids = docs.selectExpr("doc_id as id")
+
+    full = minhash_lsh_pairs(docs)
+    capped = minhash_lsh_pairs(docs, bucket_cap=1)
+
+    comp_full = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, full).collect()}
+    comp_capped = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, capped).collect()}
+    assert comp_full == comp_capped
+    # star edges always run min-id first
+    for r in capped.collect():
+        assert r["id_a"] < r["id_b"]

@@ -44,9 +44,20 @@ def test_pq_recall_and_compression(tables, qvec, exact_ids):
     codes = encoded.select("pq_codes").first()["pq_codes"]
     # 64 float32 (256 B) -> 8 codes (8 B at uint8): 32x compression
     assert len(codes) == 8 and all(0 <= c < 32 for c in codes)
-    got = {r["vec_id"] for r in pq_search(encoded, books, qvec, k=10).collect()}
+    # pure ADC (codes only, no float reads): coarse but cheap
+    got = {
+        r["vec_id"]
+        for r in pq_search(encoded, books, qvec, k=10, rerank=0).collect()
+    }
     recall = len(got & exact_ids) / len(exact_ids)
-    assert recall >= 0.3, f"PQ recall@10 too low: {recall}"
+    assert recall >= 0.3, f"PQ (ADC-only) recall@10 too low: {recall}"
+    # ADC + exact re-rank of the candidate pool (FAISS refine pattern)
+    got = {
+        r["vec_id"]
+        for r in pq_search(encoded, books, qvec, k=10, rerank=4).collect()
+    }
+    recall = len(got & exact_ids) / len(exact_ids)
+    assert recall >= 0.8, f"PQ (re-ranked) recall@10 too low: {recall}"
 
 
 def test_pq_rejects_indivisible_dim(tables):

@@ -116,3 +116,26 @@ def test_compact_then_incremental(store):
     store.compact()
     state2 = {r["key"]: list(r["vector"]) for r in store.scan().collect()}
     assert state2 == state
+
+
+def test_buffered_put_coalesces_files(spark, tmp_path):
+    """buffer_rows=N writes one log file per N single-record ops (the
+    small-files fix); reads flush pending ops so read-your-writes
+    holds mid-buffer."""
+    import glob
+
+    root = str(tmp_path / "buffered")
+    s = VectorStore(spark, root, dim=DIM, buffer_rows=3)
+    s.put("a", [1.0] * DIM)
+    s.put("b", [2.0] * DIM)
+    # still buffered: no parquet files yet
+    assert glob.glob(f"{root}/changelog/*.parquet") == []
+    # read flushes the pending buffer — both records visible
+    assert s.get("a") is not None and s.get("b") is not None
+    files_after_read = glob.glob(f"{root}/changelog/*.parquet")
+    assert len(files_after_read) == 1
+    s.put("c", [3.0] * DIM)
+    s.put("d", [4.0] * DIM)
+    s.put("e", [5.0] * DIM)  # hits buffer_rows=3 -> auto-flush
+    assert len(glob.glob(f"{root}/changelog/*.parquet")) == 2
+    assert s.count() == 5
