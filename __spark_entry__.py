@@ -562,6 +562,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_topk"] = ann_pq_topk_q
 
+    def ann_ivfpq_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            ivf_pq_search,
+            pq_encode,
+            pq_train,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=16)
+        books = pq_train(emb, m=8, k_codebook=32)
+        return ivf_pq_search(
+            centroids, pq_encode(assigned, books), books, _query_vec(spark, sf), k=10, nprobe=8
+        )
+
+    q["ann_ivfpq_topk"] = ann_ivfpq_topk_q
+
     def multimodal_embed_q(spark, sf):
         from distributed_vector_database_spark.operators.multimodal import (
             embed_binary_deterministic,

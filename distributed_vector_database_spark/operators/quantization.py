@@ -176,8 +176,11 @@ def pq_encode(
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 seg = mat[:, j * sub : (j + 1) * sub]
-                # (n, k) squared distances to centroids of subspace j
-                d2 = ((seg[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                # (n, k) argmin via ||c||^2 - 2*x.c (matmul — encoding
+                # scans the FULL corpus, so no (n,k,sub) temporaries)
+                d2 = (codebooks[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    seg @ codebooks[j].T
+                )
                 codes[:, j] = d2.argmin(axis=1)
             pdf = pdf.copy()
             pdf["pq_codes"] = list(codes)
@@ -246,3 +249,40 @@ def pq_search(
         topk, schema=f"{key_col} {key_type}, score double"
     )
     return local.orderBy("score", key_col).limit(k)
+
+
+def ivf_pq_search(
+    centroids: list[tuple[int, list[float]]],
+    encoded: DataFrame,
+    codebooks: list[np.ndarray],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the FAISS `IndexIVFPQ(+refine)` composition, and the
+    plan a 100 TB corpus actually serves from:
+
+    1. coarse quantizer (driver-side: centroid count is tiny) ranks
+       centroids, keeping `nprobe` → an IN filter on centroid_id that
+       becomes parquet PARTITION PRUNING when the encoded corpus is
+       written via ann.ivf_write — only nprobe/n_centroids of the data
+       is read at all;
+    2. within probed partitions, the scan touches PQ codes only
+       (M bytes/row, ADC lookup-table scoring);
+    3. the true vectors of the per-partition candidate pool are
+       re-scored exactly (pq_search's rerank).
+
+    `encoded` = pq_encode(assigned) where assigned carries centroid_id
+    from ann.ivf_build. Recall-tested, not hash-matched (SURVEY §5.2).
+    """
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    order = ((cmat - q) ** 2).sum(axis=1).argsort()
+    probe_ids = [int(centroids[i][0]) for i in order[:nprobe]]
+    pruned = encoded.filter(F.col("centroid_id").isin(probe_ids))
+    return pq_search(
+        pruned, codebooks, query_vec, k=k, key_col=key_col, rerank=rerank, vec_col=vec_col
+    )

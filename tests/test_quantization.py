@@ -63,3 +63,21 @@ def test_pq_recall_and_compression(tables, qvec, exact_ids):
 def test_pq_rejects_indivisible_dim(tables):
     with pytest.raises(ValueError):
         pq_train(tables["embeddings"], m=7)
+
+
+def test_ivfpq_recall(tables, qvec, exact_ids):
+    """IVF pruning + PQ codes + exact re-rank: recall bounded only by
+    nprobe coverage (refine makes the probed subset near-exact)."""
+    from distributed_vector_database_spark.operators.ann import ivf_build
+    from distributed_vector_database_spark.operators.quantization import ivf_pq_search
+
+    emb = tables["embeddings"]
+    centroids, assigned = ivf_build(emb, n_centroids=16)
+    books = pq_train(emb, m=8, k_codebook=32)
+    encoded = pq_encode(assigned, books).cache()
+    got = {
+        r["vec_id"]
+        for r in ivf_pq_search(centroids, encoded, books, qvec, k=10, nprobe=8).collect()
+    }
+    recall = len(got & exact_ids) / len(exact_ids)
+    assert recall >= 0.5, f"IVF+PQ recall@10 too low: {recall}"
