@@ -13,10 +13,12 @@ bounds. This implementation is the scale-correct UNION + WINDOW shape:
 
 One shuffle + one window, total O((n+m) log) per key partition — the
 same cost as the change-log compaction window, and AQE handles key
-skew. Ordering (ts, side=right-first, seq) makes the match inclusive
-(right.ts == left.ts matches) and ties within the right side resolve
-to the highest seq — the semantics of DuckDB's native ASOF JOIN
-(l.ts >= r.ts), which serves as the oracle.
+skew. Ordering (ts, side=right-first) makes the match inclusive
+(right.ts == left.ts matches) — the semantics of DuckDB's native ASOF
+JOIN (l.ts >= r.ts), which serves as the oracle. Duplicate right
+timestamps within a key are ambiguous in any as-of semantics (the
+oracle included); callers must guarantee (by, on) uniqueness on the
+right side — see the function docstring.
 """
 
 from __future__ import annotations

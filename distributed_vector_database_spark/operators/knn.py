@@ -145,7 +145,19 @@ def knn_sharded(
             yield best[out_cols]
 
     local = proj.mapInPandas(local_topk, schema=out_schema)
-    merged = local.dropDuplicates([key_col])  # replica-dedup, O7
+    # replica-dedup (O7) with a deterministic min-score pick: if a key
+    # appears in multiple partitions (replicated layouts), keep its best
+    # score — the reference's ascending-merge first-seen dedup
+    # (src/coordinator/handler.py:201-206) sees keys in score order, so
+    # first-seen there IS min-score.
+    from pyspark.sql.window import Window as _W
+
+    dedup_w = _W.partitionBy(key_col).orderBy("score")
+    merged = (
+        local.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     if threshold is not None:
         # score cutoff after the kernel (src/vector_db.thrift:27); the
         # 2x over-fetch above compensates for post-filtering, the

@@ -186,8 +186,11 @@ def event_range_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
         F.col("ts"),
         F.floor(F.unix_micros("ts") / (bucket_sec * 1_000_000)).alias("bucket"),
     )
-    # left expands to bucket and bucket+1 so every in-range pair meets
-    # exactly once with a.bucket <= b.bucket
+    # The join must be oriented on TIME, not id: the time-earlier event of
+    # an in-range pair always sits in the same or the immediately-lower
+    # bucket, so expanding the left (earlier) side to (bucket, bucket+1)
+    # guarantees every in-range pair meets exactly once. Orienting on id
+    # alone would lose pairs whose lower id has the later timestamp.
     left = base.select(
         "user_id",
         F.col("event_id").alias("id_a"),
@@ -203,13 +206,22 @@ def event_range_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
     return (
         left.join(right, ["user_id", "bucket"])
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            # lexicographic (ts, id): keeps one orientation per pair and
+            # handles ts ties deterministically
+            (
+                F.struct(F.col("ts_a"), F.col("id_a"))
+                < F.struct(F.col("ts_b"), F.col("id_b"))
+            )
             & (
-                F.abs(F.unix_micros("ts_b") - F.unix_micros("ts_a"))
+                F.unix_micros("ts_b") - F.unix_micros("ts_a")
                 <= bucket_sec * 1_000_000
             )
         )
-        .select("user_id", "id_a", "id_b")
+        .select(
+            "user_id",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )

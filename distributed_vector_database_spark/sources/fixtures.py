@@ -34,6 +34,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos→micros cast so oracle comparisons stay bit-identical."""
     if name not in FIXTURE_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {FIXTURE_TABLES}")
+    if name == "events":
+        # runtime-settable SQL conf; without it a vanilla session throws
+        # PARQUET_TYPE_ILLEGAL on the fixture's TIMESTAMP(NANOS) column
+        # before the nanos→micros branch below can run.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

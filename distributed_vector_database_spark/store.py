@@ -129,16 +129,32 @@ class VectorStore:
         if bad:
             raise DimensionMismatch(f"{bad} rows with dimension != {self.dim}")
         ts, seq = self._next_ts_seq()
-        log = records.select(
-            F.lit(OP_PUT).alias("op"),
-            F.col("key").cast("string").alias("key"),
-            F.col("vector").cast("array<double>").alias("vector"),
-            F.col("metadata").cast("map<string,string>").alias("metadata"),
-            F.lit(ts).alias("ts"),
-            (F.lit(seq * 1_000_000) + F.monotonically_increasing_id()).alias("seq"),
+        # Every row in the batch shares ONE seq from the store counter, so
+        # later puts/batches (higher counter) strictly dominate in the
+        # (ts desc, seq desc) last-write-wins order even within the same
+        # millisecond. An unbounded per-row seq (e.g. built from
+        # monotonically_increasing_id, whose value embeds partitionId*2^33)
+        # would leap ahead of every later write's counter. Duplicate keys
+        # WITHIN the batch are resolved here — last occurrence in input
+        # order wins, tracked by a per-row monotonic id that never leaves
+        # this write — so the shared seq stays unambiguous.
+        from pyspark.sql.window import Window as _W
+
+        dedup_w = _W.partitionBy("key").orderBy(F.desc("__mid"))
+        log = (
+            records.withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(dedup_w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.lit(OP_PUT).alias("op"),
+                F.col("key").cast("string").alias("key"),
+                F.col("vector").cast("array<double>").alias("vector"),
+                F.col("metadata").cast("map<string,string>").alias("metadata"),
+                F.lit(ts).alias("ts"),
+                F.lit(seq).alias("seq"),
+            )
         )
         log.write.mode("append").parquet(self._log_dir)
-        self._seq += 1
 
     def delete(self, key: str) -> None:
         """Tombstone a key (O2)."""

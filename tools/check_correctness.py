@@ -2,7 +2,12 @@
 queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.01,
 compare row count + (order-insensitive) value multiset.
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [name ...]
+
+--vanilla builds a plain SparkSession (no session.py conf: no nanos
+conf, default shuffle partitions, default broadcast threshold, no
+PYTHONPATH injection beyond this script's own sys.path) — the driver's
+harness environment. The contract must be green here too.
 """
 
 from __future__ import annotations
@@ -36,9 +41,22 @@ def row_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark()
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("vanilla-gate")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
