@@ -456,6 +456,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_clusters"] = near_dup_clusters_q
 
+    def embedding_near_dup_scale_q(spark, sf):
+        # the 100 TB near-dup path (coarse k-means -> within-cluster
+        # exact GEMM, SemDeDup shape) forced onto its multi-cluster
+        # branch, self-evaluated in-plan against the exact oracle: one
+        # summary row with pair counts, recall, and false positives
+        # (expected 0 — every emitted pair is exactly verified).
+        from distributed_vector_database_spark.operators.dedup import (
+            embedding_near_dup_at_scale,
+        )
+
+        emb = _emb(spark, sf)
+        exact = embedding_near_dup(emb, threshold=COSINE_NEAR_DUP_T).select(
+            "id_a", "id_b"
+        )
+        scaled = embedding_near_dup_at_scale(
+            emb, threshold=COSINE_NEAR_DUP_T, target_cluster_rows=64, probe=3
+        ).select("id_a", "id_b")
+        matched = scaled.join(exact, ["id_a", "id_b"], "left_semi")
+        return (
+            exact.agg(F.count("*").alias("exact_pairs"))
+            .crossJoin(scaled.agg(F.count("*").alias("scale_pairs")))
+            .crossJoin(matched.agg(F.count("*").alias("matched_pairs")))
+            .select(
+                "exact_pairs",
+                "scale_pairs",
+                F.round(F.col("matched_pairs") / F.col("exact_pairs"), 4).alias(
+                    "recall"
+                ),
+                (F.col("scale_pairs") - F.col("matched_pairs")).alias("false_pos"),
+            )
+        )
+
+    q["embedding_near_dup_scale"] = embedding_near_dup_scale_q
+
     def hash_sample_q(spark, sf):
         from distributed_vector_database_spark.operators.sampling import hash_sample
 

@@ -384,69 +384,275 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
 
     Exact all-pairs, executed as a BLOCKED distributed matrix multiply:
-    group vectors into √-ish blocks, cross-join the block pairs (upper
-    triangle), and compute each block×block cosine submatrix with one
-    vectorized numpy matmul inside mapInPandas. This is the classic
-    distributed GEMM shape — n² work spread as (n/b)² independent
-    block tasks, each a dense BLAS call, instead of n² per-row
-    interpreted expressions. At 100 TB you put an LSH/IVF prefilter
-    (operators/ann.py) in front; the block kernel stays the same."""
-    from collections.abc import Iterator
+    assign each vector to a block, replicate every row once per block
+    PAIR it participates in, and compute each block×block cosine
+    submatrix with one vectorized numpy matmul inside an applyInPandas
+    group. This is the classic distributed GEMM shape — n² work spread
+    as (n/b)² independent block tasks, each a dense BLAS call.
+
+    Block size is bounded: `block_rows` (default sized so one block's
+    float64 matrix is ~64 MB) caps the rows per group, so a group is a
+    many-row Arrow-batched pandas frame that always fits in executor
+    memory — there is NO collect_list of a block into a single row, so
+    no 2 GB row limit and no fixed block count; n_blocks grows with the
+    corpus. The n² work itself is inherent to the exact tier — at 100 TB
+    use embedding_near_dup_at_scale (LSH prefilter → exact verify on
+    candidates only); this kernel is the correctness oracle."""
+    import math
 
     import numpy as np
     import pandas as pd
 
-    n_blocks = 16
-    blocked = (
-        ensure_parallelism(emb, id_col)
-        .select(
-            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+    n = emb.count()
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
         )
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
-    )
-    a = blocked.select(
-        F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
-    )
-    b = blocked.select(
-        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
-    )
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    if block_rows is None:
+        dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"] or 1
+        # one block side ≈ 64 MB of float64s; floor keeps tiny-dim
+        # corpora from degenerating into a single giant block task
+        block_rows = max(1024, (64 << 20) // (int(dim) * 8))
+    n_blocks = max(1, math.ceil(n / block_rows))
+    # small corpora: still fan out across cores (replication cost is
+    # trivial below block_rows, and the GEMM parallelizes)
+    n_blocks = max(n_blocks, min(8, math.ceil(n / 256)))
     t = float(threshold)
 
-    def block_cosine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # each row goes to every block pair (pa, pb) that involves its own
+    # block: explode over the partner block index. side 0 = the row
+    # plays the pa role, side 1 = the pb role; diagonal groups carry
+    # each row once (side 0) and the kernel mirrors them.
+    expanded = (
+        ensure_parallelism(emb, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+        )
+        .select(
+            "id",
+            "v",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("partner"),
+        )
+        .select(
+            "id",
+            "v",
+            F.least("blk", "partner").alias("pa"),
+            F.greatest("blk", "partner").alias("pb"),
+            F.when(F.col("blk") == F.least("blk", "partner"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+        )
+    )
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        diag = pdf["pa"].iat[0] == pdf["pb"].iat[0]
+        a = pdf[pdf["side"] == 0]
+        b = a if diag else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["id"].to_numpy()
+        ids_b = b["id"].to_numpy()
+        ma = np.stack([np.asarray(v) for v in a["v"].to_numpy()])
+        mb = ma if diag else np.stack([np.asarray(v) for v in b["v"].to_numpy()])
+        na = np.linalg.norm(ma, axis=1)
+        nb = na if diag else np.linalg.norm(mb, axis=1)
+        denom = np.outer(na, nb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom == 0.0, 0.0, (ma @ mb.T) / denom)
+        cos = np.round(cos, 6)
+        ia, ib = np.nonzero(cos >= t)
+        if diag:
+            # diagonal block: emit the upper triangle only
+            keep = ids_a[ia] < ids_b[ib]
+            lo, hi = ids_a[ia][keep], ids_b[ib][keep]
+            vals = cos[ia, ib][keep]
+        else:
+            # off-diagonal: every hit is unique to this block pair;
+            # normalize to (min_id, max_id)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            vals = cos[ia, ib]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
+
+    return expanded.groupBy("pa", "pb").applyInPandas(
+        block_cosine, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_near_dup_at_scale(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_rows: int = 4096,
+    probe: int = 2,
+    train_sample: int = 100_000,
+    lloyd_iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: coarse k-means
+    clustering → EXACT cosine GEMM within each cluster only (the
+    SemDeDup shape — Abbas et al. 2023 run k-means then pairwise
+    cosine inside clusters; FAISS's coarse-quantizer + exact-rerank is
+    the same idea).
+
+    1. Train k ≈ n/target_cluster_rows centroids on a bounded sample
+       of L2-normalized vectors (driver-side Lloyd, FAISS-style —
+       codebook statistics converge long before the full corpus).
+    2. Assign every vector to its `probe` nearest centroids with one
+       Arrow-batched matmul — a pair is compared iff the two share an
+       assigned centroid, so `probe` ≥ 2 catches cluster-boundary
+       pairs.
+    3. Inside each centroid group, the same chunked-GEMM cosine kernel
+       as the exact oracle: upper-triangle, round(cos, 6) ≥ t,
+       (min_id, max_id) orientation. A pair sharing several centroids
+       is deduped at the end.
+
+    Cost: one count + one bounded sample collect + n·k assignment
+    flops + Σ cluster² verify flops — vs the oracle's inherent n².
+    Every emitted pair is exact (no false positives); pairs whose
+    endpoints share no assigned centroid are missed, the standard
+    recall trade of coarse clustering (recall-tested in
+    tests/test_dedup.py).
+
+    Why not MLlib approxSimilarityJoin here: BucketedRandomProjection
+    LSH amplifies across tables by OR only (one projection per table),
+    so on high-dimensional corpora without cluster structure every
+    bucket is huge and the candidate join goes quadratic — it OOMs at
+    1M uniform vectors where this path runs in seconds
+    (tools/scale_smoke.py)."""
+    import numpy as np
+    import pandas as pd
+
+    t = float(threshold)
+    if not -1.0 <= t <= 1.0:
+        raise ValueError("cosine threshold must be in [-1, 1]")
+    n = emb.count()
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    n_clusters = max(1, -(-n // int(target_cluster_rows)))
+    if n_clusters == 1:
+        # the whole corpus fits one verify group: the exact kernel IS
+        # the scale path (recall 1 by construction)
+        return embedding_near_dup(emb, t, id_col=id_col, vec_col=vec_col)
+    probe = max(1, min(int(probe), n_clusters))
+
+    unit = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    # -- 1. train centroids on a bounded sample (driver-side Lloyd) --------
+    sample = unit.select("v")
+    if n > train_sample:
+        sample = sample.sample(fraction=train_sample / n, seed=seed)
+    smat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
+    snorm = np.linalg.norm(smat, axis=1, keepdims=True)
+    snorm[snorm == 0.0] = 1.0
+    smat = smat / snorm
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_clusters, smat.shape[0])
+    cent = smat[rng.choice(smat.shape[0], size=k_eff, replace=False)]
+    for _ in range(lloyd_iters):
+        # spherical k-means step: assign by max cosine, re-mean, renorm
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for ci in range(k_eff):
+            members = smat[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                cent[ci] = m / nm if nm > 0 else cent[ci]
+    cent_list = cent.tolist()
+
+    # -- 2. probe-assign every vector (Arrow-batched matmul) ---------------
+    def assign_probe(batches):
+        cmat = np.asarray(cent_list, dtype=np.float64)  # (k, d)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_a = np.array([r["id"] for r in row["rows_a"]])
-                ids_b = np.array([r["id"] for r in row["rows_b"]])
-                ma = np.stack([np.asarray(r["v"]) for r in row["rows_a"]])
-                mb = np.stack([np.asarray(r["v"]) for r in row["rows_b"]])
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
-                denom = np.outer(na, nb)
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms) @ cmat.T  # (rows, k)
+            top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
+            ids = np.repeat(pdf["id"].to_numpy(), probe)
+            vs = pdf["v"].to_numpy().repeat(probe)
+            yield pd.DataFrame(
+                {"cluster": top.ravel().astype("int32"), "id": ids, "v": vs}
+            )
+
+    assigned = unit.mapInPandas(
+        assign_probe, schema=f"cluster int, id long, v array<double>"
+    )
+
+    # -- 3. exact cosine within each cluster group -------------------------
+    chunk = 4096
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        # sort by id so chunks tile the upper triangle cleanly: within
+        # the diagonal chunk ga<gb dedups; across chunks (j0 > i0) every
+        # right id already exceeds every left id
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
+        norms = np.linalg.norm(mat, axis=1)
+        out = []
+        # chunk both sides so the cos submatrix stays ~chunk² doubles
+        # regardless of cluster size (skewed clusters can't OOM a task)
+        for i0 in range(0, len(ids), chunk):
+            mi = mat[i0 : i0 + chunk]
+            ni = norms[i0 : i0 + chunk]
+            for j0 in range(i0, len(ids), chunk):
+                mj = mat[j0 : j0 + chunk]
+                nj = norms[j0 : j0 + chunk]
+                denom = np.outer(ni, nj)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = np.where(denom == 0.0, 0.0, (ma @ mb.T) / denom)
+                    cos = np.where(denom == 0.0, 0.0, (mi @ mj.T) / denom)
                 cos = np.round(cos, 6)
                 ia, ib = np.nonzero(cos >= t)
-                if row["blk_a"] == row["blk_b"]:
-                    # diagonal block: emit the upper triangle only
-                    keep = ids_a[ia] < ids_b[ib]
-                    lo, hi = ids_a[ia][keep], ids_b[ib][keep]
-                    vals = cos[ia, ib][keep]
-                else:
-                    # off-diagonal: every hit is unique to this block
-                    # pair; normalize to (min_id, max_id)
-                    lo = np.minimum(ids_a[ia], ids_b[ib])
-                    hi = np.maximum(ids_a[ia], ids_b[ib])
-                    vals = cos[ia, ib]
-                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
+                ga, gb = ids[i0 + ia], ids[j0 + ib]
+                keep = ga < gb
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ga, gb)[keep],
+                                "id_b": np.maximum(ga, gb)[keep],
+                                "cosine": cos[ia, ib][keep],
+                            }
+                        )
+                    )
+        return pd.concat(out) if out else empty
 
-    return pairs.mapInPandas(
-        block_cosine, schema=f"id_a long, id_b long, cosine double"
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        cluster_pairs, schema="id_a long, id_b long, cosine double"
     )
+    # a pair sharing several probed centroids is found several times
+    return pairs.dropDuplicates(["id_a", "id_b"])

@@ -69,15 +69,75 @@ def test_embedding_near_dup_finds_duplicate_vector(spark):
 
 
 def test_embedding_near_dup_cross_block_pair(spark):
-    # ids 1 and 18 land in different pmod-16 blocks; the blocked matmul
-    # must still surface the pair exactly once
+    # block_rows=1 forces one row per block; ids 1 and 18 land in
+    # different blocks and the blocked matmul must still surface the
+    # pair exactly once (off-diagonal block-pair path)
     v = [1.0, 0.0, 2.0]
     emb = spark.createDataFrame(
         [(1, v), (18, list(v)), (5, [9.0, -1.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    pairs = embedding_near_dup(emb, threshold=0.99).collect()
+    pairs = embedding_near_dup(emb, threshold=0.99, block_rows=1).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 18)]
+
+
+def _planted_twin_corpus(spark, n_base=400, dim=16, twin_every=10, jitter=0.01):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(n_base, dim))
+    rows = [(int(i), base[i].tolist()) for i in range(n_base)]
+    rows += [
+        (n_base + i, (base[i] + rng.normal(scale=jitter, size=dim)).tolist())
+        for i in range(0, n_base, twin_every)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        n_base // twin_every,
+    )
+
+
+def test_embedding_near_dup_at_scale_single_cluster_is_exact(spark):
+    """Below target_cluster_rows the scale path must delegate to the
+    exact kernel — identical pairs AND cosines."""
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_near_dup_at_scale,
+    )
+
+    emb, _ = _planted_twin_corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cosine for r in embedding_near_dup(emb, 0.9).collect()
+    }
+    scaled = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_at_scale(emb, 0.9).collect()
+    }
+    assert scaled == exact
+
+
+def test_embedding_near_dup_at_scale_clustered_recall(spark):
+    """Multi-cluster path: every planted twin pair is recovered (they
+    co-cluster at near-dup similarity), cosines equal the exact
+    kernel's, and there are zero false positives."""
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_near_dup_at_scale,
+    )
+
+    emb, n_twins = _planted_twin_corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cosine for r in embedding_near_dup(emb, 0.9).collect()
+    }
+    assert len(exact) >= n_twins
+    scaled = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_at_scale(
+            emb, 0.9, target_cluster_rows=64, probe=2
+        ).collect()
+    }
+    assert set(scaled) <= set(exact), "scale path emitted a non-exact pair"
+    assert all(scaled[p] == exact[p] for p in scaled)
+    recall = len(scaled) / len(exact)
+    assert recall == 1.0, f"planted twins must co-cluster, recall={recall}"
 
 
 def test_dedup_by_key_first_wins(spark):

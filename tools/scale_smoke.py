@@ -44,6 +44,41 @@ def synth_embeddings(spark, n, dim=64):
     )
 
 
+def synth_gaussian_embeddings(spark, n, dim=64, twin_every=10, jitter=0.02):
+    """Gaussian corpus with planted near-duplicates, generated JVM-side:
+    n base vectors (hash-derived Box-Muller normals — deterministic, no
+    RNG state) plus n/twin_every jittered twins at cosine ≈ 0.9998.
+
+    The sin-based generator above is unusable for near-dup smokes: sin
+    aliasing gives it ~0.4% pair density at cosine 0.9 — 2e9 TRUE pairs
+    at 1M rows — so any correct operator's output is quadratic. Gaussian
+    base vectors have effectively zero random-pair density at 0.9; the
+    twins are the ground truth."""
+
+    def z(x_col, salt):
+        # Box-Muller from two xxhash64-derived uniforms in (0, 1)
+        u1 = (F.pmod(F.xxhash64(x_col, F.lit(2 * salt)), 1_000_000) + 0.5) / 1_000_000.0
+        u2 = (F.pmod(F.xxhash64(x_col, F.lit(2 * salt + 1)), 1_000_000) + 0.5) / 1_000_000.0
+        import math
+
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * math.pi * u2)
+
+    n_twins = n // twin_every
+    base_id = F.when(F.col("id") < n, F.col("id")).otherwise(
+        (F.col("id") - n) * twin_every
+    )
+    noise = F.when(F.col("id") < n, F.lit(0.0)).otherwise(F.lit(float(jitter)))
+    return spark.range(n + n_twins).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                z(base_id, i) + noise * z(F.col("id") + 1_000_000_007, dim + i)
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
 def synth_docs(spark, n, vocab_size=1000, doc_len=40):
     # ~40-token docs over a 1000-word vocabulary, chosen by a 64-bit hash
     # mix of (doc_id, position) so texts are effectively unique (a linear
@@ -107,6 +142,26 @@ def main():
     )
     knn_join(queries, emb, k=5).collect()
     out[f"knn_join_8q_{size['n_vec']}"] = time.time() - t0
+
+    # clustered embedding near-dup: the 100 TB path (coarse k-means →
+    # within-cluster exact GEMM); exact all-pairs at 1M would be 10^12
+    # cosines, the composed operator verifies only co-clustered pairs.
+    # Run on a gaussian corpus with planted twins — ground truth =
+    # n_vec/10 pairs, so the count doubles as a recall check.
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_near_dup_at_scale,
+    )
+
+    gemb = synth_gaussian_embeddings(spark, size["n_vec"]).cache()
+    gemb.count()
+    t0 = time.time()
+    n = embedding_near_dup_at_scale(gemb, threshold=0.9).count()
+    out[f"embedding_near_dup_scale_{size['n_vec']}"] = time.time() - t0
+    print(
+        f"# near-dup confirmed pairs @0.9: {n} (planted {size['n_vec'] // 10})",
+        file=sys.stderr,
+    )
+    gemb.unpersist()
 
     docs = synth_docs(spark, size["n_doc"]).cache()
     docs.count()
