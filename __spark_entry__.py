@@ -536,12 +536,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- ANN + multimodal (non-SQL-expressible: rows-only checks) ---------
 
+    def _with_recall(ann_df, spark, sf, k=10, key_col="vec_id"):
+        # every ANN result row carries recall@k vs the exact brute-force
+        # top-k, computed in-plan — the driver's rows-only check then
+        # records a meaningful quality number, not just a row count
+        exact_keys = knn_exact(
+            _emb(spark, sf), _query_vec(spark, sf), k=k, extra_cols=()
+        ).select(key_col)
+        rec = (
+            ann_df.select(key_col)
+            .join(exact_keys, key_col, "left_semi")
+            .agg(F.round(F.count("*") / F.lit(k), 4).alias("recall"))
+        )
+        return ann_df.crossJoin(rec)
+
     def ann_lsh_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.ann import lsh_ann, lsh_model
 
         emb = _emb(spark, sf)
         model, indexed = lsh_model(emb)
-        return lsh_ann(model, indexed, _query_vec(spark, sf), k=10)
+        res = lsh_ann(model, indexed, _query_vec(spark, sf), k=10)
+        return _with_recall(res, spark, sf)
 
     q["ann_lsh_topk"] = ann_lsh_topk_q
 
@@ -550,7 +565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _emb(spark, sf)
         centroids, assigned = ivf_build(emb, n_centroids=8)
-        return ivf_search(spark, centroids, assigned, _query_vec(spark, sf), k=10, nprobe=3)
+        res = ivf_search(
+            spark, centroids, assigned, _query_vec(spark, sf), k=10, nprobe=3
+        )
+        return _with_recall(res, spark, sf)
 
     q["ann_ivf_topk"] = ann_ivf_topk_q
 
@@ -579,7 +597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _emb(spark, sf)
         mins, maxs = sq_train(emb)
-        return sq_search(sq_encode(emb, mins, maxs), mins, maxs, _query_vec(spark, sf), k=10)
+        res = sq_search(
+            sq_encode(emb, mins, maxs), mins, maxs, _query_vec(spark, sf), k=10
+        )
+        return _with_recall(res, spark, sf)
 
     q["ann_sq_topk"] = ann_sq_topk_q
 
@@ -592,7 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _emb(spark, sf)
         books = pq_train(emb, m=8, k_codebook=32)
-        return pq_search(pq_encode(emb, books), books, _query_vec(spark, sf), k=10)
+        res = pq_search(pq_encode(emb, books), books, _query_vec(spark, sf), k=10)
+        return _with_recall(res, spark, sf)
 
     q["ann_pq_topk"] = ann_pq_topk_q
 
@@ -607,9 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         centroids, assigned = ivf_build(emb, n_centroids=16)
         books = pq_train(emb, m=8, k_codebook=32)
-        return ivf_pq_search(
-            centroids, pq_encode(assigned, books), books, _query_vec(spark, sf), k=10, nprobe=8
+        res = ivf_pq_search(
+            centroids, pq_encode(assigned, books), books, _query_vec(spark, sf),
+            k=10, nprobe=8,
         )
+        return _with_recall(res, spark, sf)
 
     q["ann_ivfpq_topk"] = ann_ivfpq_topk_q
 

@@ -174,6 +174,7 @@ def knn_join(
     query_vec: str = "query_vec",
     corpus_key: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Brute-force k-NN JOIN: for every query row, its top-k corpus
     neighbors — the reference's O4/O5 generalized to query sets
@@ -191,7 +192,19 @@ def knn_join(
     import pandas as pd
     from pyspark.sql.window import Window
 
-    qrows = queries.select(query_key, query_vec).collect()
+    # guard the queries ≪ corpus assumption: the collect below is
+    # bounded by limit(max+1), so an oversized query side fails fast
+    # with a clear message instead of silently pulling the world into
+    # the driver. For query sets beyond the budget, chunk the query
+    # side or swap sides (k-NN join is symmetric in who broadcasts).
+    qrows = queries.select(query_key, query_vec).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+            "this kernel broadcasts the query side into every corpus "
+            "partition — chunk the queries, raise the budget explicitly, "
+            "or use an ANN index (operators/ann.py) for large-x-large joins"
+        )
     if not qrows:
         return queries.sparkSession.createDataFrame(
             [], f"{query_key} long, {corpus_key} long, score double, rank int"

@@ -58,8 +58,14 @@ def training_pipeline(
     clusters = dedup_clusters(
         exact_unique.select(F.col("doc_id").alias("id")), pairs
     )
-    keepers = clusters.filter(F.col("id") == F.col("rep_id")).select(
-        F.col("id").alias("doc_id")
+    # keepers is tiny (one id column) but its lineage embeds the whole
+    # sketch + CC-loop plan; localCheckpoint cuts that out of the final
+    # composed plan (~210 exchanges -> a handful), so plan compile time
+    # and driver memory stay flat as the composition grows
+    keepers = (
+        clusters.filter(F.col("id") == F.col("rep_id"))
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint()
     )
     survivors = exact_unique.join(keepers, "doc_id", "left_semi")
 

@@ -53,3 +53,29 @@ def test_ivf_partial_probe_recall(spark, tables, qvec, exact_ids):
     }
     recall = len(got & exact_ids) / len(exact_ids)
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_contract_ann_queries_carry_recall_column(spark):
+    """Every ann_*_topk contract query returns an in-plan recall@10
+    column vs knn_exact, and the values clear the pinned floors —
+    this is what makes the driver's rows-only check meaningful."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    floors = {
+        "ann_lsh_topk": 0.5,
+        "ann_ivf_topk": 0.5,
+        "ann_sq_topk": 0.8,
+        "ann_pq_topk": 0.3,
+        "ann_ivfpq_topk": 0.3,
+    }
+    qs = em.queries()
+    for name, floor in floors.items():
+        rows = qs[name](spark, "/root/testdata/sf0.01").collect()
+        assert rows, f"{name} returned no rows"
+        recalls = {r["recall"] for r in rows}
+        assert len(recalls) == 1, f"{name}: recall must be constant per query"
+        (recall,) = recalls
+        assert recall >= floor, f"{name}: recall {recall} < floor {floor}"

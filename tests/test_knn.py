@@ -94,3 +94,14 @@ def test_knn_join_per_query_k(tables):
     # each query's own vector is its nearest neighbor
     own = res.filter("rank = 1").collect()
     assert all(r["query_id"] == r["vec_id"] and r["score"] == 0.0 for r in own)
+
+
+def test_knn_join_query_budget_guard(tables):
+    import pytest
+
+    emb = tables["embeddings"]
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_join(qs, emb, k=2, max_query_rows=3)
