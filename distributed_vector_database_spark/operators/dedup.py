@@ -342,7 +342,11 @@ def dedup_clusters(
     # workload that's a tiny fraction of the corpus, so the iterative
     # loop runs on |edge endpoints|, and the (huge) singleton majority
     # joins back in one anti-join at the end with rep=self
-    edge_nodes = edges.select(F.col("src").alias("id")).distinct().cache()
+    # localCheckpoint, not cache: the returned plan's singleton anti-join
+    # references edge_nodes, and a cached lineage still embeds the whole
+    # candidate-pair (sketch) plan in every consumer — checkpointing the
+    # small endpoint set keeps the final composed plan constant-size
+    edge_nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     singletons = (
         all_ids.select(F.col(id_col).alias("id"))
         .join(edge_nodes, "id", "left_anti")
