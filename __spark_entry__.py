@@ -394,6 +394,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
     q["doc_stats"] = lambda spark, sf: doc_stats(load_table(spark, sf, "documents"))
+
+    def winnow_fingerprints_q(spark, sf):
+        # rolling-hash document fingerprinting (winnowing/MOSS): k-gram
+        # hashes staged once, per-window minima, exploded (id, fp)
+        from distributed_vector_database_spark.operators.textops import (
+            doc_fingerprints,
+        )
+
+        return doc_fingerprints(load_table(spark, sf, "documents"), k=5, window=4)
+
+    q["winnow_fingerprints"] = winnow_fingerprints_q
     q["lang_profile"] = lambda spark, sf: lang_profile(
         load_table(spark, sf, "documents")
     )
@@ -696,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 2: oracle-matched, semantics also pinned in pytest ---
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
+        "winnow_fingerprints",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -1169,6 +1181,27 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     # ---- text / dedup -----------------------------------------------------
 
     o["doc_stats"] = _doc_stats_sql()
+
+    o["winnow_fingerprints"] = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    [CAST(('0x' || substring(md5(substring(t, i, 5)), 1, 8)) AS BIGINT)
+     for i in range(1, len(t) - 5 + 2)] AS grams
+  FROM norm WHERE len(t) >= 5
+),
+w AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      [list_min(list_slice(grams, j, j + 3))
+       for j in range(1, greatest(len(grams) - 3, 1) + 1)])) AS fps
+  FROM g WHERE len(grams) > 0
+)
+SELECT doc_id AS id, unnest(fps) AS fp FROM w
+"""
 
     o["lang_profile"] = f"""
 WITH ds AS ({_doc_stats_sql()})

@@ -188,3 +188,52 @@ def normalize_text(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize_text(text))
+
+
+def kgram_hashes(text: Column | str, k: int = 5) -> Column:
+    """32-bit rolling-hash family over the char k-grams of the
+    normalized text (array<long>, one hash per k-gram position).
+    Empty array when the text is shorter than k. Hash = first 8 md5
+    hex chars -> long, bit-identical in DuckDB as
+    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    t = normalize_text(text)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_from_grams(grams: Column | str, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm) from a pre-staged k-gram hash column:
+    slide a window of `window` consecutive hashes, keep each window's
+    MINIMUM, return the sorted distinct minima as the fingerprint set.
+
+    Guarantee: any shared substring of length >= window + k - 1
+    between two documents yields at least one shared fingerprint, so
+    overlap detection needs only an equi-join on (fingerprint) — no
+    all-pairs comparison at any scale. Fingerprint density is
+    ~2/(window+1) per character, independent of corpus size.
+
+    `grams` MUST be a materialized column (kgram_hashes staged via
+    withColumn), not an inline expression: Catalyst does not CSE
+    across lambda bodies, so an inline gram expression would
+    re-evaluate its O(n) md5 work once per window — O(n²) total."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    g = _col(grams)
+    m = F.size(g)
+    mins = F.transform(
+        # fewer grams than one window -> a single (short) window
+        F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(g, j, window)),
+    )
+    return F.when(m > 0, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<long>")
+    )

@@ -124,3 +124,33 @@ def pack_documents(
         F.floor(prev / token_budget).cast("long").alias("bin_id"),
         (prev % token_budget).cast("long").alias("bin_offset"),
     )
+
+
+def doc_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints per document, exploded to
+    (id, fp) rows — the rolling-hash document-fingerprinting tier
+    (MOSS; see functions.text.winnow_from_grams). Overlap/containment
+    detection is then a plain equi-join on fp: candidate pairs share a
+    bucket, never an all-pairs scan.
+
+    Two staged projections so the O(len) k-gram hash pass runs once
+    per document (Catalyst does not CSE subexpressions across lambda
+    bodies)."""
+    from distributed_vector_database_spark.functions.text import (
+        kgram_hashes,
+        winnow_from_grams,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("id"), kgram_hashes(text_col, k).alias("__grams")
+    )
+    return (
+        staged.select("id", F.explode(winnow_from_grams("__grams", window)).alias("fp"))
+        .orderBy("id", "fp")
+    )

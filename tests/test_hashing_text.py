@@ -119,3 +119,48 @@ def test_detect_lang(spark):
 def test_quality_score_bounds(tables):
     rows = tables["documents"].select(quality_score("text").alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def _fps(spark, texts, k=5, window=4):
+    from distributed_vector_database_spark.operators.textops import doc_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {}
+    for r in doc_fingerprints(df, k=k, window=window).collect():
+        out.setdefault(r["id"], set()).add(r["fp"])
+    return out
+
+
+def test_winnow_identical_docs_share_all_fingerprints(spark):
+    t = "the quick brown fox jumps over the lazy dog"
+    fps = _fps(spark, [t, t])
+    assert fps[0] and fps[0] == fps[1]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length >= window+k-1
+    (here 8) produces at least one shared fingerprint, while disjoint
+    texts share none."""
+    shared = "unmistakable common fragment of text"
+    a = "left document prefix " + shared + " and a left suffix"
+    b = "totally different beginning " + shared + " other ending here"
+    c = "zq wv xj kp fh unrelated material entirely elsewhere"
+    fps = _fps(spark, [a, b, c])
+    assert fps[0] & fps[1], "shared substring must yield a shared fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnow_short_text_yields_no_rows(spark):
+    fps = _fps(spark, ["abc"])  # shorter than k=5 after normalization
+    assert fps == {}
+
+
+def test_winnow_density(spark):
+    """Fingerprint count tracks ~2/(window+1) per char — winnowing
+    samples the hash sequence, it does not keep every k-gram."""
+    t = " ".join(f"token{i}" for i in range(200))
+    fps = _fps(spark, [t])
+    n_chars = len(" ".join(f"token{i}" for i in range(200)))
+    assert 0 < len(fps[0]) < n_chars // 2
