@@ -98,3 +98,72 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert "click" in types
     # ...the behind-watermark stale event's window never materialized
     assert "stale" not in types
+
+
+def test_stream_dedup_drops_redelivered_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-delivered in a later
+    micro-batch inside the watermark horizon is emitted exactly once;
+    distinct keys all pass."""
+    from distributed_vector_database_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+        deduped = dedup_stream(
+            stream, key_cols=["event_id"], streaming=True, watermark="2 hours"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_events(
+        src / "b0.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 00:20:00", "event_type": "view", "value": 2.0},
+        ],
+    )
+    run_once()
+    # second delivery of key 1 in a later micro-batch, still in horizon
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:40:00", "event_type": "click", "value": 9.0},
+            {"event_id": 3, "ts": "2024-01-01 01:00:00", "event_type": "click", "value": 3.0},
+        ],
+    )
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], f"expected one row per key, got {ids}"
+
+
+def test_dedup_stream_batch_oracle_first_occurrence(spark):
+    from distributed_vector_database_spark.streaming.dedup import dedup_stream
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:40:00", "late-dup", 9.0),
+            (1, "2024-01-01 00:10:00", "first", 1.0),
+            (2, "2024-01-01 00:20:00", "only", 2.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["event_type"]
+        for r in dedup_stream(batch, key_cols=["event_id"]).collect()
+    }
+    assert got == {1: "first", 2: "only"}
