@@ -117,3 +117,47 @@ def test_compact_equals_dict_replay(spark, op_seq):
     )
     got = {r["key"]: r["value"] for r in compact(log, seq_col="seq").collect()}
     assert got == state
+
+
+def _winnow_py(text, k=5, window=4):
+    """Independent pure-Python mirror of winnowing (MOSS) for the
+    property check — validates the Spark expression against a third
+    implementation, not just the DuckDB oracle."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(t) < k:
+        return set()
+    grams = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    nwin = max(len(grams) - window + 1, 1)
+    return {min(grams[j : j + window]) for j in range(nwin)}
+
+
+texts = st.lists(
+    st.text(alphabet="abcdef gh\t\n", min_size=0, max_size=60),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winnow_fingerprints_match_python_mirror(spark, batch):
+    from distributed_vector_database_spark.operators.textops import doc_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {}
+    for r in doc_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    want = {i: _winnow_py(t) for i, t in enumerate(batch) if _winnow_py(t)}
+    assert got == want
