@@ -150,7 +150,9 @@ def doc_fingerprints(
     staged = docs.select(
         F.col(id_col).alias("id"), kgram_hashes(text_col, k).alias("__grams")
     )
-    return (
-        staged.select("id", F.explode(winnow_from_grams("__grams", window)).alias("fp"))
-        .orderBy("id", "fp")
+    # no orderBy: the whole operator is scan → project → explode, zero
+    # shuffles (asserted in tests/test_plans.py) — a global sort here
+    # would be the only exchange and buys nothing
+    return staged.select(
+        "id", F.explode(winnow_from_grams("__grams", window)).alias("fp")
     )

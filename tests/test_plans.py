@@ -67,3 +67,12 @@ def test_pricing_summary_partial_agg(tables):
     df = R.pricing_summary(tables["lineitem"])
     assert formatted_plan(df).count("HashAggregate") >= 2
     assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_doc_fingerprints_zero_shuffle(tables):
+    # winnowing is scan -> staged projection -> explode; any Exchange
+    # here means an accidental sort/shuffle crept into a map-only op
+    from distributed_vector_database_spark.operators.textops import doc_fingerprints
+
+    df = doc_fingerprints(tables["documents"])
+    assert not has_operator(df, "Exchange")
