@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_pivot"] = lambda spark, sf: R.orders_pivot(
         load_table(spark, sf, "orders")
     )
+    q["orders_cube"] = lambda spark, sf: R.orders_cube(
+        load_table(spark, sf, "orders")
+    )
     q["orders_rollup"] = lambda spark, sf: R.orders_rollup(
         load_table(spark, sf, "orders")
     )
@@ -707,7 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 2: oracle-matched, semantics also pinned in pytest ---
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
-        "winnow_fingerprints",
+        "winnow_fingerprints", "orders_cube",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -1154,6 +1157,12 @@ SELECT o_orderstatus,
   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+    o["orders_cube"] = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
     o["orders_rollup"] = """

@@ -135,6 +135,21 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one
+    pass — the remaining grouping-extensions member next to ROLLUP and
+    pivot. Same single-shuffle partial-agg shape as rollup (Catalyst
+    expands grouping sets before the exchange)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Semi-join coverage (filter-by-key-set, SURVEY §2.2 Joins): the
     probe side never duplicates and only the key column of orders is
