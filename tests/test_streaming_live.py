@@ -167,3 +167,68 @@ def test_dedup_stream_batch_oracle_first_occurrence(spark):
         for r in dedup_stream(batch, key_cols=["event_id"]).collect()
     }
     assert got == {1: "first", 2: "only"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two live streams joined within a 30-minute interval reproduce
+    the batch oracle; a right event outside the interval never pairs."""
+    from distributed_vector_database_spark.streaming.joins import (
+        stream_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    views = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 01:00:00", "event_type": "view", "value": 2.0},
+    ]
+    clicks = [
+        # pairs with view 1 (10 min later)
+        {"event_id": 11, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 0.0},
+        # pairs with nothing: 50 min after view 2
+        {"event_id": 12, "ts": "2024-01-01 01:50:00", "event_type": "click", "value": 0.0},
+    ]
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(), cdir.mkdir()
+    # both streams share one user: reuse event_type as payload, add user
+    for d, rows in ((vdir, views), (cdir, clicks)):
+        _write_events(d / "b0.json", [dict(r, value=7.0) for r in rows])
+
+    schema = EVENTS_SCHEMA
+
+    def with_user(df):
+        return df.withColumn("user_id", F.lit(7).cast("long"))
+
+    lstream = with_user(spark.readStream.schema(schema).json(str(vdir)))
+    rstream = with_user(spark.readStream.schema(schema).json(str(cdir)))
+    joined = stream_interval_join(
+        lstream.select("user_id", "ts", F.col("event_id").alias("view_id")),
+        rstream.select("user_id", "ts", F.col("event_id").alias("click_id")),
+        streaming=True,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_live").collect()
+    }
+
+    def batch_df(rows, idcol):
+        return with_user(
+            spark.createDataFrame(
+                [(r["event_id"], r["ts"]) for r in rows], "event_id long, ts string"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+        ).select("user_id", "ts", F.col("event_id").alias(idcol))
+
+    want = {
+        (r["view_id"], r["click_id"])
+        for r in stream_interval_join(
+            batch_df(views, "view_id"), batch_df(clicks, "click_id")
+        ).collect()
+    }
+    assert got == want == {(1, 11)}
