@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_pivot"] = lambda spark, sf: R.orders_pivot(
         load_table(spark, sf, "orders")
     )
+    q["event_value_median_udaf"] = lambda spark, sf: R.event_value_median_udaf(
+        load_table(spark, sf, "events")
+    )
     q["orders_cube"] = lambda spark, sf: R.orders_cube(
         load_table(spark, sf, "orders")
     )
@@ -710,7 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 2: oracle-matched, semantics also pinned in pytest ---
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
-        "winnow_fingerprints", "orders_cube",
+        "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -1157,6 +1160,11 @@ SELECT o_orderstatus,
   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+    o["event_value_median_udaf"] = """
+SELECT event_type, round(median(value), 6) AS median_value
+FROM events GROUP BY event_type
 """
 
     o["orders_cube"] = """

@@ -135,6 +135,33 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def event_value_median_udaf(events: DataFrame) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG) surface demo: per-type median via an
+    Arrow-batched aggregate UDF. GROUPED_AGG has NO partial
+    aggregation — every group's values shuffle to one task — so the
+    production path for quantiles is the builtin `percentile`
+    (event_value_percentiles); this exists to exercise the UDAF
+    extension point with a hash-matched oracle (pandas interpolated
+    median == DuckDB median on doubles)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median_fn(v):
+        return float(v.median())
+
+    # real annotation objects, not strings: this module's postponed
+    # annotations (__future__) would otherwise leave pandas_udf unable
+    # to classify the UDF as GROUPED_AGG (Series -> scalar)
+    _median_fn.__annotations__ = {"v": pd.Series, "return": float}
+    _median = pandas_udf(_median_fn, "double")
+
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(_median("value"), 6).alias("median_value"))
+        .orderBy("event_type")
+    )
+
+
 def orders_cube(orders: DataFrame) -> DataFrame:
     """CUBE over (status, priority): all 2^2 grouping sets in one
     pass — the remaining grouping-extensions member next to ROLLUP and
