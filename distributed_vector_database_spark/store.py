@@ -255,10 +255,24 @@ class VectorStore:
     def compact(self) -> int:
         """Fold the change-log into the next snapshot version
         (O13 checkpoint + O14 rebuild: tombstones physically dropped).
-        Returns the new version id."""
+        Returns the new version id.
+
+        The snapshot is written range-partitioned AND sorted by key, so
+        every parquet row group carries tight key min/max stats: a point
+        lookup (O3) prunes to one file and one row group instead of
+        scanning the snapshot — the columnar analog of the reference's
+        LevelDB key order. At 100 TB this is what keeps `get` latency
+        flat as snapshots grow."""
         new_state = self.state()
         v = latest_version(self._snap_dir) + 1
-        new_state.write.mode("overwrite").parquet(f"{self._snap_dir}/v={v}")
+        (
+            new_state.repartitionByRange(
+                max(new_state.rdd.getNumPartitions(), 1), "key"
+            )
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .parquet(f"{self._snap_dir}/v={v}")
+        )
         # truncate the applied log (the WAL GC of src/utils/wal_manager.py:22-23)
         import shutil
 
