@@ -139,3 +139,19 @@ def test_buffered_put_coalesces_files(spark, tmp_path):
     s.put("e", [5.0] * DIM)  # hits buffer_rows=3 -> auto-flush
     assert len(glob.glob(f"{root}/changelog/*.parquet")) == 2
     assert s.count() == 5
+
+
+def test_compacted_point_lookup_filter_reaches_scan(store):
+    """The compacted snapshot is key-ordered; a point lookup's key
+    predicate must be PUSHED into the parquet scan so row-group
+    min/max stats can prune (the columnar analog of a LevelDB get)."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.plans.explain import pushed_filters
+
+    for i in range(8):
+        store.put(f"k{i}", [float(i), 0.0, 0.0, 0.0])
+    store.compact()
+    lookup = store.state().filter(F.col("key") == "k3")
+    pushed = " ".join(pushed_filters(lookup))
+    assert "key" in pushed, f"key predicate not pushed: {pushed!r}"
