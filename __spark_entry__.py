@@ -654,6 +654,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfpq_topk"] = ann_ivfpq_topk_q
 
+    def ann_ivf_knn_join_q(spark, sf):
+        # large-x-large approximate k-NN join (shared coarse quantizer,
+        # neither side collected/broadcast) forced onto its clustered
+        # branch; every row carries in-plan recall vs the exact join
+        from distributed_vector_database_spark.operators.ann import ivf_knn_join
+
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = knn_join(qs, emb, k=KNN_JOIN_K).select("query_id", "vec_id")
+        res = ivf_knn_join(
+            qs, emb, k=KNN_JOIN_K, target_cluster_rows=64, nprobe=3
+        )
+        rec = (
+            res.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(
+                F.round(
+                    F.count("*") / F.lit(20 * KNN_JOIN_K), 4
+                ).alias("recall")
+            )
+        )
+        return res.crossJoin(rec)
+
+    q["ann_ivf_knn_join"] = ann_ivf_knn_join_q
+
     def multimodal_embed_q(spark, sf):
         from distributed_vector_database_spark.operators.multimodal import (
             embed_binary_deterministic,
@@ -717,7 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "text_to_doc_search", "multimodal_embed",
+        "ann_ivfpq_topk", "ann_ivf_knn_join", "text_to_doc_search",
+        "multimodal_embed",
     ]
     missing = set(q) - set(preferred)
     assert not missing, f"queries missing from enumeration order: {missing}"

@@ -222,3 +222,188 @@ def ivf_search(
     probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:nprobe]]
     pruned = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return knn_exact(pruned, query_vec, k, key_col=key_col, vec_col=vec_col, extra_cols=())
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_key: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_key: str = "vec_id",
+    corpus_vec: str = "embedding",
+    target_cluster_rows: int = 4096,
+    nprobe: int = 2,
+    train_sample: int = 100_000,
+    lloyd_iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Large-x-large approximate k-NN JOIN: both sides routed through a
+    shared coarse quantizer, so NEITHER side is collected, broadcast,
+    or shuffled against the whole other side.
+
+    knn.knn_join broadcasts the query side into every corpus partition
+    — correct for queries ≪ corpus, guarded by max_query_rows. This is
+    the path past that guard: millions of queries against billions of
+    corpus rows.
+
+    1. Train k-means centroids (L2) on a bounded corpus sample
+       (driver-side Lloyd, FAISS-style).
+    2. Route every corpus row to its nearest centroid, every query to
+       its `nprobe` nearest (replication factor nprobe on the small
+       per-row query record only).
+    3. One shuffle co-locates each centroid's corpus rows with the
+       queries probing it; a vectorized kernel computes per-query local
+       top-k inside the group (squared L2, the engine's score
+       contract).
+    4. A window keeps the global top-k per query over ≤ nprobe*k
+       candidates each.
+
+    nprobe = n_clusters degenerates to the exact join (recall 1,
+    asserted in tests); at scale nprobe≈2-8 trades recall for probes
+    exactly like ivf_search."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.operators.knn import SCORE_DECIMALS
+
+    n = corpus.count()
+    if n == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_key} long, {corpus_key} long, score double, rank int"
+        )
+    n_clusters = max(1, math.ceil(n / int(target_cluster_rows)))
+    nprobe = max(1, min(int(nprobe), n_clusters))
+
+    c_side = corpus.select(
+        F.col(corpus_key).alias("id"),
+        F.col(corpus_vec).cast("array<double>").alias("v"),
+    )
+    q_side = queries.select(
+        F.col(query_key).alias("id"),
+        F.col(query_vec).cast("array<double>").alias("v"),
+    )
+
+    # -- 1. centroids from a bounded corpus sample (plain L2 Lloyd) --------
+    sample = c_side.select("v")
+    if n > train_sample:
+        sample = sample.sample(fraction=train_sample / n, seed=seed)
+    smat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_clusters, smat.shape[0])
+    cent = smat[rng.choice(smat.shape[0], size=k_eff, replace=False)]
+    for _ in range(lloyd_iters):
+        d2 = ((smat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) \
+            if smat.shape[0] * k_eff * smat.shape[1] < 5e7 else None
+        if d2 is None:
+            # large sample: distance via the expanded form, blockwise
+            d2 = (
+                (smat**2).sum(1, keepdims=True)
+                - 2.0 * (smat @ cent.T)
+                + (cent**2).sum(1)[None, :]
+            )
+        assign = np.argmin(d2, axis=1)
+        for ci in range(k_eff):
+            members = smat[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+    cent_list = cent.tolist()
+
+    # -- 2. route both sides ------------------------------------------------
+    def route(side_label, probes):
+        def fn(batches):
+            cmat = np.asarray(cent_list, dtype=np.float64)
+            csq = (cmat**2).sum(1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack([np.asarray(x) for x in pdf["v"].to_numpy()])
+                d2 = (mat**2).sum(1, keepdims=True) - 2.0 * (mat @ cmat.T) + csq
+                if probes == 1:
+                    top = np.argmin(d2, axis=1)[:, None]
+                else:
+                    top = np.argpartition(d2, probes - 1, axis=1)[:, :probes]
+                ids = np.repeat(pdf["id"].to_numpy(), probes)
+                vs = pdf["v"].to_numpy().repeat(probes)
+                yield pd.DataFrame(
+                    {
+                        "cluster": top.ravel().astype("int32"),
+                        "side": side_label,
+                        "id": ids,
+                        "v": vs,
+                    }
+                )
+
+        return fn
+
+    routed = c_side.mapInPandas(
+        route(0, 1), schema="cluster int, side int, id long, v array<double>"
+    ).unionByName(
+        q_side.mapInPandas(
+            route(1, nprobe), schema="cluster int, side int, id long, v array<double>"
+        )
+    )
+
+    # -- 3. per-cluster local top-k kernel ---------------------------------
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "cid": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        # corpus sorted by id: the stable argsort below then resolves
+        # rounded-score ties to the LOWER id, matching the engine's
+        # (score, key) ordering contract
+        c = pdf[pdf["side"] == 0].sort_values("id")
+        qs = pdf[pdf["side"] == 1]
+        if c.empty or qs.empty:
+            return empty
+        cmat = np.stack([np.asarray(x) for x in c["v"].to_numpy()])
+        cids = c["id"].to_numpy()
+        out = []
+        # chunk queries so the distance block stays bounded
+        for q0 in range(0, len(qs), 1024):
+            qchunk = qs.iloc[q0 : q0 + 1024]
+            qmat = np.stack([np.asarray(x) for x in qchunk["v"].to_numpy()])
+            d2 = (
+                (qmat**2).sum(1, keepdims=True)
+                - 2.0 * (qmat @ cmat.T)
+                + (cmat**2).sum(1)[None, :]
+            )
+            d2 = np.round(np.maximum(d2, 0.0), SCORE_DECIMALS)
+            kk = min(k, d2.shape[1])
+            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            qids = np.repeat(qchunk["id"].to_numpy(), kk)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": qids,
+                        "cid": cids[top.ravel()],
+                        "score": np.take_along_axis(d2, top, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(out) if out else empty
+
+    local = routed.groupBy("cluster").applyInPandas(
+        local_topk, schema="qid long, cid long, score double"
+    )
+
+    # -- 4. global top-k per query over <= nprobe*k candidates -------------
+    w = Window.partitionBy("qid").orderBy("score", "cid")
+    return (
+        local.dropDuplicates(["qid", "cid"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_key),
+            F.col("cid").alias(corpus_key),
+            "score",
+            "rank",
+        )
+    )

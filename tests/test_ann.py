@@ -79,3 +79,77 @@ def test_contract_ann_queries_carry_recall_column(spark):
         assert len(recalls) == 1, f"{name}: recall must be constant per query"
         (recall,) = recalls
         assert recall >= floor, f"{name}: recall {recall} < floor {floor}"
+
+
+def _qset(tables, n=20):
+    from pyspark.sql import functions as F
+
+    return tables["embeddings"].filter(f"vec_id < {n}").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_knn_join_full_probe_equals_exact(tables):
+    """nprobe = n_clusters -> every query meets every corpus row exactly
+    once: the IVF join must reproduce knn_join bit-for-bit (ids, ranks,
+    rounded scores)."""
+    from distributed_vector_database_spark.operators.ann import ivf_knn_join
+    from distributed_vector_database_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    qs = _qset(tables)
+    exact = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in knn_join(qs, emb, k=3).collect()
+    }
+    # target_cluster_rows=64 -> ~8 clusters on the 500-row fixture
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in ivf_knn_join(
+            qs, emb, k=3, target_cluster_rows=64, nprobe=10**9
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_knn_join_partial_probe_recall(tables):
+    from distributed_vector_database_spark.operators.ann import ivf_knn_join
+    from distributed_vector_database_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    qs = _qset(tables)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_join(qs, emb, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn_join(qs, emb, k=3, target_cluster_rows=64, nprobe=3).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"ivf_knn_join recall too low: {recall}"
+    # every query still gets k results (clusters are never empty of corpus)
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in got)
+    assert all(v == 3 for v in per_q.values())
+
+
+def test_ivf_knn_join_accepts_large_query_side(tables):
+    """The whole point vs knn_join: no query-side collect, no budget
+    guard — the full embeddings table can be the query set."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.ann import ivf_knn_join
+
+    emb = tables["embeddings"]
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivf_knn_join(qs, emb, k=1, target_cluster_rows=64, nprobe=1)
+    rows = res.collect()
+    n = emb.count()
+    assert len(rows) == n
+    # rank-1 of each vector against the corpus is itself (distance 0,
+    # min-id tie-break is the id itself on exact duplicates' lower id)
+    self_hits = sum(1 for r in rows if r["query_id"] == r["vec_id"])
+    assert self_hits >= n * 0.95
