@@ -654,6 +654,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfpq_topk"] = ann_ivfpq_topk_q
 
+    def ann_ivf_knn_join_exact_q(spark, sf):
+        # full-probe mode: every query meets every cluster, so the
+        # routed kernel must reproduce the exact join — hash-matched
+        # against the SAME DuckDB oracle as knn_join (the kernel-parity
+        # pattern of knn_sharded vs knn_exact)
+        from distributed_vector_database_spark.operators.ann import ivf_knn_join
+
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf_knn_join(
+            qs, emb, k=KNN_JOIN_K, target_cluster_rows=64, nprobe=10**9
+        )
+
+    q["ann_ivf_knn_join_exact"] = ann_ivf_knn_join_exact_q
+
     def ann_ivf_knn_join_q(spark, sf):
         # large-x-large approximate k-NN join (shared coarse quantizer,
         # neither side collected/broadcast) forced onto its clustered
@@ -741,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
+        "ann_ivf_knn_join_exact",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -934,6 +952,8 @@ ranked AS (
 )
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
 """
+
+    o["ann_ivf_knn_join_exact"] = o["knn_join"]
 
     o["point_lookup"] = (
         "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim "
