@@ -67,6 +67,9 @@ def knn_exact(
     k = _effective_k(k)
     if predicate is not None:
         df = df.filter(predicate)  # metadata filter BEFORE distance — pushed to scan
+    # null vectors would sort FIRST (Spark orderBy asc is nulls-first) and
+    # displace every real neighbor; dirty rows are excluded, not ranked
+    df = df.filter(F.col(vec_col).isNotNull())
     scored = df.select(
         key_col,
         *extra_cols,
@@ -114,7 +117,9 @@ def knn_sharded(
         # partitions never materialize filtered-out vectors (the
         # declared search filter, src/vector_db.thrift:26)
         df = df.filter(predicate)
-    proj = df.select(key_col, *extra_cols, vec_col)
+    # null vectors would crash the numpy kernel's np.stack; drop like
+    # knn_exact does (dirty rows are excluded, not ranked)
+    proj = df.filter(F.col(vec_col).isNotNull()).select(key_col, *extra_cols, vec_col)
     if num_shards is not None:
         proj = proj.repartition(num_shards, key_col)
 
@@ -217,7 +222,8 @@ def knn_join(
     out_schema = (
         f"{query_key} {qkey_type}, {corpus_key} {key_type}, score double"
     )
-    proj = corpus.select(corpus_key, corpus_vec)
+    # null corpus vectors would crash np.stack in the kernel
+    proj = corpus.filter(F.col(corpus_vec).isNotNull()).select(corpus_key, corpus_vec)
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qm = np.asarray(qmat_list, dtype=np.float64)  # (nq, dim)

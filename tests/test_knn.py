@@ -105,3 +105,25 @@ def test_knn_join_query_budget_guard(tables):
     )
     with pytest.raises(ValueError, match="max_query_rows"):
         knn_join(qs, emb, k=2, max_query_rows=3)
+
+
+def test_null_vectors_excluded_not_ranked(spark):
+    """Spark orderBy asc is nulls-FIRST: without an explicit guard a
+    corrupt null-embedding row would outrank every real neighbor (and
+    crash the pandas kernels). Dirty rows must be dropped."""
+    from distributed_vector_database_spark.operators.knn import knn_exact, knn_sharded
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], 5), (2, [1.0, 1.0], 5), (3, None, 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    for fn in (knn_exact, knn_sharded):
+        rows = fn(emb, [0.0, 0.0], k=2).collect()
+        assert [r["vec_id"] for r in rows] == [1, 2]
+        assert all(r["score"] is not None for r in rows)
+
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    res = knn_join(qs, emb, k=3).collect()
+    assert [r["vec_id"] for r in res] == [1, 2]
