@@ -278,11 +278,11 @@ def ivf_knn_join(
     n_clusters = max(1, math.ceil(n / int(target_cluster_rows)))
     nprobe = max(1, min(int(nprobe), n_clusters))
 
-    c_side = corpus.select(
+    c_side = corpus.filter(F.col(corpus_vec).isNotNull()).select(
         F.col(corpus_key).alias("id"),
         F.col(corpus_vec).cast("array<double>").alias("v"),
     )
-    q_side = queries.select(
+    q_side = queries.filter(F.col(query_vec).isNotNull()).select(
         F.col(query_key).alias("id"),
         F.col(query_vec).cast("array<double>").alias("v"),
     )

@@ -433,7 +433,7 @@ def embedding_near_dup(
     # plays the pa role, side 1 = the pb role; diagonal groups carry
     # each row once (side 0) and the kernel mirrors them.
     expanded = (
-        ensure_parallelism(emb, id_col)
+        ensure_parallelism(emb.filter(F.col(vec_col).isNotNull()), id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -560,7 +560,7 @@ def embedding_near_dup_at_scale(
         return embedding_near_dup(emb, t, id_col=id_col, vec_col=vec_col)
     probe = max(1, min(int(probe), n_clusters))
 
-    unit = emb.select(
+    unit = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
 

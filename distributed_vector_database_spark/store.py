@@ -125,7 +125,11 @@ class VectorStore:
             records = records.withColumn(
                 "metadata", F.create_map().cast("map<string,string>")
             )
-        bad = records.filter(F.size("vector") != self.dim).count()
+        # isNull checked explicitly: F.size(NULL) is NULL, so a null
+        # vector would slip past a bare size != dim predicate
+        bad = records.filter(
+            F.col("vector").isNull() | (F.size("vector") != self.dim)
+        ).count()
         if bad:
             raise DimensionMismatch(f"{bad} rows with dimension != {self.dim}")
         ts, seq = self._next_ts_seq()

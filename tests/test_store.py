@@ -155,3 +155,14 @@ def test_compacted_point_lookup_filter_reaches_scan(store):
     lookup = store.state().filter(F.col("key") == "k3")
     pushed = " ".join(pushed_filters(lookup))
     assert "key" in pushed, f"key predicate not pushed: {pushed!r}"
+
+
+def test_put_batch_rejects_null_vectors(spark, store):
+    """F.size(NULL) is NULL — a bare size-mismatch predicate would let
+    null vectors through the dim check."""
+    df = spark.createDataFrame(
+        [("ok", [1.0, 2.0, 3.0, 4.0]), ("bad", None)],
+        "key string, vector array<double>",
+    )
+    with pytest.raises(DimensionMismatch):
+        store.put_batch(df)
