@@ -125,6 +125,136 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The MinHash signature table: (id, sig: array<long>[num_perm]).
+
+    explode -> hash once -> num_perm partial-min aggregates. The
+    expression form (hashing.minhash_signature) re-evaluates the md5
+    subtree once per permutation (Catalyst doesn't CSE across lambda
+    bodies) — num_perm x the md5 cost; this shape hashes each shingle
+    exactly once and the mins combine map-side, which is also the
+    right plan at 100 TB (the shuffle carries one num_perm-long row
+    per doc, not the shingle sets).
+
+    This is the table a production pipeline PERSISTS: incremental
+    dedup (minhash_lsh_pairs_incremental) band-joins each new batch
+    against it without ever re-shingling the corpus."""
+    from distributed_vector_database_spark.functions.hashing import (
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        hash32,
+    )
+
+    exploded = (
+        ensure_parallelism(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+        )
+        .select("id", hash32("s").alias("h"))
+    )
+    return (
+        exploded.groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
+                for j, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+            ]
+        )
+        .select(
+            "id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
+        )
+    )
+
+
+def _sig_match(num_perm: int):
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm)),
+        6,
+    )
+
+
+def _band_explode(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(minhash_bands("sig", bands, rows_per_band)).alias("bk"),
+    ).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Continual-ingest near-dup: candidate pairs between a NEW batch
+    and an already-signed corpus, plus pairs within the batch.
+
+    `corpus_sigs` is the persisted output of minhash_signatures (id,
+    sig) — the corpus is never re-shingled; each batch costs
+    O(|batch| shingles + band collisions). Returns (id_a, id_b,
+    sig_match) with the usual id_a < id_b orientation; at least one
+    side of every pair is from the new batch. Ids must be disjoint
+    from corpus ids (enforce upstream with a key allocator)."""
+    rows_per_band = num_perm // bands
+    new_sigs = minhash_signatures(
+        new_docs, num_perm=num_perm, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n,
+    ).cache()
+    b_new = _band_explode(new_sigs, bands, rows_per_band)
+    b_corpus = _band_explode(corpus_sigs, bands, rows_per_band)
+    cross = (
+        b_new.alias("a")
+        .join(b_corpus.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            # sig arrays travel with the band rows; re-fetch not needed
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.sig"))
+            .otherwise(F.col("b.sig"))
+            .alias("sig_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.sig"))
+            .otherwise(F.col("a.sig"))
+            .alias("sig_b"),
+        )
+    )
+    within = (
+        b_new.alias("a")
+        .join(b_new.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", _sig_match(num_perm).alias("sig_match"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 16,
@@ -151,44 +281,16 @@ def minhash_lsh_pairs(
     components (all members stay linked through the rep), so
     `dedup_clusters` over the pairs is unchanged; only the exhaustive
     within-bucket pair list is given up, and only for outlier buckets."""
-    from distributed_vector_database_spark.functions.hashing import (
-        MINHASH_PERMS,
-        MINHASH_PRIME,
-        hash32,
-    )
-
     rows_per_band = num_perm // bands
-    # explode -> hash once -> 16 partial-min aggregates. The expression
-    # form (hashing.minhash_signature) re-evaluates the md5 subtree once
-    # per permutation (Catalyst doesn't CSE across lambda bodies) — 16x
-    # the md5 cost; this shape hashes each shingle exactly once and the
-    # mins combine map-side, which is also the right plan at 100 TB
-    # (shuffle carries one 16-long row per doc, not the shingle sets).
-    exploded = ensure_parallelism(docs, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
-    ).select("id", hash32("s").alias("h"))
-    sigd = (
-        exploded.groupBy("id")
-        .agg(
-            *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
-                for j, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
-            ]
-        )
-        .select(
-            "id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
-        )
-        # persist the signature table (num_perm longs per doc — tiny even
-        # at 10^9 docs): the band self-join reads it twice, and without
-        # this the whole shingle+hash pipeline runs once per join side.
-        # At 100 TB you'd write signatures to a table; cache is the
-        # in-session analog.
-        .cache()
-    )
-    banded = sigd.select(
-        "id", "sig", F.explode(minhash_bands("sig", bands, rows_per_band)).alias("bk")
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # persist the signature table (num_perm longs per doc — tiny even
+    # at 10^9 docs): the band self-join reads it twice, and without
+    # this the whole shingle+hash pipeline runs once per join side.
+    # At 100 TB you'd write signatures to a table; cache is the
+    # in-session analog.
+    sigd = minhash_signatures(
+        docs, num_perm=num_perm, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()
+    banded = _band_explode(sigd, bands, rows_per_band)
     if bucket_cap is None:
         joinable = banded
     else:
@@ -228,17 +330,7 @@ def minhash_lsh_pairs(
         )
         cand = cand.select("id_a", "id_b", "sig_a", "sig_b").unionByName(star)
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    match_frac = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_perm)),
-        6,
-    )
-    return cand.select("id_a", "id_b", match_frac.alias("sig_match"))
+    return cand.select("id_a", "id_b", _sig_match(num_perm).alias("sig_match"))
 
 
 def simhash_pairs(

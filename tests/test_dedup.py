@@ -178,3 +178,44 @@ def test_minhash_bucket_cap_preserves_components(spark):
     # star edges always run min-id first
     for r in capped.collect():
         assert r["id_a"] < r["id_b"]
+
+
+def test_minhash_incremental_matches_batch_recompute(spark):
+    """Band-joining a new batch against the persisted corpus signature
+    table must produce exactly the batch-recompute's pairs that touch a
+    new doc — same ids, same sig_match values — without re-shingling
+    the corpus."""
+    from distributed_vector_database_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus_rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different words about spark query engines"),
+    ]
+    new_rows = [
+        (10, base + " tonight!"),          # near-dup of 1/2
+        (11, "fresh unrelated material"),  # no partner
+        (12, base + " tonight!"),          # dup of 10 (within-batch pair)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(corpus)
+    inc = {
+        (r.id_a, r.id_b): r.sig_match
+        for r in minhash_lsh_pairs_incremental(new, sigs).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.sig_match
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(corpus_rows + new_rows, "doc_id long, text string")
+        ).collect()
+    }
+    new_ids = {10, 11, 12}
+    want = {p: v for p, v in full.items() if p[0] in new_ids or p[1] in new_ids}
+    assert inc == want and any(p == (10, 12) for p in inc)
