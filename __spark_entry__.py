@@ -371,6 +371,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_pivot"] = lambda spark, sf: R.orders_pivot(
         load_table(spark, sf, "orders")
     )
+    def salted_user_counts_q(spark, sf):
+        # skew-safe two-phase aggregation (groupBy(key, salt) partial ->
+        # groupBy(key) final): salting is semantics-preserving, so the
+        # oracle is the plain GROUP BY — the hash match proves it
+        from distributed_vector_database_spark.operators.skew import (
+            salted_aggregate,
+        )
+
+        ev = load_table(spark, sf, "events")
+        res = salted_aggregate(
+            ev,
+            ["user_id"],
+            {"n_events": "count(1)", "total_value_raw": "sum(value)"},
+            n_salts=16,
+        )
+        return res.select(
+            "user_id",
+            "n_events",
+            F.round("total_value_raw", 6).alias("total_value"),
+        )
+
+    q["salted_user_counts"] = salted_user_counts_q
+
     q["event_value_median_udaf"] = lambda spark, sf: R.event_value_median_udaf(
         load_table(spark, sf, "events")
     )
@@ -758,7 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
-        "ann_ivf_knn_join_exact",
+        "ann_ivf_knn_join_exact", "salted_user_counts",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -1208,6 +1231,12 @@ SELECT o_orderstatus,
   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+    o["salted_user_counts"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
 """
 
     o["event_value_median_udaf"] = """
