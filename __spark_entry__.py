@@ -371,6 +371,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_pivot"] = lambda spark, sf: R.orders_pivot(
         load_table(spark, sf, "orders")
     )
+    def events_dedup_first_q(spark, sf):
+        # batch mode of the bounded-state streaming dedup spec: first
+        # event per (user, type) by event time, event_id tiebreak
+        from distributed_vector_database_spark.streaming.dedup import dedup_stream
+
+        ev = load_table(spark, sf, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        return dedup_stream(
+            ev, key_cols=["user_id", "event_type"], tiebreak_col="event_id"
+        )
+
+    q["events_dedup_first"] = events_dedup_first_q
+
     def salted_user_counts_q(spark, sf):
         # skew-safe two-phase aggregation (groupBy(key, salt) partial ->
         # groupBy(key) final): salting is semantics-preserving, so the
@@ -781,7 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
-        "ann_ivf_knn_join_exact", "salted_user_counts",
+        "ann_ivf_knn_join_exact", "salted_user_counts", "events_dedup_first",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -1231,6 +1245,15 @@ SELECT o_orderstatus,
   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+    o["events_dedup_first"] = """
+SELECT user_id, event_type, ts, event_id FROM (
+  SELECT user_id, event_type, ts, event_id,
+    row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
 """
 
     o["salted_user_counts"] = """

@@ -28,6 +28,7 @@ def dedup_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     streaming: bool = False,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """One row per key: streaming mode keeps the first arrival within
     the watermark horizon (state evicted after `watermark`); batch mode
@@ -42,10 +43,16 @@ def dedup_stream(
     if key_cols is None:
         key_cols = ["event_id"]
     if streaming:
+        # first ARRIVAL wins — among same-ts duplicates the kept row is
+        # arrival-order-dependent by design; tiebreak_col applies only
+        # to the batch oracle, which has no arrival order
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             key_cols
         )
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         events.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
