@@ -16,6 +16,21 @@ value hashes match despite double arithmetic.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Export the repo onto PYTHONPATH at import time: Spark python workers
+# rebuild sys.path from the env, not from the driver's sys.path, so any
+# UDF closure that pickles by reference needs this set BEFORE the
+# harness creates its SparkSession (the kernels are also written to
+# pickle by value, making this belt-and-braces).
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+_pp = _os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = _REPO + (_os.pathsep + _pp if _pp else "")
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

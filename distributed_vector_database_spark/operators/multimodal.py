@@ -59,24 +59,41 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
-def _hash_projection_embed(blobs: pd.Series, dim: int) -> pd.Series:
-    """Deterministic fake embedder: seed a per-blob RNG from the blob's
-    content hash, draw a unit vector. Stands in for the CLIP forward
-    pass (clip/embedding.py:39-68) with identical output contract
-    (fixed dim, L2-normalized)."""
-    import hashlib
+def _make_hash_embed():
+    """Build the deterministic fake embedder as a NESTED function:
+    cloudpickle serializes nested functions by value, so UDF closures
+    that capture it ship self-contained to executors — workers never
+    import this package. That matters because a harness may create its
+    SparkSession without the repo on executor PYTHONPATH (a
+    module-level function would pickle by reference and die with
+    ModuleNotFoundError in the worker)."""
 
-    out = []
-    for blob in blobs:
-        b = bytes(blob) if blob is not None else b""
-        # content-derived seed via md5 (stable across processes, unlike
-        # built-in hash() under randomized PYTHONHASHSEED)
-        seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(dim)
-        n = np.linalg.norm(v)
-        out.append((v / n if n > 0 else v).tolist())
-    return pd.Series(out)
+    def hash_projection_embed(blobs: pd.Series, dim: int) -> pd.Series:
+        """Deterministic fake embedder: seed a per-blob RNG from the
+        blob's content hash, draw a unit vector. Stands in for the CLIP
+        forward pass (clip/embedding.py:39-68) with identical output
+        contract (fixed dim, L2-normalized)."""
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for blob in blobs:
+            b = bytes(blob) if blob is not None else b""
+            # content-derived seed via md5 (stable across processes,
+            # unlike built-in hash() under randomized PYTHONHASHSEED)
+            seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(dim)
+            n = np.linalg.norm(v)
+            out.append((v / n if n > 0 else v).tolist())
+        return pd.Series(out)
+
+    return hash_projection_embed
+
+
+_hash_projection_embed = _make_hash_embed()
 
 
 def embed_binary_deterministic(
@@ -89,11 +106,14 @@ def embed_binary_deterministic(
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{fields}, embedding array<double>"
 
+    # bind the by-value closure locally so the kernel ships self-contained
+    _embedder = _hash_projection_embed
+
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-worker init happens HERE (load model once) in the real path
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["embedding"] = _hash_projection_embed(pdf[content_col], dim)
+            pdf["embedding"] = _embedder(pdf[content_col], dim)
             yield pdf
 
     return df.mapInPandas(embed, schema=out_schema)

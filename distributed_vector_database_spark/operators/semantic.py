@@ -47,12 +47,16 @@ def embed_text_column(
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{fields}, embedding array<double>"
+    # _hash_projection_embed is a by-value (nested) closure — capturing
+    # it here ships the kernel self-contained, no package import on
+    # executors (see multimodal._make_hash_embed)
+    _embedder = _hash_projection_embed
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             blobs = pdf[text_col].map(lambda t: (t or "").encode("utf-8"))
-            pdf["embedding"] = _hash_projection_embed(blobs, dim)
+            pdf["embedding"] = _embedder(blobs, dim)
             yield pdf
 
     return df.mapInPandas(embed, schema=out_schema)
