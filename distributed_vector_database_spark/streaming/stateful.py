@@ -27,38 +27,44 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timest
 STATE_SCHEMA = "n_events long, total_value double"
 
 
-def _update_user_stats(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, total = state.get
-    else:
-        n, total = 0, 0.0
-    last_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, round(total, 6)))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [round(total, 6)],
-            "last_ts": [last_ts],
-        }
-    )
-
-
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum, last event time) over a stream.
-    Emits one updated row per user per micro-batch (update mode)."""
+    Emits one updated row per user per micro-batch (update mode).
+
+    The update function is NESTED so cloudpickle ships it by value —
+    executors never import this package (required when the session was
+    built without the repo on executor PYTHONPATH)."""
+
+    def update_user_stats(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [last_ts],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_stats,
+        update_user_stats,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
