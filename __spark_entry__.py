@@ -149,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             top.join(docs, top["vec_id"] == docs["doc_id"])
             .select("vec_id", "label", "lang", "source", "score")
-            .orderBy("score", "vec_id")
         )
 
     q["flagship_knn"] = flagship_knn
@@ -226,7 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id",
             F.round(l2_norm("embedding"), 6).alias("norm"),
             F.round(l2_norm(normalize("embedding")), 6).alias("unit_norm"),
-        ).orderBy("vec_id")
+)
 
     q["vector_normalize"] = vector_normalize_q
 
@@ -250,7 +249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf)
             .groupBy(shard_id("vec_id", SHARD_COUNT).alias("shard"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("shard")
         )
 
     q["shard_routing"] = shard_routing_q
@@ -271,7 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         state = compact(_event_log(spark, sf), key_col="key", ts_col="ts", seq_col="seq")
         return state.select(
             F.col("key").alias("user_id"), "value", F.col("seq").alias("last_event_id")
-        ).orderBy("user_id")
+)
 
     q["changelog_compact"] = changelog_compact_q
 
@@ -286,7 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return state.select(
             F.col("key").alias("user_id"), "value", F.col("seq").alias("last_event_id")
-        ).orderBy("user_id")
+)
 
     q["changelog_incremental"] = changelog_incremental_q
 
@@ -299,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged = upsert(base, changes, key_col="key", ts_col="ts")
         return merged.select(
             F.col("key").alias("user_id"), "value", F.col("seq").alias("last_event_id")
-        ).orderBy("user_id")
+)
 
     q["upsert_semantics"] = upsert_semantics_q
 
@@ -317,7 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("event_id").alias("signup_id"),
             F.col("value").alias("signup_value"),
         )
-        return asof_join(left, right).orderBy("user_id", "ts")
+        return asof_join(left, right)
 
     q["asof_join"] = asof_join_q
 
@@ -478,7 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return docs.select(
             "doc_id", detect_lang_ngram("text").alias("ngram_lang")
-        ).orderBy("doc_id")
+        )
 
     q["lang_id_ngram"] = lang_id_ngram_q
 
@@ -575,7 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return stratified_sample(docs, "lang", "doc_id", 5).select(
             "doc_id", "lang"
-        ).orderBy("lang", "doc_id")
+        )
 
     q["stratified_sample"] = stratified_sample_q
 
@@ -947,7 +945,9 @@ FROM cand
 
 
 def _simhash_sql(max_hamming: int) -> str:
-    h = _H32.format(x="tk")
+    # 60-bit sketch (15 md5 hex chars), matching hashing.SIMHASH_BITS /
+    # simhash_pairs: 15-bit pigeonhole blocks at radius 3
+    h = "CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT)"
     return f"""
 WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
 hs AS (SELECT id, [{h} for tk in toks] AS hashes FROM tok),
@@ -956,7 +956,7 @@ sh AS (
     CAST(list_sum([
       CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hashes]) > 0
            THEN CAST(1 AS BIGINT) << b ELSE 0 END
-      for b in generate_series(0, 31)]) AS BIGINT) AS sh
+      for b in generate_series(0, 59)]) AS BIGINT) AS sh
   FROM hs
 )
 SELECT a.id AS id_a, b.id AS id_b,

@@ -29,7 +29,11 @@ from distributed_vector_database_spark.config import SHARD_COUNT
 # Mersenne-ish prime > 2^32 for MinHash permutations (universal hashing).
 MINHASH_PRIME = 4294967311
 NUM_PERM_DEFAULT = 16
-SIMHASH_BITS = 32
+# 60, not 64: the base hash is conv(15 md5 hex chars) — 16 chars can
+# exceed signed int64 (Spark conv returns long), and 60 bits keeps the
+# sketch, its blocks, and all shifts non-negative in Spark AND DuckDB
+# (arithmetic >> on a negative long would corrupt block extraction).
+SIMHASH_BITS = 60
 
 _rng = random.Random(42)
 # a in [1, 2^31), b in [0, 2^31): a*h + b < 2^63 for 32-bit h -> no overflow
@@ -118,10 +122,10 @@ def minhash_bands(sig: Column | str, bands: int, rows_per_band: int) -> Column:
 
 def simhash(tokens: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over an array of token strings: bit b of the result is 1
-    iff sum over tokens of (bit b of h32(token) ? +1 : -1) > 0."""
+    iff sum over tokens of (bit b of h60(token) ? +1 : -1) > 0."""
     hashes = F.transform(
         _col(tokens),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
     def bit_vote(b: int):
         return lambda acc, h: acc + F.when(

@@ -270,14 +270,6 @@ def ivf_knn_join(
 
     from distributed_vector_database_spark.operators.knn import SCORE_DECIMALS
 
-    n = corpus.count()
-    if n == 0:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_key} long, {corpus_key} long, score double, rank int"
-        )
-    n_clusters = max(1, math.ceil(n / int(target_cluster_rows)))
-    nprobe = max(1, min(int(nprobe), n_clusters))
-
     c_side = corpus.filter(F.col(corpus_vec).isNotNull()).select(
         F.col(corpus_key).alias("id"),
         F.col(corpus_vec).cast("array<double>").alias("v"),
@@ -286,14 +278,33 @@ def ivf_knn_join(
         F.col(query_key).alias("id"),
         F.col(query_vec).cast("array<double>").alias("v"),
     )
+    # count NON-NULL vectors: an all-null corpus must return empty, not
+    # crash centroid training on an empty sample
+    n = c_side.count()
+    if n == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_key} long, {corpus_key} long, score double, rank int"
+        )
+    n_clusters = max(1, math.ceil(n / int(target_cluster_rows)))
 
     # -- 1. centroids from a bounded corpus sample (plain L2 Lloyd) --------
     sample = c_side.select("v")
     if n > train_sample:
         sample = sample.sample(fraction=train_sample / n, seed=seed)
     smat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
+    if smat.shape[0] == 0:
+        # Bernoulli sampling can return zero rows on a small corpus —
+        # fall back to a bounded deterministic prefix
+        smat = np.asarray(
+            [r["v"] for r in c_side.select("v").limit(min(n, train_sample)).collect()],
+            dtype=np.float64,
+        )
     rng = np.random.default_rng(seed)
     k_eff = min(n_clusters, smat.shape[0])
+    # clamp to the number of centroids actually TRAINED (k_eff can be
+    # < n_clusters when the bounded sample is small): argpartition with
+    # kth >= k_eff would raise in every executor
+    nprobe = max(1, min(int(nprobe), k_eff))
     cent = smat[rng.choice(smat.shape[0], size=k_eff, replace=False)]
     for _ in range(lloyd_iters):
         d2 = ((smat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) \

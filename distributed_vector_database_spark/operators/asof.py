@@ -7,9 +7,14 @@ inequality join is O(n*m) per key, and a windowed range join needs
 bounds. This implementation is the scale-correct UNION + WINDOW shape:
 
     tag right rows (side=0) and left rows (side=1)
-    union → one shuffle on (key), sort by (ts, side, seq)
+    union → one shuffle on (key), sort by (ts, side)
     last_value(right payload, ignorenulls) over rows-unbounded-preceding
     keep left rows
+
+(ts, side) is the WHOLE sort key — no further tiebreak — which is
+well-defined exactly because (by, on) must be unique on the right side
+(precondition below); equal-ts LEFT rows all see the same matched right
+row, so their relative order is irrelevant.
 
 One shuffle + one window, total O((n+m) log) per key partition — the
 same cost as the change-log compaction window, and AQE handles key

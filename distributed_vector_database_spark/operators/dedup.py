@@ -338,33 +338,49 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius.
 
     Candidate generation uses the standard bit-block trick: split the
-    32-bit simhash into (max_hamming+1) blocks; by pigeonhole, any pair
+    60-bit simhash into (max_hamming+1) blocks; by pigeonhole, any pair
     within the radius shares at least one exact block → equi-join on
-    (block_idx, block_value), then exact Hamming verify. One shuffle."""
-    from distributed_vector_database_spark.functions.hashing import hash32
+    (block_idx, block_value), then exact Hamming verify. One shuffle.
+
+    Scale: 60 sketch bits (not 32 — see hashing.SIMHASH_BITS for why not
+    64) give 15-bit blocks at the default radius: 32768 join values per
+    block, so bucket sizes track actual near-dup density instead of the
+    ~n/256 floor a 32-bit sketch imposes — candidates stay ~O(dups), not
+    O(n²/2^block_bits). `bucket_cap` is the same skew hatch as
+    minhash_lsh_pairs: a block bucket larger than the cap (mass-produced
+    boilerplate hashing to one block value) emits O(B) star edges to its
+    min-id rep instead of B² pairs; members within the radius of the rep
+    stay linked for `dedup_clusters`, and only the exhaustive
+    within-bucket pair list is given up, only for outlier buckets."""
+    from distributed_vector_database_spark.functions.hashing import (
+        SIMHASH_BITS,
+        hash60,
+    )
 
     nblocks = max_hamming + 1
-    block_bits = 32 // nblocks
-    # explode tokens -> hash once -> 32 partial-sum bit votes (same
-    # rationale as minhash_lsh_pairs: the expression form pays 32x md5;
-    # this is one hash per token + map-side combinable sums)
+    block_bits = SIMHASH_BITS // nblocks
+    nbits = block_bits * nblocks  # use only whole blocks of the sketch
+    # explode tokens -> hash once -> partial-sum bit votes (same
+    # rationale as minhash_lsh_pairs: the expression form pays nbits x
+    # md5; this is one hash per token + map-side combinable sums)
     toks = ensure_parallelism(docs, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("t")
-    ).select("id", hash32("t").alias("h"))
+    ).select("id", hash60("t").alias("h"))
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(32)
+            for b in range(nbits)
         ]
     )
     sh_expr = None
-    for b in range(32):
+    for b in range(nbits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -389,16 +405,45 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
-    return (
-        blocks.alias("a")
-        .join(blocks.alias("b"), ["blk", "blk_val"])
+    if bucket_cap is None:
+        joinable = blocks
+    else:
+        w = Window.partitionBy("blk", "blk_val")
+        sized = blocks.withColumn("bsz", F.count("*").over(w)).withColumn(
+            "rep", F.min("id").over(w)
+        )
+        joinable = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz", "rep")
+    cand = (
+        joinable.alias("a")
+        .join(joinable.alias("b"), ["blk", "blk_val"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    if bucket_cap is not None:
+        # star edges for capped buckets: rep = min(id) < id, so (rep, id)
+        # respects the id_a < id_b orientation; still Hamming-verified
+        # below like every other candidate
+        star = (
+            sized.filter((F.col("bsz") > bucket_cap) & (F.col("id") != F.col("rep")))
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+        cand = cand.unionByName(star)
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -445,12 +490,17 @@ def dedup_clusters(
         .select("id", F.col("id").alias("rep_id"))
     )
     labels = edge_nodes.select("id", F.col("id").alias("rep_id"))
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("rep_id").alias("nbr_rep"))
         )
+        # the changed flag rides the SAME select as the label update —
+        # no old-vs-new join per round (r2 VERDICT #6); the convergence
+        # probe is then one tiny agg over the checkpointed label set,
+        # and it only runs every 2nd round (labels are monotone
+        # non-increasing, so overshooting by one round is harmless)
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
@@ -458,18 +508,16 @@ def dedup_clusters(
                 F.least(
                     F.col("rep_id"), F.coalesce(F.col("nbr_rep"), F.col("rep_id"))
                 ).alias("rep_id"),
+                (
+                    F.coalesce(F.col("nbr_rep"), F.col("rep_id")) < F.col("rep_id")
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.rep_id") != F.col("o.rep_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.select("id", "rep_id")
+        if it % 2 == 1 or it == max_iterations - 1:
+            if new_labels.filter(F.col("__chg")).limit(1).count() == 0:
+                break
     # edges/edge_nodes stay cached: the returned plan (singletons
     # anti-join) still reads them lazily
     return labels.unionByName(singletons)
@@ -640,7 +688,12 @@ def embedding_near_dup_at_scale(
     t = float(threshold)
     if not -1.0 <= t <= 1.0:
         raise ValueError("cosine threshold must be in [-1, 1]")
-    n = emb.count()
+    unit = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # count NON-NULL vectors: an all-null corpus must hit the empty
+    # early-return, not crash centroid training on an empty sample
+    n = unit.count()
     if n == 0:
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
@@ -650,22 +703,28 @@ def embedding_near_dup_at_scale(
         # the whole corpus fits one verify group: the exact kernel IS
         # the scale path (recall 1 by construction)
         return embedding_near_dup(emb, t, id_col=id_col, vec_col=vec_col)
-    probe = max(1, min(int(probe), n_clusters))
-
-    unit = emb.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
 
     # -- 1. train centroids on a bounded sample (driver-side Lloyd) --------
     sample = unit.select("v")
     if n > train_sample:
         sample = sample.sample(fraction=train_sample / n, seed=seed)
     smat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
+    if smat.shape[0] == 0:
+        # Bernoulli sampling can return zero rows on a small corpus —
+        # fall back to a bounded deterministic prefix
+        smat = np.asarray(
+            [r["v"] for r in unit.select("v").limit(min(n, train_sample)).collect()],
+            dtype=np.float64,
+        )
     snorm = np.linalg.norm(smat, axis=1, keepdims=True)
     snorm[snorm == 0.0] = 1.0
     smat = smat / snorm
     rng = np.random.default_rng(seed)
     k_eff = min(n_clusters, smat.shape[0])
+    # clamp to the number of centroids actually TRAINED (k_eff can be
+    # < n_clusters when the bounded sample is small): argpartition with
+    # kth >= k_eff would raise in every executor
+    probe = max(1, min(int(probe), k_eff))
     cent = smat[rng.choice(smat.shape[0], size=k_eff, replace=False)]
     for _ in range(lloyd_iters):
         # spherical k-means step: assign by max cosine, re-mean, renorm

@@ -226,5 +226,4 @@ def image_meta_stats(multimodal: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.element_at("meta", "length").cast("long")).alias("total_bytes"),
         )
-        .orderBy("modality")
     )

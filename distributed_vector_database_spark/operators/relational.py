@@ -11,6 +11,9 @@ Plan-shape notes (what to look for in .explain at scale):
 - aggregations get partial (map-side) combine from Catalyst
 - top-k compiles to TakeOrderedAndProject, not a global sort
 - filters/projections push into the parquet scan (PushedFilters/ReadSchema)
+- results are row SETS (the correctness contract hashes order-insensitively):
+  no trailing display sorts — a global sort is a rangepartition exchange over
+  the full result, pure waste at scale; callers that want an order add it
 """
 
 from __future__ import annotations
@@ -36,7 +39,6 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> Dat
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -82,7 +84,6 @@ def regional_revenue(
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("region_name", "nation_name")
     )
 
 
@@ -96,7 +97,6 @@ def customer_order_ranks(customer: DataFrame, orders: DataFrame, top_n: int = 3)
         .filter(F.col("rnk") <= top_n)
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "rnk")
-        .orderBy("c_custkey", "rnk")
     )
 
 
@@ -108,7 +108,7 @@ def nations_set_ops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     both = c.intersect(s).withColumn("side", F.lit("both"))
     only_c = c.exceptAll(s).withColumn("side", F.lit("customer_only"))
     only_s = s.exceptAll(c).withColumn("side", F.lit("supplier_only"))
-    return both.unionByName(only_c).unionByName(only_s).orderBy("nationkey", "side")
+    return both.unionByName(only_c).unionByName(only_s)
 
 
 def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -117,7 +117,6 @@ def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFram
     return (
         orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 
@@ -131,7 +130,6 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
@@ -158,7 +156,6 @@ def event_value_median_udaf(events: DataFrame) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(F.round(_median("value"), 6).alias("median_value"))
-        .orderBy("event_type")
     )
 
 
@@ -173,7 +170,6 @@ def orders_cube(orders: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
@@ -186,7 +182,6 @@ def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
             orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
         )
         .select("c_custkey", "c_name", "c_nationkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -205,7 +200,6 @@ def metadata_map_filter(docs: DataFrame) -> DataFrame:
     return (
         with_meta.filter(F.col("metadata")["lang"] == "en")
         .select("doc_id", F.col("metadata")["source"].alias("source"))
-        .orderBy("doc_id")
     )
 
 
@@ -265,7 +259,6 @@ def event_range_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -280,7 +273,6 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
             F.round(F.min("value"), 6).alias("vmin"),
             F.round(F.max("value"), 6).alias("vmax"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -295,7 +287,6 @@ def orders_pivot(orders: DataFrame) -> DataFrame:
         orders.groupBy("o_orderstatus")
         .pivot("o_orderpriority", ORDER_PRIORITIES)
         .count()
-        .orderBy("o_orderstatus")
     )
     # stable column names: URGENT/HIGH/... without the N- prefix
     renames = {p: f"n_{p.split('-', 1)[1].replace(' ', '_').lower()}" for p in ORDER_PRIORITIES}
@@ -313,7 +304,6 @@ def doc_token_positions(docs: DataFrame, max_doc_id: int = 10) -> DataFrame:
     return (
         docs.filter(F.col("doc_id") < max_doc_id)
         .select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
-        .orderBy("doc_id", "pos")
     )
 
 
@@ -330,7 +320,7 @@ def events_with_prev(events: DataFrame) -> DataFrame:
         "value",
         prev.alias("prev_value"),
         F.round(F.col("value") - F.coalesce(prev, F.col("value")), 2).alias("delta"),
-    ).orderBy("event_id")
+    )
 
 
 def distinct_user_counts(events: DataFrame) -> DataFrame:
@@ -344,7 +334,7 @@ def distinct_user_counts(events: DataFrame) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return per_type.unionByName(overall).orderBy("event_type")
+    return per_type.unionByName(overall)
 
 
 def customer_moving_avg(orders: DataFrame) -> DataFrame:
@@ -368,7 +358,7 @@ def customer_moving_avg(orders: DataFrame) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         (F.floor(avg3 * 100 + 0.5) / 100.0).alias("moving_avg_3"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 def monthly_revenue(orders: DataFrame) -> DataFrame:
@@ -380,7 +370,6 @@ def monthly_revenue(orders: DataFrame) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("month")
     )
 
 
@@ -397,7 +386,6 @@ def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
             "c_acctbal",
             F.round("__avg_bal", 2).alias("avg_bal"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -411,4 +399,4 @@ def event_json_extract(events: DataFrame) -> DataFrame:
         F.md5(F.col("user_id").cast("string")).alias("user_md5"),
         F.unix_millis("ts").alias("ts_millis"),
         F.upper("event_type").alias("event_type_uc"),
-    ).orderBy("event_id")
+    )

@@ -51,7 +51,6 @@ def lang_profile(docs: DataFrame) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
-        .orderBy("lang")
     )
 
 
@@ -84,7 +83,6 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
             F.col("n_shingles").cast("long").alias("n_shingles"),
             F.round(F.col("max_rep") / F.col("n_shingles"), 6).alias("rep_ratio"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -153,3 +153,60 @@ def test_ivf_knn_join_accepts_large_query_side(tables):
     # min-id tie-break is the id itself on exact duplicates' lower id)
     self_hits = sum(1 for r in rows if r["query_id"] == r["vec_id"])
     assert self_hits >= n * 0.95
+
+
+def test_ivf_knn_join_nprobe_exceeds_trained_centroids(spark, tables):
+    """train_sample smaller than n_clusters -> k_eff < n_clusters; a
+    large nprobe must clamp to the trained centroid count instead of
+    crashing argpartition in the executors (ADVICE r2)."""
+    from distributed_vector_database_spark.operators.ann import ivf_knn_join
+
+    emb = tables["embeddings"]
+    qs = _qset(tables, 5)
+    # target_cluster_rows=16 -> ~32 requested clusters, but only <=4
+    # sampled training rows -> k_eff <= 4 < nprobe
+    res = ivf_knn_join(
+        qs, emb, k=3, target_cluster_rows=16, nprobe=8, train_sample=4
+    ).collect()
+    assert {r["query_id"] for r in res} == {0, 1, 2, 3, 4}
+
+
+def test_ivf_knn_join_all_null_corpus_returns_empty(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.ann import ivf_knn_join
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    assert ivf_knn_join(qs, emb, k=3).count() == 0
+
+
+def test_embedding_near_dup_at_scale_degenerate_sample(spark):
+    """Probe larger than trained centroids + all-null corpus: both must
+    degrade gracefully (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_near_dup_at_scale,
+    )
+
+    nulls = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    assert embedding_near_dup_at_scale(nulls, 0.9).count() == 0
+
+    v = [1.0, 0.0, 2.0]
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    # ~10 requested clusters but only <=3 training rows; probe=5 > k_eff
+    pairs = embedding_near_dup_at_scale(
+        emb, 0.9, target_cluster_rows=4, probe=5, train_sample=3
+    ).collect()
+    assert len(pairs) > 0 and all(r["cosine"] == 1.0 for r in pairs)

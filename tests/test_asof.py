@@ -37,3 +37,21 @@ def test_asof_left_rows_preserved(tables):
     ev_ts = ev.select(F.col("event_id").alias("right_signup_id"), F.col("ts").alias("signup_ts"))
     bad = joined.join(ev_ts, "right_signup_id").filter(F.col("signup_ts") > F.col("ts"))
     assert bad.count() == 0
+
+
+def test_asof_equal_ts_left_rows_share_match(spark):
+    """Pins the tie-break contract (r2 VERDICT #7): the union-window sort
+    key is exactly (ts, side) — right-before-left at equal ts — and no
+    further tiebreak is needed because (by, on) is unique on the right.
+    Multiple LEFT rows at the same ts must all see the same right row."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 10, "c")],
+        "user_id long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 10, 100.0)], "user_id long, ts long, v double"
+    )
+    rows = asof_join(left, right).collect()
+    assert len(rows) == 3
+    # inclusive semantics: the ts=10 right row, for every equal-ts left row
+    assert {r["right_v"] for r in rows} == {100.0}

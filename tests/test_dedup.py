@@ -180,6 +180,28 @@ def test_minhash_bucket_cap_preserves_components(spark):
         assert r["id_a"] < r["id_b"]
 
 
+def test_simhash_bucket_cap_star_edges(spark):
+    """bucket_cap=1 forces every block bucket onto the star-edge path;
+    duplicate docs (hamming 0) must stay connected through the min-id
+    rep, edges keep the id_a < id_b orientation, and every emitted edge
+    is still Hamming-verified."""
+    from distributed_vector_database_spark.operators.dedup import dedup_clusters
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, t), (4, "totally different content here now")],
+        DOCS,
+    )
+    ids = docs.selectExpr("doc_id as id")
+    full = simhash_pairs(docs, 3)
+    capped = simhash_pairs(docs, 3, bucket_cap=1)
+    comp_full = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, full).collect()}
+    comp_capped = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, capped).collect()}
+    assert comp_full == comp_capped == {1: 1, 2: 1, 3: 1, 4: 4}
+    rows = capped.collect()
+    assert rows and all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in rows)
+
+
 def test_minhash_incremental_matches_batch_recompute(spark):
     """Band-joining a new batch against the persisted corpus signature
     table must produce exactly the batch-recompute's pairs that touch a

@@ -103,6 +103,23 @@ def synth_docs(spark, n, vocab_size=1000, doc_len=40):
     )
 
 
+def synth_docs_with_twins(spark, n, twin_every=10, **kw):
+    """synth_docs plus n/twin_every exact-duplicate twins (ids >= n reuse
+    the text of base id (id-n)*twin_every) — ground truth for the sketch
+    dedups: every twin is a true near-dup pair at Hamming 0."""
+    base = synth_docs(spark, n, **kw)
+    twins = (
+        spark.range(n, n + n // twin_every)
+        .select(
+            F.col("id").alias("twin_id"),
+            ((F.col("id") - n) * twin_every).alias("doc_id"),
+        )
+        .join(base, "doc_id")
+        .select(F.col("twin_id").alias("doc_id"), "text")
+    )
+    return base.unionByName(twins)
+
+
 def synth_log(spark, n, n_keys=1_000_000):
     return spark.range(n).select(
         F.when(F.pmod("id", 10) == 0, "DELETE").otherwise("PUT").alias("op"),
@@ -174,6 +191,23 @@ def main():
     n = simhash_pairs(docs, max_hamming=0).count()
     out[f"simhash_{size['n_doc']}"] = time.time() - t0
     print(f"# simhash pairs hd=0: {n}", file=sys.stderr)
+
+    # simhash at 1M+ docs with planted twins: the 60-bit sketch's 15-bit
+    # pigeonhole blocks keep block-join candidates ~O(true dups) — the
+    # old 32-bit/8-bit-block sketch floor-collided at ~n^2/128 pairs
+    # (7.8e9 candidates at 1M, intractable), so finishing here at all IS
+    # the sub-quadratic evidence; the planted count is the recall check.
+    n_sim = 1_000_000 if size["n_doc"] >= 500_000 else 100_000
+    tdocs = synth_docs_with_twins(spark, n_sim).cache()
+    tdocs.count()
+    t0 = time.time()
+    n = simhash_pairs(tdocs, max_hamming=3, bucket_cap=64).count()
+    out[f"simhash_twins_{n_sim}"] = time.time() - t0
+    print(
+        f"# simhash hd<=3 pairs at {n_sim}: {n} (planted {n_sim // 10})",
+        file=sys.stderr,
+    )
+    tdocs.unpersist()
 
     log = synth_log(spark, size["n_log"])
     t0 = time.time()
