@@ -721,6 +721,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_knn_join_exact"] = ann_ivf_knn_join_exact_q
 
+    def ann_ivf_topk_exact_q(spark, sf):
+        # full probe (nprobe >= n_centroids): the partition filter passes
+        # every centroid and the IVF search degenerates to the exact scan
+        # — hash-matched against the brute-force oracle (kernel-parity
+        # pattern; exercises the same probe path as ann_ivf_topk)
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        return ivf_search(
+            spark, centroids, assigned, _query_vec(spark, sf), k=10, nprobe=10**9
+        )
+
+    q["ann_ivf_topk_exact"] = ann_ivf_topk_exact_q
+
+    def ann_sq_topk_exact_q(spark, sf):
+        # full-pool exact refine (FAISS IndexRefine with the pool = the
+        # whole corpus): codes select, true vectors re-score — must
+        # reproduce knn_exact bit-for-bit
+        from distributed_vector_database_spark.operators.quantization import (
+            sq_encode,
+            sq_search,
+            sq_train,
+        )
+
+        emb = _emb(spark, sf)
+        mins, maxs = sq_train(emb)
+        return sq_search(
+            sq_encode(emb, mins, maxs),
+            mins,
+            maxs,
+            _query_vec(spark, sf),
+            k=10,
+            rerank=10**6,
+        )
+
+    q["ann_sq_topk_exact"] = ann_sq_topk_exact_q
+
+    def ann_pq_topk_exact_q(spark, sf):
+        # same full-pool refine through the PQ/ADC path
+        from distributed_vector_database_spark.operators.quantization import (
+            pq_encode,
+            pq_search,
+            pq_train,
+        )
+
+        emb = _emb(spark, sf)
+        books = pq_train(emb, m=8, k_codebook=32)
+        return pq_search(
+            pq_encode(emb, books), books, _query_vec(spark, sf), k=10, rerank=10**6
+        )
+
+    q["ann_pq_topk_exact"] = ann_pq_topk_exact_q
+
     def ann_ivf_knn_join_q(spark, sf):
         # large-x-large approximate k-NN join (shared coarse quantizer,
         # neither side collected/broadcast) forced onto its clustered
@@ -809,15 +866,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
         "ann_ivf_knn_join_exact", "salted_user_counts", "events_dedup_first",
+        "ann_ivf_topk_exact", "ann_sq_topk_exact", "ann_pq_topk_exact",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
         "ann_ivfpq_topk", "ann_ivf_knn_join", "text_to_doc_search",
         "multimodal_embed",
     ]
-    missing = set(q) - set(preferred)
-    assert not missing, f"queries missing from enumeration order: {missing}"
-    return {name: q[name] for name in preferred if name in q}
+    # queries not yet in the list run after every ordered entry (never
+    # silently dropped, never reordered ahead of hash-oracled ones)
+    extras = [n for n in q if n not in set(preferred)]
+    return {name: q[name] for name in [*preferred, *extras] if name in q}
 
 
 # ---------------------------------------------------------------------------
@@ -1006,6 +1065,20 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
 """
 
     o["ann_ivf_knn_join_exact"] = o["knn_join"]
+
+    # exact-equals ANN anchors: full probe / full-pool refine degenerate
+    # to brute force, so the oracle is the plain exact scan (no label
+    # column — the ANN kernels return (vec_id, score) only)
+    _knn_nolabel = f"""
+WITH {_QCTE},
+scored AS (
+  SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q
+)
+SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
+"""
+    o["ann_ivf_topk_exact"] = _knn_nolabel
+    o["ann_sq_topk_exact"] = _knn_nolabel
+    o["ann_pq_topk_exact"] = _knn_nolabel
 
     o["point_lookup"] = (
         "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim "

@@ -180,10 +180,16 @@ def knn_join(
     corpus_key: str = "vec_id",
     corpus_vec: str = "embedding",
     max_query_rows: int = 10_000,
+    on_exceed: str = "error",
 ) -> DataFrame:
     """Brute-force k-NN JOIN: for every query row, its top-k corpus
     neighbors — the reference's O4/O5 generalized to query sets
     (SURVEY §2.3 "similarity search").
+
+    `max_query_rows` guards the broadcast-the-query-side assumption;
+    `on_exceed="warn"` keeps the pre-guard behavior (proceed anyway,
+    with a warning) for callers who accept the driver memory cost —
+    the scale path for large query sides is ann.ivf_knn_join.
 
     Plan: the query side (assumed ≪ corpus) is collected and broadcast
     into a vectorized per-partition kernel: each corpus partition
@@ -204,12 +210,24 @@ def knn_join(
     # side or swap sides (k-NN join is symmetric in who broadcasts).
     qrows = queries.select(query_key, query_vec).limit(max_query_rows + 1).collect()
     if len(qrows) > max_query_rows:
-        raise ValueError(
-            f"knn_join query side exceeds max_query_rows={max_query_rows}; "
-            "this kernel broadcasts the query side into every corpus "
-            "partition — chunk the queries, raise the budget explicitly, "
-            "or use an ANN index (operators/ann.py) for large-x-large joins"
-        )
+        if on_exceed == "warn":
+            import warnings
+
+            warnings.warn(
+                f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+                "proceeding (on_exceed='warn') — consider ann.ivf_knn_join "
+                "for large-x-large joins",
+                stacklevel=2,
+            )
+            qrows = queries.select(query_key, query_vec).collect()
+        else:
+            raise ValueError(
+                f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+                "this kernel broadcasts the query side into every corpus "
+                "partition — chunk the queries, raise the budget explicitly "
+                "(or pass on_exceed='warn' to proceed), or use "
+                "ann.ivf_knn_join for large-x-large joins"
+            )
     if not qrows:
         return queries.sparkSession.createDataFrame(
             [], f"{query_key} long, {corpus_key} long, score double, rank int"

@@ -70,9 +70,19 @@ def sq_search(
     query_vec: Sequence[float],
     k: int = 10,
     key_col: str = "vec_id",
+    rerank: int = 0,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k on dequantized distances (numpy kernel, per-partition
-    top-k + merge)."""
+    top-k + merge).
+
+    With `rerank > 0` (the FAISS `IndexRefine` pattern, same contract
+    as pq_search): dequantized distances select a per-partition pool of
+    `rerank*k` candidates whose TRUE vectors are re-scored exactly —
+    the corpus is scanned codes-only, exact distances touch only the
+    pool. A pool that covers the whole partition makes the result
+    identical to knn_exact (the hash-oracled anchor ann_sq_topk_exact
+    relies on this)."""
     import pandas as pd
 
     mn = np.asarray(mins, dtype=np.float64)
@@ -81,6 +91,8 @@ def sq_search(
     )
     q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
     key_type = dict(encoded.dtypes)[key_col]
+    pool = max(k * rerank, k) if rerank else 2 * k
+    do_rerank = rerank > 0 and vec_col in encoded.columns
 
     def topk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         best = None
@@ -91,15 +103,24 @@ def sq_search(
             deq = mn + codes / 255.0 * sc
             d = deq - q
             s = np.einsum("ij,ij->i", d, d)
-            cand = pd.DataFrame({key_col: pdf[key_col].to_numpy(), "score": np.round(s, 6)})
+            cand = pd.DataFrame({key_col: pdf[key_col].to_numpy(), "score": s})
+            if do_rerank:
+                cand[vec_col] = pdf[vec_col].to_numpy()
             best = cand if best is None else pd.concat([best, cand])
-            best = best.nsmallest(2 * k, ["score", key_col])
-        if best is not None:
-            yield best
+            best = best.nsmallest(pool, ["score", key_col])
+        if best is None:
+            return
+        if do_rerank:
+            vecs = np.stack(best[vec_col].to_numpy()).astype(np.float64)
+            best = best.drop(columns=[vec_col])
+            best["score"] = ((vecs - q[None, :]) ** 2).sum(axis=1)
+        best["score"] = np.round(best["score"], 6)
+        yield best
 
     import pandas as pd  # noqa: F811
 
-    local = encoded.select(key_col, "sq_codes").mapInPandas(
+    cols = [key_col, "sq_codes"] + ([vec_col] if do_rerank else [])
+    local = encoded.select(*cols).mapInPandas(
         topk, schema=f"{key_col} {key_type}, score double"
     )
     return local.orderBy("score", key_col).limit(k)

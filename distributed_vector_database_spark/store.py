@@ -119,7 +119,19 @@ class VectorStore:
     def put_batch(self, records: DataFrame) -> None:
         """Batch ingest (O21): DataFrame with (key, vector[, metadata]).
         Dim-mismatched rows are rejected wholesale (fail-fast, unlike the
-        reference's silent per-file skip at clip/db_operation.py:100-121)."""
+        reference's silent per-file skip at clip/db_operation.py:100-121).
+
+        Log contract: the changelog records ONE row per key per batch —
+        duplicate keys within a batch are resolved BEFORE the write
+        (unlike the reference's WAL, which appends every op and resolves
+        at replay); audit consumers see the batch winner, not every
+        attempt. The within-batch "last occurrence wins" rule orders by
+        monotonically_increasing_id, which encodes (partition, position)
+        — equal to input order only for order-preserving sources (a
+        freshly-created or file-read DataFrame); after a shuffle the
+        winner among in-batch duplicates is partition-order, i.e.
+        effectively arbitrary. Callers that need a specific winner
+        should pre-dedup with an explicit ordering column."""
         cols = records.columns
         if "metadata" not in cols:
             records = records.withColumn(
@@ -154,8 +166,11 @@ class VectorStore:
                 F.col("key").cast("string").alias("key"),
                 F.col("vector").cast("array<double>").alias("vector"),
                 F.col("metadata").cast("map<string,string>").alias("metadata"),
-                F.lit(ts).alias("ts"),
-                F.lit(seq).alias("seq"),
+                # cast explicitly: F.lit(small_int) is int32, but the
+                # single-record path writes int64 (LOG_SCHEMA) — mixed
+                # physical types in one changelog dir fail the read
+                F.lit(ts).cast("long").alias("ts"),
+                F.lit(seq).cast("long").alias("seq"),
             )
         )
         log.write.mode("append").parquet(self._log_dir)
@@ -253,6 +268,141 @@ class VectorStore:
 
     def count(self) -> int:
         return self.state().count()
+
+    # -- ANN index maintenance ---------------------------------------------
+    #
+    # The reference pairs its KV store with a per-node HNSW index and
+    # REBUILDS it from store state on a fixed ingest cadence
+    # (every 200k puts, src/datanode/handler.py:91-120,313-314), with
+    # deleted ids filtered out of every search (handler.py:378-380).
+    # Here the index is the IVF centroid-partitioned parquet layout
+    # (ann.ivf_write): rebuild_index() retrains the coarse quantizer
+    # from compacted state and rewrites the layout; index_append()
+    # assigns a new batch to the EXISTING centroids (no retrain, cost
+    # O(batch) — the incremental path, same contract as
+    # minhash_lsh_pairs_incremental); index_search() probes the pruned
+    # partitions and semi-joins live state so tombstoned keys never
+    # surface. A key re-put after indexing returns its indexed vector
+    # until the next index_append/rebuild — the same staleness window
+    # the reference's rebuild cadence accepts.
+
+    REBUILD_EVERY = 200_000  # reference cadence (src/datanode/handler.py:313)
+
+    def _index_dirs(self) -> tuple[str, str]:
+        return (
+            os.path.join(self.root, "index", "data"),
+            os.path.join(self.root, "index", "centroids"),
+        )
+
+    def rebuild_index(self, n_centroids: int = 16, seed: int = 42) -> int:
+        """Full index rebuild from compacted state (O14 analog for the
+        ANN side). Writes version v+1 of the centroid-partitioned layout
+        + the centroid table; returns the new version."""
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_write,
+        )
+
+        data_dir, cent_dir = self._index_dirs()
+        state = self.state().filter(F.col("vector").isNotNull())
+        centroids, assigned = ivf_build(
+            state.select("key", F.col("vector").alias("embedding")),
+            n_centroids=n_centroids,
+            seed=seed,
+        )
+        v = latest_version(data_dir) + 1
+        # igen = index generation (epoch ms at write): lets index_search
+        # deterministically prefer the newest row when appends re-wrote a key
+        ivf_write(assigned.withColumn("igen", F.lit(int(time.time() * 1000))), f"{data_dir}/v={v}")
+        self.spark.createDataFrame(
+            [(int(i), c) for i, c in centroids],
+            "centroid_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{cent_dir}/v={v}")
+        return v
+
+    def _index_centroids(self) -> tuple[int, list[tuple[int, list[float]]]]:
+        data_dir, cent_dir = self._index_dirs()
+        v = latest_version(data_dir)
+        if v < 0:
+            raise ValueError("no index built; call rebuild_index() first")
+        rows = self.spark.read.parquet(f"{cent_dir}/v={v}").collect()
+        return v, [(r["centroid_id"], list(r["centroid"])) for r in rows]
+
+    def index_append(self, records: DataFrame) -> None:
+        """Incremental index maintenance: route a (key, vector) batch to
+        the EXISTING coarse quantizer and append to the partitioned
+        layout — no retrain, no touch of already-indexed rows. The
+        batch is searchable immediately; centroid quality degrades only
+        as the corpus distribution drifts, which the rebuild cadence
+        absorbs (the reference's insert-then-rebuild-at-200k shape)."""
+        import numpy as np
+        import pandas as pd
+
+        v, centroids = self._index_centroids()
+        data_dir, _ = self._index_dirs()
+        cent_list = [c for _, c in centroids]
+        cent_ids = [i for i, _ in centroids]
+
+        def assign(batches):
+            cmat = np.asarray(cent_list, dtype=np.float64)
+            ids = np.asarray(cent_ids, dtype=np.int64)
+            csq = (cmat**2).sum(1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack([np.asarray(x) for x in pdf["embedding"].to_numpy()])
+                d2 = (mat**2).sum(1, keepdims=True) - 2.0 * (mat @ cmat.T) + csq
+                out = pdf.copy()
+                out["centroid_id"] = ids[np.argmin(d2, axis=1)].astype("int32")
+                yield out
+
+        batch = records.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("vector").cast("array<double>").alias("embedding"),
+        ).filter(F.col("embedding").isNotNull())
+        assigned = batch.mapInPandas(
+            assign, schema="key string, embedding array<double>, centroid_id int"
+        ).withColumn("igen", F.lit(int(time.time() * 1000)))
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(
+            f"{data_dir}/v={v}"
+        )
+
+    def index_search(
+        self, query_vector: Sequence[float], top_k: int = DEFAULT_TOP_K, nprobe: int = 4
+    ) -> DataFrame:
+        """ANN search over the persisted IVF layout: driver ranks the
+        (tiny) centroid table, the scan is partition-PRUNED to nprobe
+        directories, and candidates are semi-joined against live state
+        so deleted keys are excluded (src/datanode/handler.py:378-380)
+        — never a full-corpus scan."""
+        import numpy as np
+
+        from distributed_vector_database_spark.operators.ann import ivf_read_probe
+
+        v, centroids = self._index_centroids()
+        data_dir, _ = self._index_dirs()
+        q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+        cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+        d = ((cmat - q) ** 2).sum(axis=1)
+        probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:nprobe]]
+        cand = ivf_read_probe(self.spark, f"{data_dir}/v={v}", probe_ids)
+        # a re-put key can sit in several index writes: keep the row from
+        # the newest index generation (igen); exact vector freshness for
+        # keys re-put WITHOUT an index_append is restored at rebuild
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("key").orderBy(F.desc("igen"))
+        cand = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "igen")
+        )
+        live = self.state().select("key")
+        cand = cand.join(live, "key", "left_semi")
+        return knn_exact(
+            cand, query_vector, k=top_k, key_col="key", vec_col="embedding",
+            extra_cols=(),
+        )
 
     # -- maintenance --------------------------------------------------------
 

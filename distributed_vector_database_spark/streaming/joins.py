@@ -37,16 +37,27 @@ def stream_interval_join(
     bounds on each buffer) and expresses the bound as an event-time
     range condition, the shape Spark requires to prune join state.
     Batch mode is the same join condition without watermarks — the
-    oracle."""
+    oracle.
+
+    Right-side payload columns whose names collide with a left-side
+    payload column come back prefixed `r_` (homogeneous event streams
+    share most column names; duplicate output names would make every
+    name-based downstream select ambiguous)."""
+    left_payload = [c for c in left.columns if c not in (by, left_ts)]
+    right_payload = [c for c in right.columns if c not in (by, right_ts)]
+    taken = set(left_payload) | {by, "l_ts", "r_ts"}
     l_ = left.select(
         F.col(by).alias("__k"),
         F.col(left_ts).alias("l_ts"),
-        *[c for c in left.columns if c not in (by, left_ts)],
+        *[F.col(c) for c in left_payload],
     )
     r_ = right.select(
         F.col(by).alias("__rk"),
         F.col(right_ts).alias("r_ts"),
-        *[c for c in right.columns if c not in (by, right_ts)],
+        *[
+            F.col(c).alias(f"r_{c}") if c in taken else F.col(c)
+            for c in right_payload
+        ],
     )
     if streaming:
         l_ = l_.withWatermark("l_ts", watermark)

@@ -81,3 +81,37 @@ def test_ivfpq_recall(tables, qvec, exact_ids):
     }
     recall = len(got & exact_ids) / len(exact_ids)
     assert recall >= 0.5, f"IVF+PQ recall@10 too low: {recall}"
+
+
+def test_sq_full_pool_refine_equals_exact(tables, qvec):
+    """rerank covering every partition row (FAISS IndexRefine with the
+    pool = the corpus): SQ search must reproduce knn_exact bit-for-bit
+    — ids, ranks-by-order, and rounded scores. This is the anchor the
+    ann_sq_topk_exact contract query relies on."""
+    emb = tables["embeddings"]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in knn_exact(emb, qvec, k=10, extra_cols=()).collect()
+    ]
+    mins, maxs = sq_train(emb)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in sq_search(
+            sq_encode(emb, mins, maxs), mins, maxs, qvec, k=10, rerank=10**6
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_pq_full_pool_refine_equals_exact(tables, qvec):
+    emb = tables["embeddings"]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in knn_exact(emb, qvec, k=10, extra_cols=()).collect()
+    ]
+    books = pq_train(emb, m=8, k_codebook=32)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in pq_search(pq_encode(emb, books), books, qvec, k=10, rerank=10**6).collect()
+    ]
+    assert got == exact

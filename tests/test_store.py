@@ -166,3 +166,47 @@ def test_put_batch_rejects_null_vectors(spark, store):
     )
     with pytest.raises(DimensionMismatch):
         store.put_batch(df)
+
+
+def test_index_rebuild_search_excludes_deleted(store, spark):
+    """put_batch -> rebuild_index -> index_search round-trip: probes run
+    over the centroid-partitioned layout and a key deleted AFTER the
+    rebuild never surfaces (src/datanode/handler.py:378-380 semantics)."""
+    df = spark.createDataFrame(
+        [(f"k{i}", [float(i), float(i % 3), 0.0, 1.0]) for i in range(40)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(df)
+    v = store.rebuild_index(n_centroids=4)
+    assert v == 0
+    hits = store.index_search([5.0, 2.0, 0.0, 1.0], top_k=5, nprobe=4).collect()
+    assert len(hits) == 5 and hits[0]["key"] == "k5" and hits[0]["score"] == 0.0
+    # delete the top hit; the index still holds the row, search must drop it
+    store.delete("k5")
+    hits = store.index_search([5.0, 2.0, 0.0, 1.0], top_k=5, nprobe=4).collect()
+    assert "k5" not in {r["key"] for r in hits}
+
+
+def test_index_append_makes_batch_searchable(store, spark):
+    """Incremental path: a batch routed to existing centroids (no
+    retrain) is searchable immediately; full-probe results match what a
+    rebuild would give for that query."""
+    df = spark.createDataFrame(
+        [(f"a{i}", [float(i), 0.0, 0.0, 1.0]) for i in range(20)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(df)
+    store.rebuild_index(n_centroids=4)
+    new = spark.createDataFrame(
+        [("new0", [100.0, 0.0, 0.0, 1.0]), ("new1", [101.0, 0.0, 0.0, 1.0])],
+        "key string, vector array<double>",
+    )
+    store.put_batch(new)
+    store.index_append(new)
+    hits = store.index_search([100.4, 0.0, 0.0, 1.0], top_k=2, nprobe=4).collect()
+    assert [r["key"] for r in hits] == ["new0", "new1"]
+
+
+def test_index_search_requires_build(store):
+    with pytest.raises(ValueError, match="no index built"):
+        store.index_search([0.0] * 4, top_k=3)
