@@ -288,11 +288,47 @@ class VectorStore:
 
     REBUILD_EVERY = 200_000  # reference cadence (src/datanode/handler.py:313)
 
-    def _index_dirs(self) -> tuple[str, str]:
+    def maybe_rebuild_index(
+        self, threshold: int | None = None, n_centroids: int = 16
+    ) -> int | None:
+        """The reference's rebuild trigger (src/datanode/handler.py:
+        91-120,313-314: re-index once pending ops cross a count) as an
+        explicit call: rebuilds when the un-indexed changelog has ≥
+        `threshold` ops (default REBUILD_EVERY). Returns the new index
+        version, or None if under threshold. Call after large ingests;
+        a scheduler owns the cadence in production."""
+        t = self.REBUILD_EVERY if threshold is None else int(threshold)
+        log = self._log()
+        total_ops = 0 if log.isEmpty() else log.count()
+        base = self._ops_at_last_build()
+        # a compaction since the last build truncates the log, making the
+        # recorded baseline stale — every surviving log op is then new
+        pending = total_ops if total_ops < base else total_ops - base
+        if pending < t:
+            return None
+        return self.rebuild_index(n_centroids=n_centroids)
+
+    def _index_dirs(self) -> tuple[str, str, str]:
         return (
             os.path.join(self.root, "index", "data"),
             os.path.join(self.root, "index", "centroids"),
+            os.path.join(self.root, "index", "meta"),
         )
+
+    def _ops_at_last_build(self) -> int:
+        """Changelog op count when the index was last (re)built — the
+        baseline for the rebuild cadence. 0 when no index exists or the
+        log was compacted away since (compaction resets the log, so a
+        fresh count correctly measures new ops only)."""
+        data_dir, _, meta_dir = self._index_dirs()
+        v = latest_version(data_dir)
+        if v < 0:
+            return 0
+        try:
+            row = self.spark.read.parquet(f"{meta_dir}/v={v}").collect()[0]
+            return int(row["log_ops_at_build"])
+        except Exception:
+            return 0
 
     def rebuild_index(self, n_centroids: int = 16, seed: int = 42) -> int:
         """Full index rebuild from compacted state (O14 analog for the
@@ -303,7 +339,9 @@ class VectorStore:
             ivf_write,
         )
 
-        data_dir, cent_dir = self._index_dirs()
+        data_dir, cent_dir, meta_dir = self._index_dirs()
+        log = self._log()
+        log_ops = 0 if log.isEmpty() else log.count()
         state = self.state().filter(F.col("vector").isNotNull())
         centroids, assigned = ivf_build(
             state.select("key", F.col("vector").alias("embedding")),
@@ -318,10 +356,14 @@ class VectorStore:
             [(int(i), c) for i, c in centroids],
             "centroid_id int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{cent_dir}/v={v}")
+        self.spark.createDataFrame(
+            [(log_ops, int(time.time() * 1000))],
+            "log_ops_at_build long, built_at_ms long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/v={v}")
         return v
 
     def _index_centroids(self) -> tuple[int, list[tuple[int, list[float]]]]:
-        data_dir, cent_dir = self._index_dirs()
+        data_dir, cent_dir, _ = self._index_dirs()
         v = latest_version(data_dir)
         if v < 0:
             raise ValueError("no index built; call rebuild_index() first")
@@ -339,7 +381,7 @@ class VectorStore:
         import pandas as pd
 
         v, centroids = self._index_centroids()
-        data_dir, _ = self._index_dirs()
+        data_dir, _, _ = self._index_dirs()
         cent_list = [c for _, c in centroids]
         cent_ids = [i for i, _ in centroids]
 
@@ -380,7 +422,7 @@ class VectorStore:
         from distributed_vector_database_spark.operators.ann import ivf_read_probe
 
         v, centroids = self._index_centroids()
-        data_dir, _ = self._index_dirs()
+        data_dir, _, _ = self._index_dirs()
         q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
         cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
         d = ((cmat - q) ** 2).sum(axis=1)

@@ -210,3 +210,24 @@ def test_index_append_makes_batch_searchable(store, spark):
 def test_index_search_requires_build(store):
     with pytest.raises(ValueError, match="no index built"):
         store.index_search([0.0] * 4, top_k=3)
+
+
+def test_maybe_rebuild_index_cadence(store, spark):
+    """The reference's rebuild-at-N-ops trigger: below threshold no
+    rebuild happens; crossing it (counted from the LAST build, not from
+    zero) produces a new index version."""
+    df = spark.createDataFrame(
+        [(f"c{i}", [float(i), 0.0, 0.0, 1.0]) for i in range(30)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(df)
+    assert store.maybe_rebuild_index(threshold=100) is None  # 30 ops < 100
+    assert store.maybe_rebuild_index(threshold=10) == 0      # 30 >= 10
+    # baseline recorded: the same log no longer counts as pending
+    assert store.maybe_rebuild_index(threshold=10) is None
+    more = spark.createDataFrame(
+        [(f"d{i}", [float(i), 1.0, 0.0, 1.0]) for i in range(12)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(more)
+    assert store.maybe_rebuild_index(threshold=10) == 1      # 12 new >= 10
