@@ -92,6 +92,7 @@ KNN_THRESHOLD = 1.8       # the declared-but-dead score threshold, implemented
 COSINE_NEAR_DUP_T = 0.35
 JACCARD_T = 0.2
 SIMHASH_MAX_HAMMING = 3
+TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
 CHECKPOINT_TS = "2024-01-15 00:00:00"   # incremental-replay cutoff
 UPSERT_SPLIT_TS = "2024-01-16 00:00:00"  # base/changes split for upsert
 Q1_SHIP_BEFORE = "1998-09-01"
@@ -655,6 +656,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_to_doc_search"] = text_to_doc_search_q
 
+    def text_knn_expr_q(spark, sf):
+        # O20+O22 with the pure-Catalyst (SQL-reproducible) embedder:
+        # embed corpus + query with md5-projection expressions, exact
+        # k-NN, project metadata — the hash-oracled anchor for the
+        # text→vec→search composition (the CLIP-contract embedder path
+        # stays rows-only above)
+        from distributed_vector_database_spark.operators.semantic import (
+            expr_text_embed,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        corpus = docs.select(
+            "doc_id", "source", expr_text_embed("text", 32).alias("embedding")
+        )
+        qvec = (
+            spark.range(1)
+            .select(expr_text_embed(F.lit(TEXT_KNN_QUERY), 32).alias("v"))
+            .first()["v"]
+        )
+        return knn_exact(
+            corpus, qvec, k=10, key_col="doc_id", extra_cols=("source",)
+        )
+
+    q["text_knn_expr"] = text_knn_expr_q
+
     def ann_sq_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.quantization import (
             sq_encode,
@@ -867,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
         "ann_ivf_knn_join_exact", "salted_user_counts", "events_dedup_first",
         "ann_ivf_topk_exact", "ann_sq_topk_exact", "ann_pq_topk_exact",
+        "text_knn_expr",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -1079,6 +1106,25 @@ SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
     o["ann_ivf_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
+
+    # pure-expression text embedding (semantic.expr_text_embed): the
+    # same md5-projection + L2-normalize, term for term
+    _expr_emb = (
+        "[CAST(('0x' || substring(md5({src} || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0 * 2.0 - 1.0 for i in generate_series(0, 31)]"
+    )
+    o["text_knn_expr"] = f"""
+WITH ve AS (SELECT doc_id, source, {_expr_emb.format(src="text")} AS u FROM documents),
+vn AS (SELECT doc_id, source, [x / sqrt(list_sum([y*y for y in u])) for x in u] AS v FROM ve),
+qe AS (SELECT {_expr_emb.format(src=f"'{TEXT_KNN_QUERY}'")} AS qu),
+qn AS (SELECT [x / sqrt(list_sum([y*y for y in qu])) for x in qu] AS qv FROM qe),
+scored AS (
+  SELECT doc_id, source,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(v, qv)]), 6) AS score
+  FROM vn, qn
+)
+SELECT doc_id, source, score FROM scored ORDER BY score, doc_id LIMIT 10
+"""
 
     o["point_lookup"] = (
         "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim "

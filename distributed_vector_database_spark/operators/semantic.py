@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.config import DEFAULT_TOP_K
 from distributed_vector_database_spark.operators.knn import knn_exact
@@ -60,6 +61,37 @@ def embed_text_column(
             yield pdf
 
     return df.mapInPandas(embed, schema=out_schema)
+
+
+def expr_text_embed(text_col, dim: int = 32):
+    """Pure-Catalyst text embedder: per-dimension md5-derived
+    pseudo-uniform in [-1, 1), L2-normalized.
+
+    The alternative tier next to the pluggable CLIP-contract embedder
+    above: it runs entirely JVM-side (codegen'd column expressions — no
+    Python workers, no Arrow transfer, embarrassingly parallel at any
+    scale) and is bit-reproducible in ANSI SQL, so the full O20+O22
+    composition (embed corpus → embed query → k-NN → project metadata)
+    gets a DuckDB hash-matched anchor (`text_knn_expr`). Semantics are
+    hash-projection, not learned — the CLIP hook stays the production
+    embedder; this is the verifiable plumbing tier."""
+    from pyspark.sql import Column
+
+    from distributed_vector_database_spark.functions.vector import normalize
+
+    c = F.col(text_col) if not isinstance(text_col, Column) else text_col
+    u = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat(c, F.lit("|"), i.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        * F.lit(2.0)
+        - F.lit(1.0),
+    )
+    return normalize(u)
 
 
 def text_search(

@@ -41,3 +41,25 @@ def test_text_search_end_to_end(spark):
     assert res[0]["source"] == "src7"
     scores = [r["score"] for r in res]
     assert scores == sorted(scores)
+
+
+def test_expr_text_embed_unit_norm_and_deterministic(spark):
+    """The pure-Catalyst embedder: fixed dim, unit norm, content-
+    addressed (same text → same vector), distinct texts diverge."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.semantic import (
+        expr_text_embed,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta",), ("alpha beta",), ("gamma delta",)], "text string"
+    )
+    rows = df.select(expr_text_embed("text", 16).alias("v")).collect()
+    import math
+
+    for r in rows:
+        assert len(r["v"]) == 16
+        assert abs(math.sqrt(sum(x * x for x in r["v"])) - 1.0) < 1e-12
+    assert rows[0]["v"] == rows[1]["v"]
+    assert rows[0]["v"] != rows[2]["v"]
