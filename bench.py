@@ -70,31 +70,38 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         # best-of-2: single-run numbers on a shared box carry multi-second
         # GC/scheduler noise; the min is the plan's actual cost
         best, n = None, 0
-        for _ in range(2):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as exc:  # noqa: BLE001 - one broken query must
+            # never abort the whole bench (r4: a single AnalysisException
+            # produced an empty BENCH artifact); record it and move on.
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 

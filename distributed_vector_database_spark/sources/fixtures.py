@@ -40,12 +40,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # before the nanos→micros branch below can run.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        # integer `div`, NOT double `/`: epoch nanos (~1.7e18) exceed a
-        # double's exact-integer range, so floor(ts/1000.0) is off by ±1µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) footer read as long via nanosAsLong.
+            # integer `div`, NOT double `/`: epoch nanos (~1.7e18) exceed a
+            # double's exact-integer range, so floor(ts/1000.0) is ±1µs off
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # plain timestamp[us] footer (no timezone) infers TIMESTAMP_NTZ
+            # under spark.sql.parquet.inferTimestampNTZ (default true), which
+            # unix_millis/unix_micros reject. Session tz is UTC (session.py)
+            # and DuckDB reads the same naive micros as-UTC, so this cast is
+            # value-identical and keeps oracle hashes matching.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
