@@ -865,6 +865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_knn", "knn_exact", "knn_filtered", "knn_threshold",
         "knn_sharded", "knn_join", "point_lookup", "vector_normalize",
         "shard_routing", "dedup_by_key",
+        # ANN exact anchors + SQL-reproducible text search: the quantized/
+        # IVF paths' recall contracts, hash-matched against brute-force SQL
+        # (promoted into the first 50 so the budgeted harness records them)
+        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
+        "ann_pq_topk_exact", "text_knn_expr",
         # state machine (changelog/WAL/as-of)
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "asof_join",
@@ -878,22 +883,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational star schema
         "scan_filter_project", "pricing_summary", "top_orders_by_segment",
         "regional_revenue", "customer_order_ranks", "nations_set_ops",
-        "orders_without_lineitems", "customer_moving_avg", "orders_pivot",
-        "orders_rollup", "customers_with_orders", "metadata_map_filter",
-        "topk_orders",
+        "orders_without_lineitems", "orders_rollup", "topk_orders",
         # text analysis
         "doc_stats", "lang_profile", "quality_filter", "lang_id_ngram",
-        "repetition_scores", "pack_documents",
+        "pack_documents",
         # dedup tiers + composed pipeline
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
         "simhash_dedup", "embedding_near_dup", "training_pipeline",
         # --- tier 2: oracle-matched, semantics also pinned in pytest ---
+        # (incl. near-duplicates of in-budget coverage demoted to make room
+        # for the ANN exact anchors above: moving_avg/pivot/semi-join/map-
+        # filter/repetition each have an in-budget sibling in their §2.2 row)
+        "customer_moving_avg", "orders_pivot", "customers_with_orders",
+        "metadata_map_filter", "repetition_scores",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
-        "ann_ivf_knn_join_exact", "salted_user_counts", "events_dedup_first",
-        "ann_ivf_topk_exact", "ann_sq_topk_exact", "ann_pq_topk_exact",
-        "text_knn_expr",
+        "salted_user_counts", "events_dedup_first",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
