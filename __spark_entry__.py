@@ -93,6 +93,10 @@ COSINE_NEAR_DUP_T = 0.35
 JACCARD_T = 0.2
 SIMHASH_MAX_HAMMING = 3
 TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
+BM25_TERMS = ["spark", "filter", "join"]  # lexical query bag (bm25/hybrid)
+BM25_K1, BM25_B = 1.2, 0.75
+HYBRID_POOL = 20          # per-leg top-n fed into reciprocal-rank fusion
+RRF_C = 60                # standard RRF constant (Cormack et al. 2009)
 CHECKPOINT_TS = "2024-01-15 00:00:00"   # incremental-replay cutoff
 UPSERT_SPLIT_TS = "2024-01-16 00:00:00"  # base/changes split for upsert
 Q1_SHIP_BEFORE = "1998-09-01"
@@ -493,6 +497,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
     )
+
+    def bm25_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.lexical import bm25_search
+
+        return bm25_search(
+            load_table(spark, sf, "documents"),
+            BM25_TERMS,
+            k=10,
+            k1=BM25_K1,
+            b=BM25_B,
+        )
+
+    q["bm25_topk"] = bm25_topk_q
+
+    def hybrid_rrf_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_search,
+            hybrid_rrf,
+        )
+
+        lex = bm25_search(
+            load_table(spark, sf, "documents"),
+            BM25_TERMS,
+            k=HYBRID_POOL,
+            k1=BM25_K1,
+            b=BM25_B,
+        )
+        vec = knn_exact(
+            _emb(spark, sf), _query_vec(spark, sf), k=HYBRID_POOL, extra_cols=()
+        ).withColumnRenamed("vec_id", "doc_id")
+        return hybrid_rrf(
+            lex, vec, k=10, c=RRF_C, ascending_a=False, ascending_b=True
+        )
+
+    q["hybrid_rrf_topk"] = hybrid_rrf_topk_q
 
     def training_pipeline_q(spark, sf):
         from distributed_vector_database_spark.operators.pipeline import (
@@ -896,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filter/repetition each have an in-budget sibling in their §2.2 row)
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
         "metadata_map_filter", "repetition_scores",
+        "bm25_topk", "hybrid_rrf_topk",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -939,6 +979,39 @@ _SHINGLES = (
     "[array_to_string(list_slice(toks, i, i+2), ' ') "
     "for i in generate_series(1, greatest(len(toks)-2, 1))]"
 )
+
+
+def _bm25_ctes(k: int) -> str:
+    """CTE chain `bm25` = top-k docs by Okapi BM25 for BM25_TERMS, with
+    the identical idf/tf/length-normalization arithmetic and the same
+    (round(score,6) DESC, doc_id) ordering as operators/lexical.py."""
+    terms = [t.lower() for t in BM25_TERMS]
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    one_minus_b = 1.0 - BM25_B
+    score = " + ".join(
+        f"ln(1 + (n - df{i} + 0.5)/(df{i} + 0.5)) * tf{i}"
+        f" / (tf{i} + {BM25_K1}*({one_minus_b} + {BM25_B}*dl/avgdl))"
+        for i in range(len(terms))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+bmstats AS (SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM d),
+bmtf AS (SELECT doc_id, dl, {tfs} FROM d),
+bmscored AS (
+  SELECT doc_id, round({score}, 6) AS score
+  FROM bmtf, bmstats WHERE {any_tf} > 0
+),
+bm25 AS (SELECT doc_id, score FROM bmscored ORDER BY score DESC, doc_id LIMIT {k})
+"""
 
 
 def _knn_sql(k: int, where: str = "", threshold: float | None = None) -> str:
@@ -1130,6 +1203,27 @@ scored AS (
   FROM vn, qn
 )
 SELECT doc_id, source, score FROM scored ORDER BY score, doc_id LIMIT 10
+"""
+
+    o["bm25_topk"] = f"""
+WITH {_bm25_ctes(10)}
+SELECT doc_id, score FROM bm25
+"""
+
+    o["hybrid_rrf_topk"] = f"""
+WITH {_bm25_ctes(HYBRID_POOL)},
+{_QCTE},
+vecscored AS (SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q),
+vec AS (SELECT vec_id, score FROM vecscored ORDER BY score, vec_id LIMIT {HYBRID_POOL}),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25),
+rb AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score, vec_id) AS r FROM vec),
+fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(1.0/({RRF_C}+ra.r), 0) + coalesce(1.0/({RRF_C}+rb.r), 0) AS s
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, round(s, 6) AS rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
 
     o["point_lookup"] = (

@@ -47,6 +47,8 @@ HEADLINE = [
     "hash_sample",
     "asof_join",
     "event_range_join",
+    "bm25_topk",
+    "hybrid_rrf_topk",
     "training_pipeline",
 ]
 

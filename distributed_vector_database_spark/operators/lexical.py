@@ -1,0 +1,155 @@
+"""Lexical (BM25) retrieval and lexical+vector hybrid fusion.
+
+The reference is vector-only (its single text path embeds the query and
+runs k-NN, clip/embedding.py:70-93); every production vector store pairs
+that with a lexical index and a rank-fusion step, so this module adds
+both as first-class operators over the `documents` fixture:
+
+- bm25_search: Okapi BM25 (k1/b, Robertson-Sparck-Jones idf) computed
+  entirely as Catalyst expressions. No token explode: per-query-term
+  tf is `size(filter(tokens, t -> t = term))` inside the row, corpus
+  stats (N, avgdl, per-term document frequency) are ONE aggregation
+  producing a single broadcast row. At 100 TB the plan is: one
+  stats scan (cacheable per query workload), one codegen'd scoring
+  scan pre-filtered by arrays_overlap, TakeOrderedAndProject for the
+  top-k. The classic explode->shuffle-on-term inverted-index build is
+  deliberately absent from the query path — it shuffles the entire
+  tokenized corpus; this shape shuffles nothing.
+- hybrid_rrf: reciprocal-rank fusion (Cormack et al., SIGIR 2009):
+  score(d) = sum over result lists of 1/(c + rank_d). Operates on two
+  ALREADY-TRUNCATED top-n DataFrames (bounded rows by construction),
+  so the rank windows and the full-outer join are small by contract —
+  the expensive legs (vector scan, lexical scan) stay distributed.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import tokenize
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 for a bag of query terms.
+
+    score(d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); the (k1+1)
+    numerator factor is omitted (Lucene does the same — it rescales
+    every document identically and changes no ranking).
+
+    Deterministic ordering: (round(score, 6) DESC, doc_id) so the
+    result is reproducible in ANSI SQL for the oracle gate.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    toks = docs.select(
+        F.col(doc_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+
+    # one corpus aggregation -> a single broadcast stats row:
+    # N, avgdl, df per query term (count of docs containing it)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum(
+                F.array_contains("__toks", t).cast("long")
+            ).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    scored = toks.filter(
+        F.arrays_overlap("__toks", F.array(*[F.lit(t) for t in terms]))
+    ).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int, t: str):
+        tf = F.size(F.filter("__toks", lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+        )
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        return idf * tf / (tf + norm)
+
+    total = term_score(0, terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        total = total + term_score(i, t)
+
+    return (
+        scored.select(doc_col, F.round(total, 6).alias("score"))
+        .orderBy(F.desc("score"), doc_col)
+        .limit(k)
+    )
+
+
+def hybrid_rrf(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    ascending_a: bool = False,
+    ascending_b: bool = True,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two top-n result lists.
+
+    `ascending_*` states whether a SMALLER score is better in that list
+    (True for distance-like vector scores, False for BM25-like
+    relevance). Ranks are (score, doc_id)-deterministic. Missing docs
+    contribute 0 — the standard RRF convention.
+
+    Both inputs are top-n truncated by contract, so the single-partition
+    rank windows and the outer join touch bounded rows; keep the heavy
+    scans inside the legs, not here.
+    """
+
+    def ranked(df: DataFrame, ascending: bool) -> DataFrame:
+        order = (
+            [F.col(score_col).asc(), F.col(doc_col).asc()]
+            if ascending
+            else [F.col(score_col).desc(), F.col(doc_col).asc()]
+        )
+        w = Window.orderBy(*order)
+        return df.select(
+            F.col(doc_col), F.row_number().over(w).alias("__rank")
+        ).select(
+            doc_col, (1.0 / (F.lit(float(c)) + F.col("__rank"))).alias("__rrf")
+        )
+
+    a = ranked(results_a, ascending_a).withColumnRenamed("__rrf", "__rrf_a")
+    b_ = ranked(results_b, ascending_b).withColumnRenamed("__rrf", "__rrf_b")
+    return (
+        a.join(b_, on=doc_col, how="full_outer")
+        .select(
+            doc_col,
+            F.round(
+                F.coalesce("__rrf_a", F.lit(0.0)) + F.coalesce("__rrf_b", F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), doc_col)
+        .limit(k)
+    )
+
+
+def _idf_py(n: int, df: int) -> float:
+    """Reference idf for tests: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
