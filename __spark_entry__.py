@@ -72,6 +72,8 @@ from distributed_vector_database_spark.operators.textops import (
     lang_profile,
     pack_documents,
     quality_filter,
+    redact_pii,
+    top_terms,
 )
 from distributed_vector_database_spark.sources.fixtures import load_table
 from distributed_vector_database_spark.streaming.windows import (
@@ -496,6 +498,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
+    )
+
+    def pii_redaction_q(spark, sf):
+        # the fixture corpus carries no PII, so the query plants a
+        # deterministic email/IP/phone per document, scrubs, and returns
+        # per-doc redaction counts + final length — hash-pinning both the
+        # match spans and the replacement tokens
+        docs = load_table(spark, sf, "documents")
+        salted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 tel +1 555 000 "),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        red = redact_pii(salted)
+
+        def n_hits(token: str):
+            return (F.size(F.split("redacted", token, -1)) - 1).cast("long")
+
+        return red.select(
+            "doc_id",
+            n_hits("<EMAIL>").alias("n_emails"),
+            n_hits("<IP>").alias("n_ips"),
+            n_hits("<PHONE>").alias("n_phones"),
+            F.length("redacted").cast("long").alias("n_chars_redacted"),
+        )
+
+    q["pii_redaction"] = pii_redaction_q
+
+    q["top_terms"] = lambda spark, sf: top_terms(
+        load_table(spark, sf, "documents"), n=20
     )
 
     def bm25_topk_q(spark, sf):
@@ -935,7 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filter/repetition each have an in-budget sibling in their §2.2 row)
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
         "metadata_map_filter", "repetition_scores",
-        "bm25_topk", "hybrid_rrf_topk",
+        "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -1203,6 +1242,40 @@ scored AS (
   FROM vn, qn
 )
 SELECT doc_id, source, score FROM scored ORDER BY score, doc_id LIMIT 10
+"""
+
+    o["pii_redaction"] = """
+WITH salted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555 000 '
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted
+  FROM salted
+)
+SELECT doc_id,
+  CAST(len(string_split(redacted, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+  CAST(len(string_split(redacted, '<IP>')) - 1 AS BIGINT) AS n_ips,
+  CAST(len(string_split(redacted, '<PHONE>')) - 1 AS BIGINT) AS n_phones,
+  CAST(length(redacted) AS BIGINT) AS n_chars_redacted
+FROM red
+"""
+
+    o["top_terms"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM t WHERE length(term) >= 1
+GROUP BY term ORDER BY tf DESC, term LIMIT 20
 """
 
     o["bm25_topk"] = f"""

@@ -19,6 +19,7 @@ from distributed_vector_database_spark.functions.text import (
     punct_ratio,
     quality_score,
     token_count,
+    tokenize,
 )
 
 
@@ -153,4 +154,54 @@ def doc_fingerprints(
     # would be the only exchange and buys nothing
     return staged.select(
         "id", F.explode(winnow_from_grams("__grams", window)).alias("fp")
+    )
+
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails contain digit runs, so scrub them first
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub email / IPv4 / phone-shaped spans from a text column —
+    the standard pre-training privacy pass. Pure chained regexp_replace
+    (Catalyst, codegen'd), so a 100 TB corpus pass is a single
+    map-side scan with zero shuffles and no Python workers; the regexes
+    are ANSI-SQL-portable for the oracle gate."""
+    col = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return docs.withColumn(out_col, col)
+
+
+def top_terms(
+    docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary head: the n most frequent tokens with term and
+    document frequency — the dataset-card table and the input to
+    stopword-list induction.
+
+    Shape at scale: explode -> hash-aggregate benefits from map-side
+    partial aggregation (term cardinality << token count), then the
+    global top-n is a TakeOrderedAndProject. One shuffle keyed on term,
+    sized by vocabulary, not corpus."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokenize(text_col)).alias("term")
+    ).filter(F.length("term") >= min_len)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(n)
     )
