@@ -40,22 +40,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # before the nanos→micros branch below can run.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) footer read as long via nanosAsLong.
-            # integer `div`, NOT double `/`: epoch nanos (~1.7e18) exceed a
-            # double's exact-integer range, so floor(ts/1000.0) is ±1µs off
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # plain timestamp[us] footer (no timezone) infers TIMESTAMP_NTZ
-            # under spark.sql.parquet.inferTimestampNTZ (default true), which
-            # unix_millis/unix_micros reject. Session tz is UTC (session.py)
-            # and DuckDB reads the same naive micros as-UTC, so this cast is
-            # value-identical and keeps oracle hashes matching.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) footer read as long via nanosAsLong.
+        # integer `div`, NOT double `/`: epoch nanos (~1.7e18) exceed a
+        # double's exact-integer range, so floor(ts/1000.0) is ±1µs off
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The driver's fixture encoding drifts between rounds: plain
+    # timestamp[us] footers (no timezone) infer TIMESTAMP_NTZ under
+    # spark.sql.parquet.inferTimestampNTZ (default true), which
+    # TIMESTAMP-only builtins (unix_millis/unix_micros/...) reject at
+    # analysis time — the r4 contract breakage. Session tz is UTC
+    # (session.py) and DuckDB reads the same naive micros as-UTC, so the
+    # cast is value-identical and oracle hashes keep matching. Applied to
+    # every NTZ column of every table (o_orderdate/l_shipdate drift too).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
