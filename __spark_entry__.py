@@ -808,6 +808,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfpq_topk"] = ann_ivfpq_topk_q
 
+    def ann_ivfpq_topk_exact_q(spark, sf):
+        # exact anchor for the composed IVF+PQ path: probe EVERY centroid
+        # and refine the full per-partition pool, which must reproduce
+        # brute-force knn_exact bit-for-bit (same oracle as the other
+        # exact anchors) — proving the composition loses nothing beyond
+        # its two approximations
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            ivf_pq_search,
+            pq_encode,
+            pq_train,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=16)
+        books = pq_train(emb, m=8, k_codebook=32)
+        return ivf_pq_search(
+            centroids, pq_encode(assigned, books), books, _query_vec(spark, sf),
+            k=10, nprobe=len(centroids), rerank=10**6,
+        )
+
+    q["ann_ivfpq_topk_exact"] = ann_ivfpq_topk_exact_q
+
     def ann_ivf_knn_join_exact_q(spark, sf):
         # full-probe mode: every query meets every cluster, so the
         # routed kernel must reproduce the exact join — hash-matched
@@ -975,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
         "metadata_map_filter", "repetition_scores",
         "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
+        "ann_ivfpq_topk_exact",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -1224,6 +1248,7 @@ SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
     o["ann_ivf_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
+    o["ann_ivfpq_topk_exact"] = _knn_nolabel
 
     # pure-expression text embedding (semantic.expr_text_embed): the
     # same md5-projection + L2-normalize, term for term
