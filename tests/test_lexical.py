@@ -109,3 +109,58 @@ def test_bm25_on_fixture_is_jvm_only(spark, tables):
         .lower()
     )
     assert any(t in text.split() for t in ["spark", "filter", "join"])
+
+
+# -- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+corpora = st.lists(
+    st.lists(words, min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(corpora)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_agrees_with_python_reference_for_any_corpus(spark, texts):
+    corpus = dict(enumerate(texts))
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(docs, ["alpha", "gamma"], k=100).collect()
+    }
+    want = _py_bm25(corpus, ["alpha", "gamma"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-6)
+
+
+@given(corpora)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rrf_bounded_and_top_doc_in_some_list(spark, texts):
+    # fuse two arbitrary "result lists" derived from the corpus: scores
+    # are doc lengths — rrf must stay within (0, 2/(c+1)] and every
+    # fused doc must come from one of the inputs
+    rows = [(i, float(len(t))) for i, t in enumerate(texts)]
+    a = spark.createDataFrame(rows[: max(1, len(rows) // 2)], ["doc_id", "score"])
+    b = spark.createDataFrame(rows[len(rows) // 3 :], ["doc_id", "score"])
+    fused = hybrid_rrf(a, b, k=100, c=60).collect()
+    in_a = {r[0] for r in rows[: max(1, len(rows) // 2)]}
+    in_b = {r[0] for r in rows[len(rows) // 3 :]}
+    for r in fused:
+        assert r["doc_id"] in in_a | in_b
+        # rrf_score is rounded to 6 dp, which can overshoot the exact
+        # 2/(c+1) bound by half an ulp of the rounding grid
+        assert 0.0 < r["rrf_score"] <= 2.0 / 61.0 + 5e-7
