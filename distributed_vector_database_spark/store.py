@@ -180,6 +180,41 @@ class VectorStore:
         ts, seq = self._next_ts_seq()
         self._append_log([(OP_DELETE, str(key), None, None, ts, seq)])
 
+    def import_wal(self, path: str) -> int:
+        """Migrate a reference engine's wal/ directory into this store's
+        changelog (O11 interop, src/utils/wal_manager.py:116-182): after
+        this, state()/get()/search() serve the replayed state with no
+        separate replay step — compaction IS replay here.
+
+        Imported rows keep their historical epoch-millis timestamps and
+        a per-line seq that preserves the reference's line-order
+        tie-break. Those seqs are large (monotonically_increasing_id),
+        but last-write-wins orders by ts FIRST, and live writes stamp
+        current-time ts strictly greater than any historical WAL entry,
+        so imports can never shadow subsequent puts. Returns the number
+        of imported ops."""
+        from distributed_vector_database_spark.sources.wal import read_wal_json
+
+        log = read_wal_json(self.spark, path)
+        bad = log.filter(
+            (F.col("op") == OP_PUT)
+            & (F.col("vector").isNull() | (F.size("vector") != self.dim))
+        ).count()
+        if bad:
+            raise DimensionMismatch(
+                f"{bad} WAL PUT rows with dimension != {self.dim}"
+            )
+        rows = log.select(
+            "op",
+            F.col("key").cast("string").alias("key"),
+            F.col("vector").cast("array<double>").alias("vector"),
+            F.col("metadata").cast("map<string,string>").alias("metadata"),
+            F.unix_millis("ts").alias("ts"),
+            F.col("seq").cast("long").alias("seq"),
+        )
+        rows.write.mode("append").parquet(self._log_dir)
+        return log.count()
+
     # -- state resolution ---------------------------------------------------
 
     def _base(self) -> DataFrame:

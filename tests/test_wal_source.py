@@ -60,3 +60,30 @@ def test_wal_round_trip(spark, tmp_path):
     rt = {(r["key"], r["op"], r["ts"], tuple(r["vector"] or []))
           for r in back.collect()}
     assert rt == orig
+
+
+def test_store_import_wal_serves_replayed_state(spark, tmp_path):
+    from distributed_vector_database_spark.store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "store"), dim=2)
+    n = store.import_wal(_write_wal(tmp_path))
+    assert n == 6
+    assert store.get("b")["vector"] == [3.0, 4.0]
+    assert store.get("a")["vector"] == [9.0, 9.0]  # same-ts PUT beats DELETE
+    assert store.get("c") is None  # tombstoned
+    # a live write after import must win over any historical WAL entry
+    store.put("a", [7.0, 7.0])
+    assert store.get("a")["vector"] == [7.0, 7.0]
+
+
+def test_store_import_wal_rejects_dim_mismatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.store import (
+        DimensionMismatch,
+        VectorStore,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "store"), dim=3)
+    with _pytest.raises(DimensionMismatch):
+        store.import_wal(_write_wal(tmp_path))
