@@ -33,6 +33,58 @@ from pyspark.sql import functions as F
 from distributed_vector_database_spark.functions.text import tokenize
 
 
+def term_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-term corpus statistics: (term, tf, df, n_docs, total_tokens).
+
+    This is the maintainable half of a lexical index: every column is
+    ADDITIVE, so stats over a growing corpus are kept current by running
+    this on each ingest batch and `merge_term_stats`-ing into the stored
+    table — the query path then never rescans the corpus (same continual-
+    ingest shape as the incremental MinHash signature table). n_docs /
+    total_tokens are denormalized onto every row so a single filtered
+    read of this table carries everything BM25 needs."""
+    toks = docs.select(tokenize(text_col).alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    per_term = (
+        toks.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = (
+        toks.select(F.explode(F.array_distinct("__toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__dl").alias("total_tokens")
+    )
+    return (
+        per_term.join(df_per_term, "term")
+        .crossJoin(F.broadcast(totals))
+    )
+
+
+def merge_term_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two term_stats tables (e.g. stored corpus + new batch) into
+    one — pure additive aggregation, O(vocabulary) not O(corpus)."""
+    # n_docs/total_tokens are denormalized constants per input table, so
+    # collapse each side to one row before summing across the two inputs
+    t = (
+        a.agg(F.first("n_docs").alias("n"), F.first("total_tokens").alias("t"))
+        .unionByName(
+            b.agg(F.first("n_docs").alias("n"), F.first("total_tokens").alias("t"))
+        )
+        .agg(F.sum("n").alias("n_docs"), F.sum("t").alias("total_tokens"))
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+    )
+    return merged.crossJoin(F.broadcast(t))
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -41,6 +93,7 @@ def bm25_search(
     b: float = 0.75,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by Okapi BM25 for a bag of query terms.
 
@@ -48,6 +101,12 @@ def bm25_search(
     with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); the (k1+1)
     numerator factor is omitted (Lucene does the same — it rescales
     every document identically and changes no ranking).
+
+    With `stats` (a term_stats table, maintained incrementally via
+    merge_term_stats) the corpus-stats aggregation scan disappears: the
+    query reads ONE tiny filtered slice of the stats table plus the one
+    scoring scan — the 100 TB serving shape. Without it, stats are
+    computed inline (one extra corpus aggregation).
 
     Deterministic ordering: (round(score, 6) DESC, doc_id) so the
     result is reproducible in ANSI SQL for the oracle gate.
@@ -60,18 +119,36 @@ def bm25_search(
         F.col(doc_col), tokenize(text_col).alias("__toks")
     ).withColumn("__dl", F.size("__toks"))
 
-    # one corpus aggregation -> a single broadcast stats row:
-    # N, avgdl, df per query term (count of docs containing it)
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.avg("__dl").alias("__avgdl"),
-        *[
-            F.sum(
-                F.array_contains("__toks", t).cast("long")
-            ).alias(f"__df_{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
+    if stats is None:
+        # one corpus aggregation -> a single broadcast stats row:
+        # N, avgdl, df per query term (count of docs containing it)
+        stats_row = toks.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+            *[
+                F.sum(
+                    F.array_contains("__toks", t).cast("long")
+                ).alias(f"__df_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    else:
+        # fold the (tiny) filtered stats slice to the same 1-row shape;
+        # absent terms get df=0, exactly like the inline aggregation
+        slice_ = stats.filter(F.col("term").isin(terms))
+        stats_row = slice_.agg(
+            F.first("n_docs").alias("__n"),
+            (
+                F.first("total_tokens").cast("double") / F.first("n_docs")
+            ).alias("__avgdl"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
+                ).alias(f"__df_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    stats = stats_row
 
     scored = toks.filter(
         F.arrays_overlap("__toks", F.array(*[F.lit(t) for t in terms]))

@@ -164,3 +164,69 @@ def test_rrf_bounded_and_top_doc_in_some_list(spark, texts):
         # rrf_score is rounded to 6 dp, which can overshoot the exact
         # 2/(c+1) bound by half an ulp of the rounding grid
         assert 0.0 < r["rrf_score"] <= 2.0 / 61.0 + 5e-7
+
+
+# -- maintained term-stats path ---------------------------------------------
+
+from distributed_vector_database_spark.operators.lexical import (
+    merge_term_stats,
+    term_stats,
+)
+
+
+def test_bm25_with_stats_table_equals_inline(spark):
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in CORPUS.items()], ["doc_id", "text"]
+    )
+    stats = term_stats(docs)
+    inline = {
+        (r["doc_id"], r["score"])
+        for r in bm25_search(docs, ["spark", "filter", "join"], k=10).collect()
+    }
+    with_stats = {
+        (r["doc_id"], r["score"])
+        for r in bm25_search(
+            docs, ["spark", "filter", "join"], k=10, stats=stats
+        ).collect()
+    }
+    assert with_stats == inline
+
+
+def test_merge_term_stats_is_additive(spark):
+    half1 = {k: v for k, v in CORPUS.items() if k < 2}
+    half2 = {k: v for k, v in CORPUS.items() if k >= 2}
+    d1 = spark.createDataFrame(list(half1.items()), ["doc_id", "text"])
+    d2 = spark.createDataFrame(list(half2.items()), ["doc_id", "text"])
+    dall = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+
+    def snap(df):
+        return {
+            r["term"]: (r["tf"], r["df"], r["n_docs"], r["total_tokens"])
+            for r in df.collect()
+        }
+
+    merged = snap(merge_term_stats(term_stats(d1), term_stats(d2)))
+    direct = snap(term_stats(dall))
+    assert merged == direct
+
+
+def test_bm25_with_merged_incremental_stats(spark):
+    # the continual-ingest path: query with stats maintained across two
+    # batches must equal query with stats over the full corpus
+    half1 = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k < 2], ["doc_id", "text"]
+    )
+    half2 = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k >= 2], ["doc_id", "text"]
+    )
+    dall = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    maintained = merge_term_stats(term_stats(half1), term_stats(half2))
+    got = {
+        (r["doc_id"], r["score"])
+        for r in bm25_search(dall, ["spark", "join"], k=10, stats=maintained).collect()
+    }
+    want = {
+        (r["doc_id"], r["score"])
+        for r in bm25_search(dall, ["spark", "join"], k=10).collect()
+    }
+    assert got == want
