@@ -230,3 +230,64 @@ def test_bm25_with_merged_incremental_stats(spark):
         for r in bm25_search(dall, ["spark", "join"], k=10).collect()
     }
     assert got == want
+
+
+# -- streaming stats maintenance --------------------------------------------
+
+
+def test_streaming_term_stats_maintenance(spark, tmp_path):
+    """Two micro-batches of arriving documents folded into the versioned
+    stats snapshot must equal term_stats over the full corpus, and BM25
+    served from the maintained snapshot must equal the inline path."""
+    import json
+
+    from distributed_vector_database_spark.streaming.lexical_stats import (
+        read_latest_stats,
+        run_term_stats_stream,
+    )
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    (docs_dir / "batch1.json").write_text(
+        "".join(json.dumps({"doc_id": k, "text": v}) + "\n"
+                for k, v in CORPUS.items() if k < 2)
+    )
+    (docs_dir / "batch2.json").write_text(
+        "".join(json.dumps({"doc_id": k, "text": v}) + "\n"
+                for k, v in CORPUS.items() if k >= 2)
+    )
+    q = run_term_stats_stream(
+        spark,
+        str(docs_dir),
+        str(tmp_path / "stats"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force 2 micro-batches -> merge path
+    )
+    q.awaitTermination(120)
+
+    maintained = read_latest_stats(spark, str(tmp_path / "stats"))
+    # both micro-batches folded: v=0 (fresh) then v=1 (merged)
+    from distributed_vector_database_spark.streaming.compaction import (
+        latest_version,
+    )
+
+    assert latest_version(str(tmp_path / "stats")) == 1
+    dall = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+
+    def snap(df):
+        return {
+            r["term"]: (r["tf"], r["df"], r["n_docs"], r["total_tokens"])
+            for r in df.collect()
+        }
+
+    assert snap(maintained) == snap(term_stats(dall))
+
+    served = {
+        (r["doc_id"], r["score"])
+        for r in bm25_search(dall, ["spark", "join"], k=10, stats=maintained).collect()
+    }
+    inline = {
+        (r["doc_id"], r["score"])
+        for r in bm25_search(dall, ["spark", "join"], k=10).collect()
+    }
+    assert served == inline
