@@ -125,6 +125,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for given candidate pairs
+    (id_a, id_b) — the verification tier of two-tier dedup.
+
+    Cost is O(candidates), never O(n²): the shingle arrays hydrate via
+    two equi-joins keyed by the candidate ids (Catalyst broadcasts the
+    candidate side when it is small, leaving the corpus unshuffled)."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("__sh"),
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.size(F.array_union("__sh_a", "__sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_scale(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Two-tier exact-verified near-dup pairs: MinHash-LSH banding
+    proposes candidates (the only corpus-wide shuffle, O(collisions)),
+    exact n-gram Jaccard verifies just those pairs.
+
+    Same output contract as ngram_jaccard_pairs but sub-quadratic:
+    recall follows the LSH S-curve (identical docs collide in every band
+    → recall 1.0 for exact duplicates; near the threshold it is
+    governed by (bands, rows-per-band)). ngram_jaccard_pairs stays the
+    small-slice oracle; this is the 100 TB path."""
+    cand = minhash_lsh_pairs(
+        docs,
+        num_perm=num_perm,
+        bands=bands,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=n,
+        bucket_cap=bucket_cap,
+    )
+    return jaccard_verify(
+        cand, docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 16,

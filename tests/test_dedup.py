@@ -241,3 +241,46 @@ def test_minhash_incremental_matches_batch_recompute(spark):
     new_ids = {10, 11, 12}
     want = {p: v for p, v in full.items() if p[0] in new_ids or p[1] in new_ids}
     assert inc == want and any(p == (10, 12) for p in inc)
+
+
+def test_ngram_jaccard_scale_path_verifies_candidates(spark, tables):
+    """Two-tier (MinHash candidates -> exact Jaccard verify) must agree
+    with the brute-force oracle ON THE CANDIDATE SET, and find every
+    exact duplicate (identical docs collide in all bands)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_scale,
+    )
+
+    docs = tables["documents"]
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs).select("id_a", "id_b").collect()
+    }
+    scale = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_scale(docs, threshold=0.2).collect()
+    }
+    # exactness on the proposed set: scale == brute restricted to candidates
+    assert scale == {p: j for p, j in brute.items() if p in cand}
+
+    # planted exact duplicates are always recalled
+    import pyspark.sql.functions as F
+
+    twin = docs.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    with_twins = docs.unionByName(twin)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_scale(with_twins, threshold=0.99).collect()
+    }
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in docs.limit(50).collect()}
+    assert expected <= found
