@@ -586,6 +586,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_dedup"] = lambda spark, sf: minhash_lsh_pairs(
         load_table(spark, sf, "documents")
     )
+
+    def ngram_jaccard_scale_q(spark, sf):
+        from distributed_vector_database_spark.operators.dedup import (
+            ngram_jaccard_pairs_scale,
+        )
+
+        return ngram_jaccard_pairs_scale(
+            load_table(spark, sf, "documents"), threshold=JACCARD_T
+        )
+
+    q["ngram_jaccard_scale"] = ngram_jaccard_scale_q
     q["simhash_dedup"] = lambda spark, sf: simhash_pairs(
         load_table(spark, sf, "documents"), max_hamming=SIMHASH_MAX_HAMMING
     )
@@ -998,7 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
         "metadata_map_filter", "repetition_scores",
         "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
-        "ann_ivfpq_topk_exact",
+        "ann_ivfpq_topk_exact", "ngram_jaccard_scale",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -1140,7 +1151,10 @@ FROM sc
 """
 
 
-def _minhash_sql(src: str = "documents") -> str:
+def _minhash_ctes(src: str = "documents") -> str:
+    """CTE chain tok→sh→sigs→banded→cand reproducing the engine's
+    MinHash-LSH banding exactly (shared by the candidate query and the
+    two-tier verified dedup)."""
     num_perm, bands, rpb = 16, 4, 4
     h = _H32.format(x="s")
     sig_exprs = ", ".join(
@@ -1156,7 +1170,7 @@ def _minhash_sql(src: str = "documents") -> str:
         band_selects.append(f"SELECT id, sig, {i} AS band, {key} AS band_key FROM sigs")
     banded = " UNION ALL ".join(band_selects)
     return f"""
-WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM {src}),
+tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM {src}),
 sh AS (SELECT id, list_distinct({_SHINGLES}) AS shingles FROM tok),
 hsets AS (SELECT id, [{h} for s in shingles] AS hs FROM sh),
 sigs AS (SELECT id, [{sig_exprs}] AS sig FROM hsets),
@@ -1165,7 +1179,13 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
   FROM banded a JOIN banded b USING (band, band_key)
   WHERE a.id < b.id
-)
+)"""
+
+
+def _minhash_sql(src: str = "documents") -> str:
+    num_perm = 16
+    return f"""
+WITH {_minhash_ctes(src)}
 SELECT id_a, id_b,
   round(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) / {float(num_perm)}, 6) AS sig_match
 FROM cand
@@ -1739,6 +1759,20 @@ WHERE inter > 0 AND round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >=
 """
 
     o["minhash_lsh_dedup"] = _minhash_sql()
+
+    o["ngram_jaccard_scale"] = f"""
+WITH {_minhash_ctes()},
+ver AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+    len(sa.shingles) AS size_a, len(sb.shingles) AS size_b
+  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+)
+SELECT id_a, id_b,
+  round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+FROM ver
+WHERE round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >= {JACCARD_T}
+"""
 
     o["training_pipeline"] = f"""
 WITH RECURSIVE ds AS ({_doc_stats_sql()}),
