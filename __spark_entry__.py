@@ -537,6 +537,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents"), n=20
     )
 
+    def chunk_documents_q(spark, sf):
+        from distributed_vector_database_spark.operators.textops import (
+            chunk_documents,
+        )
+
+        return chunk_documents(
+            load_table(spark, sf, "documents"), chunk_tokens=32, overlap=8
+        )
+
+    q["chunk_documents"] = chunk_documents_q
+
     def bm25_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import bm25_search
 
@@ -1009,7 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
         "metadata_map_filter", "repetition_scores",
         "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
-        "ann_ivfpq_topk_exact", "ngram_jaccard_scale",
+        "ann_ivfpq_topk_exact", "ngram_jaccard_scale", "chunk_documents",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -1321,6 +1332,31 @@ SELECT term, CAST(count(*) AS BIGINT) AS tf,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM t WHERE length(term) >= 1
 GROUP BY term ORDER BY tf DESC, term LIMIT 20
+"""
+
+    # chunk_tokens=32, overlap=8 -> stride 24; list_slice is 1-based
+    # INCLUSIVE [begin, end], Spark slice is (start, length) — same span
+    o["chunk_documents"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+c AS (
+  SELECT doc_id, toks,
+    1 + CAST(ceil(greatest(nt - 32, 0) / 24.0) AS INT) AS n_chunks
+  FROM n
+),
+u AS (
+  SELECT doc_id, toks,
+    unnest([CAST(i AS INT) for i in generate_series(0, n_chunks - 1)]) AS chunk_id
+  FROM c
+),
+e AS (
+  SELECT doc_id, chunk_id,
+    list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32) AS ct
+  FROM u
+)
+SELECT doc_id, chunk_id, array_to_string(ct, ' ') AS chunk_text,
+  CAST(len(ct) AS INT) AS n_tokens
+FROM e
 """
 
     o["bm25_topk"] = f"""

@@ -205,3 +205,57 @@ def top_terms(
         .orderBy(F.desc("tf"), "term")
         .limit(n)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-budget chunks — the
+    RAG-ingest / pretraining-prep counterpart of pack_documents (which
+    concatenates SHORT docs up to a budget; this splits LONG ones).
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens) with stride
+    chunk_tokens - overlap; the final chunk is the possibly-short
+    remainder, and a document shorter than one budget yields exactly
+    one chunk. All array expressions (sequence + posexplode + slice) —
+    zero shuffles, codegen'd end to end, embarrassingly parallel at
+    any corpus size."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    # number of chunks = 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("__n") - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    return (
+        toks.select(
+            id_col,
+            "__toks",
+            "__n",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "__start_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                "__toks", F.col("__start_idx") * stride + 1, chunk_tokens
+            ).alias("__chunk_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", "__chunk_toks").alias("chunk_text"),
+            F.size("__chunk_toks").alias("n_tokens"),
+        )
+    )

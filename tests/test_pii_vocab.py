@@ -54,3 +54,39 @@ def test_top_terms_counts(spark):
         ("a", 4, 2),
         ("b", 2, 2),
     ]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from distributed_vector_database_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    assert rows == [
+        (0, 0, "t0 t1 t2 t3", 4),
+        (0, 1, "t3 t4 t5 t6", 4),  # stride 3: starts at token 3 (overlap 1)
+        (0, 2, "t6 t7 t8 t9", 4),
+        (1, 0, "a b", 2),  # short doc -> single remainder chunk
+    ]
+    # every token of doc 0 appears in some chunk (full coverage)
+    covered = set()
+    for _, _, text, _ in rows[:3]:
+        covered |= set(text.split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
