@@ -583,6 +583,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf_topk"] = hybrid_rrf_topk_q
 
+    def hybrid_linear_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_search,
+            hybrid_linear,
+        )
+
+        lex = bm25_search(
+            load_table(spark, sf, "documents"),
+            BM25_TERMS,
+            k=HYBRID_POOL,
+            k1=BM25_K1,
+            b=BM25_B,
+        )
+        vec = knn_exact(
+            _emb(spark, sf), _query_vec(spark, sf), k=HYBRID_POOL, extra_cols=()
+        ).withColumnRenamed("vec_id", "doc_id")
+        return hybrid_linear(
+            lex, vec, alpha=0.6, k=10, ascending_a=False, ascending_b=True
+        )
+
+    q["hybrid_linear_topk"] = hybrid_linear_topk_q
+
     def training_pipeline_q(spark, sf):
         from distributed_vector_database_spark.operators.pipeline import (
             training_pipeline,
@@ -1021,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_map_filter", "repetition_scores",
         "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
         "ann_ivfpq_topk_exact", "ngram_jaccard_scale", "chunk_documents",
+        "hybrid_linear_topk",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -1378,6 +1401,30 @@ fused AS (
 )
 SELECT doc_id, round(s, 6) AS rrf_score FROM fused
 ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+    o["hybrid_linear_topk"] = f"""
+WITH {_bm25_ctes(HYBRID_POOL)},
+{_QCTE},
+vecscored AS (SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q),
+vec AS (SELECT vec_id, score FROM vecscored ORDER BY score, vec_id LIMIT {HYBRID_POOL}),
+na AS (
+  SELECT doc_id,
+    CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS na
+  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM bm25)
+),
+nb AS (
+  SELECT vec_id AS doc_id,
+    CASE WHEN mx = mn THEN 1.0 ELSE (mx - score) / (mx - mn) END AS nb
+  FROM (SELECT vec_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM vec)
+),
+fused AS (
+  SELECT coalesce(na.doc_id, nb.doc_id) AS doc_id,
+    0.6 * coalesce(na, 0) + 0.4 * coalesce(nb, 0) AS s
+  FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
+)
+SELECT doc_id, round(s, 6) AS hybrid_score FROM fused
+ORDER BY hybrid_score DESC, doc_id LIMIT 10
 """
 
     o["point_lookup"] = (

@@ -230,3 +230,51 @@ def hybrid_rrf(
 def _idf_py(n: int, df: int) -> float:
     """Reference idf for tests: ln(1 + (N - df + 0.5)/(df + 0.5))."""
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def hybrid_linear(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    alpha: float = 0.5,
+    k: int = 10,
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    ascending_a: bool = False,
+    ascending_b: bool = True,
+) -> DataFrame:
+    """Normalized linear (convex / 'alpha') fusion of two top-n result
+    lists — the other standard hybrid besides RRF: each list's scores
+    are min-max normalized to [0, 1] with 1 = best (distance-like lists,
+    `ascending_*=True`, are inverted), then
+    fused = alpha * norm_a + (1 - alpha) * norm_b.
+
+    A doc missing from one list contributes 0 from that side — the
+    same convention as hybrid_rrf. A constant-score list normalizes to
+    1.0 for every member (max == min). Inputs are top-n truncated by
+    contract, so the min/max windows and the outer join stay bounded.
+    Deterministic output order: (round(score, 6) DESC, doc_id)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+
+    def norm(df: DataFrame, ascending: bool, out: str) -> DataFrame:
+        w = Window.partitionBy()
+        lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
+        spread = (hi - F.col(score_col)) if ascending else (F.col(score_col) - lo)
+        best1 = F.when(hi == lo, F.lit(1.0)).otherwise(spread / (hi - lo))
+        return df.select(F.col(doc_col), best1.alias(out))
+
+    a = norm(results_a, ascending_a, "__na")
+    b = norm(results_b, ascending_b, "__nb")
+    return (
+        a.join(b, on=doc_col, how="full_outer")
+        .select(
+            doc_col,
+            F.round(
+                F.lit(alpha) * F.coalesce("__na", F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.coalesce("__nb", F.lit(0.0)),
+                6,
+            ).alias("hybrid_score"),
+        )
+        .orderBy(F.desc("hybrid_score"), doc_col)
+        .limit(k)
+    )

@@ -291,3 +291,37 @@ def test_streaming_term_stats_maintenance(spark, tmp_path):
         for r in bm25_search(dall, ["spark", "join"], k=10).collect()
     }
     assert served == inline
+
+
+def test_hybrid_linear_math(spark):
+    from distributed_vector_database_spark.operators.lexical import hybrid_linear
+
+    # lex: higher better (1 best); vec: lower better (2 best)
+    lex = spark.createDataFrame([(1, 10.0), (2, 6.0), (3, 2.0)], ["doc_id", "score"])
+    vec = spark.createDataFrame([(2, 0.2), (4, 0.6), (5, 1.0)], ["doc_id", "score"])
+    got = {
+        r["doc_id"]: r["hybrid_score"]
+        for r in hybrid_linear(lex, vec, alpha=0.5, k=10).collect()
+    }
+    # lex norms: 1 -> 1.0, 2 -> 0.5, 3 -> 0.0; vec norms: 2 -> 1.0, 4 -> 0.5, 5 -> 0.0
+    want = {1: 0.5, 2: 0.75, 3: 0.0, 4: 0.25, 5: 0.0}
+    assert got == {d: round(s, 6) for d, s in want.items()}
+    # doc 2 (present and strong in both lists) must win
+    assert max(got, key=got.get) == 2
+
+
+def test_hybrid_linear_constant_list_and_bad_alpha(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.lexical import hybrid_linear
+
+    a = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["doc_id", "score"])
+    b = spark.createDataFrame([(1, 0.1)], ["doc_id", "score"])
+    got = {
+        r["doc_id"]: r["hybrid_score"]
+        for r in hybrid_linear(a, b, alpha=0.5, k=10).collect()
+    }
+    # constant-score list -> every member normalizes to 1.0 (either side)
+    assert got == {1: 1.0, 2: 0.5}
+    with _pytest.raises(ValueError):
+        hybrid_linear(a, b, alpha=1.5)
