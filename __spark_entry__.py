@@ -700,6 +700,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = stratified_sample_q
 
+    def mixture_sample_q(spark, sf):
+        from distributed_vector_database_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        return mixture_sample(
+            docs, "lang", "doc_id", {"en": 80, "de": 40}, default_pct=10
+        ).select("doc_id", "lang")
+
+    q["mixture_sample"] = mixture_sample_q
+
     def ann_lsh_similarity_join_q(spark, sf):
         from distributed_vector_database_spark.operators.ann import (
             lsh_model,
@@ -1043,7 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_map_filter", "repetition_scores",
         "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
         "ann_ivfpq_topk_exact", "ngram_jaccard_scale", "chunk_documents",
-        "hybrid_linear_topk",
+        "hybrid_linear_topk", "mixture_sample",
         "knn_topk_default", "get_all_vectors", "dim_check",
         "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
         "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
@@ -1919,6 +1931,12 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_NEAR_DUP_T}
     o["hash_sample"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE {_H32_KEY} % 100 < 10
+"""
+
+    o["mixture_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H32_KEY} % 100 <
+  CASE WHEN lang = 'de' THEN 40 WHEN lang = 'en' THEN 80 ELSE 10 END
 """
 
     o["stratified_sample"] = f"""

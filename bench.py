@@ -49,6 +49,11 @@ HEADLINE = [
     "event_range_join",
     "bm25_topk",
     "hybrid_rrf_topk",
+    "hybrid_linear_topk",
+    "pii_redaction",
+    "top_terms",
+    "chunk_documents",
+    "ngram_jaccard_scale",
     "training_pipeline",
 ]
 

@@ -48,3 +48,27 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    partition_count: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the pretraining data-MIXING
+    primitive: up/down-weight sources or languages by giving each
+    stratum its own keep rate (e.g. {"en": 80, "de": 40}, rest
+    `default_pct`). Same content-stable hash membership as hash_sample,
+    so the mixture reproduces bit-identically at any scale and in the
+    SQL oracle; a single shuffle-free scan (the rate lookup is a CASE
+    expression, not a join)."""
+    for s, r in rates_pct.items():
+        if not 0 <= r <= partition_count:
+            raise ValueError(f"rate for {s!r} must be in [0, {partition_count}]")
+    rate = F.lit(int(default_pct))
+    for s, r in rates_pct.items():
+        rate = F.when(F.col(stratum_col) == s, F.lit(int(r))).otherwise(rate)
+    return df.filter(hash32(key_col) % partition_count < rate)

@@ -44,3 +44,47 @@ def test_stratified_cap_per_stratum(tables):
     assert all(r["count"] <= 5 for r in counts)
     langs_in = {r["lang"] for r in docs.select("lang").distinct().collect()}
     assert {r["lang"] for r in counts} == langs_in
+
+
+def test_mixture_sample_rates_and_determinism(spark, tables):
+    from distributed_vector_database_spark.operators.sampling import (
+        hash_sample,
+        mixture_sample,
+    )
+
+    docs = tables["documents"]
+    mixed = mixture_sample(
+        docs, "lang", "doc_id", {"en": 80, "de": 40}, default_pct=10
+    )
+    rows1 = {(r["doc_id"], r["lang"]) for r in mixed.select("doc_id", "lang").collect()}
+    rows2 = {(r["doc_id"], r["lang"]) for r in mixed.select("doc_id", "lang").collect()}
+    assert rows1 == rows2  # deterministic
+
+    # per-stratum membership must equal hash_sample at that stratum's rate
+    for lang, pct in [("en", 80), ("de", 40)]:
+        want = {
+            r["doc_id"]
+            for r in hash_sample(
+                docs.filter(f"lang = '{lang}'"), "doc_id", pct
+            ).collect()
+        }
+        got = {d for d, lg in rows1 if lg == lang}
+        assert got == want
+
+    # higher-rate stratum keeps a larger fraction
+    import pyspark.sql.functions as F
+
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {}
+    for d, lg in rows1:
+        kept[lg] = kept.get(lg, 0) + 1
+    assert kept.get("en", 0) / totals["en"] > kept.get("de", 0) / totals["de"]
+
+
+def test_mixture_sample_rejects_bad_rate(spark, tables):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.sampling import mixture_sample
+
+    with _pytest.raises(ValueError):
+        mixture_sample(tables["documents"], "lang", "doc_id", {"en": 101})
