@@ -400,3 +400,31 @@ def event_json_extract(events: DataFrame) -> DataFrame:
         F.unix_millis("ts").alias("ts_millis"),
         F.upper("event_type").alias("event_type_uc"),
     )
+
+
+def sketch_profile(
+    events: DataFrame,
+    rsd: float = 0.05,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based per-type profile: HyperLogLog++ distinct users and
+    approximate percentiles of value — the aggregates a 100 TB profiling
+    pass actually runs (exact distinct shuffles every key; HLL ships a
+    fixed few-KB sketch per partition, approx_percentile a bounded
+    KLL-like summary; both merge associatively map-side).
+
+    Sketch outputs are engine-specific (no DuckDB hash oracle); accuracy
+    is pinned by tests against the exact aggregates instead:
+    |approx_users/users - 1| <= ~rsd, percentile within 1/accuracy
+    rank error."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        *[
+            F.percentile_approx("value", p, accuracy).alias(
+                f"p{int(p * 100)}_approx"
+            )
+            for p in percentiles
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+    )

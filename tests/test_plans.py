@@ -76,3 +76,34 @@ def test_doc_fingerprints_zero_shuffle(tables):
 
     df = doc_fingerprints(tables["documents"])
     assert not has_operator(df, "Exchange")
+
+
+def test_sketch_profile_accuracy_vs_exact(spark, tables):
+    """HLL distinct within ~2x rsd of exact; approx percentile within
+    the rank-error window of the exact interpolated percentile."""
+    import pyspark.sql.functions as F
+
+    from distributed_vector_database_spark.operators.relational import (
+        sketch_profile,
+    )
+
+    events = tables["events"]
+    approx = {
+        r["event_type"]: r for r in sketch_profile(events, rsd=0.05).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap["approx_users"] / ex["users"] - 1.0) < 0.10
+        # exact per-type value spread bounds the acceptable percentile drift
+        assert abs(ap["p50_approx"] - ex["p50"]) <= abs(ex["p95"] - ex["p50"]) * 0.25 + 1e-6
