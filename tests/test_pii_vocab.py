@@ -90,3 +90,52 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(docs, chunk_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# -- property-based chunking invariants (hypothesis) -------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.integers(min_value=1, max_value=40).map(
+        lambda n: " ".join(f"w{i}" for i in range(n))
+    ),
+    min_size=1,
+    max_size=4,
+)
+_params = st.tuples(
+    st.integers(min_value=2, max_value=8),   # chunk_tokens
+    st.integers(min_value=0, max_value=1),   # overlap scale (0 or chunk//2)
+)
+
+
+@given(_texts, _params)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_covers_every_token_in_order(spark, texts, params):
+    """For ANY doc and any (chunk, overlap): concatenating chunks with
+    the overlap removed reconstructs the document exactly — no token
+    lost, none duplicated beyond the declared overlap."""
+    from distributed_vector_database_spark.operators.textops import chunk_documents
+
+    chunk, ov_flag = params
+    overlap = (chunk // 2) * ov_flag
+    stride = chunk - overlap
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split()
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        chunks = [out[doc_id][i] for i in sorted(out[doc_id])]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert c[:overlap] == rebuilt[len(rebuilt) - overlap :][: len(c)] if overlap else True
+            rebuilt.extend(c[overlap:] if overlap else c)
+        assert rebuilt == toks, (doc_id, chunk, overlap)
+        # every chunk except possibly the last is exactly chunk_tokens
+        assert all(len(c) == chunk for c in chunks[:-1])
