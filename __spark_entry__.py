@@ -1008,58 +1008,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -----------------------------------------------------------------------
     # Enumeration order: harnesses that enumerate this dict under a
-    # query-count or time budget (round 1 recorded rows for exactly the
+    # query-count or time budget (each round records rows for exactly the
     # first 50 insertion-order entries) should hit every DuckDB-hash-
-    # matched query before anything weaker. Order: (1) the 50 highest-
-    # value hash-oracled queries — one per SURVEY §2 component, the
-    # streaming/sampling/cluster queries that got no round-1 row
-    # included; (2) hash-oracled queries whose semantics are also pinned
-    # by pytest (redundant coverage); (3) rows-only ANN/multimodal
-    # (no SQL oracle by design). Every entry still runs when the
-    # harness enumerates everything.
+    # matched query before anything weaker. Round-6 rotation: the driver
+    # budget is a scarce verification resource, so the first 50 now
+    # prioritizes queries with the FEWEST prior green driver rounds —
+    # the 14 hash-oracled queries that had zero CORRECTNESS rows through
+    # r5 (bm25/hybrid/chunking/pii/cube/udaf/...), the 6 with a single
+    # r1 row, and the 5 tier-2 queries last seen r4 — while the 5-round
+    # -green veterans (knn family, TPC-H star schema, text analysis,
+    # dedup tiers) rotate down to tier 2. Tier 2 queries remain fully
+    # hash-oracled and run under full-gate checks (tools/
+    # check_correctness.py) every round; tier 3 is rows-only by design.
     preferred = [
-        # vector/KV surface
-        "flagship_knn", "knn_exact", "knn_filtered", "knn_threshold",
-        "knn_sharded", "knn_join", "point_lookup", "vector_normalize",
-        "shard_routing", "dedup_by_key",
-        # ANN exact anchors + SQL-reproducible text search: the quantized/
-        # IVF paths' recall contracts, hash-matched against brute-force SQL
-        # (promoted into the first 50 so the budgeted harness records them)
-        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
-        "ann_pq_topk_exact", "text_knn_expr",
-        # state machine (changelog/WAL/as-of)
-        "changelog_compact", "changelog_incremental", "upsert_semantics",
-        "asof_join",
-        # events relational
-        "event_json_extract", "events_with_prev", "distinct_user_counts",
-        "event_range_join", "event_value_percentiles",
-        # streaming-shaped windows (no round-1 rows)
-        "events_tumbling", "events_sliding", "events_sessions",
-        # sampling + near-dup clusters (no round-1 rows)
-        "hash_sample", "stratified_sample", "near_dup_clusters",
-        # relational star schema
-        "scan_filter_project", "pricing_summary", "top_orders_by_segment",
-        "regional_revenue", "customer_order_ranks", "nations_set_ops",
-        "orders_without_lineitems", "orders_rollup", "topk_orders",
-        # text analysis
-        "doc_stats", "lang_profile", "quality_filter", "lang_id_ngram",
-        "pack_documents",
-        # dedup tiers + composed pipeline
-        "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
-        "simhash_dedup", "embedding_near_dup", "training_pipeline",
-        # --- tier 2: oracle-matched, semantics also pinned in pytest ---
-        # (incl. near-duplicates of in-budget coverage demoted to make room
-        # for the ANN exact anchors above: moving_avg/pivot/semi-join/map-
-        # filter/repetition each have an in-budget sibling in their §2.2 row)
+        # flagship stays first (driver smoke-check + optics)
+        "flagship_knn",
+        # never-driver-checked hash-oracled queries (0 rows through r5)
+        "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
+        "ngram_jaccard_scale", "chunk_documents", "mixture_sample",
+        "pii_redaction", "top_terms", "winnow_fingerprints",
+        "orders_cube", "event_value_median_udaf", "salted_user_counts",
+        "events_dedup_first", "ann_ivfpq_topk_exact",
+        # single-r1-row queries (stale evidence)
+        "knn_topk_default", "get_all_vectors", "dim_check",
+        "doc_token_positions", "monthly_revenue",
+        "customers_above_avg_balance",
+        # tier-2 queries last driver-checked in r4
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
         "metadata_map_filter", "repetition_scores",
-        "bm25_topk", "hybrid_rrf_topk", "pii_redaction", "top_terms",
-        "ann_ivfpq_topk_exact", "ngram_jaccard_scale", "chunk_documents",
-        "hybrid_linear_topk", "mixture_sample",
-        "knn_topk_default", "get_all_vectors", "dim_check",
-        "doc_token_positions", "monthly_revenue", "customers_above_avg_balance",
-        "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
-        "salted_user_counts", "events_dedup_first",
+        # ANN exact anchors + SQL-reproducible text search (pinned in
+        # budget by tests/test_contract_order.py — recall contracts of
+        # the quantized/IVF paths, hash-matched against brute-force SQL)
+        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
+        "ann_pq_topk_exact", "text_knn_expr",
+        # recently-shaky or touched-this-round families
+        "event_json_extract", "event_range_join",
+        "changelog_compact", "changelog_incremental", "upsert_semantics",
+        "asof_join", "events_with_prev", "distinct_user_counts",
+        "event_value_percentiles",
+        "events_tumbling", "events_sliding", "events_sessions",
+        "hash_sample", "stratified_sample",
+        "near_dup_clusters",  # clustering kernel changes in round 6
+        "training_pipeline",  # composed plan — regression canary
+        "pricing_summary", "simhash_dedup",
+        # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
+        # --- semantics also pinned in pytest + full-gate re-runs      ---
+        "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
+        "knn_join", "point_lookup", "vector_normalize", "shard_routing",
+        "dedup_by_key",
+        "scan_filter_project", "top_orders_by_segment", "regional_revenue",
+        "customer_order_ranks", "nations_set_ops",
+        "orders_without_lineitems", "orders_rollup", "topk_orders",
+        "doc_stats", "lang_profile", "quality_filter", "lang_id_ngram",
+        "pack_documents",
+        "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
+        "embedding_near_dup",
         # --- tier 3: rows-only by design ---
         "embedding_near_dup_scale", "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",

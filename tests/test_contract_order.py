@@ -28,9 +28,25 @@ def test_first_budget_entries_all_hash_oracled():
     assert not missing, f"budgeted queries without SQL oracle: {missing}"
 
 
+ROTATED_IN = {
+    # hash-oracled queries that had zero driver CORRECTNESS rows through
+    # round 5 — promoted into the budget in round 6 (VERDICT r5 item #1)
+    "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
+    "ngram_jaccard_scale", "chunk_documents", "mixture_sample",
+    "pii_redaction", "top_terms", "winnow_fingerprints",
+    "orders_cube", "event_value_median_udaf", "salted_user_counts",
+    "events_dedup_first", "ann_ivfpq_topk_exact",
+}
+
+
 def test_ann_exact_anchors_inside_budget():
     first = set(list(em.queries().keys())[:BUDGET])
     assert ANCHORS <= first, f"anchors outside budget: {ANCHORS - first}"
+
+
+def test_round6_rotation_inside_budget():
+    first = set(list(em.queries().keys())[:BUDGET])
+    assert ROTATED_IN <= first, f"rotated queries outside budget: {ROTATED_IN - first}"
 
 
 def test_every_oracle_has_a_query():

@@ -293,6 +293,63 @@ def test_streaming_term_stats_maintenance(spark, tmp_path):
     assert served == inline
 
 
+def test_streaming_term_stats_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash
+    (same batch_id, snapshot already written) must NOT double-count the
+    additive tf/df/n_docs/total_tokens merge, and a replay over an
+    interrupted snapshot (parquet written, marker missing) must rebuild
+    that version from the last complete one."""
+    import os
+
+    from distributed_vector_database_spark.streaming import lexical_stats as ls
+
+    stats_dir = str(tmp_path / "stats")
+    os.makedirs(stats_dir)
+    d1 = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k < 2], ["doc_id", "text"]
+    )
+    d2 = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k >= 2], ["doc_id", "text"]
+    )
+
+    # drive the REAL fold (the one run_term_stats_stream registers)
+    fold = ls.build_fold(stats_dir)
+
+    def snap(df):
+        return {
+            r["term"]: (r["tf"], r["df"], r["n_docs"], r["total_tokens"])
+            for r in df.collect()
+        }
+
+    fold(d1, 0)
+    after_b0 = snap(ls.read_latest_stats(spark, stats_dir))
+    # crash-replay of batch 0: snapshot + marker exist, checkpoint didn't
+    # commit -> re-delivered with the same batch_id -> must be a no-op
+    fold(d1, 0)
+    assert ls.latest_version(stats_dir) == 0
+    assert snap(ls.read_latest_stats(spark, stats_dir)) == after_b0
+
+    fold(d2, 1)
+    dall = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    want = snap(term_stats(dall))
+    assert snap(ls.read_latest_stats(spark, stats_dir)) == want
+
+    # interrupted write: v=2 parquet exists but marker never landed ->
+    # read_latest_stats must serve v=1; replaying batch 2 rebuilds v=2
+    snapshot_v1 = snap(spark.read.parquet(f"{stats_dir}/v=1"))
+    spark.createDataFrame([("garbage", 1, 1, 9, 9)],
+                          ["term", "tf", "df", "n_docs", "total_tokens"]
+                          ).write.mode("overwrite").parquet(f"{stats_dir}/v=2")
+    assert snap(ls.read_latest_stats(spark, stats_dir)) == snapshot_v1
+    fold(d2, 2)  # replayed delivery after the crash
+    assert ls.latest_version(stats_dir) == 2
+    got = snap(ls.read_latest_stats(spark, stats_dir))
+    # v=2 = v=1 + d2 again; relative to `want` every d2 term is counted
+    # once more -- just assert the rebuild used v=1 as base, not garbage
+    assert "garbage" not in got
+    assert ls._applied_batch(stats_dir, 2) == 2
+
+
 def test_hybrid_linear_math(spark):
     from distributed_vector_database_spark.operators.lexical import hybrid_linear
 
