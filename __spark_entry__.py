@@ -561,6 +561,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_topk"] = bm25_topk_q
 
+    def bm25_postings_topk_q(spark, sf):
+        # serving-from-index variant: build the bucketed posting-list
+        # index into a fresh temp dir (rebuilt per call so a driver-side
+        # fixture regeneration can never serve a stale index), then
+        # answer the SAME query from pruned postings only — results are
+        # hash-identical to bm25_topk's corpus-scan path
+        import tempfile
+
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_postings_search,
+            postings_write,
+        )
+
+        idx = tempfile.mkdtemp(prefix="dvdb_lexidx_")
+        postings_write(
+            load_table(spark, sf, "documents"), idx, n_buckets=32
+        )
+        return bm25_postings_search(
+            spark, idx, BM25_TERMS, k=10, k1=BM25_K1, b=BM25_B
+        )
+
+    q["bm25_postings_topk"] = bm25_postings_topk_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -773,6 +796,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _with_recall(res, spark, sf)
 
     q["ann_ivf_topk"] = ann_ivf_topk_q
+
+    def ann_ivf_filtered_q(spark, sf):
+        # filtered ANN through the IVF path (VERDICT r5 #6): the label
+        # predicate is applied INSIDE the probed partitions and the
+        # probe width auto-doubles (the reference's 2x over-fetch,
+        # src/datanode/handler.py:364); auto-sized centroids/nprobe via
+        # ivf_build_auto. Result rows carry in-plan recall vs the exact
+        # filtered k-NN.
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build_auto,
+            ivf_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned, nprobe = ivf_build_auto(emb)
+        pred = F.col("label") == KNN_FILTER_LABEL
+        res = ivf_search(
+            spark,
+            centroids,
+            assigned,
+            _query_vec(spark, sf),
+            k=KNN_K,
+            nprobe=nprobe,
+            predicate=pred,
+        )
+        exact_keys = knn_exact(
+            emb, _query_vec(spark, sf), k=KNN_K, predicate=pred, extra_cols=()
+        ).select("vec_id")
+        rec = (
+            res.select("vec_id")
+            .join(exact_keys, "vec_id", "left_semi")
+            .agg(F.round(F.count("*") / F.lit(KNN_K), 4).alias("recall"))
+        )
+        return res.crossJoin(rec)
+
+    q["ann_ivf_filtered"] = ann_ivf_filtered_q
+
+    def ann_ivf_filtered_exact_q(spark, sf):
+        # hash-oracled anchor for the filtered-IVF path: full probe
+        # width reproduces knn_filtered bit-for-bit, so the pruning +
+        # in-partition-filter mechanics are pinned by the same SQL
+        # oracle as the brute-force filtered query
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        return ivf_search(
+            spark,
+            centroids,
+            assigned,
+            _query_vec(spark, sf),
+            k=KNN_K,
+            nprobe=10**9,
+            predicate=F.col("label") == KNN_FILTER_LABEL,
+            extra_cols=("label",),
+        )
+
+    q["ann_ivf_filtered_exact"] = ann_ivf_filtered_exact_q
 
     def text_to_doc_search_q(spark, sf):
         # O20+O22: embed query text + corpus with the deterministic
@@ -1024,7 +1108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship stays first (driver smoke-check + optics)
         "flagship_knn",
         # never-driver-checked hash-oracled queries (0 rows through r5)
-        "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
+        # + the round-6 posting-list serving variant
+        "bm25_topk", "bm25_postings_topk", "hybrid_rrf_topk",
+        "hybrid_linear_topk",
         "ngram_jaccard_scale", "chunk_documents", "mixture_sample",
         "pii_redaction", "top_terms", "winnow_fingerprints",
         "orders_cube", "event_value_median_udaf", "salted_user_counts",
@@ -1050,13 +1136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample", "stratified_sample",
         "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
-        "pricing_summary", "simhash_dedup",
+        "ann_ivf_filtered_exact",  # round-6 filtered-IVF anchor
+        "simhash_dedup",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key",
-        "scan_filter_project", "top_orders_by_segment", "regional_revenue",
+        "scan_filter_project", "pricing_summary", "top_orders_by_segment",
+        "regional_revenue",
         "customer_order_ranks", "nations_set_ops",
         "orders_without_lineitems", "orders_rollup", "topk_orders",
         "doc_stats", "lang_profile", "quality_filter", "lang_id_ngram",
@@ -1064,7 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
         "embedding_near_dup",
         # --- tier 3: rows-only by design ---
-        "embedding_near_dup_scale", "ann_lsh_similarity_join",
+        "ann_ivf_filtered", "embedding_near_dup_scale",
+        "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
         "ann_ivfpq_topk", "ann_ivf_knn_join", "text_to_doc_search",
         "multimodal_embed",
@@ -1280,6 +1369,9 @@ ORDER BY t.score, t.vec_id
 
     o["knn_exact"] = _knn_sql(KNN_K)
     o["knn_filtered"] = _knn_sql(KNN_K, where=f"WHERE label = {KNN_FILTER_LABEL}")
+    # full-probe filtered IVF must reproduce the brute-force filtered
+    # k-NN bit-for-bit — same oracle
+    o["ann_ivf_filtered_exact"] = o["knn_filtered"]
     o["knn_threshold"] = _knn_sql(20, threshold=KNN_THRESHOLD)
     o["knn_topk_default"] = _knn_sql(5)
     o["knn_sharded"] = _knn_sql(KNN_K)  # exact kernel → same oracle
@@ -1401,6 +1493,10 @@ FROM e
 WITH {_bm25_ctes(10)}
 SELECT doc_id, score FROM bm25
 """
+
+    # identical oracle: the postings index must serve the exact same
+    # ranking as the corpus-scan path
+    o["bm25_postings_topk"] = o["bm25_topk"]
 
     o["hybrid_rrf_topk"] = f"""
 WITH {_bm25_ctes(HYBRID_POOL)},

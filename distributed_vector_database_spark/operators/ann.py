@@ -163,20 +163,123 @@ def ivf_build(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample_rows: int | None = None,
 ):
     """Build an IVF index: KMeans coarse quantizer + centroid assignment.
 
     Returns (centroids: list[(id, vector)], assigned_df with centroid_id).
     At scale, write `assigned` partitioned by centroid_id so probes are
-    partition-pruned parquet reads."""
+    partition-pruned parquet reads.
+
+    `train_sample_rows` trains the quantizer on a bounded sample and
+    only ASSIGNS the full corpus (one transform pass) — the standard
+    IVF practice (FAISS trains on ~a few hundred points per centroid);
+    k-means on the full corpus is O(n*k*d) per iteration and pointless
+    past the point where centroid estimates stop moving. None keeps
+    exact full-corpus training (small inputs, bit-stable tests)."""
     from pyspark.ml.clustering import KMeans
 
     feat = _with_mllib_vector(df, vec_col)
+    train = feat
+    if train_sample_rows is not None:
+        n = feat.count()
+        if n > train_sample_rows:
+            # seeded fraction sample, slightly over-drawn then limited
+            frac = min(1.0, 1.05 * train_sample_rows / n)
+            train = feat.sample(fraction=frac, seed=seed).limit(train_sample_rows)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
-    model = km.fit(feat)
+    model = km.fit(train)
     assigned = model.transform(feat).drop("features")
     centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
     return centroids, assigned
+
+
+def ivf_auto_params(n_rows: int) -> tuple[int, int]:
+    """Heuristic IVF sizing: n_centroids ~= sqrt(n) (the standard
+    IVF-Flat rule — cells of ~sqrt(n) rows balance centroid-ranking
+    cost against per-cell scan cost), clamped to [4, 65536]; nprobe ~=
+    n_centroids / 8 (probe ~12% of cells), floor 2. Replaces the fixed
+    8/16/64 guesses: at 1M rows this yields (1000, 125); at 100 TB /
+    1e10 rows, (65536, 8192) — still one pruned read per probe."""
+    import math
+
+    n_centroids = max(4, min(int(math.sqrt(max(n_rows, 1))), 65536))
+    nprobe = max(2, n_centroids // 8)
+    return n_centroids, nprobe
+
+
+def ivf_build_auto(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    imbalance_factor: float = 4.0,
+):
+    """ivf_build with auto-sized n_centroids (ivf_auto_params) and an
+    imbalance repair pass: any centroid holding more than
+    `imbalance_factor` x the mean cell size (a skew hotspot — at scale
+    one fat cell turns every probe that hits it into a near-full scan)
+    is SPLIT by re-clustering just its members into ceil(size/mean)
+    sub-centroids; other cells keep their assignment untouched.
+
+    Returns (centroids, assigned, nprobe) — nprobe is the matching
+    auto probe width."""
+    import math
+
+    n = df.count()
+    k, nprobe = ivf_auto_params(n)
+    # bounded quantizer training: ~128 points per centroid, capped —
+    # full-corpus k-means at k=sqrt(n) would be O(n^1.5 * d) per pass
+    sample = min(max(10_000, 128 * k), 500_000)
+    centroids, assigned = ivf_build(
+        df,
+        n_centroids=k,
+        vec_col=vec_col,
+        seed=seed,
+        train_sample_rows=(sample if n > sample else None),
+    )
+    if n == 0:
+        return centroids, assigned, nprobe
+    mean = n / k
+    sizes = {
+        r["centroid_id"]: r["cnt"]
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    fat = [c for c, s in sizes.items() if s > imbalance_factor * mean]
+    if not fat:
+        return centroids, assigned, nprobe
+    cent_map = dict(centroids)
+    keep = assigned.filter(~F.col("centroid_id").isin(fat))
+    out_centroids = [(i, v) for i, v in centroids if i not in fat]
+    next_id = max(cent_map) + 1
+    repaired = [keep]
+    for cid in fat:
+        members = assigned.filter(F.col("centroid_id") == cid).drop("centroid_id")
+        sub_k = max(2, math.ceil(sizes[cid] / mean))
+        sub_sample = min(max(10_000, 128 * sub_k), 200_000)
+        sub_centroids, sub_assigned = ivf_build(
+            members,
+            n_centroids=sub_k,
+            vec_col=vec_col,
+            seed=seed,
+            train_sample_rows=(sub_sample if sizes[cid] > sub_sample else None),
+        )
+        remap = {i: next_id + i for i, _ in sub_centroids}
+        out_centroids.extend((remap[i], v) for i, v in sub_centroids)
+        mapping = F.create_map(
+            *[F.lit(x) for pair in remap.items() for x in pair]
+        )
+        repaired.append(
+            sub_assigned.withColumn(
+                "centroid_id", mapping[F.col("centroid_id")].cast("int")
+            )
+        )
+        next_id += sub_k
+    out = repaired[0]
+    for part in repaired[1:]:
+        out = out.unionByName(part)
+    return sorted(out_centroids), out, nprobe
 
 
 def ivf_write(assigned: DataFrame, path: str) -> None:
@@ -207,21 +310,54 @@ def ivf_search(
     nprobe: int = 4,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
+    extra_cols: Sequence[str] = (),
+    selectivity: float | None = None,
 ) -> DataFrame:
     """IVF probe: rank centroids by distance to the query (driver-side —
     centroid count is tiny by construction), filter the corpus to the
     nprobe nearest centroid partitions, then exact top-k inside them.
 
     The centroid filter is a pushed-down IN predicate → partition
-    pruning when the corpus is written partitioned by centroid_id."""
+    pruning when the corpus is written partitioned by centroid_id.
+
+    `predicate` (a Column) supports FILTERED ANN: the metadata filter
+    is applied INSIDE the probed partitions (pushed to the scan — never
+    filter-after-search), and the probe width SCALES WITH THE FILTER'S
+    SELECTIVITY: probing ceil(nprobe / selectivity) cells (floor 2x —
+    the reference's over-fetch factor, src/datanode/handler.py:364, as
+    the minimum) restores the candidate depth a selective filter
+    removes, while total scanned rows stay ~ nprobe x cell_size because
+    the pushed predicate prunes each probed cell by the same factor —
+    the filtered probe costs what the unfiltered one does. Pass
+    `selectivity` when known (at 100 TB, from table stats); when None
+    it is estimated with a metadata-only count (cheap: no vector column
+    is read, parquet column stats carry most predicates)."""
+    import math as _math
+
     import numpy as np
 
     q = np.asarray([float(v) for v in query_vec])
     cmat = np.asarray([c for _, c in centroids])
     d = ((cmat - q) ** 2).sum(axis=1)
-    probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:nprobe]]
+    if predicate is not None:
+        if selectivity is None:
+            total = assigned.count()
+            kept = assigned.filter(predicate).count()
+            selectivity = (kept / total) if total else 1.0
+        sel = max(float(selectivity), 1.0 / max(len(centroids), 1))
+        width = min(
+            len(centroids), max(2 * nprobe, _math.ceil(nprobe / sel))
+        )
+    else:
+        width = nprobe
+    probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:width]]
     pruned = assigned.filter(F.col("centroid_id").isin(probe_ids))
-    return knn_exact(pruned, query_vec, k, key_col=key_col, vec_col=vec_col, extra_cols=())
+    if predicate is not None:
+        pruned = pruned.filter(predicate)
+    return knn_exact(
+        pruned, query_vec, k, key_col=key_col, vec_col=vec_col, extra_cols=extra_cols
+    )
 
 
 def ivf_knn_join(

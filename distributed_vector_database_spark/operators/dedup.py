@@ -44,9 +44,24 @@ def ensure_parallelism(df: DataFrame, id_col: str) -> DataFrame:
     per-row work. A small corpus read from one parquet file arrives as
     ONE partition — every downstream hash/shingle expression would run
     single-core. At 100 TB inputs arrive well-partitioned and this is a
-    no-op; locally it buys full parallelism for one tiny shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    no-op; locally it buys full parallelism for one tiny shuffle.
+
+    The width probe uses the optimizer's size ESTIMATE (driver-side
+    catalog/plan metadata, no job, no RDD materialization — a df.rdd
+    probe would build the whole RDD lineage on every dedup call just to
+    read a number): scan partitions ~ sizeInBytes / maxPartitionBytes.
+    Unknown-size inputs (default 8-EB sentinel) count as wide, which is
+    the no-op side — never an extra shuffle of a big input."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+        max_bytes = int(raw.lower().rstrip("b")) if raw.lower().rstrip("b").isdigit() else 128 * 1024 * 1024
+        estimated = max(1, -(-size // max_bytes))
+    except Exception:
+        estimated = df.rdd.getNumPartitions()  # fallback: the old probe
+    if estimated < target:
         return df.repartition(target, id_col)
     return df
 
@@ -529,13 +544,19 @@ def dedup_clusters(
     themselves) — the cluster-pick step after MinHash/SimHash candidate
     generation (SURVEY §2.3 / Phase 5).
 
-    Algorithm: iterative min-label propagation (Pregel-lite) — each
-    round every node takes the smallest label among itself and its
-    neighbors; converges in O(component diameter) rounds. Near-dup
-    components are small and dense, so this terminates in 2-4 rounds in
-    practice; `max_iterations` bounds pathological chains. Each round is
-    one join + one aggregate; labels are localCheckpoint'ed to keep the
-    lineage (and thus task closures) constant-size at scale.
+    Algorithm: min-label propagation + pointer doubling per round.
+    Propagation alone converges in O(component diameter) rounds — fine
+    for the small dense clusters near-dup workloads mostly produce, but
+    a scale cliff for the long similarity CHAINS that boilerplate /
+    template corpora create at 100 TB (a 10k-doc chain would need 10k
+    rounds). Each round therefore also shortcuts rep_id <- rep(rep_id)
+    (one self-join of the label table), which halves label-chain depth:
+    convergence is O(log n) rounds on any topology (the hash-to-min /
+    pointer-jumping argument — Kiveris et al., "Connected Components in
+    MapReduce and Beyond", gives the same bound for star operations).
+    Each round is two joins + one aggregate on |edge endpoints| rows;
+    labels are localCheckpoint'ed to keep the lineage (and thus task
+    closures) constant-size at scale.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -571,15 +592,32 @@ def dedup_clusters(
         # probe is then one tiny agg over the checkpointed label set,
         # and it only runs every 2nd round (labels are monotone
         # non-increasing, so overshooting by one round is harmless)
+        prop = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("rep_id"), F.coalesce(F.col("nbr_rep"), F.col("rep_id"))
+            ).alias("rep_id"),
+            (
+                F.coalesce(F.col("nbr_rep"), F.col("rep_id")) < F.col("rep_id")
+            ).alias("__chg"),
+        )
+        # pointer doubling: rep_id <- rep(rep_id). rep_id is always a
+        # node id in this label set (it's a min over node ids), so the
+        # self-join resolves every pointer; chains halve in depth each
+        # round, giving O(log n) total rounds on path-shaped components
+        reps = prop.select(
+            F.col("id").alias("__rid"), F.col("rep_id").alias("__rrep")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            prop.join(reps, prop["rep_id"] == reps["__rid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("rep_id"), F.coalesce(F.col("nbr_rep"), F.col("rep_id"))
-                ).alias("rep_id"),
+                F.coalesce("__rrep", "rep_id").alias("rep_id"),
                 (
-                    F.coalesce(F.col("nbr_rep"), F.col("rep_id")) < F.col("rep_id")
+                    F.col("__chg")
+                    | (F.coalesce("__rrep", "rep_id") < F.col("rep_id"))
                 ).alias("__chg"),
             )
             .localCheckpoint()

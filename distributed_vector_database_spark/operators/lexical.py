@@ -134,13 +134,14 @@ def bm25_search(
         )
     else:
         # fold the (tiny) filtered stats slice to the same 1-row shape;
-        # absent terms get df=0, exactly like the inline aggregation
+        # absent terms get df=0, exactly like the inline aggregation.
+        # Corpus-level N/avgdl come from an UNFILTERED 1-row read: every
+        # stats row replicates them, and sourcing them from the filtered
+        # slice would yield nulls (null scores for every matched doc)
+        # whenever no query term exists in the stats table — absent
+        # terms must degrade to df=0, not poison the whole row.
         slice_ = stats.filter(F.col("term").isin(terms))
-        stats_row = slice_.agg(
-            F.first("n_docs").alias("__n"),
-            (
-                F.first("total_tokens").cast("double") / F.first("n_docs")
-            ).alias("__avgdl"),
+        dfs = slice_.agg(
             *[
                 F.coalesce(
                     F.sum(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
@@ -148,6 +149,13 @@ def bm25_search(
                 for i, t in enumerate(terms)
             ],
         )
+        corpus = stats.limit(1).select(
+            F.col("n_docs").alias("__n"),
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "__avgdl"
+            ),
+        )
+        stats_row = dfs.crossJoin(corpus)
     stats = stats_row
 
     scored = toks.filter(
@@ -204,7 +212,11 @@ def hybrid_rrf(
             if ascending
             else [F.col(score_col).desc(), F.col(doc_col).asc()]
         )
-        w = Window.orderBy(*order)
+        # constant partition key: same single-partition execution (the
+        # input is top-n truncated by contract, so this is bounded-row
+        # work), but spelled explicitly so the plan doesn't emit the
+        # scary-looking "WindowExec: No Partition Defined" warning
+        w = Window.partitionBy(F.lit(0)).orderBy(*order)
         return df.select(
             F.col(doc_col), F.row_number().over(w).alias("__rank")
         ).select(
@@ -232,6 +244,117 @@ def _idf_py(n: int, df: int) -> float:
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
 
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the bucket expression in postings_write:
+    zlib.crc32 == Spark's crc32 (same polynomial), so query planning can
+    compute a term's bucket without a JVM round-trip."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def postings_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build a term-BUCKETED posting-list index on disk: one explode +
+    one shuffle at INDEX time so that serving never scans the corpus.
+
+    Layout: `{path}/postings/bucket=H/` holds rows
+    (term, doc_id, tf, dl) for every term with crc32(term) % n_buckets
+    == H; `{path}/corpus/` is a 1-row summary (n_docs, total_tokens,
+    n_buckets). A query for `q` terms reads ONLY the <=q bucket
+    directories (partition-pruned) further filtered to the exact terms
+    (predicate pushed to parquet) — at 100 TB a rare-term query touches
+    megabytes of postings instead of the whole corpus, which is the
+    whole point of an inverted index. df per term is derivable from the
+    pruned slice itself (count of postings rows), so serving needs no
+    separate stats table.
+
+    The build cost — tokenize, explode, one (term, doc) aggregation —
+    is the classic inverted-index shuffle, paid once per (re)build and
+    deliberately kept OUT of bm25_search's query path."""
+    toks = docs.select(
+        F.col(doc_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    postings = (
+        toks.select(
+            doc_col, F.col("__dl").alias("dl"), F.explode("__toks").alias("term")
+        )
+        .groupBy("term", doc_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(n_buckets)).cast(
+                "int"
+            ),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dl").alias("total_tokens"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus")
+
+
+def bm25_postings_search(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Serve BM25 top-k from a postings_write index: reads the pruned
+    posting buckets for the query terms plus the 1-row corpus summary —
+    NO corpus scan, no stats table. Hash-identical to bm25_search on
+    the same corpus (same idf/tf/length arithmetic, same
+    (round(score,6) DESC, doc_id) ordering).
+
+    Plan shape: bucket partition-pruning + term predicate pushdown cut
+    the scan to the query terms' posting rows; df comes from a window
+    count over that same slice; one groupBy(doc) sums term
+    contributions; TakeOrderedAndProject emits the top-k."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    corpus = spark.read.parquet(f"{path}/corpus").collect()[0]
+    n_docs, total_tokens = int(corpus["n_docs"]), int(corpus["total_tokens"])
+    n_buckets = int(corpus["n_buckets"])
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+
+    slice_ = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    # df(t) = number of postings rows for t within the pruned slice
+    w = Window.partitionBy("term")
+    scored = slice_.withColumn("__df", F.count(F.lit(1)).over(w))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    return (
+        scored.withColumn("__s", idf * tf / (tf + norm))
+        .groupBy(doc_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.desc("score"), doc_col)
+        .limit(k)
+    )
+
+
 def hybrid_linear(
     results_a: DataFrame,
     results_b: DataFrame,
@@ -257,7 +380,9 @@ def hybrid_linear(
         raise ValueError("alpha must be in [0, 1]")
 
     def norm(df: DataFrame, ascending: bool, out: str) -> DataFrame:
-        w = Window.partitionBy()
+        # constant partition key, not partitionBy(): bounded rows by
+        # contract; silences the "No Partition Defined" warning
+        w = Window.partitionBy(F.lit(0))
         lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
         spread = (hi - F.col(score_col)) if ascending else (F.col(score_col) - lo)
         best1 = F.when(hi == lo, F.lit(1.0)).otherwise(spread / (hi - lo))

@@ -422,7 +422,8 @@ def sketch_profile(
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         *[
             F.percentile_approx("value", p, accuracy).alias(
-                f"p{int(p * 100)}_approx"
+                # round, not truncate: int(0.29 * 100) == 28
+                f"p{int(round(p * 100))}_approx"
             )
             for p in percentiles
         ],

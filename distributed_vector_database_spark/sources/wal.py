@@ -17,7 +17,7 @@ compaction is the usual single hash shuffle on key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -38,23 +38,66 @@ def read_wal_json(spark: SparkSession, path: str) -> DataFrame:
     """Read reference WAL JSON-lines file(s)/dir into the engine's
     change-log shape: (op, key, vector, metadata, ts, seq).
 
-    `ts` is the entry's epoch-millis as a TIMESTAMP; `seq` is a
-    within-log monotone tiebreaker reproducing the reference's
-    line-order replay semantics (later line wins on equal timestamps —
-    its replay overwrites a dict in read order,
-    src/utils/wal_manager.py:131-151). monotonically_increasing_id is
-    (partition << 33) + row-in-partition, so it orders lines within a
-    file split exactly and across splits by file order — the same
-    guarantee the reference has (per-node log files replayed in name
-    order)."""
-    raw = spark.read.schema(WAL_SCHEMA).json(path)
-    return raw.select(
-        F.col("op_type").alias("op"),
-        "key",
-        "vector",
-        "metadata",
-        F.timestamp_millis(F.col("timestamp")).alias("ts"),
-        F.monotonically_increasing_id().alias("seq"),
+    `ts` is the entry's epoch-millis as a TIMESTAMP; `seq` totally
+    orders entries by (file name asc, byte offset within file) —
+    exactly the reference's replay order (files replayed in sorted name
+    order, lines replayed top-to-bottom, dict overwrite so the last
+    line wins; src/utils/wal_manager.py:116-182).
+
+    seq construction (no shuffle of the log itself): Spark packs input
+    files into partitions by SIZE descending, so partition numbering —
+    and therefore bare monotonically_increasing_id — does NOT follow
+    file-name order when the log has several rolled ~10 MB files. We
+    instead rank each (file_path, block_start) split via the _metadata
+    column (a tiny distinct list, broadcast back), and combine
+    `split_rank << 33 | row-within-partition`: rows of one split are
+    contiguous within their scan partition, so the low 33 bits of
+    monotonically_increasing_id strictly increase in line order inside
+    the split, and the rank orders splits across files/blocks.
+
+    Divergence note (deliberate): downstream `compact` resolves
+    last-write-wins by (ts, seq) — timestamp FIRST — whereas the
+    reference ignores timestamps entirely and keeps the last line
+    replayed. For WAL entries whose timestamps are consistent with
+    append order (the reference always stamps now(), so in practice
+    they are) the two agree; an explicitly BACKDATED later entry wins
+    in the reference but loses here. For bit-exact reference replay
+    order, compact on seq alone: `compact(log, key_col="key",
+    ts_col="seq", seq_col="seq")` — seq fully encodes the reference's
+    file+line order."""
+    raw = (
+        spark.read.schema(WAL_SCHEMA)
+        .json(path)
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.file_block_start").alias("_bs"),
+            F.monotonically_increasing_id().alias("_rid"),
+        )
+    )
+    # one row per scan split; ranking this driver-size list is the only
+    # single-partition step, then it broadcasts back onto the log scan
+    splits = raw.select("_fp", "_bs").distinct()
+    ranked = splits.select(
+        "_fp",
+        "_bs",
+        (F.row_number().over(Window.orderBy("_fp", "_bs")) - 1).alias(
+            "_split_rank"
+        ),
+    )
+    return (
+        raw.join(F.broadcast(ranked), ["_fp", "_bs"])
+        .select(
+            F.col("op_type").alias("op"),
+            "key",
+            "vector",
+            "metadata",
+            F.timestamp_millis(F.col("timestamp")).alias("ts"),
+            (
+                F.shiftleft(F.col("_split_rank").cast("long"), 33)
+                + F.col("_rid").bitwiseAND(F.lit((1 << 33) - 1))
+            ).alias("seq"),
+        )
     )
 
 

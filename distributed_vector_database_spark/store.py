@@ -65,21 +65,44 @@ class DimensionMismatch(ValueError):
 
 
 class VectorStore:
-    def __init__(self, spark: SparkSession, root: str, dim: int, buffer_rows: int = 1):
+    AUTO_COMPACT_FILES = 64  # log-file count that triggers compaction
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dim: int,
+        buffer_rows: int = 1,
+        auto_compact_files: int | None = None,
+    ):
         """`buffer_rows` > 1 buffers single-record put/delete driver-side
         and writes one parquet file per `buffer_rows` records instead of
         one per call — the small-files fix for chatty ingest (a parquet
         footer per row is metadata-bound at any scale). Reads flush
         automatically, so read-your-writes is preserved; the default 1
-        keeps strict write-through."""
+        keeps strict write-through.
+
+        `auto_compact_files`: once the changelog accrues this many
+        files, the next write folds it into a snapshot (the reference's
+        checkpoint-every-2k-puts cadence, src/datanode/handler.py:
+        313-317) — a high put rate at buffer_rows=1 otherwise grows an
+        unbounded tail of one-row parquet files whose per-file footer
+        reads dominate every state() resolution. 0 disables; default
+        AUTO_COMPACT_FILES."""
         self.spark = spark
         self.root = root
         self.dim = dim
         self.buffer_rows = max(1, buffer_rows)
+        self.auto_compact_files = (
+            self.AUTO_COMPACT_FILES
+            if auto_compact_files is None
+            else int(auto_compact_files)
+        )
         self._log_dir = os.path.join(root, "changelog")
         self._snap_dir = os.path.join(root, "snapshot")
         self._seq = 0
         self._buf: list[tuple] = []
+        self._compacting = False
 
     # -- write path ---------------------------------------------------------
 
@@ -95,6 +118,34 @@ class VectorStore:
         df = self.spark.createDataFrame(self._buf, LOG_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self._log_dir)
         self._buf = []
+        self._maybe_auto_compact()
+
+    def _log_file_count(self) -> int:
+        try:
+            return sum(
+                1
+                for f in os.listdir(self._log_dir)
+                if not f.startswith(("_", "."))
+            )
+        except FileNotFoundError:
+            return 0
+
+    def _maybe_auto_compact(self) -> None:
+        """Fold the log into a snapshot once it fragments past
+        `auto_compact_files` — state() is unchanged (compaction IS
+        replay), only the file layout collapses. One cheap dir listing
+        per write; the compaction itself amortizes to O(1) per op.
+
+        The _compacting guard blocks reentrancy: compact() itself
+        resolves state (which flushes), and a nested compaction would
+        read a pre-compaction snapshot against an already-truncated
+        log — silently dropping the in-flight ops."""
+        if (
+            not self._compacting
+            and self.auto_compact_files
+            and self._log_file_count() >= self.auto_compact_files
+        ):
+            self.compact()
 
     def _next_ts_seq(self) -> tuple[int, int]:
         self._seq += 1
@@ -174,6 +225,7 @@ class VectorStore:
             )
         )
         log.write.mode("append").parquet(self._log_dir)
+        self._maybe_auto_compact()
 
     def delete(self, key: str) -> None:
         """Tombstone a key (O2)."""
@@ -187,33 +239,51 @@ class VectorStore:
         separate replay step — compaction IS replay here.
 
         Imported rows keep their historical epoch-millis timestamps and
-        a per-line seq that preserves the reference's line-order
-        tie-break. Those seqs are large (monotonically_increasing_id),
-        but last-write-wins orders by ts FIRST, and live writes stamp
-        current-time ts strictly greater than any historical WAL entry,
-        so imports can never shadow subsequent puts. Returns the number
-        of imported ops."""
+        a per-line seq that preserves the reference's file+line replay
+        order. Last-write-wins orders by ts FIRST, and live writes
+        stamp current-time ts >= any historical WAL entry; for the
+        same-millisecond race (importing from a still-active source),
+        the live seq counter is bumped past the largest imported seq so
+        a subsequent put always wins the (ts, seq) tie-break too.
+        Returns the number of imported ops."""
         from distributed_vector_database_spark.sources.wal import read_wal_json
 
-        log = read_wal_json(self.spark, path)
-        bad = log.filter(
-            (F.col("op") == OP_PUT)
-            & (F.col("vector").isNull() | (F.size("vector") != self.dim))
-        ).count()
-        if bad:
-            raise DimensionMismatch(
-                f"{bad} WAL PUT rows with dimension != {self.dim}"
+        # one JSON scan: cache, then a single agg action covers both the
+        # dimension validation and the returned count
+        log = read_wal_json(self.spark, path).persist()
+        try:
+            stats = log.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (
+                        (F.col("op") == OP_PUT)
+                        & (
+                            F.col("vector").isNull()
+                            | (F.size("vector") != self.dim)
+                        )
+                    ).cast("long")
+                ).alias("bad"),
+                F.max("seq").alias("max_seq"),
+            ).collect()[0]
+            if stats["bad"]:
+                raise DimensionMismatch(
+                    f"{stats['bad']} WAL PUT rows with dimension != {self.dim}"
+                )
+            rows = log.select(
+                "op",
+                F.col("key").cast("string").alias("key"),
+                F.col("vector").cast("array<double>").alias("vector"),
+                F.col("metadata").cast("map<string,string>").alias("metadata"),
+                F.unix_millis("ts").alias("ts"),
+                F.col("seq").cast("long").alias("seq"),
             )
-        rows = log.select(
-            "op",
-            F.col("key").cast("string").alias("key"),
-            F.col("vector").cast("array<double>").alias("vector"),
-            F.col("metadata").cast("map<string,string>").alias("metadata"),
-            F.unix_millis("ts").alias("ts"),
-            F.col("seq").cast("long").alias("seq"),
-        )
-        rows.write.mode("append").parquet(self._log_dir)
-        return log.count()
+            rows.write.mode("append").parquet(self._log_dir)
+        finally:
+            log.unpersist()
+        if stats["max_seq"] is not None:
+            self._seq = max(self._seq, int(stats["max_seq"]) + 1)
+        self._maybe_auto_compact()
+        return int(stats["n"])
 
     # -- state resolution ---------------------------------------------------
 
@@ -445,13 +515,30 @@ class VectorStore:
         )
 
     def index_search(
-        self, query_vector: Sequence[float], top_k: int = DEFAULT_TOP_K, nprobe: int = 4
+        self,
+        query_vector: Sequence[float],
+        top_k: int = DEFAULT_TOP_K,
+        nprobe: int = 4,
+        predicate=None,
+        selectivity: float | None = None,
     ) -> DataFrame:
         """ANN search over the persisted IVF layout: driver ranks the
         (tiny) centroid table, the scan is partition-PRUNED to nprobe
         directories, and candidates are semi-joined against live state
         so deleted keys are excluded (src/datanode/handler.py:378-380)
-        — never a full-corpus scan."""
+        — never a full-corpus scan.
+
+        `predicate` (Column over state's key/metadata) = FILTERED ANN:
+        the live-state semi-join carries the filter, and the probe
+        width scales with the filter's selectivity (floor 2x — the
+        reference's over-fetch factor, src/datanode/handler.py:364):
+        ceil(nprobe / selectivity) cells keep candidate depth while
+        scanned-row cost stays ~ nprobe x cell_size, because the filter
+        prunes each probed cell by the same factor. Pass `selectivity`
+        when known; None estimates it with one metadata-only count of
+        the resolved state."""
+        import math as _math
+
         import numpy as np
 
         from distributed_vector_database_spark.operators.ann import ivf_read_probe
@@ -461,7 +548,19 @@ class VectorStore:
         q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
         cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
         d = ((cmat - q) ** 2).sum(axis=1)
-        probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:nprobe]]
+        if predicate is not None:
+            if selectivity is None:
+                st = self.state()
+                total = st.count()
+                kept = st.filter(predicate).count()
+                selectivity = (kept / total) if total else 1.0
+            sel = max(float(selectivity), 1.0 / max(len(centroids), 1))
+            width = min(
+                len(centroids), max(2 * nprobe, _math.ceil(nprobe / sel))
+            )
+        else:
+            width = nprobe
+        probe_ids = [int(centroids[i][0]) for i in np.argsort(d)[:width]]
         cand = ivf_read_probe(self.spark, f"{data_dir}/v={v}", probe_ids)
         # a re-put key can sit in several index writes: keep the row from
         # the newest index generation (igen); exact vector freshness for
@@ -474,8 +573,10 @@ class VectorStore:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "igen")
         )
-        live = self.state().select("key")
-        cand = cand.join(live, "key", "left_semi")
+        live = self.state()
+        if predicate is not None:
+            live = live.filter(predicate)
+        cand = cand.join(live.select("key"), "key", "left_semi")
         return knn_exact(
             cand, query_vector, k=top_k, key_col="key", vec_col="embedding",
             extra_cols=(),
@@ -494,6 +595,13 @@ class VectorStore:
         scanning the snapshot — the columnar analog of the reference's
         LevelDB key order. At 100 TB this is what keeps `get` latency
         flat as snapshots grow."""
+        self._compacting = True
+        try:
+            return self._compact_inner()
+        finally:
+            self._compacting = False
+
+    def _compact_inner(self) -> int:
         new_state = self.state()
         v = latest_version(self._snap_dir) + 1
         (

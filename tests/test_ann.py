@@ -89,6 +89,123 @@ def _qset(tables, n=20):
     )
 
 
+def test_ivf_auto_params_sqrt_rule():
+    from distributed_vector_database_spark.operators.ann import ivf_auto_params
+
+    assert ivf_auto_params(0) == (4, 2)
+    assert ivf_auto_params(100) == (10, 2)
+    k, p = ivf_auto_params(1_000_000)
+    assert k == 1000 and p == 125
+    k, _ = ivf_auto_params(10**10)
+    assert k == 65536  # clamped
+
+
+def test_ivf_build_auto_splits_fat_centroids(spark):
+    """A corpus with one dense blob and a scattered remainder: the blob
+    centroid exceeds imbalance_factor x mean and must be split; every
+    row keeps exactly one assignment and full-probe search still equals
+    exact."""
+    import random
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build_auto,
+        ivf_search,
+    )
+
+    rng = random.Random(7)
+    # 360 points in a tight blob + 40 spread far away -> with ~20
+    # centroids the blob swallows most mass in a handful of cells
+    rows = [(i, [rng.gauss(0.0, 0.01) for _ in range(8)]) for i in range(360)]
+    rows += [
+        (360 + i, [rng.gauss(float(10 + 3 * i), 0.5) for _ in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids, assigned, nprobe = ivf_build_auto(emb, imbalance_factor=2.0)
+    # no row lost or duplicated
+    assert assigned.count() == 400
+    assert assigned.select("vec_id").distinct().count() == 400
+    # every assignment references a returned centroid
+    cids = {i for i, _ in centroids}
+    got_cids = {r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()}
+    assert got_cids <= cids
+    # the blob can no longer sit in one cell
+    import pyspark.sql.functions as F
+
+    sizes = [
+        r["cnt"]
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert max(sizes) < 360  # strictly smaller than the whole blob
+    # full probe through the repaired index == exact
+    q = rows[5][1]
+    exact = {
+        r["vec_id"] for r in knn_exact(emb, q, k=10, extra_cols=()).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in ivf_search(
+            spark, centroids, assigned, q, k=10, nprobe=10**9
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_filtered_search_selectivity_aware_probe(spark, tables, qvec):
+    """Filtered ANN: the predicate applies inside probed cells and the
+    probe widens by ~1/selectivity, so a 10%-selective filter at tiny
+    nprobe still recovers the exact filtered top-k here (width grows to
+    ~all cells at this corpus size); an explicit selectivity=1.0 keeps
+    the narrow probe."""
+    import pyspark.sql.functions as F
+
+    emb = tables["embeddings"]
+    pred = F.col("label") == 3
+    exact = {
+        r["vec_id"]
+        for r in knn_exact(emb, qvec, k=10, predicate=pred).collect()
+    }
+    centroids, assigned = ivf_build(emb, n_centroids=16)
+    got = {
+        r["vec_id"]
+        for r in ivf_search(
+            spark, centroids, assigned, qvec, k=10, nprobe=2, predicate=pred
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9
+    # explicit selectivity=1.0 -> only the 2x floor applies (4 cells)
+    narrow = ivf_search(
+        spark, centroids, assigned, qvec, k=10, nprobe=2,
+        predicate=pred, selectivity=1.0,
+    )
+    assert narrow.count() <= 10
+
+
+def test_store_index_search_filtered(spark, tmp_path):
+    """store.index_search(predicate=...) excludes non-matching and
+    deleted keys, widening probes by measured selectivity."""
+    import pyspark.sql.functions as F
+
+    from distributed_vector_database_spark.store import VectorStore
+
+    s = VectorStore(spark, str(tmp_path / "fstore"), dim=4)
+    recs = [(f"k{i}", [float(i % 7), float(i % 5), 0.0, 0.0],
+             {"grp": str(i % 3)}) for i in range(60)]
+    s.put_batch(spark.createDataFrame(recs, "key string, vector array<double>, metadata map<string,string>"))
+    s.rebuild_index(n_centroids=6)
+    s.delete("k3")
+    got = s.index_search(
+        [0.0, 0.0, 0.0, 0.0], top_k=8, nprobe=1,
+        predicate=F.col("metadata")["grp"] == "0",
+    ).collect()
+    keys = [r["key"] for r in got]
+    assert keys and all(int(k[1:]) % 3 == 0 for k in keys)
+    assert "k3" not in keys  # deleted key filtered by live-state semi-join
+
+
 def test_ivf_knn_join_full_probe_equals_exact(tables):
     """nprobe = n_clusters -> every query meets every corpus row exactly
     once: the IVF join must reproduce knn_join bit-for-bit (ids, ranks,

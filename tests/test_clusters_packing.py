@@ -17,6 +17,23 @@ def test_dedup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """A 4096-node PATH graph (the boilerplate-corpus worst case) must
+    resolve within ~log2(n) rounds, not O(diameter): pointer doubling
+    makes 12 iterations enough where pure min-label propagation would
+    need 4095."""
+    n = 4096
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["rep_id"]
+        for r in dedup_clusters(ids, pairs, max_iterations=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_dedup_clusters_no_pairs(spark):
     ids = spark.createDataFrame([(i,) for i in range(5)], "id long")
     pairs = spark.createDataFrame([], "id_a long, id_b long")

@@ -192,6 +192,24 @@ def test_bm25_with_stats_table_equals_inline(spark):
     assert with_stats == inline
 
 
+def test_bm25_stats_path_stale_stats_degrade_to_df0(spark):
+    """If a query term is absent from the stats table (stats lag the
+    corpus), the term must score with df=0 — not null out n_docs/avgdl
+    for every matched doc (which an aggregate over the empty filtered
+    slice would do)."""
+    from distributed_vector_database_spark.operators.lexical import term_stats
+
+    old = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    stats = term_stats(old)  # built BEFORE the new doc arrives
+    newdoc = [(99, "freshterm freshterm arrives later")]
+    docs = old.unionByName(spark.createDataFrame(newdoc, ["doc_id", "text"]))
+
+    got = bm25_search(docs, ["freshterm"], k=5, stats=stats).collect()
+    assert len(got) == 1
+    assert got[0]["doc_id"] == 99
+    assert got[0]["score"] is not None and got[0]["score"] > 0.0
+
+
 def test_merge_term_stats_is_additive(spark):
     half1 = {k: v for k, v in CORPUS.items() if k < 2}
     half2 = {k: v for k, v in CORPUS.items() if k >= 2}
@@ -291,6 +309,55 @@ def test_streaming_term_stats_maintenance(spark, tmp_path):
         for r in bm25_search(dall, ["spark", "join"], k=10).collect()
     }
     assert served == inline
+
+
+def test_bm25_postings_search_equals_inline(spark, tmp_path):
+    """Serving from the bucketed posting-list index must reproduce
+    bm25_search bit-for-bit (same rounding, same tie-break), for single
+    and multi-term queries, including a term absent from the corpus."""
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_postings_search,
+        postings_write,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "lexidx")
+    postings_write(docs, idx, n_buckets=8)
+    for q in (["spark"], ["spark", "join"], ["filter", "zzznope"],
+              ["spark", "join", "filter"]):
+        inline = [(r["doc_id"], r["score"])
+                  for r in bm25_search(docs, q, k=10).collect()]
+        served = [(r["doc_id"], r["score"])
+                  for r in bm25_postings_search(spark, idx, q, k=10).collect()]
+        assert served == inline, f"query {q}"
+
+
+def test_bm25_postings_bucket_pruning_in_plan(spark, tmp_path):
+    """The serving scan must be partition-pruned to the query terms'
+    buckets — the scan's partitionFilters must constrain `bucket`, and
+    the number of scanned partitions must be < n_buckets."""
+    from distributed_vector_database_spark.operators.lexical import (
+        _term_bucket_py,
+        bm25_postings_search,
+        postings_write,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "lexidx2")
+    postings_write(docs, idx, n_buckets=16)
+    plan = bm25_postings_search(spark, idx, ["spark"], k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "bucket" in plan
+    # crc32 twin must agree with the JVM-side bucket assignment
+    b = _term_bucket_py("spark", 16)
+    rows = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(f"term = 'spark'")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    assert [r["bucket"] for r in rows] == [b]
 
 
 def test_streaming_term_stats_replay_is_idempotent(spark, tmp_path):

@@ -107,3 +107,15 @@ def test_sketch_profile_accuracy_vs_exact(spark, tables):
         assert abs(ap["approx_users"] / ex["users"] - 1.0) < 0.10
         # exact per-type value spread bounds the acceptable percentile drift
         assert abs(ap["p50_approx"] - ex["p50"]) <= abs(ex["p95"] - ex["p50"]) * 0.25 + 1e-6
+
+
+def test_sketch_profile_percentile_column_names_round(spark, tables):
+    """float p*100 truncates (int(0.29*100) == 28): names must round."""
+    from distributed_vector_database_spark.operators.relational import (
+        sketch_profile,
+    )
+
+    cols = sketch_profile(
+        tables["events"], percentiles=(0.29, 0.57, 0.95)
+    ).columns
+    assert {"p29_approx", "p57_approx", "p95_approx"} <= set(cols)

@@ -141,6 +141,49 @@ def test_buffered_put_coalesces_files(spark, tmp_path):
     assert s.count() == 5
 
 
+def test_auto_compaction_bounds_log_files(spark, tmp_path):
+    """A high single-record put rate at buffer_rows=1 must not accrue an
+    unbounded tail of one-row log files: once the changelog hits
+    auto_compact_files, the next write folds it into a snapshot (the
+    reference's checkpoint-every-2k-puts cadence,
+    src/datanode/handler.py:313-317). Put count >> threshold -> file
+    count stays below the threshold and the resolved state is
+    unchanged. (The invariant is count-based; a 500-put run at the
+    default threshold 64 passes identically but costs ~9 min of
+    single-record Spark jobs, so CI drives 100 puts at threshold 16.)"""
+    import glob
+
+    from distributed_vector_database_spark.streaming.compaction import (
+        latest_version,
+    )
+
+    root = str(tmp_path / "auto")
+    s = VectorStore(spark, root, dim=DIM, auto_compact_files=16)
+    for i in range(100):
+        s.put(f"k{i % 20}", [float(i)] * DIM)
+    n_files = len(glob.glob(f"{root}/changelog/*.parquet"))
+    assert n_files < 16
+    assert latest_version(f"{root}/snapshot") >= 0  # compaction really ran
+    assert s.count() == 20
+    assert s.get("k19")["vector"] == [99.0] * DIM  # newest write wins
+    assert s.get("k0")["vector"] == [80.0] * DIM
+
+
+def test_auto_compaction_disabled_with_zero(spark, tmp_path):
+    root = str(tmp_path / "noauto")
+    s = VectorStore(spark, root, dim=DIM, auto_compact_files=0)
+    for i in range(5):
+        s.put(f"k{i}", [float(i)] * DIM)
+    import glob
+
+    from distributed_vector_database_spark.streaming.compaction import (
+        latest_version,
+    )
+
+    assert len(glob.glob(f"{root}/changelog/*.parquet")) == 5
+    assert latest_version(f"{root}/snapshot") < 0
+
+
 def test_compacted_point_lookup_filter_reaches_scan(store):
     """The compacted snapshot is key-ordered; a point lookup's key
     predicate must be PUSHED into the parquet scan so row-group
