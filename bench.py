@@ -55,6 +55,8 @@ HEADLINE = [
     "chunk_documents",
     "ngram_jaccard_scale",
     "training_pipeline",
+    "bm25_postings_topk",
+    "ann_ivf_filtered",
 ]
 
 

@@ -253,34 +253,16 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def postings_write(
-    docs: DataFrame,
-    path: str,
-    n_buckets: int = 64,
-    doc_col: str = "doc_id",
-    text_col: str = "text",
-) -> None:
-    """Build a term-BUCKETED posting-list index on disk: one explode +
-    one shuffle at INDEX time so that serving never scans the corpus.
-
-    Layout: `{path}/postings/bucket=H/` holds rows
-    (term, doc_id, tf, dl) for every term with crc32(term) % n_buckets
-    == H; `{path}/corpus/` is a 1-row summary (n_docs, total_tokens,
-    n_buckets). A query for `q` terms reads ONLY the <=q bucket
-    directories (partition-pruned) further filtered to the exact terms
-    (predicate pushed to parquet) — at 100 TB a rare-term query touches
-    megabytes of postings instead of the whole corpus, which is the
-    whole point of an inverted index. df per term is derivable from the
-    pruned slice itself (count of postings rows), so serving needs no
-    separate stats table.
-
-    The build cost — tokenize, explode, one (term, doc) aggregation —
-    is the classic inverted-index shuffle, paid once per (re)build and
-    deliberately kept OUT of bm25_search's query path."""
-    toks = docs.select(
-        F.col(doc_col), tokenize(text_col).alias("__toks")
-    ).withColumn("__dl", F.size("__toks"))
-    postings = (
+def _postings_rows(
+    toks: DataFrame, doc_col: str, n_buckets: int, aid: str
+) -> DataFrame:
+    """(term, doc, tf, dl, bucket, aid) rows from a tokenized frame —
+    shared by the full build and the incremental append. `aid` is the
+    write-attempt id: rows become VISIBLE only once a matching marker
+    is published (see _publish), which is what makes appends replay-
+    safe — an interrupted attempt's rows stay on disk but are never
+    served."""
+    return (
         toks.select(
             doc_col, F.col("__dl").alias("dl"), F.explode("__toks").alias("term")
         )
@@ -292,15 +274,155 @@ def postings_write(
                 "int"
             ),
         )
+        .withColumn("aid", F.lit(aid))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
-    toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__dl").alias("total_tokens"),
-        F.lit(n_buckets).alias("n_buckets"),
+
+
+def _applied_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "applied")
+
+
+def _publish(path: str, aid: str, batch_id, n_docs: int, total_tokens: int) -> None:
+    """Publish an attempt: one small atomic-enough JSON marker written
+    AFTER the postings land. Marker presence makes the attempt's rows
+    servable and carries the corpus-totals delta, so the summary needs
+    no separate mutable file (summing markers is exact under replay —
+    an unpublished attempt contributes neither rows nor totals)."""
+    import json
+    import os
+
+    d = _applied_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{aid}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "aid": aid,
+                "batch_id": batch_id,
+                "n_docs": int(n_docs),
+                "total_tokens": int(total_tokens),
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(d, f"{aid}.json"))
+
+
+def _applied_markers(path: str) -> list[dict]:
+    import json
+    import os
+
+    d = _applied_dir(path)
+    out = []
+    try:
+        names = sorted(os.listdir(d))
+    except FileNotFoundError:
+        return out
+    for n in names:
+        if n.endswith(".json") and not n.startswith("."):
+            with open(os.path.join(d, n)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def postings_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build a term-BUCKETED posting-list index on disk: one explode +
+    one shuffle at INDEX time so that serving never scans the corpus.
+
+    Layout: `{path}/postings/bucket=H/` holds rows
+    (term, doc_id, tf, dl, aid) for every term with crc32(term) %
+    n_buckets == H; `{path}/corpus/` is a 1-row config (n_buckets);
+    `{path}/applied/` holds one JSON marker per PUBLISHED write attempt
+    carrying its corpus-totals delta. A query for `q` terms reads ONLY
+    the <=q bucket directories (partition-pruned) further filtered to
+    the exact terms (predicate pushed to parquet) — at 100 TB a
+    rare-term query touches megabytes of postings instead of the whole
+    corpus, which is the whole point of an inverted index. df per term
+    is derivable from the pruned slice itself (count of postings rows),
+    so serving needs no separate stats table.
+
+    Write-audit-publish: rows are stamped with a write-attempt id and
+    only served once the attempt's marker exists — so an append that
+    crashes mid-write leaves invisible orphans, not duplicates, and a
+    replayed streaming batch is detected by its batch_id (see
+    postings_append / streaming.lexical_postings).
+
+    The build cost — tokenize, explode, one (term, doc) aggregation —
+    is the classic inverted-index shuffle, paid once per (re)build and
+    deliberately kept OUT of bm25_search's query path."""
+    import shutil
+
+    toks = docs.select(
+        F.col(doc_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    # full rebuild: clear any previous markers, then base attempt
+    shutil.rmtree(_applied_dir(path), ignore_errors=True)
+    _postings_rows(toks, doc_col, n_buckets, "base").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    docs.sparkSession.createDataFrame(
+        [(n_buckets,)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus")
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("t")
+    ).collect()[0]
+    _publish(path, "base", None, totals["n"], totals["t"] or 0)
+
+
+def postings_append(
+    docs_batch: DataFrame,
+    path: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> bool:
+    """Incremental posting-list maintenance: index a batch of NEW
+    documents into an existing postings_write layout — O(batch) work
+    (tokenize + explode + append into the same crc32 buckets), no touch
+    of already-indexed postings, same continual-ingest contract as
+    minhash_lsh_pairs_incremental / merge_term_stats.
+
+    df per term needs no explicit update: serving counts posting rows,
+    and the appended rows ARE the df increment; corpus totals ride the
+    publish marker.
+
+    Replay safety (at-least-once callers, e.g. foreachBatch): pass the
+    micro-batch's `batch_id`. A batch whose id already has a published
+    marker is SKIPPED (returns False); a batch that previously crashed
+    mid-append left rows under an unpublished attempt id, which are
+    never served — the retry appends under a fresh attempt id and
+    publishes that one. Exactly-once serving over at-least-once
+    storage (write-audit-publish).
+
+    Caller contract: batch doc ids must be NEW (re-ingesting an id
+    would duplicate its postings — dedup upstream, e.g. exact_dedup or
+    an anti-join against indexed ids)."""
+    import uuid
+
+    if batch_id is not None:
+        if any(m.get("batch_id") == batch_id for m in _applied_markers(path)):
+            return False
+    corpus = docs_batch.sparkSession.read.parquet(f"{path}/corpus").collect()[0]
+    n_buckets = int(corpus["n_buckets"])
+    aid = uuid.uuid4().hex[:16]
+    toks = docs_batch.select(
+        F.col(doc_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    _postings_rows(toks, doc_col, n_buckets, aid).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("t")
+    ).collect()[0]
+    _publish(path, aid, batch_id, totals["n"], totals["t"] or 0)
+    return True
 
 
 def bm25_postings_search(
@@ -319,15 +441,23 @@ def bm25_postings_search(
     (round(score,6) DESC, doc_id) ordering).
 
     Plan shape: bucket partition-pruning + term predicate pushdown cut
-    the scan to the query terms' posting rows; df comes from a window
-    count over that same slice; one groupBy(doc) sums term
-    contributions; TakeOrderedAndProject emits the top-k."""
+    the scan to the query terms' posting rows (further filtered to
+    PUBLISHED attempt ids); df comes from a window count over that same
+    slice; one groupBy(doc) sums term contributions;
+    TakeOrderedAndProject emits the top-k. Corpus totals are the sum of
+    the publish markers — exact under crashed/replayed appends."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
-    corpus = spark.read.parquet(f"{path}/corpus").collect()[0]
-    n_docs, total_tokens = int(corpus["n_docs"]), int(corpus["total_tokens"])
-    n_buckets = int(corpus["n_buckets"])
+    n_buckets = int(
+        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
+    )
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    n_docs = sum(m["n_docs"] for m in markers)
+    total_tokens = sum(m["total_tokens"] for m in markers)
+    aids = sorted(m["aid"] for m in markers)
     avgdl = total_tokens / n_docs if n_docs else 1.0
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
 
@@ -335,6 +465,7 @@ def bm25_postings_search(
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
+        .filter(F.col("aid").isin(aids))
     )
     # df(t) = number of postings rows for t within the pruned slice
     w = Window.partitionBy("term")

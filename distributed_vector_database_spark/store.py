@@ -435,12 +435,19 @@ class VectorStore:
         except Exception:
             return 0
 
-    def rebuild_index(self, n_centroids: int = 16, seed: int = 42) -> int:
+    def rebuild_index(
+        self, n_centroids: int | str = 16, seed: int = 42
+    ) -> int:
         """Full index rebuild from compacted state (O14 analog for the
         ANN side). Writes version v+1 of the centroid-partitioned layout
-        + the centroid table; returns the new version."""
+        + the centroid table; returns the new version.
+
+        n_centroids="auto" sizes the quantizer from the corpus
+        (ivf_build_auto: sqrt-n cells, sampled training, fat-cell
+        splitting) instead of a fixed guess."""
         from distributed_vector_database_spark.operators.ann import (
             ivf_build,
+            ivf_build_auto,
             ivf_write,
         )
 
@@ -448,11 +455,13 @@ class VectorStore:
         log = self._log()
         log_ops = 0 if log.isEmpty() else log.count()
         state = self.state().filter(F.col("vector").isNotNull())
-        centroids, assigned = ivf_build(
-            state.select("key", F.col("vector").alias("embedding")),
-            n_centroids=n_centroids,
-            seed=seed,
-        )
+        vectors = state.select("key", F.col("vector").alias("embedding"))
+        if n_centroids == "auto":
+            centroids, assigned, _ = ivf_build_auto(vectors, seed=seed)
+        else:
+            centroids, assigned = ivf_build(
+                vectors, n_centroids=n_centroids, seed=seed
+            )
         v = latest_version(data_dir) + 1
         # igen = index generation (epoch ms at write): lets index_search
         # deterministically prefer the newest row when appends re-wrote a key
@@ -604,10 +613,20 @@ class VectorStore:
     def _compact_inner(self) -> int:
         new_state = self.state()
         v = latest_version(self._snap_dir) + 1
-        (
-            new_state.repartitionByRange(
-                max(new_state.rdd.getNumPartitions(), 1), "key"
+        # snapshot file count from the optimizer's size estimate (one
+        # file per ~maxPartitionBytes), not an RDD-lineage probe; floor 1
+        try:
+            size = int(
+                new_state._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
+        except Exception:
+            size = 0
+        # cap scales with the cluster (4 waves), so a join-inflated or
+        # sentinel (8 EB) estimate can't explode into tiny-file spray
+        cap = self.spark.sparkContext.defaultParallelism * 4
+        n_parts = max(1, min(size // (128 * 1024 * 1024) + 1, cap))
+        (
+            new_state.repartitionByRange(n_parts, "key")
             .sortWithinPartitions("key")
             .write.mode("overwrite")
             .parquet(f"{self._snap_dir}/v={v}")

@@ -332,6 +332,111 @@ def test_bm25_postings_search_equals_inline(spark, tmp_path):
         assert served == inline, f"query {q}"
 
 
+def test_bm25_postings_append_equals_full_rebuild(spark, tmp_path):
+    """Index half the corpus, postings_append the other half: serving
+    must equal bm25_search over the full corpus (df increments ride the
+    appended rows; the corpus summary folds the batch totals)."""
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_postings_search,
+        postings_append,
+        postings_write,
+    )
+
+    first = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k < 2], ["doc_id", "text"]
+    )
+    second = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k >= 2], ["doc_id", "text"]
+    )
+    dall = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "incr_idx")
+    postings_write(first, idx, n_buckets=8)
+    assert postings_append(second, idx, batch_id=1) is True
+    for q in (["spark", "join"], ["filter"]):
+        inline = [(r["doc_id"], r["score"])
+                  for r in bm25_search(dall, q, k=10).collect()]
+        served = [(r["doc_id"], r["score"])
+                  for r in bm25_postings_search(spark, idx, q, k=10).collect()]
+        assert served == inline, f"query {q}"
+
+
+def test_bm25_postings_append_replay_and_orphans_invisible(spark, tmp_path):
+    """Write-audit-publish: a replayed batch_id is skipped; rows from a
+    crashed (unpublished) attempt are never served."""
+    from distributed_vector_database_spark.operators import lexical as lx
+
+    first = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k < 2], ["doc_id", "text"]
+    )
+    second = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k >= 2], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "replay_idx")
+    lx.postings_write(first, idx, n_buckets=8)
+    assert lx.postings_append(second, idx, batch_id=7) is True
+    baseline = [(r["doc_id"], r["score"]) for r in
+                lx.bm25_postings_search(spark, idx, ["spark", "join"], k=10).collect()]
+    # replay of batch 7 (at-least-once delivery): no-op
+    assert lx.postings_append(second, idx, batch_id=7) is False
+    again = [(r["doc_id"], r["score"]) for r in
+             lx.bm25_postings_search(spark, idx, ["spark", "join"], k=10).collect()]
+    assert again == baseline
+
+    # crashed attempt: rows appended under an aid that never published
+    toks = second.select("doc_id", lx.tokenize("text").alias("__toks"))
+    toks = toks.withColumn("__dl", lx.F.size("__toks"))
+    lx._postings_rows(toks, "doc_id", 8, "deadbeef").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{idx}/postings")
+    after_orphans = [(r["doc_id"], r["score"]) for r in
+                     lx.bm25_postings_search(spark, idx, ["spark", "join"], k=10).collect()]
+    assert after_orphans == baseline  # orphan rows invisible
+
+
+def test_streaming_postings_maintenance(spark, tmp_path):
+    """Micro-batches folded through run_postings_stream must serve BM25
+    identical to the inline corpus-scan path over the full corpus."""
+    import json
+
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_postings_search,
+        postings_write,
+    )
+    from distributed_vector_database_spark.streaming.lexical_postings import (
+        run_postings_stream,
+    )
+
+    # base index over the first doc; docs 1.. arrive via the stream
+    base = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k < 1], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "stream_idx")
+    postings_write(base, idx, n_buckets=8)
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    (docs_dir / "b1.json").write_text(
+        "".join(json.dumps({"doc_id": k, "text": v}) + "\n"
+                for k, v in CORPUS.items() if 1 <= k < 3)
+    )
+    (docs_dir / "b2.json").write_text(
+        "".join(json.dumps({"doc_id": k, "text": v}) + "\n"
+                for k, v in CORPUS.items() if k >= 3)
+    )
+    q = run_postings_stream(
+        spark, str(docs_dir), idx, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    dall = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    inline = [(r["doc_id"], r["score"])
+              for r in bm25_search(dall, ["spark", "join"], k=10).collect()]
+    served = [(r["doc_id"], r["score"])
+              for r in bm25_postings_search(spark, idx, ["spark", "join"], k=10).collect()]
+    assert served == inline
+
+
 def test_bm25_postings_bucket_pruning_in_plan(spark, tmp_path):
     """The serving scan must be partition-pruned to the query terms'
     buckets — the scan's partitionFilters must constrain `bucket`, and

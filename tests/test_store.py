@@ -250,6 +250,19 @@ def test_index_append_makes_batch_searchable(store, spark):
     assert [r["key"] for r in hits] == ["new0", "new1"]
 
 
+def test_rebuild_index_auto_sizing(store, spark):
+    """n_centroids='auto' sizes the quantizer from the corpus and the
+    index still serves exact results under full probing."""
+    recs = [(f"k{i}", [float(i % 9), float(i % 4), 1.0, 0.0]) for i in range(120)]
+    store.put_batch(spark.createDataFrame(recs, "key string, vector array<double>"))
+    v = store.rebuild_index(n_centroids="auto")
+    assert v == 0
+    got = store.index_search([0.0, 0.0, 1.0, 0.0], top_k=5, nprobe=10**9).collect()
+    assert len(got) == 5
+    brute = store.search([0.0, 0.0, 1.0, 0.0], top_k=5)
+    assert [r["key"] for r in got] == [r["key"] for r in brute.collect()]
+
+
 def test_index_search_requires_build(store):
     with pytest.raises(ValueError, match="no index built"):
         store.index_search([0.0] * 4, top_k=3)
