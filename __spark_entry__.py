@@ -606,6 +606,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf_topk"] = hybrid_rrf_topk_q
 
+    def hybrid_rrf_served_q(spark, sf):
+        # the SERVING-shape hybrid: lexical leg answered from the
+        # bucketed posting-list index (no corpus scan), vector leg
+        # exact; fusion identical — hash-matches the same oracle as
+        # hybrid_rrf_topk because bm25_postings_search reproduces
+        # bm25_search bit-for-bit
+        import tempfile
+
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_postings_search,
+            hybrid_rrf,
+            postings_write,
+        )
+
+        idx = tempfile.mkdtemp(prefix="dvdb_lexidx_h_")
+        postings_write(load_table(spark, sf, "documents"), idx, n_buckets=32)
+        lex = bm25_postings_search(
+            spark, idx, BM25_TERMS, k=HYBRID_POOL, k1=BM25_K1, b=BM25_B
+        )
+        vec = knn_exact(
+            _emb(spark, sf), _query_vec(spark, sf), k=HYBRID_POOL, extra_cols=()
+        ).withColumnRenamed("vec_id", "doc_id")
+        return hybrid_rrf(
+            lex, vec, k=10, c=RRF_C, ascending_a=False, ascending_b=True
+        )
+
+    q["hybrid_rrf_served"] = hybrid_rrf_served_q
+
     def hybrid_linear_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -1137,7 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
         "ann_ivf_filtered_exact",  # round-6 filtered-IVF anchor
-        "simhash_dedup",
+        "hybrid_rrf_served",  # round-6 posting-list-served hybrid
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
@@ -1150,7 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats", "lang_profile", "quality_filter", "lang_id_ngram",
         "pack_documents",
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
-        "embedding_near_dup",
+        "simhash_dedup", "embedding_near_dup",
         # --- tier 3: rows-only by design ---
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
@@ -1513,6 +1541,9 @@ fused AS (
 SELECT doc_id, round(s, 6) AS rrf_score FROM fused
 ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
+
+    # the posting-list-served hybrid must produce the identical fusion
+    o["hybrid_rrf_served"] = o["hybrid_rrf_topk"]
 
     o["hybrid_linear_topk"] = f"""
 WITH {_bm25_ctes(HYBRID_POOL)},

@@ -425,6 +425,48 @@ def postings_append(
     return True
 
 
+def postings_compact(spark, path: str) -> int:
+    """Compact a postings index: rewrite the bucket layout keeping only
+    PUBLISHED attempts' rows (dropping crashed-attempt orphans and
+    merging the small files a long append history accrues), fold every
+    publish marker into a single base marker. Serving is identical
+    before and after; what changes is file count and the orphan debt.
+    The continual-ingest lifecycle is append* -> compact, same cadence
+    story as the store's changelog compaction. Returns the number of
+    live posting rows kept.
+
+    Not concurrency-safe with in-flight appends (run it from the same
+    maintenance owner as the streaming fold, e.g. between triggers)."""
+    import shutil
+    import uuid
+
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    aids = sorted(m["aid"] for m in markers)
+    n_docs = sum(m["n_docs"] for m in markers)
+    total_tokens = sum(m["total_tokens"] for m in markers)
+    new_base = "base-" + uuid.uuid4().hex[:8]
+    live = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("aid").isin(aids))
+        .withColumn("aid", F.lit(new_base))
+    )
+    # write-audit-publish for the compaction itself: land the rewrite in
+    # a fresh dir, then swap dirs and publish the folded marker
+    live.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings_compacting"
+    )
+    n = int(
+        spark.read.parquet(f"{path}/postings_compacting").count()
+    )
+    shutil.rmtree(f"{path}/postings")
+    shutil.move(f"{path}/postings_compacting", f"{path}/postings")
+    shutil.rmtree(_applied_dir(path), ignore_errors=True)
+    _publish(path, new_base, None, n_docs, total_tokens)
+    return n
+
+
 def bm25_postings_search(
     spark,
     path: str,

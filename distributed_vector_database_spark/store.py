@@ -167,10 +167,17 @@ class VectorStore:
         ts, seq = self._next_ts_seq()
         self._append_log([(OP_PUT, str(key), vec, metadata or {}, ts, seq)])
 
-    def put_batch(self, records: DataFrame) -> None:
+    def put_batch(self, records: DataFrame, auto_index: bool = True) -> None:
         """Batch ingest (O21): DataFrame with (key, vector[, metadata]).
         Dim-mismatched rows are rejected wholesale (fail-fast, unlike the
         reference's silent per-file skip at clip/db_operation.py:100-121).
+
+        `auto_index`: when an IVF index exists, the batch is also routed
+        into it (index_append — O(batch), no retrain), mirroring the
+        reference's put path which inserts into the live HNSW index
+        immediately (src/datanode/handler.py:253-261); the batch is ANN-
+        searchable without waiting for a rebuild. False defers to the
+        rebuild cadence.
 
         Log contract: the changelog records ONE row per key per batch —
         duplicate keys within a batch are resolved BEFORE the write
@@ -226,6 +233,10 @@ class VectorStore:
         )
         log.write.mode("append").parquet(self._log_dir)
         self._maybe_auto_compact()
+        if auto_index:
+            data_dir, _, _ = self._index_dirs()
+            if latest_version(data_dir) >= 0:
+                self.index_append(records.select("key", "vector"))
 
     def delete(self, key: str) -> None:
         """Tombstone a key (O2)."""
@@ -373,6 +384,22 @@ class VectorStore:
 
     def count(self) -> int:
         return self.state().count()
+
+    def stats(self) -> dict:
+        """Operational snapshot of the store's physical state — the
+        numbers an operator watches to decide compaction/rebuild
+        cadence (the engine-side analog of a serving node's health
+        endpoint): live key count, changelog fragmentation, snapshot /
+        index versions, pending buffered ops."""
+        data_dir, _, _ = self._index_dirs()
+        return {
+            "n_keys": self.count(),
+            "log_files": self._log_file_count(),
+            "buffered_ops": len(self._buf),
+            "snapshot_version": latest_version(self._snap_dir),
+            "index_version": latest_version(data_dir),
+            "dim": self.dim,
+        }
 
     # -- ANN index maintenance ---------------------------------------------
     #

@@ -393,6 +393,38 @@ def test_bm25_postings_append_replay_and_orphans_invisible(spark, tmp_path):
     assert after_orphans == baseline  # orphan rows invisible
 
 
+def test_postings_compact_preserves_serving_and_drops_orphans(spark, tmp_path):
+    """append* -> compact: serving identical, orphan rows physically
+    gone, markers folded to one."""
+    from distributed_vector_database_spark.operators import lexical as lx
+
+    first = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k < 2], ["doc_id", "text"]
+    )
+    second = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items() if k >= 2], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "cmp_idx")
+    lx.postings_write(first, idx, n_buckets=8)
+    lx.postings_append(second, idx, batch_id=1)
+    # plant a crashed attempt
+    toks = second.select("doc_id", lx.tokenize("text").alias("__toks"))
+    toks = toks.withColumn("__dl", lx.F.size("__toks"))
+    lx._postings_rows(toks, "doc_id", 8, "orphan1").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{idx}/postings")
+
+    before = [(r["doc_id"], r["score"]) for r in
+              lx.bm25_postings_search(spark, idx, ["spark", "join"], k=10).collect()]
+    kept = lx.postings_compact(spark, idx)
+    after = [(r["doc_id"], r["score"]) for r in
+             lx.bm25_postings_search(spark, idx, ["spark", "join"], k=10).collect()]
+    assert after == before
+    assert len(lx._applied_markers(idx)) == 1  # folded to one base marker
+    total_rows = spark.read.parquet(f"{idx}/postings").count()
+    assert total_rows == kept  # orphan rows physically dropped
+
+
 def test_streaming_postings_maintenance(spark, tmp_path):
     """Micro-batches folded through run_postings_stream must serve BM25
     identical to the inline corpus-scan path over the full corpus."""

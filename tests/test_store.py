@@ -169,6 +169,22 @@ def test_auto_compaction_bounds_log_files(spark, tmp_path):
     assert s.get("k0")["vector"] == [80.0] * DIM
 
 
+def test_store_stats(store):
+    s0 = store.stats()
+    assert s0 == {
+        "n_keys": 0, "log_files": 0, "buffered_ops": 0,
+        "snapshot_version": -1, "index_version": -1, "dim": DIM,
+    }
+    store.put("a", [1.0, 0.0, 0.0, 0.0])
+    store.put("b", [0.0, 1.0, 0.0, 0.0])
+    s1 = store.stats()
+    assert s1["n_keys"] == 2 and s1["log_files"] == 2
+    store.compact()
+    s2 = store.stats()
+    assert s2["log_files"] == 0 and s2["snapshot_version"] == 0
+    assert s2["n_keys"] == 2
+
+
 def test_auto_compaction_disabled_with_zero(spark, tmp_path):
     root = str(tmp_path / "noauto")
     s = VectorStore(spark, root, dim=DIM, auto_compact_files=0)
@@ -248,6 +264,27 @@ def test_index_append_makes_batch_searchable(store, spark):
     store.index_append(new)
     hits = store.index_search([100.4, 0.0, 0.0, 1.0], top_k=2, nprobe=4).collect()
     assert [r["key"] for r in hits] == ["new0", "new1"]
+
+
+def test_put_batch_auto_indexes_when_index_exists(store, spark):
+    """With an index built, put_batch routes the batch into it (the
+    reference's index-on-put path): new keys are index-searchable
+    without a rebuild."""
+    base = [(f"k{i}", [float(i), 0.0, 0.0, 0.0]) for i in range(20)]
+    store.put_batch(spark.createDataFrame(base, "key string, vector array<double>"))
+    store.rebuild_index(n_centroids=4)
+    fresh = [("new0", [100.0, 0.0, 0.0, 0.0])]
+    store.put_batch(spark.createDataFrame(fresh, "key string, vector array<double>"))
+    got = store.index_search([100.0, 0.0, 0.0, 0.0], top_k=1, nprobe=10**9).collect()
+    assert [r["key"] for r in got] == ["new0"]
+    # auto_index=False defers: a second new key is NOT in the index
+    store.put_batch(
+        spark.createDataFrame([("new1", [200.0, 0.0, 0.0, 0.0])],
+                              "key string, vector array<double>"),
+        auto_index=False,
+    )
+    got2 = store.index_search([200.0, 0.0, 0.0, 0.0], top_k=1, nprobe=10**9).collect()
+    assert [r["key"] for r in got2] != ["new1"]
 
 
 def test_rebuild_index_auto_sizing(store, spark):
