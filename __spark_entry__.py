@@ -1073,6 +1073,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_topk_exact"] = ann_pq_topk_exact_q
 
+    def ann_hnsw_topk_exact_q(spark, sf):
+        # per-partition HNSW graph (the reference's own algorithm,
+        # operators/hnsw.py — pure numpy, no hnswlib) in its exhaustive
+        # degenerate mode: ef >= partition rows makes the beam search
+        # visit every node, so the kernel takes the vectorized exact
+        # scan — hash-matched against the brute-force oracle, same
+        # kernel-parity pattern as the other ann_*_exact anchors
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_partition_topk,
+        )
+
+        return hnsw_partition_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, ef=10**9
+        )
+
+    q["ann_hnsw_topk_exact"] = ann_hnsw_topk_exact_q
+
+    def ann_hnsw_topk_q(spark, sf):
+        # the real graph path: 4 shards (the reference's one-index-per-
+        # data-node layout — the build parallelizes across shards), each
+        # builds an HNSW graph (M=16, ef_construction=128) and beam-
+        # searches with ef=64 < shard rows; rows carry in-plan recall@10
+        # vs the exact kernel
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_partition_topk,
+        )
+
+        res = hnsw_partition_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, m=16, ef=64, num_shards=4
+        )
+        return _with_recall(res, spark, sf)
+
+    q["ann_hnsw_topk"] = ann_hnsw_topk_q
+
     def ann_ivf_knn_join_q(spark, sf):
         # large-x-large approximate k-NN join (shared coarse quantizer,
         # neither side collected/broadcast) forced onto its clustered
@@ -1160,7 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "asof_join", "events_with_prev", "distinct_user_counts",
         "event_value_percentiles",
-        "events_tumbling", "events_sliding", "events_sessions",
+        "events_tumbling", "events_sessions",
+        "ann_hnsw_topk_exact",  # round-6 numpy-HNSW anchor (0 prior rows)
         "hash_sample", "stratified_sample",
         "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
@@ -1170,7 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
-        "dedup_by_key",
+        "dedup_by_key", "events_sliding",
         "scan_filter_project", "pricing_summary", "top_orders_by_segment",
         "regional_revenue",
         "customer_order_ranks", "nations_set_ops",
@@ -1183,7 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_ivf_knn_join", "text_to_doc_search",
+        "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
+        "text_to_doc_search",
         "multimodal_embed",
     ]
     # queries not yet in the list run after every ordered entry (never
@@ -1438,6 +1474,7 @@ SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
+    o["ann_hnsw_topk_exact"] = _knn_nolabel
 
     # pure-expression text embedding (semantic.expr_text_embed): the
     # same md5-projection + L2-normalize, term for term

@@ -57,6 +57,7 @@ HEADLINE = [
     "training_pipeline",
     "bm25_postings_topk",
     "ann_ivf_filtered",
+    "ann_hnsw_topk",
 ]
 
 

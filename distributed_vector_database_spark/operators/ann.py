@@ -2,9 +2,12 @@
 brute-force oracle in operators/knn.py.
 
 The reference's ANN is a per-node HNSW graph (hnswlib, M=32,
-ef_construction=128, src/datanode/handler.py:46,86-88). hnswlib is not
-available in this environment, so the Spark-native ANN surface is:
+ef_construction=128, src/datanode/handler.py:46,86-88). The Spark-native
+ANN surface is:
 
+0. `hnsw_partition_ann` — the reference's algorithm itself, one HNSW
+   graph per partition, implemented in pure numpy (operators/hnsw.py) so
+   it needs no native hnswlib dependency.
 1. `lsh_model` / `lsh_ann` — MLlib BucketedRandomProjectionLSH
    (random-hyperplane bucketing; approxNearestNeighbors for one query,
    approxSimilarityJoin for k-NN join). This is the "DataFrame-based
@@ -103,59 +106,27 @@ def hnsw_partition_ann(
     vec_col: str = "embedding",
     m: int = 32,
     ef_construction: int = 128,
+    ef: int | None = None,
 ):
-    """Per-partition HNSW ANN — the reference's actual index (hnswlib,
-    M=32, ef_construction=128, ef=max(50, 2k),
-    src/datanode/handler.py:46,86-88,360-361) built inside mapInPandas,
-    reusing the knn_sharded merge shape: each partition builds/queries a
-    local graph over its rows and emits ≤ 2k candidates (the reference's
-    over-fetch, src/datanode/handler.py:364); the global
-    orderBy(score).limit(k) merges.
+    """Per-partition HNSW ANN — the reference's actual index algorithm
+    (hnswlib defaults M=32, ef_construction=128, ef=max(50, 2k),
+    src/datanode/handler.py:46,86-88,360-361), served by the pure-numpy
+    graph in operators/hnsw.py (no native dependency needed): each
+    partition builds/queries a local HNSW graph over its rows and emits
+    ≤ 2k candidates (the reference's over-fetch, handler.py:364); the
+    global orderBy(score).limit(k) merges."""
+    from distributed_vector_database_spark.operators.hnsw import hnsw_partition_topk
 
-    hnswlib is not installed in this container — the plumbing is real,
-    the import is gated (same contract as the CLIP embedder)."""
-    try:
-        import hnswlib  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "hnswlib not available in this environment; use knn_exact / "
-            "lsh_ann / ivf_search. On a cluster with hnswlib, this "
-            "builds one graph per partition inside mapInPandas."
-        ) from e
-
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    from distributed_vector_database_spark.operators.knn import SCORE_DECIMALS
-
-    qlist = [float(v) for v in query_vec]
-    dim = len(qlist)
-    fetch = 2 * k
-    key_type = dict(df.dtypes)[key_col]
-
-    def local_ann(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hnswlib
-
-        rows = pd.concat(list(batches), ignore_index=True)
-        if rows.empty:
-            return
-        mat = np.stack(rows[vec_col].to_numpy()).astype(np.float32)
-        index = hnswlib.Index(space="l2", dim=dim)
-        index.init_index(max_elements=len(rows), M=m, ef_construction=ef_construction)
-        index.add_items(mat, np.arange(len(rows)))
-        kk = min(fetch, len(rows))
-        index.set_ef(max(50, 2 * kk))
-        ids, dists = index.knn_query(np.asarray(qlist, dtype=np.float32), k=kk)
-        out = rows.iloc[ids[0]][[key_col]].copy()
-        out["score"] = np.round(dists[0].astype(np.float64), SCORE_DECIMALS)
-        yield out
-
-    local = df.select(key_col, vec_col).mapInPandas(
-        local_ann, schema=f"{key_col} {key_type}, score double"
+    return hnsw_partition_topk(
+        df,
+        query_vec,
+        k=k,
+        key_col=key_col,
+        vec_col=vec_col,
+        m=m,
+        ef_construction=ef_construction,
+        ef=ef,
     )
-    return local.orderBy("score", key_col).limit(k)
 
 
 def ivf_build(

@@ -1,0 +1,531 @@
+"""Per-partition HNSW graph ANN — the reference's actual index algorithm
+(hnswlib with M=32, ef_construction=128, ef=max(50, 2k);
+/root/reference/src/datanode/handler.py:46,86-88,360-364), implemented
+in pure numpy so it runs without the native hnswlib dependency.
+
+`HnswIndex` is a faithful single-machine implementation of the HNSW
+paper (Malkov & Yashunin, "Efficient and robust approximate nearest
+neighbor search using Hierarchical Navigable Small World graphs", IEEE
+TPAMI 2018): exponentially-distributed layer assignment, greedy descent
+through upper layers, ef-bounded beam search at layer 0, and the
+paper's Algorithm-4 neighbor-selection heuristic (a candidate closer to
+an already-selected neighbor than to the inserted point is skipped),
+which is what hnswlib ships by default.
+
+The Spark operator `hnsw_partition_topk` mirrors the reference's
+deployment shape: one graph per partition (≈ one hnswlib index per data
+node), each partition answers with its local over-fetched top-2k
+(handler.py:364), and the global merge is the coordinator's ascending
+heap merge (orderBy(score).limit(k), src/coordinator/handler.py:201-212).
+Only ≤ 2k rows leave each partition, so at 1000 executors the merge is
+1000*2k rows regardless of corpus size; the graph build is O(n log n)
+distance evaluations per partition and never shuffles vectors.
+
+When ef >= the partition's row count the beam search would visit every
+node anyway, so the kernel switches to the exhaustive vectorized scan —
+that degenerate mode reproduces `knn_exact` bit-for-bit and is the
+hash-matched contract anchor (same kernel-parity pattern as
+ann_ivf_topk_exact / ann_sq_topk_exact).
+
+Determinism: layer levels come from a seeded generator keyed by the
+node's position in key order, rows are inserted in key order, and every
+heap orders on (distance, id) — the same partition contents always
+build the same graph and return the same rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.config import DEFAULT_TOP_K, OVERFETCH
+from distributed_vector_database_spark.operators.knn import (
+    SCORE_DECIMALS,
+    _effective_k,
+)
+
+
+class HnswIndex:
+    """In-memory HNSW graph over a (n, dim) float64 matrix.
+
+    Distances are squared L2 (the engine's score contract,
+    src/coordinator/handler.py:212 — lower is better). Search returns
+    ascending (score, row_index) pairs.
+    """
+
+    def __init__(self, m: int = 16, ef_construction: int = 128, seed: int = 42):
+        import numpy as np
+
+        if m < 2:
+            raise ValueError("HNSW M must be >= 2")
+        self.m = m
+        self.m0 = 2 * m  # layer-0 degree cap, per the paper / hnswlib
+        self.ef_c = max(ef_construction, m)
+        self.mult = 1.0 / float(np.log(m))
+        self.seed = seed
+        self.vectors = None  # (n, dim) float64, set by build()
+        self._norms = None  # per-row squared norms (distance shortcut)
+        self.links: list[dict[int, list[int]]] = []  # links[level][node]
+        self.entry = -1
+        self.max_level = -1
+
+    # -- distance ---------------------------------------------------------
+
+    def _dists(self, q, ids, qq: float):
+        # |x-q|^2 = |x|^2 - 2 x·q + |q|^2 with |x|^2 precomputed and
+        # |q|^2 passed in: one BLAS matvec instead of
+        # subtract+square+reduce — this runs ~100k times per build, so
+        # per-call dispatch overhead is the build's bottleneck, not
+        # flops. Clamped at 0 (cancellation can dip epsilon-negative).
+        x = self.vectors.take(ids, axis=0)
+        d = self._norms.take(ids) - 2.0 * (x @ q) + qq
+        d[d < 0.0] = 0.0
+        return d
+
+    # -- core search (Algorithm 2) ---------------------------------------
+
+    def _search_layer(self, q, qq, entry_points, ef: int, level: int):
+        """Beam search one layer. entry_points / return value are
+        ascending-sorted lists of (dist, id)."""
+        links = self.links[level]
+        visited = {i for _, i in entry_points}
+        cand = list(entry_points)
+        heapq.heapify(cand)  # min-heap on (dist, id)
+        result = [(-d, i) for d, i in entry_points]
+        heapq.heapify(result)  # max-heap on dist (negated)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if d > -result[0][0] and len(result) >= ef:
+                break
+            fresh = [x for x in links.get(c, ()) if x not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            dists = self._dists(q, fresh, qq)
+            for dd, nn in sorted(zip(dists.tolist(), fresh)):
+                if len(result) < ef or dd < -result[0][0]:
+                    heapq.heappush(cand, (dd, nn))
+                    heapq.heappush(result, (-dd, nn))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        return sorted((-d, i) for d, i in result)
+
+    # -- neighbor selection heuristic (Algorithm 4) -----------------------
+
+    def _select(self, candidates, m: int):
+        """Keep a candidate only if it is closer to the base point than
+        to every already-selected neighbor — the diversity heuristic that
+        keeps the graph navigable across clusters (hnswlib default).
+        Pairwise candidate distances come from ONE gram-matrix call; the
+        greedy scan then reads precomputed scalars."""
+        if len(candidates) <= 1:
+            return list(candidates[:m])
+        ids = [c for _, c in candidates]
+        x = self.vectors.take(ids, axis=0)
+        n2 = self._norms.take(ids)
+        # pair[i][j] = |x_i - x_j|^2 via the gram matrix
+        pair = n2[:, None] - 2.0 * (x @ x.T) + n2[None, :]
+        selected: list[int] = []  # candidate positions
+        out: list[tuple[float, int]] = []
+        for i, (d, c) in enumerate(candidates):
+            if len(out) >= m:
+                break
+            row = pair[i]
+            if all(row[j] >= d for j in selected):
+                selected.append(i)
+                out.append((d, c))
+        return out
+
+    # -- insertion (Algorithm 1) ------------------------------------------
+
+    def _insert(self, i: int, level: int) -> None:
+        while len(self.links) <= level:
+            self.links.append({})
+        for lvl in range(level + 1):
+            self.links[lvl].setdefault(i, [])
+        if self.entry < 0:
+            self.entry, self.max_level = i, level
+            return
+        q = self.vectors[i]
+        qq = float(self._norms[i])
+        ep = [(float(self._dists(q, [self.entry], qq)[0]), self.entry)]
+        for lvl in range(self.max_level, level, -1):
+            ep = self._search_layer(q, qq, ep, 1, lvl)
+        for lvl in range(min(level, self.max_level), -1, -1):
+            w = self._search_layer(q, qq, ep, self.ef_c, lvl)
+            neighbors = self._select(w, self.m)
+            self.links[lvl][i] = [c for _, c in neighbors]
+            mmax = self.m0 if lvl == 0 else self.m
+            for d, c in neighbors:
+                lc = self.links[lvl][c]
+                lc.append(i)
+                if len(lc) > mmax:
+                    # re-prune the overflowing neighbor's list with the
+                    # same heuristic, measured from that neighbor
+                    dists = self._dists(self.vectors[c], lc, float(self._norms[c]))
+                    pruned = self._select(sorted(zip(dists.tolist(), lc)), mmax)
+                    self.links[lvl][c] = [x for _, x in pruned]
+            ep = w
+        if level > self.max_level:
+            self.entry, self.max_level = i, level
+
+    # -- public API --------------------------------------------------------
+
+    def build(self, mat) -> "HnswIndex":
+        """Insert every row of `mat` in order. Levels are drawn once from
+        a seeded generator, so the same matrix always yields the same
+        graph."""
+        import numpy as np
+
+        self.vectors = np.ascontiguousarray(mat, dtype=np.float64)
+        self._norms = np.einsum("ij,ij->i", self.vectors, self.vectors)
+        n = len(self.vectors)
+        rng = np.random.default_rng(self.seed)
+        levels = np.floor(-np.log(rng.random(n)) * self.mult).astype(np.int64)
+        for i in range(n):
+            self._insert(i, int(levels[i]))
+        return self
+
+    def search(self, q, k: int, ef: int | None = None):
+        """Top-k as ascending (squared_l2, row_index); ef defaults to
+        max(50, 2k) — the reference's serving setting
+        (src/datanode/handler.py:360-361)."""
+        import numpy as np
+
+        if self.entry < 0:
+            return []
+        q = np.asarray(q, dtype=np.float64)
+        qq = float(np.dot(q, q))
+        ef = max(ef if ef is not None else max(50, 2 * k), k)
+        ep = [(float(self._dists(q, [self.entry], qq)[0]), self.entry)]
+        for lvl in range(self.max_level, 0, -1):
+            ep = self._search_layer(q, qq, ep, 1, lvl)
+        return self._search_layer(q, qq, ep, ef, 0)[:k]
+
+
+def hnsw_partition_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_TOP_K,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ef_construction: int = 128,
+    ef: int | None = None,
+    predicate: Column | None = None,
+    num_shards: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed HNSW top-k: one numpy HNSW graph per partition, local
+    over-fetched top-2k out, global ascending merge (O5/O6 shape shared
+    with knn_sharded). Returns (key_col, score).
+
+    ef >= partition rows ⇒ the kernel's exhaustive branch — exact,
+    hash-matches knn_exact. `predicate` filters before the kernel
+    (pushed to the scan), matching the reference's search filter
+    (src/vector_db.thrift:26). `num_shards` re-shards before the build:
+    graph construction is the expensive step (O(n log n) sequential
+    inserts), so a single fat partition builds single-core while the
+    rest of the executor idles — the shard count is the build's
+    parallelism, exactly the reference's one-index-per-data-node layout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = _effective_k(k)
+    fetch = OVERFETCH * k  # per-partition over-fetch, handler.py:364
+    qlist = [float(v) for v in query_vec]
+    key_type = dict(df.dtypes)[key_col]
+
+    if predicate is not None:
+        df = df.filter(predicate)
+    proj = df.filter(F.col(vec_col).isNotNull()).select(key_col, vec_col)
+    if num_shards is not None:
+        proj = proj.repartition(num_shards, key_col)
+
+    def local_ann(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(batches), ignore_index=True)
+        if rows.empty:
+            return
+        # key order fixes insertion order ⇒ the graph (and its results)
+        # are independent of parquet batch arrival order
+        rows = rows.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        n = len(rows)
+        qv = np.asarray(qlist, dtype=np.float64)
+        mat = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+        eff_ef = max(ef if ef is not None else max(50, 2 * k), k)
+        kk = min(fetch, n)
+        if eff_ef >= n:
+            # beam would visit every node: take the exhaustive scan —
+            # exact by construction (the contract anchor's mode)
+            d = mat - qv
+            scores = np.einsum("ij,ij->i", d, d)
+            order = np.lexsort((rows[key_col].to_numpy(), scores))[:kk]
+            out = rows.iloc[order][[key_col]].copy()
+            out["score"] = np.round(scores[order], SCORE_DECIMALS)
+        else:
+            index = HnswIndex(m=m, ef_construction=ef_construction, seed=seed)
+            index.build(mat)
+            hits = index.search(qv, kk, ef=eff_ef)
+            idx = [i for _, i in hits]
+            # re-score the ≤2k winners with the exact subtract-square
+            # form: graph traversal uses the faster norm-shortcut, whose
+            # last-ulp drift must not leak into the score contract
+            d = mat[idx] - qv
+            out = rows.iloc[idx][[key_col]].copy()
+            out["score"] = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
+        yield out
+
+    local = proj.mapInPandas(local_ann, schema=f"{key_col} {key_type}, score double")
+    return local.orderBy("score", key_col).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# persisted graph index: build once, serve many
+# ---------------------------------------------------------------------------
+#
+# The reference persists its hnswlib index per data node and reloads it
+# on restart (save_index/load_index, src/datanode/handler.py:46-88) —
+# construction cost is paid once, not per query. The Spark equivalent:
+# hnsw_write materializes each shard's graph as plain parquet rows
+# (node -> vector + per-level adjacency), partitioned by shard_id;
+# hnsw_read_search reloads a shard's rows into the in-memory structure
+# (an O(n) columnar load — no O(n log n) rebuild) and beam-searches it.
+
+
+def hnsw_write(
+    df: DataFrame,
+    path: str,
+    num_shards: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ef_construction: int = 128,
+    seed: int = 42,
+) -> None:
+    """Build one HNSW graph per shard and persist graphs + vectors as a
+    shard_id-partitioned parquet layout. Build parallelism = num_shards."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+
+    proj = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(key_col, vec_col)
+        .repartition(num_shards, key_col)
+    )
+    key_type = dict(df.dtypes)[key_col]
+
+    def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(batches), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        mat = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+        index = HnswIndex(m=m, ef_construction=ef_construction, seed=seed)
+        index.build(mat)
+        n = len(rows)
+        links = [
+            [
+                [int(x) for x in index.links[lvl].get(i, [])]
+                for lvl in range(len(index.links))
+                if i in index.links[lvl]
+            ]
+            for i in range(n)
+        ]
+        yield pd.DataFrame(
+            {
+                "shard_id": TaskContext.get().partitionId(),
+                "node_idx": np.arange(n, dtype=np.int64),
+                key_col: rows[key_col].to_numpy(),
+                vec_col: [list(map(float, v)) for v in mat],
+                "links": links,
+                "entry": int(index.entry),
+                "max_level": int(index.max_level),
+            }
+        )
+
+    schema = (
+        f"shard_id int, node_idx long, {key_col} {key_type}, "
+        f"{vec_col} array<double>, links array<array<long>>, "
+        "entry long, max_level int"
+    )
+    proj.mapInPandas(build_shard, schema=schema).write.mode(
+        "overwrite"
+    ).partitionBy("shard_id").parquet(path)
+
+
+def _reconstruct(pdf, key_col: str, vec_col: str) -> "HnswIndex":
+    """Rebuild the in-memory graph from one shard's persisted rows —
+    columnar load, no edge recomputation."""
+    import numpy as np
+
+    pdf = pdf.sort_values("node_idx", kind="mergesort").reset_index(drop=True)
+    index = HnswIndex(m=2)  # m only matters for build
+    index.vectors = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    index._norms = np.einsum("ij,ij->i", index.vectors, index.vectors)
+    for i, lnks in enumerate(pdf["links"].to_numpy()):
+        for lvl, neigh in enumerate(lnks):
+            while len(index.links) <= lvl:
+                index.links.append({})
+            index.links[lvl][i] = [int(x) for x in neigh]
+    index.entry = int(pdf["entry"].iloc[0])
+    index.max_level = int(pdf["max_level"].iloc[0])
+    return index
+
+
+def hnsw_read_search(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_TOP_K,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ef: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a persisted hnsw_write layout: each shard group
+    reloads its graph and beam-searches; global ascending merge. The
+    reference's restart path (load_index + knn_query)."""
+    import numpy as np
+    import pandas as pd
+
+    k = _effective_k(k)
+    fetch = OVERFETCH * k
+    qlist = [float(v) for v in query_vec]
+    nodes = spark.read.parquet(path)
+    key_type = dict(nodes.dtypes)[key_col]
+
+    def search_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({key_col: [], "score": []})
+        index = _reconstruct(pdf, key_col, vec_col)
+        pdf = pdf.sort_values("node_idx", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        qv = np.asarray(qlist, dtype=np.float64)
+        kk = min(fetch, n)
+        eff_ef = max(ef if ef is not None else max(50, 2 * k), k)
+        if eff_ef >= n:
+            d = index.vectors - qv
+            scores = np.einsum("ij,ij->i", d, d)
+            order = np.lexsort((pdf[key_col].to_numpy(), scores))[:kk]
+            out = pdf.iloc[order][[key_col]].copy()
+            out["score"] = np.round(scores[order], SCORE_DECIMALS)
+            return out
+        hits = index.search(qv, kk, ef=eff_ef)
+        idx = [i for _, i in hits]
+        d = index.vectors[idx] - qv
+        out = pdf.iloc[idx][[key_col]].copy()
+        out["score"] = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
+        return out
+
+    local = nodes.groupBy("shard_id").applyInPandas(
+        search_shard, schema=f"{key_col} {key_type}, score double"
+    )
+    return local.orderBy("score", key_col).limit(k)
+
+
+def hnsw_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    query_key: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_key: str = "vec_id",
+    corpus_vec: str = "embedding",
+    m: int = 16,
+    ef_construction: int = 128,
+    ef: int | None = None,
+    num_shards: int | None = None,
+    max_query_rows: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN k-NN JOIN through per-partition HNSW graphs: the graph is
+    built ONCE per corpus partition, then every query beam-searches it —
+    amortizing the O(n log n) construction over the whole query set,
+    versus knn_join's per-query O(n) exact pass. Same output contract as
+    knn_join: (query_key, corpus_key, score, rank).
+
+    The query side is collected and broadcast (bounded by
+    max_query_rows, knn_join's guard); the corpus — the 100 TB side —
+    never shuffles beyond the optional num_shards re-shard. ef >= shard
+    rows degenerates every shard to the exact GEMM pass, reproducing
+    knn_join bit-for-bit (kernel-parity anchor)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    k = _effective_k(k)
+    qrows = queries.select(query_key, query_vec).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"hnsw_knn_join query side exceeds max_query_rows={max_query_rows}; "
+            "chunk the query side or use ann.ivf_knn_join for large-x-large"
+        )
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_key} long, {corpus_key} long, score double, rank int"
+        )
+    qids = [r[query_key] for r in qrows]
+    qmat_list = [[float(x) for x in r[query_vec]] for r in qrows]
+    qkey_type = dict(queries.dtypes)[query_key]
+    key_type = dict(corpus.dtypes)[corpus_key]
+
+    proj = corpus.filter(F.col(corpus_vec).isNotNull()).select(corpus_key, corpus_vec)
+    if num_shards is not None:
+        proj = proj.repartition(num_shards, corpus_key)
+
+    def local_join(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(batches), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(corpus_key, kind="mergesort").reset_index(drop=True)
+        n = len(rows)
+        mat = np.stack(rows[corpus_vec].to_numpy()).astype(np.float64)
+        qm = np.asarray(qmat_list, dtype=np.float64)
+        eff_ef = max(ef if ef is not None else max(50, 2 * k), k)
+        keys = rows[corpus_key].to_numpy()
+        parts = []
+        if eff_ef >= n:
+            # exact GEMM pass per query — knn_join's kernel
+            for j, qid in enumerate(qids):
+                d = mat - qm[j]
+                scores = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
+                order = np.lexsort((keys, scores))[: min(k, n)]
+                parts.append(
+                    pd.DataFrame(
+                        {query_key: qid, corpus_key: keys[order], "score": scores[order]}
+                    )
+                )
+        else:
+            index = HnswIndex(m=m, ef_construction=ef_construction, seed=seed)
+            index.build(mat)
+            for j, qid in enumerate(qids):
+                hits = index.search(qm[j], min(k, n), ef=eff_ef)
+                idx = [i for _, i in hits]
+                d = mat[idx] - qm[j]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_key: qid,
+                            corpus_key: keys[idx],
+                            "score": np.round(
+                                np.einsum("ij,ij->i", d, d), SCORE_DECIMALS
+                            ),
+                        }
+                    )
+                )
+        yield pd.concat(parts, ignore_index=True)
+
+    local = proj.mapInPandas(
+        local_join,
+        schema=f"{query_key} {qkey_type}, {corpus_key} {key_type}, score double",
+    )
+    w = Window.partitionBy(query_key).orderBy("score", corpus_key)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "score", "rank")
+    )

@@ -44,7 +44,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_vector_database_spark.config import DEFAULT_TOP_K
+from distributed_vector_database_spark.config import DEFAULT_TOP_K, OVERFETCH
 from distributed_vector_database_spark.operators.changelog import (
     OP_DELETE,
     OP_PUT,
@@ -615,6 +615,74 @@ class VectorStore:
         cand = cand.join(live.select("key"), "key", "left_semi")
         return knn_exact(
             cand, query_vector, k=top_k, key_col="key", vec_col="embedding",
+            extra_cols=(),
+        )
+
+    # -- HNSW index (the reference's native index kind) ---------------------
+    #
+    # The reference's store IS an hnswlib graph fronted by LevelDB
+    # (src/datanode/handler.py:46-50); the IVF layout above is the
+    # partition-pruned Spark-native alternative. This surface persists
+    # the numpy HNSW graph (operators/hnsw.py) with the same versioned
+    # lifecycle: rebuild writes v+1, search proposes from the newest
+    # graph and re-scores against LIVE state, so deleted keys drop out
+    # and re-put keys score on their current vector (the graph's routing
+    # staleness lasts until the next rebuild — exactly the reference's
+    # insert/rebuild staleness window).
+
+    def rebuild_hnsw_index(
+        self, num_shards: int = 8, m: int = 16, ef_construction: int = 128
+    ) -> int:
+        from distributed_vector_database_spark.operators.hnsw import hnsw_write
+
+        hnsw_dir = os.path.join(self.root, "hnsw_index")
+        state = self.state().filter(F.col("vector").isNotNull())
+        v = latest_version(hnsw_dir) + 1
+        hnsw_write(
+            state,
+            f"{hnsw_dir}/v={v}",
+            num_shards=num_shards,
+            key_col="key",
+            vec_col="vector",
+            m=m,
+            ef_construction=ef_construction,
+        )
+        return v
+
+    def hnsw_search(
+        self,
+        query_vector: Sequence[float],
+        top_k: int = DEFAULT_TOP_K,
+        ef: int | None = None,
+    ) -> DataFrame:
+        """ANN search over the persisted HNSW graph: the index PROPOSES
+        an over-fetched candidate pool (2k per the reference,
+        src/datanode/handler.py:364), live state DISPOSES — semi-join
+        drops deleted keys, re-scoring uses current vectors. ef >= shard
+        rows makes the proposal exhaustive (exact modulo the live-state
+        join)."""
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_read_search,
+        )
+
+        hnsw_dir = os.path.join(self.root, "hnsw_index")
+        v = latest_version(hnsw_dir)
+        if v < 0:
+            raise ValueError("no HNSW index built; call rebuild_hnsw_index() first")
+        cand = hnsw_read_search(
+            self.spark,
+            f"{hnsw_dir}/v={v}",
+            query_vector,
+            k=OVERFETCH * top_k,
+            key_col="key",
+            vec_col="vector",
+            ef=ef,
+        )
+        fresh = cand.select("key").join(
+            self.state().select("key", "vector"), "key"
+        )
+        return knn_exact(
+            fresh, query_vector, k=top_k, key_col="key", vec_col="vector",
             extra_cols=(),
         )
 

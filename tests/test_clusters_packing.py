@@ -61,12 +61,9 @@ def test_pack_documents_cumsum_consistency(spark):
     assert [rows[i]["bin_id"] for i in range(6)] == [0, 0, 0, 1, 1, 2]
 
 
-def test_hnsw_gated_without_library(tables):
-    try:
-        import hnswlib  # noqa: F401
-
-        pytest.skip("hnswlib present; gating not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        hnsw_partition_ann(tables["embeddings"], [0.0] * 64, k=5)
+def test_hnsw_partition_ann_runs_without_native_library(tables):
+    """hnsw_partition_ann no longer gates on hnswlib — the numpy graph
+    (operators/hnsw.py) serves it; results are (key, score) rows."""
+    out = hnsw_partition_ann(tables["embeddings"], [0.0] * 64, k=5).collect()
+    assert len(out) == 5
+    assert [r["score"] for r in out] == sorted(r["score"] for r in out)

@@ -17,6 +17,7 @@ ANCHORS = {
     "ann_ivf_topk_exact",
     "ann_sq_topk_exact",
     "ann_pq_topk_exact",
+    "ann_hnsw_topk_exact",  # round-6 numpy-HNSW kernel-parity anchor
     "text_knn_expr",
 }
 

@@ -324,3 +324,38 @@ def test_maybe_rebuild_index_cadence(store, spark):
     )
     store.put_batch(more)
     assert store.maybe_rebuild_index(threshold=10) == 1      # 12 new >= 10
+
+
+def test_hnsw_index_lifecycle(store, spark):
+    """The reference's native index kind: rebuild_hnsw_index persists
+    the graph; hnsw_search proposes from it and re-scores against live
+    state (exhaustive ef => exact parity with store.search); deletes
+    after the build drop out; re-puts score on the current vector."""
+    df = spark.createDataFrame(
+        [(f"k{i}", [float(i), float(i % 3), 0.0, 1.0]) for i in range(40)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(df, auto_index=False)
+    v = store.rebuild_hnsw_index(num_shards=2)
+    assert v == 0
+    q = [2.0, 1.0, 0.0, 1.0]
+    got = store.hnsw_search(q, top_k=5, ef=10**9).collect()
+    want = store.search(q, top_k=5).collect()
+    assert [(r["key"], r["score"]) for r in got] == [
+        (r["key"], r["score"]) for r in want
+    ]
+    # delete after build: the graph still holds the key, live state wins
+    top_key = got[0]["key"]
+    store.delete(top_key)
+    got2 = store.hnsw_search(q, top_k=5, ef=10**9).collect()
+    assert top_key not in {r["key"] for r in got2}
+    # re-put with a far vector: re-scoring uses the CURRENT vector
+    store.put("k2", [100.0, 100.0, 100.0, 100.0])
+    got3 = store.hnsw_search(q, top_k=39, ef=10**9).collect()
+    scores = {r["key"]: r["score"] for r in got3}
+    assert scores["k2"] > 1000.0
+
+
+def test_hnsw_search_requires_build(store):
+    with pytest.raises(ValueError, match="no HNSW index"):
+        store.hnsw_search([0.0] * 4, top_k=3)
