@@ -1107,6 +1107,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hnsw_topk"] = ann_hnsw_topk_q
 
+    def ann_hnsw_knn_join_exact_q(spark, sf):
+        # hnsw_knn_join in its exhaustive mode (ef >= shard rows): every
+        # shard takes the exact GEMM pass, reproducing knn_join
+        # bit-for-bit — same oracle, through the graph-join merge path
+        from distributed_vector_database_spark.operators.hnsw import hnsw_knn_join
+
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return hnsw_knn_join(qs, emb, k=KNN_JOIN_K, ef=10**9)
+
+    q["ann_hnsw_knn_join_exact"] = ann_hnsw_knn_join_exact_q
+
     def ann_ivf_knn_join_q(spark, sf):
         # large-x-large approximate k-NN join (shared coarse quantizer,
         # neither side collected/broadcast) forced onto its clustered
@@ -1194,8 +1208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "asof_join", "events_with_prev", "distinct_user_counts",
         "event_value_percentiles",
-        "events_tumbling", "events_sessions",
-        "ann_hnsw_topk_exact",  # round-6 numpy-HNSW anchor (0 prior rows)
+        "events_sessions",
+        # round-6 numpy-HNSW anchors (0 prior driver rows)
+        "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "hash_sample", "stratified_sample",
         "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
@@ -1205,7 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
-        "dedup_by_key", "events_sliding",
+        "dedup_by_key", "events_sliding", "events_tumbling",
         "scan_filter_project", "pricing_summary", "top_orders_by_segment",
         "regional_revenue",
         "customer_order_ranks", "nations_set_ops",
@@ -1459,6 +1474,7 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
 """
 
     o["ann_ivf_knn_join_exact"] = o["knn_join"]
+    o["ann_hnsw_knn_join_exact"] = o["knn_join"]
 
     # exact-equals ANN anchors: full probe / full-pool refine degenerate
     # to brute force, so the oracle is the plain exact scan (no label

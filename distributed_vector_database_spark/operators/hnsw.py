@@ -189,6 +189,32 @@ class HnswIndex:
             self._insert(i, int(levels[i]))
         return self
 
+    def add(self, mat) -> "HnswIndex":
+        """Incremental insert — the reference's index-on-put
+        (hnswlib add_items on the live graph, src/datanode/handler.py:
+        253-261): new rows get indices n..n+b-1 and are inserted into
+        the EXISTING graph; already-built edges are only touched by the
+        normal neighbor re-pruning. Levels for the batch come from a
+        generator keyed by (seed, n), so append order is deterministic
+        and independent of earlier batches' draw count."""
+        import numpy as np
+
+        batch = np.ascontiguousarray(mat, dtype=np.float64)
+        if self.vectors is None:
+            return self.build(batch)
+        start = len(self.vectors)
+        self.vectors = np.ascontiguousarray(np.vstack([self.vectors, batch]))
+        self._norms = np.concatenate(
+            [self._norms, np.einsum("ij,ij->i", batch, batch)]
+        )
+        rng = np.random.default_rng((self.seed, start))
+        levels = np.floor(
+            -np.log(rng.random(len(batch))) * self.mult
+        ).astype(np.int64)
+        for j in range(len(batch)):
+            self._insert(start + j, int(levels[j]))
+        return self
+
     def search(self, q, k: int, ef: int | None = None):
         """Top-k as ascending (squared_l2, row_index); ef defaults to
         max(50, 2k) — the reference's serving setting
@@ -345,13 +371,18 @@ def hnsw_write(
                 "links": links,
                 "entry": int(index.entry),
                 "max_level": int(index.max_level),
+                # build params ride along so hnsw_append can continue
+                # insertion with the same graph configuration
+                "m": m,
+                "efc": ef_construction,
+                "nshards": num_shards,
             }
         )
 
     schema = (
         f"shard_id int, node_idx long, {key_col} {key_type}, "
         f"{vec_col} array<double>, links array<array<long>>, "
-        "entry long, max_level int"
+        "entry long, max_level int, m int, efc int, nshards int"
     )
     proj.mapInPandas(build_shard, schema=schema).write.mode(
         "overwrite"
@@ -424,12 +455,176 @@ def hnsw_read_search(
     local = nodes.groupBy("shard_id").applyInPandas(
         search_shard, schema=f"{key_col} {key_type}, score double"
     )
+    # a re-put key appears as two graph nodes (the reference tombstones
+    # the old hnsw_id; here the newest row wins at the store layer) —
+    # dedup to the best score per key, like knn_sharded's replica dedup
+    from pyspark.sql.window import Window as _W
+
+    dw = _W.partitionBy(key_col).orderBy("score")
+    local = (
+        local.withColumn("__rn", F.row_number().over(dw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     return local.orderBy("score", key_col).limit(k)
+
+
+def hnsw_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    batch_id: int | None = None,
+) -> None:
+    """Incremental index maintenance: route a (key, vector) batch to its
+    shards with the SAME hash partitioning hnsw_write used, reload each
+    affected shard's graph, insert the new rows (HnswIndex.add — the
+    reference's live add_items on put, src/datanode/handler.py:253-261),
+    and rewrite ONLY those shard partitions (dynamic partition
+    overwrite). Untouched shards keep their files; per-batch cost is
+    O(affected shards), not O(corpus).
+
+    Like the reference's in-place index mutation, the rewrite is not
+    atomic across shards — concurrent readers can see a mix of old and
+    new shard files mid-append; the store's versioned rebuild is the
+    atomic path.
+
+    `batch_id` (for foreachBatch callers): applied ids are recorded as
+    marker files and replayed batches are skipped. The marker lands
+    AFTER the shard rewrite, so a crash between the two can re-append
+    one batch — serving stays correct because hnsw_read_search dedups
+    to the best row per key (duplicate nodes carry the same vector →
+    the same score), only storage carries the duplicate until the next
+    rebuild."""
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+
+    marker_dir = _os.path.join(path, "_applied_batches")
+    if batch_id is not None:
+        if _os.path.exists(_os.path.join(marker_dir, f"b={batch_id}")):
+            return
+
+    nodes = spark.read.parquet(path)
+    key_type = dict(nodes.dtypes)[key_col]
+    head = nodes.select("m", "efc", "nshards").limit(1).collect()
+    if not head:
+        raise ValueError(f"empty HNSW layout at {path}")
+    m, efc, nshards = int(head[0]["m"]), int(head[0]["efc"]), int(head[0]["nshards"])
+
+    # same repartition(key) hash → a key lands on the shard whose graph
+    # would have held it at build time
+    tagged_schema = f"shard_id int, {key_col} {key_type}, {vec_col} array<double>"
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf[[key_col, vec_col]].copy()
+            out.insert(0, "shard_id", pid)
+            yield out
+
+    new_rows = (
+        batch.filter(F.col(vec_col).isNotNull())
+        .select(key_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .repartition(nshards, key_col)
+        .mapInPandas(tag, schema=tagged_schema)
+    )
+
+    out_schema = (
+        f"shard_id int, node_idx long, {key_col} {key_type}, "
+        f"{vec_col} array<double>, links array<array<long>>, "
+        "entry long, max_level int, m int, efc int, nshards int"
+    )
+
+    out_cols = [
+        "shard_id", "node_idx", key_col, vec_col, "links",
+        "entry", "max_level", "m", "efc", "nshards",
+    ]
+
+    def merge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            # no new rows for this shard: emit nothing — dynamic
+            # overwrite leaves the existing partition untouched.
+            # (object dtype: a default float64 empty column can't be
+            # Arrow-cast to the list<double>/list<list> schema fields)
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in out_cols}
+            )
+        fresh = right.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        fmat = np.stack(fresh[vec_col].to_numpy()).astype(np.float64)
+        if left.empty:
+            index = HnswIndex(m=m, ef_construction=efc, seed=seed).build(fmat)
+            keys = fresh[key_col].to_numpy()
+            shard_id = int(fresh["shard_id"].iloc[0])
+        else:
+            left = left.sort_values("node_idx", kind="mergesort").reset_index(
+                drop=True
+            )
+            index = _reconstruct(left, key_col, vec_col)
+            index.m = m
+            index.m0 = 2 * m
+            index.ef_c = max(efc, m)
+            index.mult = 1.0 / float(np.log(m))
+            index.seed = seed
+            index.add(fmat)
+            keys = np.concatenate(
+                [left[key_col].to_numpy(), fresh[key_col].to_numpy()]
+            )
+            shard_id = int(left["shard_id"].iloc[0])
+        n = len(index.vectors)
+        links = [
+            [
+                [int(x) for x in index.links[lvl][i]]
+                for lvl in range(len(index.links))
+                if i in index.links[lvl]
+            ]
+            for i in range(n)
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": shard_id,
+                "node_idx": np.arange(n, dtype=np.int64),
+                key_col: keys,
+                vec_col: [list(map(float, v)) for v in index.vectors],
+                "links": links,
+                "entry": int(index.entry),
+                "max_level": int(index.max_level),
+                "m": m,
+                "efc": efc,
+                "nshards": nshards,
+            }
+        )
+
+    merged = (
+        nodes.groupBy("shard_id")
+        .cogroup(new_rows.groupBy("shard_id"))
+        .applyInPandas(merge_shard, schema=out_schema)
+    )
+    # the write overwrites partitions of the very layout the plan reads:
+    # materialize first (localCheckpoint severs the file-source lineage,
+    # which Spark otherwise rejects as a read-write cycle)
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    if batch_id is not None:
+        _os.makedirs(marker_dir, exist_ok=True)
+        with open(_os.path.join(marker_dir, f"b={batch_id}"), "w") as fh:
+            fh.write("")
 
 
 def hnsw_knn_join(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     k: int = DEFAULT_TOP_K,
     query_key: str = "query_id",
     query_vec: str = "query_vec",
@@ -441,6 +636,7 @@ def hnsw_knn_join(
     num_shards: int | None = None,
     max_query_rows: int = 10_000,
     seed: int = 42,
+    index_path: str | None = None,
 ) -> DataFrame:
     """ANN k-NN JOIN through per-partition HNSW graphs: the graph is
     built ONCE per corpus partition, then every query beam-searches it —
@@ -452,11 +648,18 @@ def hnsw_knn_join(
     max_query_rows, knn_join's guard); the corpus — the 100 TB side —
     never shuffles beyond the optional num_shards re-shard. ef >= shard
     rows degenerates every shard to the exact GEMM pass, reproducing
-    knn_join bit-for-bit (kernel-parity anchor)."""
+    knn_join bit-for-bit (kernel-parity anchor).
+
+    `index_path` (instead of `corpus`): serve the join from a persisted
+    hnsw_write layout — construction already paid, each shard RELOADS
+    its graph (O(n) columnar) and answers every query, so repeated query
+    sets never rebuild anything."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.window import Window
 
+    if (corpus is None) == (index_path is None):
+        raise ValueError("pass exactly one of corpus / index_path")
     k = _effective_k(k)
     qrows = queries.select(query_key, query_vec).limit(max_query_rows + 1).collect()
     if len(qrows) > max_query_rows:
@@ -471,6 +674,68 @@ def hnsw_knn_join(
     qids = [r[query_key] for r in qrows]
     qmat_list = [[float(x) for x in r[query_vec]] for r in qrows]
     qkey_type = dict(queries.dtypes)[query_key]
+
+    def answer(index: "HnswIndex", keys, eff_ef: int) -> list:
+        """Run every broadcast query against one shard's graph (or its
+        exhaustive scan when eff_ef covers the shard)."""
+        qm = np.asarray(qmat_list, dtype=np.float64)
+        n = len(keys)
+        parts = []
+        if eff_ef >= n:
+            for j, qid in enumerate(qids):
+                d = index.vectors - qm[j]
+                scores = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
+                order = np.lexsort((keys, scores))[: min(k, n)]
+                parts.append(
+                    pd.DataFrame(
+                        {query_key: qid, corpus_key: keys[order], "score": scores[order]}
+                    )
+                )
+        else:
+            for j, qid in enumerate(qids):
+                hits = index.search(qm[j], min(k, n), ef=eff_ef)
+                idx = [i for _, i in hits]
+                d = index.vectors[idx] - qm[j]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_key: qid,
+                            corpus_key: keys[idx],
+                            "score": np.round(
+                                np.einsum("ij,ij->i", d, d), SCORE_DECIMALS
+                            ),
+                        }
+                    )
+                )
+        return parts
+
+    if index_path is not None:
+        spark = queries.sparkSession
+        nodes = spark.read.parquet(index_path)
+        key_type = dict(nodes.dtypes)[corpus_key]
+        eff_ef_served = max(ef if ef is not None else max(50, 2 * k), k)
+
+        def search_shard_join(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({query_key: [], corpus_key: [], "score": []})
+            index = _reconstruct(pdf, corpus_key, corpus_vec)
+            pdf = pdf.sort_values("node_idx", kind="mergesort").reset_index(
+                drop=True
+            )
+            parts = answer(index, pdf[corpus_key].to_numpy(), eff_ef_served)
+            return pd.concat(parts, ignore_index=True)
+
+        local = nodes.groupBy("shard_id").applyInPandas(
+            search_shard_join,
+            schema=f"{query_key} {qkey_type}, {corpus_key} {key_type}, score double",
+        )
+        w = Window.partitionBy(query_key).orderBy("score", corpus_key)
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_key, corpus_key, "score", "rank")
+        )
+
     key_type = dict(corpus.dtypes)[corpus_key]
 
     proj = corpus.filter(F.col(corpus_vec).isNotNull()).select(corpus_key, corpus_vec)
@@ -484,39 +749,16 @@ def hnsw_knn_join(
         rows = rows.sort_values(corpus_key, kind="mergesort").reset_index(drop=True)
         n = len(rows)
         mat = np.stack(rows[corpus_vec].to_numpy()).astype(np.float64)
-        qm = np.asarray(qmat_list, dtype=np.float64)
         eff_ef = max(ef if ef is not None else max(50, 2 * k), k)
-        keys = rows[corpus_key].to_numpy()
-        parts = []
         if eff_ef >= n:
-            # exact GEMM pass per query — knn_join's kernel
-            for j, qid in enumerate(qids):
-                d = mat - qm[j]
-                scores = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
-                order = np.lexsort((keys, scores))[: min(k, n)]
-                parts.append(
-                    pd.DataFrame(
-                        {query_key: qid, corpus_key: keys[order], "score": scores[order]}
-                    )
-                )
+            # exact GEMM pass per query — knn_join's kernel; no graph
+            # construction (answer() only touches .vectors here)
+            index = HnswIndex(m=m)
+            index.vectors = mat
         else:
             index = HnswIndex(m=m, ef_construction=ef_construction, seed=seed)
             index.build(mat)
-            for j, qid in enumerate(qids):
-                hits = index.search(qm[j], min(k, n), ef=eff_ef)
-                idx = [i for _, i in hits]
-                d = mat[idx] - qm[j]
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            query_key: qid,
-                            corpus_key: keys[idx],
-                            "score": np.round(
-                                np.einsum("ij,ij->i", d, d), SCORE_DECIMALS
-                            ),
-                        }
-                    )
-                )
+        parts = answer(index, rows[corpus_key].to_numpy(), eff_ef)
         yield pd.concat(parts, ignore_index=True)
 
     local = proj.mapInPandas(

@@ -237,6 +237,24 @@ class VectorStore:
             data_dir, _, _ = self._index_dirs()
             if latest_version(data_dir) >= 0:
                 self.index_append(records.select("key", "vector"))
+            hnsw_dir = os.path.join(self.root, "hnsw_index")
+            hv = latest_version(hnsw_dir)
+            if hv >= 0:
+                # index-on-put for the HNSW kind too: insert the batch
+                # into the live graph (the reference's add_items path,
+                # src/datanode/handler.py:253-261) — searchable without
+                # waiting for a rebuild
+                from distributed_vector_database_spark.operators.hnsw import (
+                    hnsw_append,
+                )
+
+                hnsw_append(
+                    self.spark,
+                    f"{hnsw_dir}/v={hv}",
+                    records.select("key", "vector"),
+                    key_col="key",
+                    vec_col="vector",
+                )
 
     def delete(self, key: str) -> None:
         """Tombstone a key (O2)."""

@@ -17,7 +17,8 @@ ANCHORS = {
     "ann_ivf_topk_exact",
     "ann_sq_topk_exact",
     "ann_pq_topk_exact",
-    "ann_hnsw_topk_exact",  # round-6 numpy-HNSW kernel-parity anchor
+    "ann_hnsw_topk_exact",  # round-6 numpy-HNSW kernel-parity anchors
+    "ann_hnsw_knn_join_exact",
     "text_knn_expr",
 }
 

@@ -169,3 +169,171 @@ def test_partition_topk_multi_partition_merge(tables):
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in exact
     ]
+
+
+def test_append_extends_persisted_graph(tables, tmp_path, spark):
+    """hnsw_append = the reference's index-on-put: new vectors join the
+    existing shard graphs (no rebuild) and are immediately findable;
+    exhaustive mode over the appended layout equals knn_exact over the
+    full union."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_append,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = tables["embeddings"]
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "idx")
+    hnsw_write(first, path, num_shards=4, m=16)
+    hnsw_append(spark, path, rest)
+    got = hnsw_read_search(spark, path, QUERY, k=10, ef=10**9).collect()
+    exact = knn_exact(emb, QUERY, k=10, extra_cols=()).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_append_planted_twin_found_by_beam(tables, tmp_path, spark):
+    """A vector appended AFTER the build that exactly matches the query
+    must surface at rank 1 through the real beam-search path — proves
+    the new node is wired into the graph, not just stored."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_append,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "idx")
+    hnsw_write(emb, path, num_shards=4, m=16)
+    twin = spark.createDataFrame(
+        [(10_000_000, [float(v) for v in QUERY])], "vec_id long, embedding array<double>"
+    )
+    hnsw_append(spark, path, twin)
+    got = hnsw_read_search(spark, path, QUERY, k=5, ef=64).collect()
+    assert got[0]["vec_id"] == 10_000_000
+    assert got[0]["score"] == 0.0
+
+
+def test_store_put_batch_routes_into_hnsw_index(tables, tmp_path, spark):
+    """After rebuild_hnsw_index, put_batch(auto_index=True) inserts into
+    the live graph: the new key is ANN-searchable without a rebuild, and
+    a re-put key surfaces once with its CURRENT vector's score."""
+    from distributed_vector_database_spark.store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "store"), dim=4)
+    base = spark.createDataFrame(
+        [(f"k{i}", [float(i), 0.0, 0.0, 1.0]) for i in range(30)],
+        "key string, vector array<double>",
+    )
+    store.put_batch(base, auto_index=False)
+    store.rebuild_hnsw_index(num_shards=2)
+    batch = spark.createDataFrame(
+        [("new1", [99.0, 99.0, 0.0, 1.0]), ("k3", [50.0, 0.0, 0.0, 1.0])],
+        "key string, vector array<double>",
+    )
+    store.put_batch(batch)  # auto_index=True default
+    got = store.hnsw_search([99.0, 99.0, 0.0, 1.0], top_k=1, ef=10**9).collect()
+    assert got[0]["key"] == "new1"
+    # the re-put key appears once, scored on its new vector
+    all_rows = store.hnsw_search([50.0, 0.0, 0.0, 1.0], top_k=31, ef=10**9).collect()
+    k3 = [r for r in all_rows if r["key"] == "k3"]
+    assert len(k3) == 1 and k3[0]["score"] == 0.0
+
+
+def test_streaming_hnsw_maintenance(tables, tmp_path, spark):
+    """readStream → foreachBatch → hnsw_append keeps the persisted graph
+    current; after the stream drains, exhaustive search over the layout
+    equals knn_exact over build ∪ streamed. A replayed batch_id is
+    skipped (marker guard)."""
+    import json
+    import os
+
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_append,
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.streaming.hnsw_maintenance import (
+        run_hnsw_stream,
+    )
+
+    emb = tables["embeddings"]
+    base = emb.filter(F.col("vec_id") < 300)
+    arriving = emb.filter(F.col("vec_id") >= 300).collect()
+    path = str(tmp_path / "idx")
+    hnsw_write(base, path, num_shards=2, m=16)
+
+    vecs_dir = tmp_path / "arriving"
+    vecs_dir.mkdir()
+    half = len(arriving) // 2
+    for i, chunk in enumerate([arriving[:half], arriving[half:]]):
+        with open(vecs_dir / f"part{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(
+                    json.dumps(
+                        {"vec_id": r["vec_id"],
+                         "embedding": [float(v) for v in r["embedding"]]}
+                    ) + "\n"
+                )
+    q = run_hnsw_stream(
+        spark, str(vecs_dir), path, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = hnsw_read_search(spark, path, QUERY, k=10, ef=10**9).collect()
+    exact = knn_exact(emb, QUERY, k=10, extra_cols=()).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+    # replaying an applied batch_id is a no-op
+    markers = os.listdir(os.path.join(path, "_applied_batches"))
+    assert markers
+    replay_id = int(sorted(markers)[0].split("=")[1])
+    twin = spark.createDataFrame(
+        [(77_000_000, [9.9] * 64)], "vec_id long, embedding array<double>"
+    )
+    hnsw_append(spark, path, twin, batch_id=replay_id)
+    after = hnsw_read_search(spark, path, QUERY, k=10, ef=10**9).collect()
+    assert after == got
+
+
+def test_knn_join_served_from_persisted_index(tables, tmp_path, spark):
+    """index_path mode: the join is answered from a persisted hnsw_write
+    layout — no graph construction at query time; exhaustive mode equals
+    knn_join bit-for-bit."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_knn_join,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "idx")
+    hnsw_write(emb, path, num_shards=4, m=16)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = hnsw_knn_join(queries, k=5, ef=10**9, index_path=path).collect()
+    want = knn_join(queries, emb, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # graph mode over the same layout: high overlap with exact
+    g = hnsw_knn_join(queries, k=5, ef=64, index_path=path).collect()
+    got_pairs = {(r["query_id"], r["vec_id"]) for r in g}
+    want_pairs = {(r["query_id"], r["vec_id"]) for r in want}
+    assert len(got_pairs & want_pairs) / len(want_pairs) >= 0.9
+
+
+def test_knn_join_requires_exactly_one_source(tables):
+    from distributed_vector_database_spark.operators.hnsw import hnsw_knn_join
+
+    emb = tables["embeddings"]
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        hnsw_knn_join(queries)
+    with pytest.raises(ValueError, match="exactly one"):
+        hnsw_knn_join(queries, emb, index_path="/tmp/x")

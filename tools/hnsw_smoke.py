@@ -95,6 +95,29 @@ def main() -> None:
         f"recall@{K}={hits / (K * len(queries)):.3f}"
     )
 
+    # incremental insert: a 10k batch joins the existing 200k graph —
+    # O(affected shards) rewrite, no rebuild
+    from distributed_vector_database_spark.operators.hnsw import hnsw_append
+
+    batch = synth_clustered_embeddings(spark, 10_000).selectExpr(
+        "vec_id + 1000000000 AS vec_id", "embedding"
+    )
+    t0 = time.time()
+    hnsw_append(spark, path, batch)
+    append_s = time.time() - t0
+    hits, t0 = 0, time.time()
+    for qid, qv in queries.items():
+        got = {
+            r["vec_id"]
+            for r in hnsw_read_search(spark, path, qv, k=K, ef=64).collect()
+        }
+        hits += len(got & truth[qid])
+    print(
+        f"hnsw_append 10k into {n}: {append_s:.1f} s; post-append serving "
+        f"{(time.time() - t0) / len(queries):.2f} s/query, "
+        f"recall@{K}={hits / (K * len(queries)):.3f}"
+    )
+
     # ANN k-NN JOIN: graph built once per shard, every query reuses it
     nq = 64
     qdf = (
@@ -110,6 +133,16 @@ def main() -> None:
     print(
         f"hnsw_knn_join {nq} queries x {n}: {join_s:.1f} s total "
         f"({join_s / nq:.2f} s/query amortized), {n_res} result rows"
+    )
+
+    # same join served from the persisted graphs: zero construction
+    t0 = time.time()
+    n_res = hnsw_knn_join(qdf, k=K, ef=64, index_path=path).count()
+    served_s = time.time() - t0
+    print(
+        f"hnsw_knn_join (index_path) {nq} queries: {served_s:.1f} s total "
+        f"({served_s / nq:.2f} s/query, construction already paid), "
+        f"{n_res} result rows"
     )
 
 
