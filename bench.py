@@ -78,6 +78,12 @@ def main() -> None:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
+    # several operators cache intermediates (LSH models, signatures,
+    # postings) and queries never unpersist — after 35 warmups the
+    # session carries ~100 cached RDDs whose storage-pool pressure
+    # steals execution memory from every measured query. Reset so each
+    # measurement starts from a clean unified-memory state.
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -100,6 +106,7 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()  # this query's caches must not tax the next
 
     total = round(sum(timings.values()), 3)
     out = {
