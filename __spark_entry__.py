@@ -537,6 +537,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents"), n=20
     )
 
+    # ---- benchmark decontamination (operators/decontam.py) ----------------
+    # eval set = every 41st doc of the same corpus (deterministic slice);
+    # n=3 on the fixture's 31-word vocabulary gives a discriminative
+    # signal (hundreds of genuine collisions) without degenerating to
+    # all-contaminated (n=2) or none (n>=5)
+
+    def _decontam_split(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return (
+            docs.filter(F.col("doc_id") % 41 != 0),
+            docs.filter(F.col("doc_id") % 41 == 0),
+        )
+
+    def decontam_report_q(spark, sf):
+        from distributed_vector_database_spark.operators.decontam import (
+            contamination_report,
+        )
+
+        corpus, evals = _decontam_split(spark, sf)
+        return contamination_report(corpus, evals, n=3)
+
+    q["decontam_report"] = decontam_report_q
+
+    def decontam_filter_q(spark, sf):
+        from distributed_vector_database_spark.operators.decontam import (
+            decontaminate,
+        )
+
+        corpus, evals = _decontam_split(spark, sf)
+        return decontaminate(corpus, evals, n=3).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+
+    q["decontam_filter"] = decontam_filter_q
+
+    def source_overlap_q(spark, sf):
+        from distributed_vector_database_spark.operators.decontam import (
+            source_overlap,
+        )
+
+        return source_overlap(load_table(spark, sf, "documents"), n=3)
+
+    q["source_overlap"] = source_overlap_q
+
     def chunk_documents_q(spark, sf):
         from distributed_vector_database_spark.operators.textops import (
             chunk_documents,
@@ -1227,16 +1271,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "asof_join", "events_with_prev", "distinct_user_counts",
         "event_value_percentiles",
-        "events_sessions",
         # round-6 numpy-HNSW anchors (0 prior driver rows)
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
-        "hash_sample", "stratified_sample",
         "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
         "ann_ivf_filtered_exact",  # round-6 filtered-IVF anchor
         "hybrid_rrf_served",  # round-6 posting-list-served hybrid
+        # round-6 decontamination trio (0 prior driver rows; hash_sample /
+        # stratified_sample / events_sessions — all r5 driver-green —
+        # rotate down to tier 2 to make room)
+        "decontam_report", "decontam_filter", "source_overlap",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
+        "hash_sample", "stratified_sample", "events_sessions",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -1562,6 +1609,63 @@ SELECT term, CAST(count(*) AS BIGINT) AS tf,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM t WHERE length(term) >= 1
 GROUP BY term ORDER BY tf DESC, term LIMIT 20
+"""
+
+    # decontamination trio: eval = doc_id % 41 = 0, corpus = rest, token
+    # 3-grams; Spark joins on 32-bit md5 gram hashes, the oracle on the
+    # gram strings — identical semantics absent a 32-bit collision
+    # within the fixture's gram universe (31-word vocab, none)
+    _DECONTAM_CTES = f"""
+toksd AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ngd AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM toksd, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+evg AS (SELECT DISTINCT g FROM ngd WHERE doc_id % 41 = 0),
+corpus AS (SELECT DISTINCT doc_id, g FROM ngd WHERE doc_id % 41 != 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM corpus JOIN evg USING (g) GROUP BY doc_id
+)"""
+
+    o["decontam_report"] = f"""
+WITH {_DECONTAM_CTES},
+base AS (
+  SELECT d.doc_id, CAST(coalesce(c.n, 0) AS INT) AS n_ngrams
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id) c
+    USING (doc_id)
+  WHERE d.doc_id % 41 != 0
+)
+SELECT b.doc_id, b.n_ngrams,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+    o["decontam_filter"] = f"""
+WITH {_DECONTAM_CTES}
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 41 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+    o["source_overlap"] = f"""
+WITH tokss AS (SELECT source, {_TOKS} AS t FROM documents),
+ngs AS (
+  SELECT source, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM tokss, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+grams AS (SELECT DISTINCT source AS grp, g FROM ngs),
+totals AS (SELECT grp, count(*) AS n_grams FROM grams GROUP BY grp)
+SELECT a.grp AS source_a, b.grp AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(count(*) / CAST(any_value(t.n_grams) AS DOUBLE), 6)
+         AS containment
+FROM grams a JOIN grams b USING (g)
+JOIN totals t ON t.grp = a.grp
+GROUP BY a.grp, b.grp
 """
 
     # chunk_tokens=32, overlap=8 -> stride 24; list_slice is 1-based

@@ -80,6 +80,32 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def token_ngram_hashes(text: Column | str, n: int = 3) -> Column:
+    """32-bit hashes of the token n-grams of the text (array<long>).
+
+    Unlike `word_shingles` (whole-doc fallback), a document with fewer
+    than n tokens yields an EMPTY array — decontamination semantics: a
+    doc too short to contain an n-gram cannot overlap one. Hash = first
+    8 md5 hex chars of the space-joined gram -> long, bit-identical in
+    DuckDB as CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT), so
+    join keys are 8-byte longs at shuffle time, never full gram
+    strings."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokenize(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
     t = _col(text)

@@ -1,0 +1,171 @@
+"""Benchmark decontamination + cross-corpus overlap over the
+`documents` table.
+
+The reference engine has no text-overlap tooling (its only text path is
+the CLIP text2vec embed, clip/embedding.py:70-93); these are north-star
+LLM-data-pipeline extensions (SURVEY §2.3): before training, remove any
+corpus document that shares a token n-gram with an evaluation/benchmark
+set — the GPT-3 appendix-C / PaLM 13-gram procedure, with n
+parameterized — and report cross-slice n-gram containment so dataset
+cards can quantify leakage between sources.
+
+100 TB shape:
+- The eval/benchmark side is small by construction (thousands of eval
+  documents -> at most a few million distinct gram hashes), so it is
+  BROADCAST and the corpus-side scan stays shuffle-free through the
+  contamination probe: explode distinct gram hashes -> broadcast
+  semi-join. The only shuffles are a groupBy over the *matched* grams
+  (bounded by actual contamination, not corpus size) and the final
+  id-keyed join/anti-join.
+- Join keys are 8-byte gram hashes (functions/text.token_ngram_hashes),
+  never gram strings, so shuffle rows stay narrow even for large n.
+- `source_overlap` shuffles on gram hash once; fan-out per gram is
+  bounded by the number of corpus slices (sources), never by document
+  count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import (
+    token_ngram_hashes,
+)
+
+
+def _doc_grams(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, g): one row per DISTINCT token-n-gram hash per document."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
+            "g"
+        ),
+    )
+
+
+def _eval_grams(
+    eval_docs: DataFrame, n: int, text_col: str, broadcast_eval: bool
+) -> DataFrame:
+    """Distinct gram hashes of the eval/benchmark set — the
+    contamination probe. Broadcast by default: benchmark suites are
+    small by construction. Pass broadcast_eval=False only when the
+    'eval' side is itself corpus-scale (then the semi-join shuffles on
+    the 8-byte hash, still never on text)."""
+    ev = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(token_ngram_hashes(text_col, n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    return F.broadcast(ev) if broadcast_eval else ev
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document contamination accounting vs an eval set: (id_col,
+    n_ngrams, n_overlap, contaminated) where n_overlap counts the
+    document's distinct token n-grams that also occur anywhere in
+    eval_docs. Every corpus document gets a row (n_overlap = 0 when
+    clean), so the output is a drop-in annotation table."""
+    hits = (
+        _doc_grams(docs, n, id_col, text_col)
+        .join(_eval_grams(eval_docs, n, text_col, broadcast_eval), "g", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = docs.select(
+        id_col,
+        F.size(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
+            "n_ngrams"
+        ),
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The pipeline gate: drop every document whose distinct-n-gram
+    overlap with eval_docs reaches min_overlap; keep full rows
+    otherwise. min_overlap=1 is the strict GPT-3-style rule; raise it
+    to tolerate incidental single-gram collisions in small-vocabulary
+    corpora."""
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    grams = _doc_grams(docs, n, id_col, text_col).join(
+        _eval_grams(eval_docs, n, text_col, broadcast_eval), "g", "semi"
+    )
+    if min_overlap == 1:
+        bad = grams.select(id_col).distinct()
+    else:
+        bad = (
+            grams.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap)
+            .select(id_col)
+        )
+    return docs.join(bad, id_col, "left_anti")
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-slice n-gram containment matrix: for every ordered pair of
+    corpus slices (source_a, source_b), the fraction of source_a's
+    distinct token n-grams that also occur in source_b —
+    containment(a, b) = |grams(a) ∩ grams(b)| / |grams(a)|. The
+    diagonal is 1.0 by construction (kept as a sanity anchor). Output
+    is |slices|² rows regardless of corpus size."""
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
+            "g"
+        ),
+    ).distinct()
+    totals = grams.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        grams.alias("a")
+        .join(grams.alias("b"), "g")
+        .groupBy(
+            F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(
+        F.broadcast(totals.withColumnRenamed("grp", "source_a")), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared") / F.col("n_grams").cast("double"), 6
+        ).alias("containment"),
+    )

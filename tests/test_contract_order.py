@@ -38,6 +38,8 @@ ROTATED_IN = {
     "pii_redaction", "top_terms", "winnow_fingerprints",
     "orders_cube", "event_value_median_udaf", "salted_user_counts",
     "events_dedup_first", "ann_ivfpq_topk_exact",
+    # round-6 decontamination trio (new this round, 0 prior driver rows)
+    "decontam_report", "decontam_filter", "source_overlap",
 }
 
 

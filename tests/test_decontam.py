@@ -1,0 +1,117 @@
+"""Benchmark decontamination + cross-source overlap tests
+(operators/decontam.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+    source_overlap,
+)
+
+
+def _corpora(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs"),
+            (2, "sphinx of black quartz judge my vow"),
+            (3, "the quick brown cat sits still"),  # shares 'the quick brown'
+            (4, "tiny doc"),  # < n tokens -> no grams, never contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, "we ask the quick brown fox a question"),
+            (101, "judge my vow carefully please"),
+        ],
+        ["doc_id", "text"],
+    )
+    return corpus, evals
+
+
+def test_contamination_report_counts(spark):
+    corpus, evals = _corpora(spark)
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(corpus, evals, n=3).collect()
+    }
+    assert len(rep) == 5  # every corpus doc gets a row
+    # doc 0 shares 'the quick brown' + 'quick brown fox'; doc 2 shares
+    # 'judge my vow'; doc 3 shares 'the quick brown'
+    assert rep[0]["n_overlap"] == 2 and rep[0]["contaminated"]
+    assert rep[2]["n_overlap"] == 1 and rep[2]["contaminated"]
+    assert rep[3]["n_overlap"] == 1 and rep[3]["contaminated"]
+    assert rep[1]["n_overlap"] == 0 and not rep[1]["contaminated"]
+    # short doc: zero grams, zero overlap
+    assert rep[4]["n_ngrams"] == 0 and rep[4]["n_overlap"] == 0
+
+
+def test_decontaminate_strict_and_threshold(spark):
+    corpus, evals = _corpora(spark)
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, evals, n=3).collect()
+    )
+    assert kept == [1, 4]
+    # min_overlap=2 tolerates single-gram collisions: only doc 0 dies
+    kept2 = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, evals, n=3, min_overlap=2).collect()
+    )
+    assert kept2 == [1, 2, 3, 4]
+    # surviving rows keep the full schema
+    assert decontaminate(corpus, evals, n=3).columns == corpus.columns
+
+
+def test_decontaminate_matches_report(spark, tables):
+    docs = tables["documents"]
+    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    rep = contamination_report(corpus, evals, n=3)
+    clean_per_report = {
+        r["doc_id"] for r in rep.filter(~F.col("contaminated")).collect()
+    }
+    kept = {r["doc_id"] for r in decontaminate(corpus, evals, n=3).collect()}
+    assert kept == clean_per_report
+
+
+def test_eval_side_is_broadcast(spark, tables):
+    docs = tables["documents"]
+    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    plan = (
+        decontaminate(corpus, evals, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the contamination probe must reach the corpus scan as a broadcast
+    # semi-join — a sort-merge join here means a corpus-wide shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Python" not in plan
+
+
+def test_source_overlap_matrix(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "s1"),
+            (1, "alpha beta gamma epsilon", "s2"),  # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota", "s3"),  # disjoint
+        ],
+        ["doc_id", "text", "source"],
+    )
+    m = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, n=3).collect()
+    }
+    # diagonal anchors
+    for s in ("s1", "s2", "s3"):
+        assert m[(s, s)]["containment"] == 1.0
+    # s1 has grams {abc, bcd}; shares only 'alpha beta gamma' with s2
+    assert m[("s1", "s2")]["n_shared"] == 1
+    assert abs(m[("s1", "s2")]["containment"] - 0.5) < 1e-9
+    # disjoint slices produce NO row (inner join) — absence is the signal
+    assert ("s1", "s3") not in m and ("s3", "s1") not in m
