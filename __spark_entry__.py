@@ -103,6 +103,7 @@ CHECKPOINT_TS = "2024-01-15 00:00:00"   # incremental-replay cutoff
 UPSERT_SPLIT_TS = "2024-01-16 00:00:00"  # base/changes split for upsert
 Q1_SHIP_BEFORE = "1998-09-01"
 QUALITY_MIN = 0.5
+TOKEN_BUDGET = 8000       # budgeted-selection cutoff (~half the sf0.01 corpus)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,6 +581,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_overlap(load_table(spark, sf, "documents"), n=3)
 
     q["source_overlap"] = source_overlap_q
+
+    def token_budget_select_q(spark, sf):
+        # budgeted corpus selection: best-quality docs until the token
+        # budget is spent (distributed prefix-sum, partition-pruned)
+        from distributed_vector_database_spark.operators.sampling import (
+            select_by_token_budget,
+        )
+
+        ann = doc_stats(load_table(spark, sf, "documents")).select(
+            "doc_id", "quality", "n_tokens"
+        )
+        return select_by_token_budget(ann, TOKEN_BUDGET, partitions=8)
+
+    q["token_budget_select"] = token_budget_select_q
 
     def chunk_documents_q(spark, sf):
         from distributed_vector_database_spark.operators.textops import (
@@ -1267,7 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "text_knn_expr",
         # recently-shaky or touched-this-round families
-        "event_json_extract", "event_range_join",
+        "event_range_join",
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "asof_join", "events_with_prev", "distinct_user_counts",
         "event_value_percentiles",
@@ -1281,9 +1296,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified_sample / events_sessions — all r5 driver-green —
         # rotate down to tier 2 to make room)
         "decontam_report", "decontam_filter", "source_overlap",
+        # round-6 budgeted corpus selection (event_json_extract — r5
+        # driver-green, untouched — rotates down to make room)
+        "token_budget_select",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
+        "event_json_extract",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -1643,6 +1662,18 @@ SELECT b.doc_id, b.n_ngrams,
        coalesce(h.n_overlap, 0) > 0 AS contaminated
 FROM base b LEFT JOIN hits h USING (doc_id)
 """
+
+    o["token_budget_select"] = f"""
+WITH ds AS ({{ds}}),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+      AS cum_tokens
+  FROM ds
+)
+SELECT doc_id, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+""".replace("{ds}", _doc_stats_sql())
 
     o["decontam_filter"] = f"""
 WITH {_DECONTAM_CTES}

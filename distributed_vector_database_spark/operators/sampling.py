@@ -50,6 +50,91 @@ def stratified_sample(
     )
 
 
+def select_by_token_budget(
+    df: DataFrame,
+    token_budget: int,
+    order_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Budgeted corpus selection: take documents in descending
+    `order_col` order (ties broken by `id_col`) while the running token
+    total stays within `token_budget` — 'give me the best N-token
+    training mix'. Output keeps the input columns plus `cum_tokens`
+    (the running total including the row itself, so the boundary is
+    auditable).
+
+    A naive global-order cumsum is a single-partition window — the
+    classic scale cliff. This is the distributed prefix-sum instead:
+
+    1. range-repartition on (order desc, id) so partition i holds a
+       contiguous slice of the global order;
+    2. one O(P)-row pass computes per-partition token totals, whose
+       running sum gives each partition's starting offset (driver-side
+       arithmetic over P numbers, not data);
+    3. partitions whose offset already exceeds the budget are DROPPED
+       before the window runs — the cumsum only ever scans the winning
+       prefix of the corpus;
+    4. within each surviving partition, a partition-local window adds
+       offset + local cumsum. All windows run in parallel; the one
+       exchange they pay (hash on the partition label) moves only the
+       surviving prefix — data volume is bounded by the budget, never
+       the corpus.
+
+    Deterministic regardless of sampled range boundaries: the global
+    (order desc, id) order is total, and offsets are exact."""
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        p, F.desc(order_col), F.asc(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    try:
+        totals = (
+            ranged.groupBy("__pid")
+            .agg(F.sum(tokens_col).alias("__t"))
+            .collect()
+        )
+        offset = 0
+        offsets = []
+        for r in sorted(totals, key=lambda r: r["__pid"]):
+            offsets.append((r["__pid"], offset))
+            offset += int(r["__t"] or 0)
+        # prune partitions that start past the budget — the window
+        # below never touches the corpus tail
+        live = [(pid, off) for pid, off in offsets if off < token_budget]
+        if not live:
+            return ranged.limit(0).drop("__pid").withColumn(
+                "cum_tokens", F.lit(0).cast("long")
+            )
+        off_df = F.broadcast(
+            spark.createDataFrame(live, ["__pid", "__offset"])
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.desc(order_col), F.asc(id_col)
+        )
+        out = (
+            ranged.join(off_df, "__pid")
+            .withColumn(
+                "cum_tokens",
+                (
+                    F.col("__offset")
+                    + F.sum(tokens_col).over(w)
+                ).cast("long"),
+            )
+            .filter(F.col("cum_tokens") <= token_budget)
+            .drop("__pid", "__offset")
+        )
+        # materialize before unpersisting the ranged layout the plan
+        # depends on (localCheckpoint keeps the result partitioned)
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

@@ -1,0 +1,67 @@
+"""Budgeted corpus selection tests (operators/sampling.py::
+select_by_token_budget)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.sampling import (
+    select_by_token_budget,
+)
+from distributed_vector_database_spark.operators.textops import doc_stats
+
+
+def _annotated(spark):
+    rows = [
+        # (doc_id, quality, n_tokens)
+        (0, 0.9, 10),
+        (1, 0.8, 20),
+        (2, 0.8, 5),  # ties with 1 -> id order: 1 before 2
+        (3, 0.7, 50),
+        (4, 0.1, 100),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"])
+
+
+def test_prefix_by_quality_then_id(spark):
+    got = select_by_token_budget(_annotated(spark), 36, partitions=3)
+    rows = {r["doc_id"]: r["cum_tokens"] for r in got.collect()}
+    # order: 0(10) 1(30) 2(35) | 3 would hit 85 > 36
+    assert rows == {0: 10, 1: 30, 2: 35}
+
+
+def test_boundary_inclusive(spark):
+    got = select_by_token_budget(_annotated(spark), 35, partitions=2)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+    got2 = select_by_token_budget(_annotated(spark), 34, partitions=2)
+    assert sorted(r["doc_id"] for r in got2.collect()) == [0, 1]
+
+
+def test_zero_and_tiny_budget(spark):
+    assert select_by_token_budget(_annotated(spark), 0).count() == 0
+    # budget smaller than the best doc -> nothing qualifies
+    assert select_by_token_budget(_annotated(spark), 9).count() == 0
+
+
+def test_matches_single_partition_window(spark, tables):
+    # the distributed prefix-sum must equal the naive global window
+    ann = doc_stats(tables["documents"]).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    budget = 4000
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_by_token_budget(ann, budget, partitions=8).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    want = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in ann.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .collect()
+    }
+    assert got == want and len(got) > 0
