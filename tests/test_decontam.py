@@ -94,6 +94,70 @@ def test_eval_side_is_broadcast(spark, tables):
     assert "Python" not in plan
 
 
+def test_streaming_decontam_matches_batch(spark, tmp_path):
+    import json
+
+    from distributed_vector_database_spark.streaming.decontam import (
+        decontaminate_stream,
+        read_clean_documents,
+        read_document_stream,
+    )
+
+    corpus, evals = _corpora(spark)
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    # two files -> (up to) two micro-batches under availableNow
+    rows = corpus.collect()
+    for i, chunk in enumerate((rows[:3], rows[3:])):
+        with open(docs_dir / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    out = str(tmp_path / "clean")
+    qy = decontaminate_stream(
+        read_document_stream(spark, str(docs_dir)),
+        evals,
+        out,
+        str(tmp_path / "ckpt"),
+        n=3,
+    )
+    qy.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in read_clean_documents(spark, out).collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in decontaminate(corpus, evals, n=3).collect()
+    )
+    assert got == want == [1, 4]
+
+
+def test_document_stream_drops_corrupt_lines(spark, tmp_path):
+    from distributed_vector_database_spark.streaming.decontam import (
+        read_document_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "fine"}\n'
+        "not json at all\n"
+        '{"doc_id": null, "text": "no id"}\n'
+        '{"doc_id": 2, "text": "also fine"}\n'
+    )
+    q = (
+        read_document_stream(spark, str(docs_dir))
+        .writeStream.format("memory")
+        .queryName("clean_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from clean_docs").collect()
+    )
+    assert got == [1, 2]
+
+
 def test_source_overlap_matrix(spark):
     docs = spark.createDataFrame(
         [
