@@ -58,6 +58,8 @@ HEADLINE = [
     "bm25_postings_topk",
     "ann_ivf_filtered",
     "ann_hnsw_topk",
+    "decontam_filter",
+    "token_budget_select",
 ]
 
 
