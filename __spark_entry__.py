@@ -438,6 +438,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_rollup"] = lambda spark, sf: R.orders_rollup(
         load_table(spark, sf, "orders")
     )
+    q["orders_grouping_sets"] = lambda spark, sf: R.orders_grouping_sets(
+        load_table(spark, sf, "orders")
+    )
+
+    def deterministic_shuffle_q(spark, sf):
+        # global training-order permutation with auditable positions
+        from distributed_vector_database_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+        return deterministic_shuffle(docs, "doc_id", seed="7", partitions=8)
+
+    q["deterministic_shuffle"] = deterministic_shuffle_q
     q["customers_with_orders"] = lambda spark, sf: R.customers_with_orders(
         load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
     )
@@ -2055,6 +2069,21 @@ FROM events GROUP BY event_type
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
   round(sum(o_totalprice), 2) AS total_price
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+    o["orders_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+    o["deterministic_shuffle"] = """
+SELECT doc_id, lang,
+  CAST(row_number() OVER (
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || '7'), doc_id
+  ) AS BIGINT) AS shuffle_pos
+FROM documents
 """
 
     o["orders_rollup"] = """

@@ -133,6 +133,21 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: here (status), (priority), and grand total, but NOT the
+    (status, priority) cross — the slice list a dashboard actually
+    asks for. Same single-shuffle expansion as rollup."""
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def event_value_median_udaf(events: DataFrame) -> DataFrame:
     """Pandas UDAF (GROUPED_AGG) surface demo: per-type median via an
     Arrow-batched aggregate UDF. GROUPED_AGG has NO partial

@@ -135,6 +135,61 @@ def select_by_token_budget(
         ranged.unpersist()
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "0",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global training-order randomization with an auditable position:
+    every row gets `shuffle_pos` (1-based) in the total order
+    md5(key || seed) — content-stable (the same corpus shuffles
+    identically on any cluster, and in the SQL oracle) and re-seedable
+    (a new seed is a fresh epoch permutation, no state carried).
+
+    Enumeration is distributed with the same prefix-sum shape as
+    select_by_token_budget: range-repartition on the hash, O(P) driver
+    offsets from per-partition counts, parallel partition-local
+    row_number + offset — never a single-partition global window."""
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(seed))))
+    ranged = (
+        df.withColumn("__h", h)
+        .repartitionByRange(p, F.asc("__h"), F.asc(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("__c")
+        ).collect()
+        offset = 0
+        live = []
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            live.append((r["__pid"], offset))
+            offset += int(r["__c"])
+        if not live:
+            return df.limit(0).withColumn(
+                "shuffle_pos", F.lit(0).cast("long")
+            )
+        off_df = F.broadcast(
+            spark.createDataFrame(live, ["__pid", "__offset"])
+        )
+        w = Window.partitionBy("__pid").orderBy(F.asc("__h"), F.asc(key_col))
+        out = (
+            ranged.join(off_df, "__pid")
+            .withColumn(
+                "shuffle_pos",
+                (F.col("__offset") + F.row_number().over(w)).cast("long"),
+            )
+            .drop("__pid", "__offset", "__h")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

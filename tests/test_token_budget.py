@@ -43,6 +43,49 @@ def test_zero_and_tiny_budget(spark):
     assert select_by_token_budget(_annotated(spark), 9).count() == 0
 
 
+def test_deterministic_shuffle_is_a_seeded_permutation(spark, tables):
+    from distributed_vector_database_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = tables["documents"].select("doc_id")
+    n = docs.count()
+    a = deterministic_shuffle(docs, "doc_id", seed="7", partitions=4)
+    rows = a.collect()
+    # bijection onto 1..n
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1, n + 1))
+    # matches the naive single-partition global window
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("7")))
+    w = Window.orderBy(h, F.asc("doc_id"))
+    want = {
+        (r["doc_id"], r["pos"])
+        for r in docs.withColumn(
+            "pos", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in rows} == want
+    # a different seed is a different permutation (content-stable, not
+    # positionally similar)
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(
+            docs, "doc_id", seed="8", partitions=4
+        ).collect()
+    }
+    a_map = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+    assert a_map != b
+    # re-running the same seed reproduces bit-identically
+    again = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(
+            docs, "doc_id", seed="7", partitions=2
+        ).collect()
+    }
+    assert again == a_map
+
+
 def test_matches_single_partition_window(spark, tables):
     # the distributed prefix-sum must equal the naive global window
     ann = doc_stats(tables["documents"]).select(
