@@ -502,6 +502,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_ngram"] = lang_id_ngram_q
 
+    def collapse_repetitions_q(spark, sf):
+        from distributed_vector_database_spark.operators.textops import (
+            collapse_repetitions,
+        )
+
+        return collapse_repetitions(load_table(spark, sf, "documents"))
+
+    q["collapse_repetitions"] = collapse_repetitions_q
+
     def repetition_scores_q(spark, sf):
         from distributed_vector_database_spark.operators.textops import (
             repetition_scores,
@@ -1661,6 +1670,19 @@ hits AS (
   SELECT doc_id, count(*) AS n_overlap
   FROM corpus JOIN evg USING (g) GROUP BY doc_id
 )"""
+
+    o["collapse_repetitions"] = f"""
+WITH toksr AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+k AS (
+  SELECT doc_id, t,
+    [t[i] for i in generate_series(1, len(t)) if i = 1 or t[i] != t[i-1]]
+      AS kept
+  FROM toksr
+)
+SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+  CAST(len(t) - len(kept) AS INT) AS n_collapsed
+FROM k
+"""
 
     o["decontam_report"] = f"""
 WITH {_DECONTAM_CTES},

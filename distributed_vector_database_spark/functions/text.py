@@ -205,6 +205,23 @@ def detect_lang_ngram(text: Column | str, n: int = 3) -> Column:
     return best_lang
 
 
+def collapse_runs_from_tokens(toks: Column | str) -> Column:
+    """Keep token i iff i == 0 or it differs from its predecessor —
+    collapses each run of consecutive identical tokens to one
+    occurrence (array<string> in, array<string> out). F.get is 0-based
+    and null-safe, so the i == 0 branch never faults under ANSI.
+
+    `toks` MUST be a materialized column (tokenize staged via
+    withColumn), not an inline expression — same no-CSE-across-lambdas
+    rule as winnow_from_grams: an inline tokenize would re-split the
+    text once per element, O(n²)."""
+    g = _col(toks)
+    return F.filter(
+        g,
+        lambda t, i: (i == F.lit(0)) | (t != F.get(g, i - 1)),
+    )
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     strip."""

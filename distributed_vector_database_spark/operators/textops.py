@@ -60,6 +60,28 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     return docs.filter(quality_score("text") >= min_quality)
 
 
+def collapse_repetitions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The cleaning counterpart to repetition_scores: collapse each run
+    of consecutive identical tokens to one occurrence and report how
+    many tokens were dropped. Zero-shuffle codegen'd map pass (tokens
+    staged once; see collapse_runs_from_tokens' no-CSE note)."""
+    from distributed_vector_database_spark.functions.text import (
+        collapse_runs_from_tokens,
+        tokenize,
+    )
+
+    staged = docs.withColumn("__toks", tokenize(text_col)).withColumn(
+        "__kept", collapse_runs_from_tokens("__toks")
+    )
+    return staged.select(
+        id_col,
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+        (F.size("__toks") - F.size("__kept")).cast("int").alias("n_collapsed"),
+    )
+
+
 def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     """Gopher-style repetition signal: the fraction of a document's
     word n-grams taken by its single most frequent n-gram (1.0 = the
