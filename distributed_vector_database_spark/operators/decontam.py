@@ -132,6 +132,54 @@ def decontaminate(
     return docs.join(bad, id_col, "left_anti")
 
 
+def source_overlap_sketch(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Sketch estimate of source_overlap for when even the distinct
+    (slice, gram) table is too big to self-join: ONE corpus scan folds
+    each slice's grams into a Datasketches HLL (hll_sketch_agg,
+    associative/mergeable map-side), then the |slices|-row result
+    cross-pairs driver-free and estimates
+    |A ∩ B| = max(|A| + |B| - |A ∪ B|, 0) via hll_union —
+    inclusion-exclusion over three sketch estimates.
+
+    Shuffle is |slices| sketch blobs (~2^lg_k bytes each), independent
+    of corpus size. Estimates inherit HLL error (~1.6%/sqrt(2^lg_k),
+    ~1.3% at lg_k=14) AND the subtraction amplifies it for
+    small intersections — treat containment near 0 as 'disjoint-ish',
+    and use the exact source_overlap when slices fit a gram join."""
+    sketches = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.array_distinct(token_ngram_hashes(text_col, n))
+            ).alias("g"),
+        )
+        .groupBy("grp")
+        .agg(F.hll_sketch_agg("g", F.lit(lg_k)).alias("sk"))
+    )
+    a = sketches.select(
+        F.col("grp").alias("source_a"), F.col("sk").alias("__ska")
+    )
+    b = sketches.select(
+        F.col("grp").alias("source_b"), F.col("sk").alias("__skb")
+    )
+    est_a = F.hll_sketch_estimate("__ska")
+    est_b = F.hll_sketch_estimate("__skb")
+    est_union = F.hll_sketch_estimate(F.hll_union("__ska", "__skb"))
+    inter = F.greatest(est_a + est_b - est_union, F.lit(0))
+    return a.crossJoin(b).select(
+        "source_a",
+        "source_b",
+        inter.cast("long").alias("n_shared_est"),
+        F.round(inter / est_a.cast("double"), 6).alias("containment_est"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = 3,

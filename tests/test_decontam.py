@@ -158,6 +158,31 @@ def test_document_stream_drops_corrupt_lines(spark, tmp_path):
     assert got == [1, 2]
 
 
+def test_source_overlap_sketch_tracks_exact(spark, tables):
+    from distributed_vector_database_spark.operators.decontam import (
+        source_overlap,
+        source_overlap_sketch,
+    )
+
+    docs = tables["documents"]
+    exact = {
+        (r["source_a"], r["source_b"]): r["containment"]
+        for r in source_overlap(docs, n=3).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["containment_est"]
+        for r in source_overlap_sketch(docs, n=3).collect()
+    }
+    # sketch emits the full cross (absence in exact means containment 0)
+    n_sources = docs.select("source").distinct().count()
+    assert len(est) == n_sources * n_sources
+    for pair, c in exact.items():
+        assert abs(est[pair] - c) < 0.08, (pair, c, est[pair])
+    # diagonal near 1.0
+    for s in {a for a, _ in est}:
+        assert abs(est[(s, s)] - 1.0) < 0.05
+
+
 def test_source_overlap_matrix(spark):
     docs = spark.createDataFrame(
         [
