@@ -32,12 +32,19 @@ from pyspark.sql import functions as F
 from distributed_vector_database_spark.functions.text import (
     token_ngram_hashes,
 )
+from distributed_vector_database_spark.operators.dedup import (
+    ensure_parallelism,
+)
 
 
 def _doc_grams(
     docs: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, g): one row per DISTINCT token-n-gram hash per document."""
+    """(id, g): one row per DISTINCT token-n-gram hash per document.
+    The corpus side is the compute-heavy leg (an md5 per gram), so a
+    narrow single-file input is spread first (no-op on well-partitioned
+    input — see ensure_parallelism)."""
+    docs = ensure_parallelism(docs, id_col)
     return docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
@@ -84,7 +91,7 @@ def contamination_report(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    base = docs.select(
+    base = ensure_parallelism(docs, id_col).select(
         id_col,
         F.size(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
             "n_ngrams"
@@ -153,7 +160,8 @@ def source_overlap_sketch(
     small intersections — treat containment near 0 as 'disjoint-ish',
     and use the exact source_overlap when slices fit a gram join."""
     sketches = (
-        docs.select(
+        ensure_parallelism(docs, text_col)
+        .select(
             F.col(group_col).alias("grp"),
             F.explode(
                 F.array_distinct(token_ngram_hashes(text_col, n))
@@ -192,7 +200,7 @@ def source_overlap(
     containment(a, b) = |grams(a) ∩ grams(b)| / |grams(a)|. The
     diagonal is 1.0 by construction (kept as a sanity anchor). Output
     is |slices|² rows regardless of corpus size."""
-    grams = docs.select(
+    grams = ensure_parallelism(docs, text_col).select(
         F.col(group_col).alias("grp"),
         F.explode(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
             "g"
