@@ -80,30 +80,50 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def token_ngram_hashes(text: Column | str, n: int = 3) -> Column:
-    """32-bit hashes of the token n-grams of the text (array<long>).
+def tokenize_strict(text: Column | str) -> Column:
+    """tokenize, except empty/whitespace-only text yields [] — plain
+    tokenize's split returns a phantom [''] there (1 'token' for a
+    blank doc), which overlap semantics must not count."""
+    return F.when(
+        F.length(F.trim(_col(text))) == 0, F.array().cast("array<string>")
+    ).otherwise(tokenize(text))
 
-    Unlike `word_shingles` (whole-doc fallback), a document with fewer
-    than n tokens yields an EMPTY array — decontamination semantics: a
-    doc too short to contain an n-gram cannot overlap one. Hash = first
-    8 md5 hex chars of the space-joined gram -> long, bit-identical in
-    DuckDB as CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT), so
-    join keys are 8-byte longs at shuffle time, never full gram
-    strings."""
+
+def ngram_hashes_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """32-bit hashes of the token n-grams of a pre-staged token array
+    (array<long>). Fewer than n tokens yields an EMPTY array —
+    decontamination semantics: a doc too short to contain an n-gram
+    cannot overlap one. Hash = first 8 md5 hex chars of the
+    space-joined gram -> long, bit-identical in DuckDB as
+    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT), so join keys
+    are 8-byte longs at shuffle time, never full gram strings.
+
+    `toks` MUST be a materialized column (tokenize_strict staged via
+    withColumn) — same no-CSE-across-lambdas rule as winnow_from_grams:
+    an inline tokenize would re-split the text once per gram position,
+    O(n²) per document."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = tokenize(text)
+    g = _col(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        F.sequence(F.lit(1), F.size(g) - (n - 1)),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 8),
+            F.substring(F.md5(F.concat_ws(" ", F.slice(g, i, n))), 1, 8),
             16,
             10,
         ).cast("long"),
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(
+    return F.when(F.size(g) >= n, grams).otherwise(
         F.array().cast("array<long>")
     )
+
+
+def token_ngram_hashes(text: Column | str, n: int = 3) -> Column:
+    """Convenience form of ngram_hashes_from_tokens over raw text.
+    Fine in single-column selects over short documents; operators that
+    explode grams corpus-wide stage the tokens first (see
+    operators/decontam.py) to stay O(tokens) per doc."""
+    return ngram_hashes_from_tokens(tokenize_strict(text), n)
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -30,11 +30,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.text import (
-    token_ngram_hashes,
+    ngram_hashes_from_tokens,
+    tokenize_strict,
 )
 from distributed_vector_database_spark.operators.dedup import (
     ensure_parallelism,
 )
+
+
+def _gram_set(df: DataFrame, n: int, text_col: str) -> Column:
+    """Distinct-gram-hash array with the tokens STAGED first (the
+    no-CSE rule: an inline tokenize re-splits once per gram position,
+    O(n²) per document). Usable only right after _stage_tokens."""
+    return F.array_distinct(ngram_hashes_from_tokens("__toks", n))
+
+
+def _stage_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("__toks", tokenize_strict(text_col))
 
 
 def _doc_grams(
@@ -44,12 +56,10 @@ def _doc_grams(
     The corpus side is the compute-heavy leg (an md5 per gram), so a
     narrow single-file input is spread first (no-op on well-partitioned
     input — see ensure_parallelism)."""
-    docs = ensure_parallelism(docs, id_col)
+    docs = _stage_tokens(ensure_parallelism(docs, id_col), text_col)
     return docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
-            "g"
-        ),
+        F.explode(_gram_set(docs, n, text_col)).alias("g"),
     )
 
 
@@ -61,12 +71,9 @@ def _eval_grams(
     small by construction. Pass broadcast_eval=False only when the
     'eval' side is itself corpus-scale (then the semi-join shuffles on
     the 8-byte hash, still never on text)."""
+    staged = _stage_tokens(eval_docs, text_col)
     ev = (
-        eval_docs.select(
-            F.explode(
-                F.array_distinct(token_ngram_hashes(text_col, n))
-            ).alias("g")
-        )
+        staged.select(F.explode(_gram_set(staged, n, text_col)).alias("g"))
         .distinct()
     )
     return F.broadcast(ev) if broadcast_eval else ev
@@ -91,11 +98,10 @@ def contamination_report(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    base = ensure_parallelism(docs, id_col).select(
+    staged = _stage_tokens(ensure_parallelism(docs, id_col), text_col)
+    base = staged.select(
         id_col,
-        F.size(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
-            "n_ngrams"
-        ),
+        F.size(_gram_set(staged, n, text_col)).alias("n_ngrams"),
     )
     return (
         base.join(hits, id_col, "left")
@@ -159,13 +165,11 @@ def source_overlap_sketch(
     ~1.3% at lg_k=14) AND the subtraction amplifies it for
     small intersections — treat containment near 0 as 'disjoint-ish',
     and use the exact source_overlap when slices fit a gram join."""
+    staged = _stage_tokens(ensure_parallelism(docs, text_col), text_col)
     sketches = (
-        ensure_parallelism(docs, text_col)
-        .select(
+        staged.select(
             F.col(group_col).alias("grp"),
-            F.explode(
-                F.array_distinct(token_ngram_hashes(text_col, n))
-            ).alias("g"),
+            F.explode(_gram_set(staged, n, text_col)).alias("g"),
         )
         .groupBy("grp")
         .agg(F.hll_sketch_agg("g", F.lit(lg_k)).alias("sk"))
@@ -200,11 +204,10 @@ def source_overlap(
     containment(a, b) = |grams(a) ∩ grams(b)| / |grams(a)|. The
     diagonal is 1.0 by construction (kept as a sanity anchor). Output
     is |slices|² rows regardless of corpus size."""
-    grams = ensure_parallelism(docs, text_col).select(
+    staged = _stage_tokens(ensure_parallelism(docs, text_col), text_col)
+    grams = staged.select(
         F.col(group_col).alias("grp"),
-        F.explode(F.array_distinct(token_ngram_hashes(text_col, n))).alias(
-            "g"
-        ),
+        F.explode(_gram_set(staged, n, text_col)).alias("g"),
     ).distinct()
     totals = grams.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
     shared = (

@@ -161,3 +161,125 @@ def test_winnow_fingerprints_match_python_mirror(spark, batch):
         got.setdefault(r["id"], set()).add(r["fp"])
     want = {i: _winnow_py(t) for i, t in enumerate(batch) if _winnow_py(t)}
     assert got == want
+
+
+word_texts = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "cd", "ef", "gh", "ij"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(word_texts)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_collapse_repetitions_matches_python_and_is_idempotent(spark, batch):
+    """collapse == itertools.groupby key sequence, and collapsing an
+    already-collapsed corpus is the identity."""
+    from itertools import groupby
+
+    from distributed_vector_database_spark.operators.textops import (
+        collapse_repetitions,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    out = collapse_repetitions(df)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    for i, t in enumerate(batch):
+        toks = t.lower().split()
+        want = " ".join(k for k, _ in groupby(toks))
+        assert got[i] == want, (t, got[i], want)
+    # idempotence
+    again = collapse_repetitions(
+        out.withColumnRenamed("clean_text", "text")
+    )
+    got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    assert got2 == got
+
+
+@given(word_texts, st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decontaminate_invariants(spark, batch, n):
+    """Self-decontamination kills every doc with >= n tokens (every
+    gram overlaps itself); survivors are exactly the gramless docs.
+    And decontaminating against an empty eval set is the identity."""
+    from distributed_vector_database_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    self_clean = {
+        r["doc_id"] for r in decontaminate(df, df, n=n).collect()
+    }
+    want = {i for i, t in enumerate(batch) if len(t.split()) < n}
+    assert self_clean == want
+    empty = df.limit(0)
+    assert {
+        r["doc_id"] for r in decontaminate(df, empty, n=n).collect()
+    } == set(range(len(batch)))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=300),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_budget_monotone_and_exact(spark, rows, budget):
+    """Budget selection == the Python greedy prefix; and a larger
+    budget selects a superset."""
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(q), int(t)) for i, (q, t) in enumerate(rows)],
+        "doc_id long, quality double, n_tokens int",
+    )
+    got = {
+        r["doc_id"]
+        for r in select_by_token_budget(df, budget, partitions=3).collect()
+    }
+    order = sorted(
+        ((i, q, t) for i, (q, t) in enumerate(rows)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    cum, want = 0, set()
+    for i, _, t in order:
+        if cum + t > budget:
+            break
+        cum += t
+        want.add(i)
+    assert got == want
+    bigger = {
+        r["doc_id"]
+        for r in select_by_token_budget(
+            df, budget + 60, partitions=2
+        ).collect()
+    }
+    assert got <= bigger
