@@ -493,11 +493,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents")
     )
     def lang_id_ngram_q(spark, sf):
-        from distributed_vector_database_spark.functions.text import detect_lang_ngram
+        from distributed_vector_database_spark.functions.text import (
+            char_ngrams_from_norm,
+            detect_lang_ngram_from_grams,
+        )
 
-        docs = load_table(spark, sf, "documents")
+        # norm + grams staged once per doc (no-CSE rule — an inline
+        # detect_lang_ngram(text) re-normalizes per gram position)
+        docs = load_table(spark, sf, "documents").withColumn(
+            "__norm", F.lower(F.trim(F.col("text")))
+        ).withColumn("__grams", char_ngrams_from_norm("__norm", 3))
         return docs.select(
-            "doc_id", detect_lang_ngram("text").alias("ngram_lang")
+            "doc_id", detect_lang_ngram_from_grams("__grams").alias("ngram_lang")
         )
 
     q["lang_id_ngram"] = lang_id_ngram_q

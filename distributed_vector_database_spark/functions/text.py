@@ -56,28 +56,47 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
-def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Character n-grams of the normalized text (array<string>)."""
-    norm = F.lower(F.trim(_col(text)))
+def char_ngrams_from_norm(norm: Column | str, n: int = 3) -> Column:
+    """Character n-grams of a pre-staged normalized string
+    (array<string>). `norm` MUST be a materialized column — the
+    no-CSE-across-lambdas rule: an inline lower(trim(text)) here would
+    re-normalize the whole string once per gram position, O(len²)."""
+    g = _col(norm)
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(n)),
+        F.sequence(F.lit(1), F.greatest(F.length(g) - (n - 1), F.lit(1))),
+        lambda i: g.substr(i, F.lit(n)),
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Convenience form over raw text — fine for short documents;
+    operators stage the normalized string first (see
+    char_ngrams_from_norm's O(len²) caveat)."""
+    return char_ngrams_from_norm(F.lower(F.trim(_col(text))), n)
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from a pre-staged token array: shingle i =
+    tokens[i..i+n-1] joined by space; fewer than n tokens yields the
+    whole doc as one shingle. `toks` MUST be a materialized column
+    (tokenize staged via withColumn) — an inline split would re-run
+    once per shingle position, O(tokens²) per document."""
+    g = _col(toks)
+    return F.when(
+        F.size(g) < n, F.array(F.concat_ws(" ", g))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(g) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(g, i, n)),
+        )
     )
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>): shingle i = tokens[i..i+n-1]
-    joined by space. Documents shorter than n words yield the whole doc
-    as one shingle."""
-    toks = tokenize(text)
-    return F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    """Convenience form over raw text — fine for short documents;
+    operators that shingle corpus-wide stage the tokens first (see
+    shingles_from_tokens' O(tokens²) caveat)."""
+    return shingles_from_tokens(tokenize(text), n)
 
 
 def tokenize_strict(text: Column | str) -> Column:
@@ -201,11 +220,12 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
 }
 
 
-def detect_lang_ngram(text: Column | str, n: int = 3) -> Column:
-    """Character-n-gram language ID: the language whose trigram profile
-    matches the most of the text's char trigrams; 'und' when nothing
-    hits. Ties → alphabetically-first (same fold as detect_lang)."""
-    grams = char_ngrams(text, n)
+def detect_lang_ngram_from_grams(grams: Column | str) -> Column:
+    """Character-n-gram language ID from a pre-staged char-gram array
+    (see char_ngrams_from_norm): the language whose trigram profile
+    matches the most grams; 'und' when nothing hits. Ties →
+    alphabetically-first (same fold as detect_lang)."""
+    grams = _col(grams)
 
     def hits(profile: list[str]):
         return lambda g: g.isin(profile)
@@ -223,6 +243,12 @@ def detect_lang_ngram(text: Column | str, n: int = 3) -> Column:
         )
         best_score = F.greatest(s, best_score)
     return best_lang
+
+
+def detect_lang_ngram(text: Column | str, n: int = 3) -> Column:
+    """Convenience form over raw text — fine for short documents;
+    operators stage norm + grams first (see char_ngrams_from_norm)."""
+    return detect_lang_ngram_from_grams(char_ngrams(text, n))
 
 
 def collapse_runs_from_tokens(toks: Column | str) -> Column:
@@ -253,15 +279,19 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
-def kgram_hashes(text: Column | str, k: int = 5) -> Column:
-    """32-bit rolling-hash family over the char k-grams of the
-    normalized text (array<long>, one hash per k-gram position).
-    Empty array when the text is shorter than k. Hash = first 8 md5
-    hex chars -> long, bit-identical in DuckDB as
-    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)."""
+def kgram_hashes_from_norm(norm: Column | str, k: int = 5) -> Column:
+    """32-bit rolling-hash family over the char k-grams of a
+    pre-staged normalized string (array<long>, one hash per k-gram
+    position). Empty array when shorter than k. Hash = first 8 md5 hex
+    chars -> long, bit-identical in DuckDB as
+    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT).
+
+    `norm` MUST be a materialized column (normalize_text staged via
+    withColumn) — an inline normalize would re-run its regex pass once
+    per gram position, O(len²) per document."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    t = normalize_text(text)
+    t = _col(norm)
     n = F.length(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -270,6 +300,13 @@ def kgram_hashes(text: Column | str, k: int = 5) -> Column:
         ).cast("long"),
     )
     return F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
+
+
+def kgram_hashes(text: Column | str, k: int = 5) -> Column:
+    """Convenience form over raw text — fine for short documents;
+    operators stage the normalized string first (see
+    kgram_hashes_from_norm's O(len²) caveat)."""
+    return kgram_hashes_from_norm(normalize_text(text), k)
 
 
 def winnow_from_grams(grams: Column | str, window: int = 4) -> Column:

@@ -34,8 +34,8 @@ from distributed_vector_database_spark.functions.hashing import (
 )
 from distributed_vector_database_spark.functions.text import (
     fingerprint,
+    shingles_from_tokens,
     tokenize,
-    word_shingles,
 )
 
 
@@ -110,9 +110,12 @@ def ngram_jaccard_pairs(
     # cached: referenced three times below (sizes + both join sides)
     sh = (
         ensure_parallelism(docs, id_col)
+        .withColumn("__toks", tokenize(text_col))  # staged: no-CSE rule
         .select(
             F.col(id_col).alias("id"),
-            F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+            F.array_distinct(shingles_from_tokens("__toks", n)).alias(
+                "shingles"
+            ),
         )
         .cache()
     )
@@ -154,9 +157,9 @@ def jaccard_verify(
     Cost is O(candidates), never O(n²): the shingle arrays hydrate via
     two equi-joins keyed by the candidate ids (Catalyst broadcasts the
     candidate side when it is small, leaving the corpus unshuffled)."""
-    sh = docs.select(
+    sh = docs.withColumn("__toks", tokenize(text_col)).select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("__sh"),
+        F.array_distinct(shingles_from_tokens("__toks", n)).alias("__sh"),
     )
     return (
         candidates.select("id_a", "id_b")
@@ -236,9 +239,12 @@ def minhash_signatures(
 
     exploded = (
         ensure_parallelism(docs, id_col)
+        .withColumn("__toks", tokenize(text_col))  # staged: no-CSE rule
         .select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+            F.explode(
+                F.array_distinct(shingles_from_tokens("__toks", shingle_n))
+            ).alias("s"),
         )
         .select("id", hash32("s").alias("h"))
     )

@@ -88,10 +88,14 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     doc is one phrase repeated). Plan: explode shingles → per-(doc,
     shingle) counts → per-doc max/total — two partial-agg shuffles,
     linear in corpus size."""
-    from distributed_vector_database_spark.functions.text import word_shingles
+    from distributed_vector_database_spark.functions.text import (
+        shingles_from_tokens,
+        tokenize,
+    )
 
-    sh = docs.select(
-        F.col("doc_id"), F.explode(word_shingles("text", n)).alias("s")
+    sh = docs.withColumn("__toks", tokenize("text")).select(
+        F.col("doc_id"),
+        F.explode(shingles_from_tokens("__toks", n)).alias("s"),
     )
     counts = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -164,12 +168,14 @@ def doc_fingerprints(
     per document (Catalyst does not CSE subexpressions across lambda
     bodies)."""
     from distributed_vector_database_spark.functions.text import (
-        kgram_hashes,
+        kgram_hashes_from_norm,
+        normalize_text,
         winnow_from_grams,
     )
 
-    staged = docs.select(
-        F.col(id_col).alias("id"), kgram_hashes(text_col, k).alias("__grams")
+    staged = docs.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col).alias("id"),
+        kgram_hashes_from_norm("__norm", k).alias("__grams"),
     )
     # no orderBy: the whole operator is scan → project → explode, zero
     # shuffles (asserted in tests/test_plans.py) — a global sort here
