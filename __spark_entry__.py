@@ -104,6 +104,7 @@ UPSERT_SPLIT_TS = "2024-01-16 00:00:00"  # base/changes split for upsert
 Q1_SHIP_BEFORE = "1998-09-01"
 QUALITY_MIN = 0.5
 TOKEN_BUDGET = 8000       # budgeted-selection cutoff (~half the sf0.01 corpus)
+SPAN_K = 8                # duplicate-span window width (tokens)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +790,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ngram_jaccard_scale"] = ngram_jaccard_scale_q
+
+    def dup_span_report_q(spark, sf):
+        # span-level (sub-document) duplication pressure: k-token
+        # windows repeated anywhere in the corpus, per doc
+        from distributed_vector_database_spark.operators.dedup import (
+            duplicate_span_report,
+        )
+
+        return duplicate_span_report(load_table(spark, sf, "documents"), k=SPAN_K)
+
+    q["dup_span_report"] = dup_span_report_q
+
+    def remove_dup_spans_q(spark, sf):
+        # ExactSubstr-style span removal: all but the globally-first
+        # occurrence of every duplicated k-token gram dropped
+        from distributed_vector_database_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        return remove_duplicate_spans(load_table(spark, sf, "documents"), k=SPAN_K)
+
+    q["remove_dup_spans"] = remove_dup_spans_q
     q["simhash_dedup"] = lambda spark, sf: simhash_pairs(
         load_table(spark, sf, "documents"), max_hamming=SIMHASH_MAX_HAMMING
     )
@@ -1314,8 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recently-shaky or touched-this-round families
         "event_range_join",
         "changelog_compact", "changelog_incremental", "upsert_semantics",
-        "asof_join", "events_with_prev", "distinct_user_counts",
-        "event_value_percentiles",
+        "asof_join", "distinct_user_counts",
         # round-6 numpy-HNSW anchors (0 prior driver rows)
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "near_dup_clusters",  # clustering kernel changes in round 6
@@ -1329,10 +1351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 budgeted corpus selection (event_json_extract — r5
         # driver-green, untouched — rotates down to make room)
         "token_budget_select",
+        # round-6 duplicate-span dedup (new; events_with_prev /
+        # event_value_percentiles — r5 driver-green, untouched — rotate
+        # down to tier 2 to make room)
+        "dup_span_report", "remove_dup_spans",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
-        "event_json_extract",
+        "event_json_extract", "events_with_prev", "event_value_percentiles",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2216,6 +2242,65 @@ c AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
 SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep, CAST(sum(c) AS BIGINT) AS n_shingles,
   round(CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT), 6) AS rep_ratio
 FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # duplicate-span CTEs shared by report + removal: strict k-token
+    # windows (sub-k docs contribute none), md5 gram keys, global
+    # multiplicity >= 2 marks duplicated span material
+    _span_ctes = f"""
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks)-{SPAN_K - 1})) AS pos, toks
+  FROM tok WHERE len(toks) >= {SPAN_K}
+),
+g AS (
+  SELECT doc_id, pos,
+    md5(array_to_string(list_slice(toks, pos, pos+{SPAN_K - 1}), ' ')) AS gram
+  FROM w
+)"""
+
+    o["dup_span_report"] = f"""
+WITH {_span_ctes},
+c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+dw AS (
+  SELECT g.doc_id, count(*) AS n_dup FROM g JOIN c ON g.gram = c.gram
+  WHERE c.n >= 2 GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  CAST(greatest(len(t.toks) - {SPAN_K - 1}, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(dw.n_dup, 0) AS BIGINT) AS n_dup_windows,
+  round(coalesce(dw.n_dup, 0) /
+        greatest(greatest(len(t.toks) - {SPAN_K - 1}, 0), 1), 6) AS dup_ratio
+FROM tok t LEFT JOIN dw ON t.doc_id = dw.doc_id
+ORDER BY t.doc_id
+"""
+
+    o["remove_dup_spans"] = f"""
+WITH {_span_ctes},
+d AS (
+  SELECT doc_id, pos,
+    count(*) OVER (PARTITION BY gram) AS n,
+    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+  FROM g
+),
+fl AS (SELECT doc_id, pos FROM d WHERE n >= 2 AND rk > 1),
+tp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM tok),
+keep AS (
+  SELECT t.doc_id, t.i, t.toks[t.i] AS tk FROM tp t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fl f
+    WHERE f.doc_id = t.doc_id AND f.pos <= t.i AND t.i < f.pos + {SPAN_K}
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text,
+    count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
 """
 
     o["pack_documents"] = f"""

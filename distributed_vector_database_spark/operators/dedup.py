@@ -925,3 +925,128 @@ def embedding_near_dup_at_scale(
     )
     # a pair sharing several probed centroids is found several times
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def _strict_windows(toks, k: int):
+    """Positions 1..len-k+1 of strict k-token windows (empty when the
+    document is shorter than k) — unlike shingles_from_tokens, a short
+    document does NOT degrade to one whole-doc shingle, because span
+    removal must never flag a sub-k document as a duplicated span.
+    `toks` must be a staged column (the no-CSE-across-lambdas rule)."""
+    return F.when(
+        F.size(toks) < k, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size(toks) - (k - 1)).cast("array<int>"))
+
+
+def duplicate_span_windows(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram_md5) for every k-token window whose gram
+    occurs MORE THAN ONCE corpus-wide — the distributed analogue of the
+    suffix-array pass in exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    gram seen twice anywhere marks both occurrences as duplicated
+    span material.
+
+    Plan shape: stage tokens once -> posexplode strict windows (the
+    corpus-sized map pass) -> ONE hash shuffle on the md5 of the gram
+    (16-byte keys, not k-word strings) -> a count window flags grams
+    with global multiplicity >= 2. Output is sized by the DUPLICATED
+    mass, not the corpus."""
+    staged = docs.withColumn("__toks", tokenize(text_col))
+    wins = staged.select(
+        F.col(id_col),
+        F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram"),
+    )
+    counts = Window.partitionBy("gram")
+    return (
+        wins.withColumn("__n", F.count(F.lit(1)).over(counts))
+        .filter(F.col("__n") >= 2)
+        .select(id_col, "pos", "gram")
+    )
+
+
+def duplicate_span_report(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span pressure: how many of the doc's
+    k-token windows belong to a gram repeated anywhere in the corpus.
+    The triage number that decides whether span-level dedup is worth
+    running on a source. One extra shuffle on doc_id over
+    duplicate_span_windows; n_windows comes from the same staged scan."""
+    staged = docs.withColumn("__toks", tokenize(text_col))
+    totals = staged.select(
+        F.col(id_col), F.size(_strict_windows(F.col("__toks"), k)).alias("n_windows")
+    )
+    dups = (
+        duplicate_span_windows(docs, k, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        totals.join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.greatest("n_windows", F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Span-level dedup: every occurrence of a corpus-duplicated
+    k-token gram EXCEPT the globally first (min (doc_id, pos)) is
+    flagged, and all tokens covered by a flagged window are dropped;
+    the canonical occurrence survives, so each duplicated span keeps
+    exactly one copy corpus-wide — the semantics of Lee et al.'s
+    ExactSubstr dedup, windowed to k-token granularity so it
+    distributes as ONE gram shuffle instead of a suffix array.
+
+    Reconstruction is a map pass: flagged positions are collected per
+    doc (bounded by the doc's window count), each token keeps iff no
+    flagged window covers it. The exists() probe is O(flagged) per
+    token — worst case O(len^2) for a fully-duplicated doc, bounded in
+    practice by duplicated mass; tokens/flags are both staged columns.
+
+    Output text is rebuilt from the tokenizer's lowercased tokens
+    (same contract as collapse_repetitions)."""
+    flagged = (
+        duplicate_span_windows(docs, k, id_col, text_col)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("gram").orderBy(id_col, "pos")
+            ),
+        )
+        .filter(F.col("__rk") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__flags"))
+    )
+    staged = (
+        docs.withColumn("__toks", tokenize(text_col))
+        .join(flagged, id_col, "left")
+        .withColumn("__flags", F.coalesce("__flags", F.array().cast("array<int>")))
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            "__flags", lambda q: (q <= i + 1) & (i + 1 < q + F.lit(k))
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

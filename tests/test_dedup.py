@@ -284,3 +284,53 @@ def test_ngram_jaccard_scale_path_verifies_candidates(spark, tables):
     }
     expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in docs.limit(50).collect()}
     assert expected <= found
+
+
+# ---- duplicate-span (ExactSubstr-style) dedup -------------------------
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+            (2, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (3, "totally different words here nothing shared at all right"),
+            (4, "short doc"),
+            (5, ""),
+            (6, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+        ],
+        DOCS,
+    )
+
+
+def test_duplicate_span_report(spark):
+    from distributed_vector_database_spark.operators.dedup import (
+        duplicate_span_report,
+    )
+
+    rep = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_span_report(_span_docs(spark), k=8).collect()
+    }
+    # docs 1 and 6 are identical (all 3 windows duplicated); doc 2
+    # shares exactly the 8-token run starting at 'alpha'; sub-k docs
+    # have zero windows, never a phantom whole-doc shingle
+    assert rep == {1: (3, 3), 2: (3, 1), 3: (2, 0), 4: (0, 0), 5: (0, 0), 6: (3, 3)}
+
+
+def test_remove_duplicate_spans_keeps_canonical(spark):
+    from distributed_vector_database_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(_span_docs(spark), k=8).collect()
+    }
+    # global-first occurrence (doc 1) survives intact; the exact dup
+    # (doc 6) is erased; doc 2 keeps only its novel prefix/suffix;
+    # untouched docs round-trip through the tokenizer unchanged
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta unique one", 0)
+    assert out[6] == ("", 10)
+    assert out[2] == ("prefix suffix", 8)
+    assert out[3][1] == 0 and out[4][1] == 0 and out[5] == ("", 0)
