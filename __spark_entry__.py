@@ -297,6 +297,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["changelog_incremental"] = changelog_incremental_q
 
+    def snapshot_diff_q(spark, sf):
+        # time travel: state as-of the checkpoint vs one day later —
+        # added / deleted / updated keys from ONE log scan
+        from distributed_vector_database_spark.operators.changelog import (
+            snapshot_diff,
+        )
+
+        d = snapshot_diff(
+            _event_log(spark, sf),
+            CHECKPOINT_TS,
+            UPSERT_SPLIT_TS,
+            key_col="key",
+            ts_col="ts",
+            seq_col="seq",
+            value_cols=["value"],
+        )
+        return d.select(
+            F.col("key").alias("user_id"),
+            "change_type",
+            F.round("old_value", 6).alias("old_value"),
+            F.round("new_value", 6).alias("new_value"),
+        )
+
+    q["snapshot_diff"] = snapshot_diff_q
+
     def upsert_semantics_q(spark, sf):
         # O1: put-overwrites — newer rows (the 'changes') replace older
         log = _event_log(spark, sf).select("key", "value", "ts", "seq")
@@ -1337,7 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recently-shaky or touched-this-round families
         "event_range_join",
         "changelog_compact", "changelog_incremental", "upsert_semantics",
-        "asof_join", "distinct_user_counts",
+        "snapshot_diff",  # round-6 time-travel diff (new; distinct_user_
+        # counts — r5 driver-green, untouched — rotates down to tier 2)
+        "asof_join",
         # round-6 numpy-HNSW anchors (0 prior driver rows)
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "near_dup_clusters",  # clustering kernel changes in round 6
@@ -1359,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
+        "distinct_user_counts",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -1907,6 +1935,39 @@ f AS (SELECT * FROM log WHERE ts > TIMESTAMP '{CHECKPOINT_TS}'),
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
 SELECT user_id, value, event_id AS last_event_id
 FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id
+"""
+
+    o["snapshot_diff"] = f"""
+WITH {_log_cte},
+a AS (
+  SELECT user_id, op, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log WHERE ts <= TIMESTAMP '{CHECKPOINT_TS}'
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT user_id, op, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log WHERE ts <= TIMESTAMP '{UPSERT_SPLIT_TS}'
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+    (a.user_id IS NOT NULL AND a.op <> 'DELETE') AS pa,
+    (b.user_id IS NOT NULL AND b.op <> 'DELETE') AS pb,
+    a.value AS va, b.value AS vb
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+)
+SELECT user_id,
+  CASE WHEN NOT pa AND pb THEN 'added'
+       WHEN pa AND NOT pb THEN 'deleted'
+       WHEN pa AND pb AND va IS DISTINCT FROM vb THEN 'updated' END AS change_type,
+  round(CASE WHEN pa THEN va END, 6) AS old_value,
+  round(CASE WHEN pb THEN vb END, 6) AS new_value
+FROM j
+WHERE (NOT pa AND pb) OR (pa AND NOT pb)
+   OR (pa AND pb AND va IS DISTINCT FROM vb)
+ORDER BY user_id
 """
 
     o["upsert_semantics"] = f"""

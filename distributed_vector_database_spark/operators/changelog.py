@@ -134,3 +134,68 @@ def snapshot(state: DataFrame, path: str, partition_by: str | None = None) -> No
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(path)
+
+
+def snapshot_diff(
+    log: DataFrame,
+    ts_a,
+    ts_b,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-travel diff: what changed between the state as-of ts_a and
+    the state as-of ts_b (both inclusive)? Emits one row per changed
+    key with change_type in ('added', 'deleted', 'updated') plus
+    old_<col>/new_<col> for every value column; unchanged keys emit
+    nothing. The audit query a WAL-backed store answers with two full
+    replays (src/utils/wal_manager.py:116-182 run twice) — here both
+    as-of states come from ONE scan and ONE shuffle: per key, a
+    max_by over entries <= each cutoff picks that cutoff's winning op,
+    so the log is never window-sorted twice.
+
+    At 100 TB the log is the small side by construction (the base
+    snapshot never enters this plan at all), and the aggregation is
+    partial-agg friendly: each map task emits at most one candidate
+    struct per (key, cutoff)."""
+    if value_cols is None:
+        reserved = {key_col, ts_col, op_col, seq_col}
+        value_cols = [c for c in log.columns if c not in reserved]
+    ord_cols = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    payload = F.struct(F.col(op_col).alias("op"), *[F.col(c).alias(c) for c in value_cols])
+
+    def as_of(cutoff, name):
+        # no explicit cast: Spark coerces a string literal against a
+        # timestamp column, and numeric ts columns compare natively
+        cond = F.col(ts_col) <= F.lit(cutoff)
+        return F.max_by(
+            F.when(cond, payload), F.when(cond, F.struct(*ord_cols))
+        ).alias(name)
+
+    both = log.groupBy(key_col).agg(as_of(ts_a, "__a"), as_of(ts_b, "__b"))
+    present_a = F.col("__a").isNotNull() & (F.col("__a.op") != F.lit(OP_DELETE))
+    present_b = F.col("__b").isNotNull() & (F.col("__b.op") != F.lit(OP_DELETE))
+    changed = (
+        F.when(~present_a & present_b, F.lit("added"))
+        .when(present_a & ~present_b, F.lit("deleted"))
+        .when(
+            present_a
+            & present_b
+            & ~F.struct(*[F.col(f"__a.{c}") for c in value_cols]).eqNullSafe(
+                F.struct(*[F.col(f"__b.{c}") for c in value_cols])
+            ),
+            F.lit("updated"),
+        )
+    )
+    out = both.withColumn("change_type", changed).filter(
+        F.col("change_type").isNotNull()
+    )
+    olds = [
+        F.when(present_a, F.col(f"__a.{c}")).alias(f"old_{c}") for c in value_cols
+    ]
+    news = [
+        F.when(present_b, F.col(f"__b.{c}")).alias(f"new_{c}") for c in value_cols
+    ]
+    return out.select(key_col, "change_type", *olds, *news)

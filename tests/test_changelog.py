@@ -131,3 +131,35 @@ def test_apply_changelog_recovery(spark):
 def test_latest_per_key(spark):
     log = _log(spark, [(OP_PUT, "a", 1.0, 10, 1), (OP_PUT, "a", 2.0, 30, 2)])
     assert latest_per_key(log).collect()[0]["value"] == 2.0
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from distributed_vector_database_spark.operators.changelog import snapshot_diff
+
+    log = _log(
+        spark,
+        [
+            (OP_PUT, "stay", 1.0, 10, 1),      # unchanged -> no row
+            (OP_PUT, "upd", 1.0, 10, 2),
+            (OP_PUT, "upd", 2.0, 30, 3),       # updated after A
+            (OP_PUT, "gone", 9.0, 10, 4),
+            (OP_DELETE, "gone", None, 30, 5),  # deleted after A
+            (OP_PUT, "new", 4.0, 30, 6),       # added after A
+            (OP_DELETE, "ghost", None, 5, 7),  # dead at both cutoffs -> no row
+            (OP_PUT, "tie", 1.0, 20, 8),
+            (OP_PUT, "tie", 2.0, 20, 9),       # same ts: seq breaks the tie
+        ],
+    )
+    out = {
+        r["key"]: (r["change_type"], r["old_value"], r["new_value"])
+        for r in snapshot_diff(
+            log, 20, 40, seq_col="seq", value_cols=["value"]
+        ).collect()
+    }
+    assert out == {
+        "upd": ("updated", 1.0, 2.0),
+        "gone": ("deleted", 9.0, None),
+        "new": ("added", None, 4.0),
+    }
+    # 'tie' resolves to seq 9's value at BOTH cutoffs -> unchanged
+    assert "tie" not in out and "stay" not in out and "ghost" not in out
