@@ -919,6 +919,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample"] = mixture_sample_q
 
+    def temperature_sample_q(spark, sf):
+        # data-derived temperature mixing (share^alpha): rarest lang
+        # kept whole, head langs downsampled by (n_min/n)^(1-alpha)
+        from distributed_vector_database_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        return temperature_sample(docs, "lang", "doc_id", alpha=0.5).select(
+            "doc_id", "lang", "source"
+        )
+
+    q["temperature_sample"] = temperature_sample_q
+
     def ann_lsh_similarity_join_q(spark, sf):
         from distributed_vector_database_spark.operators.ann import (
             lsh_model,
@@ -1349,7 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_first", "ann_ivfpq_topk_exact",
         # single-r1-row queries (stale evidence)
         "knn_topk_default", "get_all_vectors", "dim_check",
-        "doc_token_positions", "monthly_revenue",
+        "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
         "customer_moving_avg", "orders_pivot", "customers_with_orders",
@@ -1382,11 +1396,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event_value_percentiles — r5 driver-green, untouched — rotate
         # down to tier 2 to make room)
         "dup_span_report", "remove_dup_spans",
+        # round-6 temperature mixing (new; monthly_revenue — r1 green,
+        # window-agg semantics pinned in pytest + full gate — rotates
+        # down to tier 2 to make room)
+        "temperature_sample",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
-        "distinct_user_counts",
+        "distinct_user_counts", "monthly_revenue",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2478,6 +2496,18 @@ WHERE {_H32_KEY} % 100 < 10
 SELECT doc_id, lang FROM documents
 WHERE {_H32_KEY} % 100 <
   CASE WHEN lang = 'de' THEN 40 WHEN lang = 'en' THEN 80 ELSE 10 END
+"""
+
+    o["temperature_sample"] = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (
+  SELECT lang,
+    CAST(floor(1000.0 * pow((SELECT min(n) FROM c) / CAST(n AS DOUBLE), 0.5)) AS INT) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {_H32_KEY} % 1000 < r.rate
 """
 
     o["stratified_sample"] = f"""

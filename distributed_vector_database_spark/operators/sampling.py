@@ -212,3 +212,61 @@ def mixture_sample(
     for s, r in rates_pct.items():
         rate = F.when(F.col(stratum_col) == s, F.lit(int(r))).otherwise(rate)
     return df.filter(hash32(key_col) % partition_count < rate)
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    partition_count: int = 1000,
+) -> DataFrame:
+    """Per-stratum keep rates for temperature-scaled mixing (the
+    multilingual-pretraining reweighting rule: sampling probability
+    proportional to share^alpha, so alpha=1 is natural proportions and
+    alpha->0 flattens toward uniform-over-strata). The rarest stratum
+    is pegged at partition_count (keep everything) and every other
+    stratum is downsampled by (n_min/n_s)^(1-alpha) — the only way to
+    hit temperature proportions without UPsampling, which a filter
+    cannot do.
+
+    Rates derive from integer stratum counts only (floor of a product
+    of correctly-rounded doubles), so the same corpus yields the same
+    rates on any engine. One tiny groupBy; the over-strata min arrives
+    as a broadcast 1-row cross join, not a single-partition window."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    return (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            stratum_col,
+            F.floor(
+                F.lit(float(partition_count))
+                * F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - alpha))
+            )
+            .cast("int")
+            .alias("rate"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    partition_count: int = 1000,
+) -> DataFrame:
+    """Temperature mixture sampling: derive per-stratum rates from the
+    corpus itself (temperature_rates), then keep rows by the same
+    content-stable hash membership as hash_sample/mixture_sample.
+
+    Plan: one tiny stratum-count aggregate, broadcast-joined back, one
+    shuffle-free filter scan — the corpus is read twice but never
+    shuffled; rates are data-derived, so re-running after ingest
+    reflects the new mixture with zero configuration."""
+    rates = temperature_rates(df, stratum_col, alpha, partition_count)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash32(key_col) % partition_count < F.col("rate"))
+        .drop("rate")
+    )

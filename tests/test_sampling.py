@@ -88,3 +88,27 @@ def test_mixture_sample_rejects_bad_rate(spark, tables):
 
     with _pytest.raises(ValueError):
         mixture_sample(tables["documents"], "lang", "doc_id", {"en": 101})
+
+
+def test_temperature_rates_and_sample(spark):
+    from distributed_vector_database_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    # 900 'en' vs 100 'de': alpha=0.5 keeps all of the rare stratum and
+    # sqrt(100/900)=1/3 of the head
+    rows = [(i, "en" if i < 900 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {r["lang"]: r["rate"] for r in temperature_rates(df, "lang").collect()}
+    assert rates == {"de": 1000, "en": 333}
+
+    out = temperature_sample(df, "lang", "doc_id")
+    kept = {k: 0 for k in rates}
+    for r in out.collect():
+        kept[r["lang"]] += 1
+    assert kept["de"] == 100                  # rarest stratum intact
+    assert 250 <= kept["en"] <= 420           # ~1/3 of 900, hash-binomial
+
+    # alpha=1 is natural proportions: everything kept
+    assert temperature_sample(df, "lang", "doc_id", alpha=1.0).count() == 1000
