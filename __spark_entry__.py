@@ -105,6 +105,7 @@ Q1_SHIP_BEFORE = "1998-09-01"
 QUALITY_MIN = 0.5
 TOKEN_BUDGET = 8000       # budgeted-selection cutoff (~half the sf0.01 corpus)
 SPAN_K = 8                # duplicate-span window width (tokens)
+JL_D_OUT = 8              # JL projection output dimensionality
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +238,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 )
 
     q["vector_normalize"] = vector_normalize_q
+
+    def jl_projection_q(spark, sf):
+        # JL dimension reduction: 64-d -> 8-d through a seed-derived
+        # Rademacher matrix; pure codegen'd expression, zero shuffles
+        from distributed_vector_database_spark.functions.vector import (
+            project,
+            rademacher_matrix,
+        )
+
+        emb = _emb(spark, sf).withColumn(
+            "__v", F.col("embedding").cast("array<double>")
+        )
+        proj = project("__v", rademacher_matrix(64, JL_D_OUT))
+        staged = emb.withColumn("__p", proj)
+        return staged.select(
+            "vec_id",
+            *[
+                F.round(F.element_at("__p", j + 1), 6).alias(f"p{j}")
+                for j in range(JL_D_OUT)
+            ],
+        )
+
+    q["jl_projection"] = jl_projection_q
 
     def dim_check_q(spark, sf):
         # dim validation at write (src/datanode/handler.py:228-232)
@@ -1362,7 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube", "event_value_median_udaf", "salted_user_counts",
         "events_dedup_first", "ann_ivfpq_topk_exact",
         # single-r1-row queries (stale evidence)
-        "knn_topk_default", "get_all_vectors", "dim_check",
+        "get_all_vectors", "dim_check",
         "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
@@ -1400,11 +1424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window-agg semantics pinned in pytest + full gate — rotates
         # down to tier 2 to make room)
         "temperature_sample",
+        # round-6 JL projection (new; knn_topk_default — r1 green and
+        # bit-reproduced every round by the ann_*_topk_exact anchors —
+        # rotates down to tier 2)
+        "jl_projection",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
-        "distinct_user_counts", "monthly_revenue",
+        "distinct_user_counts", "monthly_revenue", "knn_topk_default",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -1900,6 +1928,30 @@ ORDER BY hybrid_score DESC, doc_id LIMIT 10
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
   round(sum(sqrt(list_sum([x*x for x in {_DV}]))), 4) AS total_norm
 FROM embeddings
+"""
+
+    # JL projection: the same seed-derived Rademacher matrix is inlined
+    # as a literal on BOTH sides, so the oracle is the same
+    # multiply-add fold over identical constants
+    from distributed_vector_database_spark.functions.vector import (
+        rademacher_matrix as _rm,
+    )
+
+    _jl_m = _rm(64, JL_D_OUT)
+    _jl_rows = ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in _jl_m
+    )
+    _jl_cols = ",\n  ".join(
+        f"round(list_sum([p[1]*p[2] for p in list_zip(v, m[{j + 1}])])"
+        f" / sqrt({float(JL_D_OUT)}), 6) AS p{j}"
+        for j in range(JL_D_OUT)
+    )
+    o["jl_projection"] = f"""
+WITH mm AS (SELECT [{_jl_rows}] AS m),
+vv AS (SELECT vec_id, {_DV} AS v FROM embeddings)
+SELECT vec_id,
+  {_jl_cols}
+FROM vv, mm ORDER BY vec_id
 """
 
     o["vector_normalize"] = f"""

@@ -60,6 +60,9 @@ HEADLINE = [
     "ann_hnsw_topk",
     "decontam_filter",
     "token_budget_select",
+    "remove_dup_spans",
+    "snapshot_diff",
+    "temperature_sample",
 ]
 
 

@@ -96,3 +96,51 @@ def dim_ok(a: Column | str, dim: int) -> Column:
     at write, src/datanode/handler.py:228-232)."""
     c = F.col(a) if isinstance(a, str) else a
     return c.isNotNull() & (F.size(c) == dim)
+
+
+def rademacher_matrix(
+    d_in: int, d_out: int, seed: int | str = 0
+) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix
+    (Achlioptas 2003: Rademacher entries preserve pairwise distances
+    like Gaussian ones, with exact ±1 arithmetic). Entries derive from
+    md5(seed:j:i), so every executor — and a SQL oracle — can
+    reconstruct the identical matrix from the seed alone; no RNG state,
+    no broadcast of trained parameters."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def project(vec: Column | str, matrix: Sequence[Sequence[float]]) -> Column:
+    """Project a vector column through a literal matrix (rows =
+    output dims), scaled by 1/sqrt(d_out) — the JL dimension-reduction
+    map. Pure Catalyst expression: per row O(d_in * d_out) codegen'd
+    multiply-adds, zero shuffles, no Python. Fold order is
+    left-to-right per output dim, matching an ordered SQL oracle sum.
+
+    The matrix ships as a literal in the plan (fine for the JL regime,
+    d_out << d_in << thousands); `vec` should be a staged column when
+    reused across several expressions (the no-CSE rule)."""
+    v = _as_double(vec)
+    scale = F.lit(float(len(matrix)) ** 0.5)
+    rows = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in matrix]
+    )
+    return F.transform(
+        rows,
+        lambda row: F.aggregate(
+            F.zip_with(v, row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        / scale,
+    )

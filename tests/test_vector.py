@@ -58,3 +58,32 @@ def test_dim_ok(spark):
     df = spark.createDataFrame([([1.0, 2.0],), (None,)], "v array<double>")
     got = [r[0] for r in df.select(dim_ok("v", 2)).collect()]
     assert got == [True, False]
+
+
+def test_jl_projection_matches_numpy(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.functions.vector import (
+        project,
+        rademacher_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 16)).astype(float)
+    m = rademacher_matrix(16, 4, seed=0)
+    # matrix is pure f(seed): rebuilding yields identical entries
+    assert m == rademacher_matrix(16, 4, seed=0)
+    assert {x for row in m for x in row} == {1.0, -1.0}
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "id long, v array<double>",
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in df.select("id", project("v", m).alias("p")).collect()
+    }
+    expected = vecs @ np.array(m).T / np.sqrt(4.0)
+    for i in range(20):
+        assert np.allclose(out[i], expected[i], atol=1e-9)
