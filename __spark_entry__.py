@@ -577,6 +577,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_scores"] = repetition_scores_q
 
+    def bpe_token_counts_q(spark, sf):
+        # real BPE: merges trained on THIS corpus's word-frequency
+        # table (one vocab-sized shuffle + driver fold), then an
+        # Arrow-batched memoized encode. Iterative merge application
+        # is not SQL-expressible -> rows-only contract by design.
+        from distributed_vector_database_spark.functions.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        merges = train_bpe(docs, num_merges=100)
+        return bpe_encode(docs, merges).select("doc_id", "n_bpe")
+
+    q["bpe_token_counts"] = bpe_token_counts_q
+
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
     )
@@ -1450,7 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
         "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
         "text_to_doc_search",
-        "multimodal_embed",
+        "multimodal_embed", "bpe_token_counts",
     ]
     # queries not yet in the list run after every ordered entry (never
     # silently dropped, never reordered ahead of hash-oracled ones)
