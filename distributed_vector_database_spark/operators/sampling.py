@@ -231,12 +231,15 @@ def temperature_rates(
 
     Rates derive from integer stratum counts only (floor of a product
     of correctly-rounded doubles), so the same corpus yields the same
-    rates on any engine. One tiny groupBy; the over-strata min arrives
-    as a broadcast 1-row cross join, not a single-partition window."""
+    rates on any engine. The corpus is aggregated ONCE; the
+    over-strata min is a window over the handful of count rows — keyed
+    by a non-foldable constant so the single partition is deliberate,
+    not a planner warning (a separate counts.agg(min) branch would
+    re-run the corpus aggregation subtree)."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
-    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    one_part = F.pmod(F.crc32(F.col(stratum_col).cast("string")), F.lit(1))
     return (
-        counts.crossJoin(F.broadcast(nmin))
+        counts.withColumn("__nmin", F.min("__n").over(Window.partitionBy(one_part)))
         .select(
             stratum_col,
             F.floor(

@@ -53,3 +53,16 @@ def read_schemas(df: DataFrame) -> list[str]:
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan — the scale-cost headline."""
     return formatted_plan(df).count("Exchange")
+
+
+def exchange_nodes(df: DataFrame) -> tuple[int, int]:
+    """(shuffle_exchanges, broadcast_exchanges) counted as PLAN NODES
+    — the formatted dump mentions each node twice (tree + detail), so
+    a substring count overstates. Shuffles move data; broadcasts move
+    a bounded small side."""
+    import re
+
+    plan = formatted_plan(df)
+    shuf = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    bcast = len(re.findall(r"^\(\d+\) BroadcastExchange\b", plan, re.M))
+    return shuf, bcast

@@ -119,3 +119,75 @@ def test_sketch_profile_percentile_column_names_round(spark, tables):
         tables["events"], percentiles=(0.29, 0.57, 0.95)
     ).columns
     assert {"p29_approx", "p57_approx", "p95_approx"} <= set(cols)
+
+
+def test_temperature_sample_scan_is_shuffle_free(tables):
+    # the corpus side must never shuffle: one tiny stratum-count agg
+    # broadcast back, then a filter scan — exchanges only on the
+    # counts leg (rows = number of strata, not corpus rows)
+    from distributed_vector_database_spark.operators.sampling import (
+        temperature_sample,
+    )
+    from distributed_vector_database_spark.plans.explain import (
+        exchange_nodes,
+        formatted_plan,
+    )
+
+    df = temperature_sample(tables["documents"], "lang", "doc_id")
+    assert has_operator(df, "BroadcastHashJoin")
+    # counts agg + the constant-key window hop; rows = |strata|
+    shuf, bcast = exchange_nodes(df)
+    assert shuf <= 2 and bcast <= 1
+    assert "Python" not in formatted_plan(df)
+
+
+def test_remove_dup_spans_one_gram_shuffle(tables):
+    # corpus-sized data crosses the wire once (the md5-gram window /
+    # flag aggregation); reconstruction is a map pass, no Python
+    from distributed_vector_database_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from distributed_vector_database_spark.plans.explain import (
+        exchange_nodes,
+        formatted_plan,
+    )
+
+    df = remove_duplicate_spans(tables["documents"], k=8)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    # gram count window + rank window share the gram partitioning;
+    # flag agg + doc_id join legs are sized by duplicated mass
+    shuf, _ = exchange_nodes(df)
+    assert shuf <= 3
+
+
+def test_jl_projection_zero_shuffle(tables):
+    from distributed_vector_database_spark.functions.vector import (
+        project,
+        rademacher_matrix,
+    )
+    from distributed_vector_database_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    emb = tables["embeddings"].withColumn(
+        "__v", F.col("embedding").cast("array<double>")
+    )
+    df = emb.select("vec_id", project("__v", rademacher_matrix(64, 8)).alias("p"))
+    assert shuffle_count(df) == 0
+    assert "Python" not in formatted_plan(df)
+
+
+def test_snapshot_diff_single_shuffle(spark):
+    from distributed_vector_database_spark.operators.changelog import (
+        snapshot_diff,
+    )
+    from distributed_vector_database_spark.plans.explain import exchange_nodes
+
+    log = spark.createDataFrame(
+        [("PUT", "a", 1.0, 10, 1)], "op string, key string, value double, ts long, seq long"
+    )
+    df = snapshot_diff(log, 10, 20, seq_col="seq", value_cols=["value"])
+    # ONE hash shuffle on key (partial + final agg share it)
+    assert exchange_nodes(df) == (1, 0)
