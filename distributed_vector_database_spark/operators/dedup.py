@@ -1050,3 +1050,97 @@ def remove_duplicate_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+def span_gram_state(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persisted state for incremental span dedup: (gram, n) for
+    EVERY k-token window gram in the corpus — exact substring dedup
+    inherently needs the full gram multiset (a gram unique today is a
+    duplicate the moment a new batch repeats it). 16-byte md5 keys +
+    a count: proportional to corpus token mass, one partial-agg
+    shuffle to build, additive to maintain."""
+    staged = docs.withColumn("__toks", tokenize(text_col))
+    return (
+        staged.select(
+            F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"), "__toks"
+        )
+        .select(
+            F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def remove_duplicate_spans_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Continual-ingest span dedup: clean a NEW batch against an
+    already-ingested corpus without ever re-windowing the corpus.
+    Returns (cleaned_batch, state_delta) where state_delta is the
+    batch's own (gram, n) table — merge it into the persisted state
+    additively (groupBy gram / sum n) exactly like the BM25
+    term_stats fold.
+
+    Equivalence contract (tested): when batch ids are allocated ABOVE
+    all corpus ids, the cleaned batch is bit-identical to running
+    remove_duplicate_spans on corpus+batch and keeping the batch's
+    rows — a batch window is flagged iff its gram exists anywhere in
+    the corpus (the corpus occurrence is the canonical, smaller id) or
+    repeats within the batch behind a smaller (doc_id, pos).
+
+    Per-batch cost: O(|batch| windows) + an equi-join against the
+    state keyed by the BATCH's grams (left-semi probe; at scale the
+    state is bucketed by gram so the probe prunes) — the corpus text
+    is never touched."""
+    staged = batch.withColumn("__toks", tokenize(text_col))
+    wins = staged.select(
+        F.col(id_col),
+        F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram"),
+    )
+    counts = Window.partitionBy("gram")
+    order = Window.partitionBy("gram").orderBy(id_col, "pos")
+    in_corpus = wins.join(state.select("gram"), "gram", "left_semi").select(
+        id_col, "pos"
+    )
+    within = (
+        wins.withColumn("__n", F.count(F.lit(1)).over(counts))
+        .withColumn("__rk", F.row_number().over(order))
+        .filter((F.col("__n") >= 2) & (F.col("__rk") > 1))
+        .select(id_col, "pos")
+    )
+    flagged = (
+        in_corpus.unionByName(within)
+        .dropDuplicates([id_col, "pos"])
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__flags"))
+    )
+    joined = staged.join(flagged, id_col, "left").withColumn(
+        "__flags", F.coalesce("__flags", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            "__flags", lambda q: (q <= i + 1) & (i + 1 < q + F.lit(k))
+        ),
+    )
+    cleaned = joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
+    delta = (
+        wins.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cleaned, delta

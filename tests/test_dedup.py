@@ -334,3 +334,55 @@ def test_remove_duplicate_spans_keeps_canonical(spark):
     assert out[6] == ("", 10)
     assert out[2] == ("prefix suffix", 8)
     assert out[3][1] == 0 and out[4][1] == 0 and out[5] == ("", 0)
+
+
+def test_incremental_span_dedup_matches_full_recompute(spark):
+    from distributed_vector_database_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_incremental,
+        span_gram_state,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+            (2, "totally different words here nothing shared at all right"),
+        ],
+        DOCS,
+    )
+    batch = spark.createDataFrame(
+        [
+            # repeats corpus doc 1's 8-token run -> fully flagged
+            (10, "alpha beta gamma delta epsilon zeta eta theta fresh tail"),
+            # within-batch duplicate pair: 11 canonical, 12 stripped
+            (11, "brand new span aa bb cc dd ee ff gg hh"),
+            (12, "brand new span aa bb cc dd ee ff gg hh"),
+            (13, "nothing duplicated in this one at all whatsoever truly"),
+        ],
+        DOCS,
+    )
+    state = span_gram_state(corpus, k=8)
+    cleaned, delta = remove_duplicate_spans_incremental(batch, state, k=8)
+    inc = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in cleaned.collect()
+    }
+    full = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(corpus.unionByName(batch), k=8).collect()
+        if r["doc_id"] >= 10
+    }
+    assert inc == full
+    assert inc[10][1] == 8 and inc[12] == ("", 11) and inc[13][1] == 0
+    # merged state equals rebuilding from scratch
+    merged = (
+        state.unionByName(delta)
+        .groupBy("gram")
+        .agg({"n": "sum"})
+        .withColumnRenamed("sum(n)", "n")
+    )
+    rebuilt = span_gram_state(corpus.unionByName(batch), k=8)
+    assert (
+        sorted((r["gram"], r["n"]) for r in merged.collect())
+        == sorted((r["gram"], r["n"]) for r in rebuilt.collect())
+    )

@@ -79,14 +79,14 @@ def synth_gaussian_embeddings(spark, n, dim=64, twin_every=10, jitter=0.02):
     )
 
 
-def synth_docs(spark, n, vocab_size=1000, doc_len=40):
+def synth_docs(spark, n, vocab_size=1000, doc_len=40, start=0):
     # ~40-token docs over a 1000-word vocabulary, chosen by a 64-bit hash
     # mix of (doc_id, position) so texts are effectively unique (a linear
     # id*a+pos*b mod v formula collapses to v distinct docs and explodes
     # every pair-join — found the hard way)
     words = [f"tok{i}" for i in range(vocab_size)]
     vocab = F.array(*[F.lit(w) for w in words])
-    return spark.range(n).select(
+    return spark.range(start, start + n).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             " ",

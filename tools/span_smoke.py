@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from distributed_vector_database_spark.operators.dedup import (
     duplicate_span_report,
     remove_duplicate_spans,
+    remove_duplicate_spans_incremental,
+    span_gram_state,
 )
 from distributed_vector_database_spark.session import get_spark
 from tools.scale_smoke import synth_docs
@@ -91,6 +93,42 @@ def main():
     assert lo <= rem["removed"] <= hi, (rem["removed"], lo, hi)
     assert rem["touched"] >= planted - 1
     assert rem["false_pos"] == 0, rem["false_pos"]
+
+    # continual ingest: a 50k batch (half of it re-posting corpus docs'
+    # text verbatim) cleaned against the persisted gram state — the
+    # corpus is never re-windowed
+    state = span_gram_state(docs, k=8).persist()
+    state.count()
+    nb = 50_000
+    reposts = (
+        spark.range(nb // 2)
+        .select((F.col("id") * 7).alias("doc_id"))
+        .join(docs, "doc_id")
+        .select((F.col("doc_id") + 2 * n).alias("doc_id"), "text")
+    )
+    from tools.scale_smoke import synth_docs as _sd
+
+    fresh = _sd(spark, nb // 2, start=3 * n)  # novel ids -> novel texts
+    batch = reposts.unionByName(fresh).persist()
+    batch.count()
+    t0 = time.time()
+    cleaned, delta = remove_duplicate_spans_incremental(batch, state, k=8)
+    got = cleaned.agg(
+        F.count(F.when(F.col("n_removed_tokens") > 0, 1)).alias("hit"),
+        F.count(
+            F.when(
+                (F.col("n_removed_tokens") > 0) & (F.col("doc_id") >= 3 * n), 1
+            )
+        ).alias("fresh_hit"),
+    ).collect()[0]
+    t_inc = time.time() - t0
+    print(
+        f"incremental: {nb} batch vs {n}-doc state -> {got['hit']} docs "
+        f"stripped ({nb // 2} reposted; {got['fresh_hit']} fresh hit) "
+        f"in {t_inc:.1f}s"
+    )
+    assert got["hit"] >= nb // 2  # every reposted doc fully flagged
+    assert got["fresh_hit"] <= nb // 200  # fresh docs: bridge-grade noise only
 
 
 if __name__ == "__main__":
