@@ -838,6 +838,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return training_pipeline(load_table(spark, sf, "documents"))
 
     q["training_pipeline"] = training_pipeline_q
+
+    def training_pipeline_spans_q(spark, sf):
+        # round-6 composition: quality -> span removal -> temperature
+        # mixing -> packing over the CLEANED token counts
+        from distributed_vector_database_spark.operators.pipeline import (
+            training_pipeline_spans,
+        )
+
+        return training_pipeline_spans(load_table(spark, sf, "documents"))
+
+    q["training_pipeline_spans"] = training_pipeline_spans_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -1402,7 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube", "event_value_median_udaf", "salted_user_counts",
         "events_dedup_first", "ann_ivfpq_topk_exact",
         # single-r1-row queries (stale evidence)
-        "get_all_vectors", "dim_check",
+        "dim_check",
         "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
@@ -1423,6 +1434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
+        # round-6 composed spans pipeline (new; get_all_vectors — r1
+        # green, a two-scalar corpus agg also exercised every round by
+        # the full gate — rotates down to tier 2)
+        "training_pipeline_spans",
         "ann_ivf_filtered_exact",  # round-6 filtered-IVF anchor
         "hybrid_rrf_served",  # round-6 posting-list-served hybrid
         # round-6 decontamination trio (0 prior driver rows; hash_sample /
@@ -1449,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
+        "get_all_vectors",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2448,6 +2464,72 @@ SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
   CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ORDER BY t.doc_id
+"""
+
+    # round-6 composed pipeline: quality gate -> span removal ->
+    # temperature mixing -> packing, all on the CLEANED text
+    o["training_pipeline_spans"] = f"""
+WITH ds AS ({_doc_stats_sql()}),
+q AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN ds ON d.doc_id = ds.doc_id WHERE ds.quality >= {QUALITY_MIN}
+),
+tokq AS (SELECT doc_id, lang, {_TOKS} AS toks FROM q),
+wq AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks)-{SPAN_K - 1})) AS pos, toks
+  FROM tokq WHERE len(toks) >= {SPAN_K}
+),
+gq AS (
+  SELECT doc_id, pos,
+    md5(array_to_string(list_slice(toks, pos, pos+{SPAN_K - 1}), ' ')) AS gram
+  FROM wq
+),
+dq AS (
+  SELECT doc_id, pos,
+    count(*) OVER (PARTITION BY gram) AS n,
+    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+  FROM gq
+),
+flq AS (SELECT doc_id, pos FROM dq WHERE n >= 2 AND rk > 1),
+tpq AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM tokq),
+keepq AS (
+  SELECT t.doc_id, t.i, t.toks[t.i] AS tk FROM tpq t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM flq f
+    WHERE f.doc_id = t.doc_id AND f.pos <= t.i AND t.i < f.pos + {SPAN_K}
+  )
+),
+aggq AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text FROM keepq
+  GROUP BY doc_id
+),
+clean AS (
+  SELECT t.doc_id, t.lang, coalesce(a.clean_text, '') AS text
+  FROM tokq t LEFT JOIN aggq a ON t.doc_id = a.doc_id
+),
+cnt AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+rates AS (
+  SELECT lang,
+    CAST(floor(1000.0 * pow((SELECT min(n) FROM cnt) / CAST(n AS DOUBLE), 0.5)) AS INT) AS rate
+  FROM cnt
+),
+samp AS (
+  SELECT c.doc_id, c.lang, c.text FROM clean c JOIN rates r ON c.lang = r.lang
+  WHERE {_H32.format(x="CAST(c.doc_id AS VARCHAR)")} % 1000 < r.rate
+),
+tok2 AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens
+  FROM samp
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prev
+  FROM tok2
+)
+SELECT doc_id, lang, n_tokens, CAST(floor(prev / 512) AS BIGINT) AS bin_id
+FROM cum ORDER BY doc_id
 """
 
     o["pack_documents"] = f"""

@@ -61,6 +61,7 @@ HEADLINE = [
     "decontam_filter",
     "token_budget_select",
     "remove_dup_spans",
+    "training_pipeline_spans",
     "snapshot_diff",
     "temperature_sample",
 ]

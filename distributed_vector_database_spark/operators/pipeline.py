@@ -73,3 +73,49 @@ def training_pipeline(
     return pack_documents(survivors, token_budget=token_budget).select(
         "doc_id", "lang", "n_tokens", "bin_id"
     )
+
+
+def training_pipeline_spans(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    k: int = 8,
+    alpha: float = 0.5,
+    token_budget: int = 512,
+) -> DataFrame:
+    """The round-6 composition: the sub-document / mixture half of the
+    pipeline story —
+
+        documents
+          → quality gate           (textops.quality_score ≥ threshold)
+          → duplicate-SPAN removal (ExactSubstr at k tokens: repeated
+                                    boilerplate stripped, docs survive)
+          → temperature mixing     (share^alpha per language, rates
+                                    derived from the cleaned corpus)
+          → sequence packing       (per-language bins over the CLEANED
+                                    token counts)
+
+    Differs from training_pipeline in kind, not just stages: that one
+    drops whole documents; this one rewrites their contents and then
+    re-derives every downstream statistic (mixture rates, packing
+    budgets) from the rewritten text — the order a real pretraining
+    pipeline needs, because packing on pre-dedup token counts
+    overstates bins wherever boilerplate was stripped. One gram
+    shuffle + one tiny rate aggregate on top of the packing windows;
+    fully oracle-matched."""
+    from distributed_vector_database_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from distributed_vector_database_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    gated = docs.filter(quality_score("text") >= min_quality)
+    cleaned = (
+        remove_duplicate_spans(gated, k=k)
+        .join(gated.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    sampled = temperature_sample(cleaned, "lang", "doc_id", alpha=alpha)
+    return pack_documents(sampled, token_budget=token_budget).select(
+        "doc_id", "lang", "n_tokens", "bin_id"
+    )
