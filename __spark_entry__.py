@@ -106,6 +106,11 @@ QUALITY_MIN = 0.5
 TOKEN_BUDGET = 8000       # budgeted-selection cutoff (~half the sf0.01 corpus)
 SPAN_K = 8                # duplicate-span window width (tokens)
 JL_D_OUT = 8              # JL projection output dimensionality
+MODEL_W = {               # linear quality-model weights (literal "model")
+    "n_tokens": 0.02, "punct_ratio": -3.0, "quality": 2.0,
+    "mean_token_len": 0.1,
+}
+MODEL_B = -1.5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +597,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_encode(docs, merges).select("doc_id", "n_bpe")
 
     q["bpe_token_counts"] = bpe_token_counts_q
+
+    def model_quality_scores_q(spark, sf):
+        # fasttext-shaped linear quality model, scored as a pure
+        # expression with literal weights — zero shuffles, no UDF
+        from distributed_vector_database_spark.operators.textops import (
+            model_quality_scores,
+        )
+
+        return model_quality_scores(
+            load_table(spark, sf, "documents"), MODEL_W, MODEL_B
+        )
+
+    q["model_quality_scores"] = model_quality_scores_q
 
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
@@ -1412,8 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction", "top_terms", "winnow_fingerprints",
         "orders_cube", "event_value_median_udaf", "salted_user_counts",
         "events_dedup_first", "ann_ivfpq_topk_exact",
-        # single-r1-row queries (stale evidence)
-        "dim_check",
+        # single-r1-row queries (stale evidence; the rest of this group
+        # has rotated down as round-6 queries arrived)
         "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
@@ -1459,12 +1477,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-reproduced every round by the ann_*_topk_exact anchors —
         # rotates down to tier 2)
         "jl_projection",
+        # round-6 model-based quality scoring (new; dim_check — r1
+        # green, a 1-row corpus agg also exercised by the full gate —
+        # rotates down to tier 2)
+        "model_quality_scores",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
-        "get_all_vectors",
+        "get_all_vectors", "dim_check",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2530,6 +2552,35 @@ cum AS (
 )
 SELECT doc_id, lang, n_tokens, CAST(floor(prev / 512) AS BIGINT) AS bin_id
 FROM cum ORDER BY doc_id
+"""
+
+    o["model_quality_scores"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(length(text) AS DOUBLE)
+    END AS pr,
+    least(CAST(len(toks) AS DOUBLE)/50.0, 1.0) AS len_score,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum([length(tk) for tk in toks]) / CAST(len(toks) AS DOUBLE)
+    END AS mean_wl
+  FROM t
+),
+z AS (
+  SELECT doc_id,
+    {MODEL_B}
+    + {MODEL_W["n_tokens"]} * n_tokens
+    + {MODEL_W["punct_ratio"]} * pr
+    + {MODEL_W["quality"]} * round(0.25*len_score
+        + 0.5*(CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        + 0.25*(1.0 - pr), 6)
+    + {MODEL_W["mean_token_len"]} * mean_wl AS zz
+  FROM f
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS model_score
+FROM z ORDER BY doc_id
 """
 
     o["pack_documents"] = f"""

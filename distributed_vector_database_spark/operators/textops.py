@@ -287,3 +287,51 @@ def chunk_documents(
             F.size("__chunk_toks").alias("n_tokens"),
         )
     )
+
+
+def model_quality_scores(
+    docs: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality scoring: sigmoid(w · features + b) over
+    in-plan document features — the fasttext-classifier-shaped gate
+    (quality filtering by a TRAINED linear model rather than the fixed
+    heuristic), with the model living entirely in the plan as
+    literals: no model server, no UDF, no per-executor state. Swap the
+    weight dict for coefficients from any trainer (MLlib logistic
+    regression fits the same feature vector).
+
+    Features (each mirrorable in SQL, so a scored corpus is
+    hash-verifiable): n_tokens, punct_ratio, quality (the heuristic),
+    mean_token_len. Zero shuffles — one codegen'd map pass."""
+    from distributed_vector_database_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        tokenize,
+    )
+
+    staged = docs.withColumn("__toks", tokenize(text_col))
+    n = F.size("__toks").cast("double")
+    feats = {
+        "n_tokens": n,
+        "punct_ratio": punct_ratio(text_col),
+        "quality": quality_score(text_col),
+        "mean_token_len": F.when(n == 0, 0.0).otherwise(
+            F.aggregate(
+                F.col("__toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).cast("double")
+            / n
+        ),
+    }
+    unknown = set(weights) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown features: {sorted(unknown)}")
+    z = F.lit(float(bias))
+    for name, w in weights.items():
+        z = z + F.lit(float(w)) * feats[name]
+    return staged.select(
+        id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("model_score")
+    )

@@ -139,3 +139,30 @@ def test_chunking_covers_every_token_in_order(spark, texts, params):
         assert rebuilt == toks, (doc_id, chunk, overlap)
         # every chunk except possibly the last is exactly chunk_tokens
         assert all(len(c) == chunk for c in chunks[:-1])
+
+
+def test_model_quality_scores_monotone_and_bounded(spark):
+    from distributed_vector_database_spark.operators.textops import (
+        model_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean well formed sentence about spark engines runs here"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    w = {"n_tokens": 0.02, "punct_ratio": -3.0, "quality": 2.0}
+    out = {
+        r["doc_id"]: r["model_score"]
+        for r in model_quality_scores(docs, w, bias=-1.5).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    assert out[1] > out[2]  # punctuation soup scores below clean prose
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown features"):
+        model_quality_scores(docs, {"nope": 1.0}).collect()
