@@ -166,3 +166,55 @@ def test_model_quality_scores_monotone_and_bounded(spark):
 
     with _pytest.raises(ValueError, match="unknown features"):
         model_quality_scores(docs, {"nope": 1.0}).collect()
+
+
+def test_model_quality_scores_accepts_mllib_coefficients(spark):
+    """The claimed workflow: train MLlib logistic regression on the
+    same feature vector, ship its coefficients as plan literals —
+    expression scores must equal the model's own probabilities."""
+    import pytest as _pytest
+
+    _pytest.importorskip("pyspark.ml")
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        tokenize,
+    )
+    from distributed_vector_database_spark.operators.textops import (
+        model_quality_scores,
+    )
+
+    texts = [
+        (i, ("good clean prose with many reasonable words here now " * 3)
+         if i % 2 else "!!! ### $$$ %% ^^", i % 2)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, label int")
+    feats = docs.select(
+        "doc_id",
+        "label",
+        F.size(tokenize("text")).cast("double").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+    asm = VectorAssembler(
+        inputCols=["n_tokens", "punct_ratio", "quality"], outputCol="f"
+    )
+    model = LogisticRegression(featuresCol="f", labelCol="label").fit(
+        asm.transform(feats)
+    )
+    w = dict(zip(["n_tokens", "punct_ratio", "quality"], model.coefficients))
+    scored = {
+        r["doc_id"]: r["model_score"]
+        for r in model_quality_scores(docs, w, float(model.intercept)).collect()
+    }
+    probs = {
+        r["doc_id"]: float(r["probability"][1])
+        for r in model.transform(asm.transform(feats)).collect()
+    }
+    for i in scored:
+        assert abs(scored[i] - probs[i]) < 1e-6, (i, scored[i], probs[i])
