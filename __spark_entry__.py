@@ -867,6 +867,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return training_pipeline_spans(load_table(spark, sf, "documents"))
 
     q["training_pipeline_spans"] = training_pipeline_spans_q
+
+    _rollup_memo: dict[tuple, str] = {}
+
+    def _rollup_table(spark, sf):
+        # maintained continuous aggregate for a fixture dir: built once
+        # per process by folding the events in TWO micro-batches
+        # (event_id parity split) through the replay-safe versioned
+        # fold — reading the snapshot then proves fold(b1)+fold(b2)
+        # equals one direct aggregation (the oracle)
+        import os as _os
+        import tempfile
+
+        from distributed_vector_database_spark.streaming.rollup import (
+            build_rollup_fold,
+        )
+
+        src = _os.path.join(sf, "events.parquet")
+        try:
+            st = _os.stat(src)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        path = _rollup_memo.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="dvdb_rollup_")
+            ev = load_table(spark, sf, "events")
+            fold = build_rollup_fold(path)
+            fold(ev.filter(F.col("event_id") % 2 == 0), 0)
+            fold(ev.filter(F.col("event_id") % 2 == 1), 1)
+            _rollup_memo[key] = path
+        return path
+
+    def events_rollup_served_q(spark, sf):
+        from distributed_vector_database_spark.streaming.rollup import (
+            read_latest_rollup,
+        )
+
+        r = read_latest_rollup(spark, _rollup_table(spark, sf))
+        return r.select(
+            "window_start",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+
+    q["events_rollup_served"] = events_rollup_served_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -1447,7 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "snapshot_diff",  # round-6 time-travel diff (new; distinct_user_
         # counts — r5 driver-green, untouched — rotates down to tier 2)
-        "asof_join",
+        # round-6 maintained continuous aggregate (new; asof_join — r5
+        # driver-green, pinned by test_asof + the bench — rotates down)
+        "events_rollup_served",
         # round-6 numpy-HNSW anchors (0 prior driver rows)
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "near_dup_clusters",  # clustering kernel changes in round 6
@@ -1486,7 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
-        "get_all_vectors", "dim_check",
+        "get_all_vectors", "dim_check", "asof_join",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2092,6 +2140,13 @@ FROM j
 WHERE (NOT pa AND pb) OR (pa AND NOT pb)
    OR (pa AND pb AND va IS DISTINCT FROM vb)
 ORDER BY user_id
+"""
+
+    o["events_rollup_served"] = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     o["upsert_semantics"] = f"""
