@@ -764,6 +764,7 @@ def embedding_near_dup_at_scale(
     train_sample: int = 100_000,
     lloyd_iters: int = 8,
     seed: int = 42,
+    assign_dim: int | None = None,
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup: coarse k-means
     clustering → EXACT cosine GEMM within each cluster only (the
@@ -789,6 +790,13 @@ def embedding_near_dup_at_scale(
     endpoints share no assigned centroid are missed, the standard
     recall trade of coarse clustering (recall-tested in
     tests/test_dedup.py).
+
+    `assign_dim` (optional) runs steps 1-2 in a JL-projected space
+    (functions/vector.py::rademacher_matrix, applied in-kernel): the
+    n·k assignment flops shrink by d/assign_dim while step 3 still
+    verifies EXACT full-dimension cosines — candidates get slightly
+    fuzzier, emitted pairs stay exact. The knob for when assignment,
+    not verification, dominates (high d, many centroids).
 
     Why not MLlib approxSimilarityJoin here: BucketedRandomProjection
     LSH amplifies across tables by OR only (one projection per table),
@@ -833,6 +841,18 @@ def embedding_near_dup_at_scale(
     snorm = np.linalg.norm(smat, axis=1, keepdims=True)
     snorm[snorm == 0.0] = 1.0
     smat = smat / snorm
+    proj_list = None
+    if assign_dim is not None and 0 < assign_dim < smat.shape[1]:
+        from distributed_vector_database_spark.functions.vector import (
+            rademacher_matrix,
+        )
+
+        proj_list = rademacher_matrix(smat.shape[1], int(assign_dim), seed)
+        pm = np.asarray(proj_list, dtype=np.float64)
+        smat = smat @ pm.T
+        pn = np.linalg.norm(smat, axis=1, keepdims=True)
+        pn[pn == 0.0] = 1.0
+        smat = smat / pn
     rng = np.random.default_rng(seed)
     k_eff = min(n_clusters, smat.shape[0])
     # clamp to the number of centroids actually TRAINED (k_eff can be
@@ -853,14 +873,25 @@ def embedding_near_dup_at_scale(
 
     # -- 2. probe-assign every vector (Arrow-batched matmul) ---------------
     def assign_probe(batches):
-        cmat = np.asarray(cent_list, dtype=np.float64)  # (k, d)
+        cmat = np.asarray(cent_list, dtype=np.float64)  # (k, d or d')
+        pmat = (
+            np.asarray(proj_list, dtype=np.float64)
+            if proj_list is not None
+            else None
+        )
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
-            sims = (mat / norms) @ cmat.T  # (rows, k)
+            mat_n = mat / norms
+            if pmat is not None:
+                mat_n = mat_n @ pmat.T
+                pn = np.linalg.norm(mat_n, axis=1, keepdims=True)
+                pn[pn == 0.0] = 1.0
+                mat_n = mat_n / pn
+            sims = mat_n @ cmat.T  # (rows, k)
             top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
             ids = np.repeat(pdf["id"].to_numpy(), probe)
             vs = pdf["v"].to_numpy().repeat(probe)

@@ -386,3 +386,42 @@ def test_incremental_span_dedup_matches_full_recompute(spark):
         sorted((r["gram"], r["n"]) for r in merged.collect())
         == sorted((r["gram"], r["n"]) for r in rebuilt.collect())
     )
+
+
+def test_embedding_near_dup_scale_jl_assignment(spark):
+    """JL-projected coarse assignment: emitted pairs remain EXACT
+    full-dimension cosines, and on clustered data with planted twins
+    recall matches the unprojected path."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_near_dup_at_scale,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(6, 64)) * 5.0
+    rows = []
+    for i in range(600):
+        v = centers[i % 6] + rng.normal(size=64) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    # planted twins: tiny jitter on every 10th vector
+    for i in range(0, 600, 10):
+        v = np.asarray(rows[i][1]) + rng.normal(size=64) * 1e-3
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.999, target_cluster_rows=64, probe=2)
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_at_scale(emb, **kw).collect()
+    }
+    jl = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_at_scale(emb, assign_dim=16, **kw).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 600, 10)}
+    assert planted <= set(base)
+    assert planted <= set(jl)  # JL assignment keeps the true twins
+    # cosines for shared pairs are identical: verification is full-d
+    for p in planted:
+        assert jl[p] == base[p]
