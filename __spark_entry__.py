@@ -111,6 +111,7 @@ MODEL_W = {               # linear quality-model weights (literal "model")
     "mean_token_len": 0.1,
 }
 MODEL_B = -1.5
+NEG_K = 4                 # negatives per anchor (sample_negatives)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,6 +914,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_rollup_served"] = events_rollup_served_q
+
+    def sample_negatives_q(spark, sf):
+        # contrastive negatives: k uniform corpus-level partners per
+        # doc via content-stable positions — one equi-join, no
+        # cross join, reproducible on any cluster
+        from distributed_vector_database_spark.operators.sampling import (
+            sample_negatives,
+        )
+
+        return sample_negatives(
+            load_table(spark, sf, "documents"), k=NEG_K, seed="0", partitions=8
+        )
+
+    q["sample_negatives"] = sample_negatives_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -1481,7 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
-        "customer_moving_avg", "orders_pivot", "customers_with_orders",
+        "customer_moving_avg", "orders_pivot",
         "metadata_map_filter", "repetition_scores",
         # ANN exact anchors + SQL-reproducible text search (pinned in
         # budget by tests/test_contract_order.py — recall contracts of
@@ -1529,12 +1544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, a 1-row corpus agg also exercised by the full gate —
         # rotates down to tier 2)
         "model_quality_scores",
+        # round-6 contrastive negatives (new; customers_with_orders —
+        # r4 driver-green, a plain left-semi join pinned in pytest +
+        # full gate — rotates down to tier 2)
+        "sample_negatives",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
-        "get_all_vectors", "dim_check", "asof_join",
+        "get_all_vectors", "dim_check", "asof_join", "customers_with_orders",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2764,6 +2783,28 @@ r AS (
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE {_H32_KEY} % 1000 < r.rate
+"""
+
+    o["sample_negatives"] = f"""
+WITH pos AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '0'), doc_id) AS p
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM pos),
+slots AS (
+  SELECT doc_id AS anchor_id, p, unnest([{", ".join(str(j) for j in range(NEG_K))}]) AS slot
+  FROM pos
+),
+t AS (
+  SELECT anchor_id, slot,
+    (p + (CAST(('0x' || substring(md5(p || ':' || slot || ':0'), 1, 8)) AS BIGINT)
+          % (nn.n - 1))) % nn.n + 1 AS tp
+  FROM slots, nn
+)
+SELECT t.anchor_id, pos.doc_id AS neg_id, CAST(t.slot AS INT) AS slot
+FROM t JOIN pos ON pos.p = t.tp
+ORDER BY anchor_id, slot
 """
 
     o["stratified_sample"] = f"""

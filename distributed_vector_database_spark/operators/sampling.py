@@ -273,3 +273,61 @@ def temperature_sample(
         .filter(hash32(key_col) % partition_count < F.col("rate"))
         .drop("rate")
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    k: int = 4,
+    key_col: str = "doc_id",
+    seed: str = "0",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Random negative pairing for contrastive training data: each row
+    gets `k` pseudo-random partners drawn without coordination —
+    (anchor_id, neg_id, slot). The classic embedding-training prep
+    step (in-batch negatives are biased by batch composition; corpus-
+    level uniform negatives need exactly this join).
+
+    Mechanics: deterministic_shuffle assigns every row a content-
+    stable position in [1, n]; negative j of the row at position p
+    sits at position 1 + (md5-derived offset(p, j)) mod (n-1) skipped
+    past p — uniform over the OTHER rows, collision-free with the
+    anchor by construction, and reproducible on any cluster and in a
+    SQL oracle. One equi-join on position (the corpus never
+    cross-joins); degenerate n=1 corpora emit nothing."""
+    pos = deterministic_shuffle(df, key_col, seed=seed, partitions=partitions)
+    n_row = pos.agg(F.max("shuffle_pos").alias("__n"))
+    anchors = pos.select(
+        F.col(key_col).alias("anchor_id"), F.col("shuffle_pos").alias("__p")
+    ).crossJoin(F.broadcast(n_row))
+    slots = anchors.filter(F.col("__n") > 1).select(
+        "anchor_id",
+        "__p",
+        "__n",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot"),
+    )
+    # offset in [0, n-2] hashed from (position, slot, seed); adding 1
+    # past the anchor's own position wraps to a uniform draw over the
+    # other n-1 positions
+    off = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("__p"), F.col("slot"), F.lit(str(seed)))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("__n") - 1,
+    )
+    target = F.pmod(F.col("__p") + off, F.col("__n")) + 1
+    wanted = slots.select(
+        "anchor_id", "slot", target.alias("shuffle_pos")
+    )
+    return (
+        wanted.join(pos.select(F.col(key_col).alias("neg_id"), "shuffle_pos"), "shuffle_pos")
+        .select("anchor_id", "neg_id", F.col("slot").cast("int").alias("slot"))
+    )

@@ -112,3 +112,25 @@ def test_temperature_rates_and_sample(spark):
 
     # alpha=1 is natural proportions: everything kept
     assert temperature_sample(df, "lang", "doc_id", alpha=1.0).count() == 1000
+
+
+def test_sample_negatives_uniform_and_anchor_free(spark):
+    from distributed_vector_database_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = sample_negatives(df, k=3, partitions=4).collect()
+    assert len(out) == 300  # every anchor gets exactly k slots
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]  # never self-paired
+    # reproducible; a new seed re-draws
+    again = sample_negatives(df, k=3, partitions=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = sample_negatives(df, k=3, seed="epoch1", partitions=4).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # degenerate single-row corpus emits nothing
+    one = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert sample_negatives(one, k=3, partitions=2).count() == 0
