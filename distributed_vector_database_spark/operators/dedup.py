@@ -1175,3 +1175,62 @@ def remove_duplicate_spans_incremental(
         wins.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     )
     return cleaned, delta
+
+
+def span_state_write(
+    state: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Persist a span gram state bucketed by crc32(gram) % n_buckets —
+    `{path}/state/bucket=H/` — so an incremental batch probe reads
+    only the buckets its own grams hash to (partition-pruned, same
+    layout discipline as the BM25 posting buckets). At 100 TB the
+    state is the corpus's full gram multiset; bucketing is what keeps
+    per-batch probes proportional to the BATCH."""
+    (
+        state.withColumn(
+            "bucket", F.pmod(F.crc32(F.col("gram")), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/state")
+    )
+    state.sparkSession.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def span_state_probe(
+    spark, path: str, batch: DataFrame, k: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """The pruned-state view for one batch: bucket-restricted rows of
+    the persisted gram state covering (at least) the batch's own
+    grams. Bucket values are computed FROM THE BATCH (driver-side
+    collect of ≤n_buckets ints), so the scan prunes to matching
+    bucket directories and serving cost follows the batch, not the
+    corpus. Feed the result to remove_duplicate_spans_incremental as
+    its `state`."""
+    n_buckets = spark.read.parquet(f"{path}/meta").first()["n_buckets"]
+    staged = batch.withColumn("__toks", tokenize(text_col))
+    buckets = [
+        r["b"]
+        for r in staged.select(
+            F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"), "__toks"
+        )
+        .select(
+            F.pmod(
+                F.crc32(
+                    F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k)))
+                ),
+                F.lit(n_buckets),
+            )
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    state = spark.read.parquet(f"{path}/state")
+    if not buckets:
+        return state.filter(F.lit(False)).select("gram", "n")
+    return state.filter(F.col("bucket").isin(buckets)).select("gram", "n")

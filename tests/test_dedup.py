@@ -425,3 +425,39 @@ def test_embedding_near_dup_scale_jl_assignment(spark):
     # cosines for shared pairs are identical: verification is full-d
     for p in planted:
         assert jl[p] == base[p]
+
+
+def test_bucketed_span_state_probe_prunes_and_matches(spark, tmp_path):
+    from distributed_vector_database_spark.operators.dedup import (
+        remove_duplicate_spans_incremental,
+        span_gram_state,
+        span_state_probe,
+        span_state_write,
+    )
+    from distributed_vector_database_spark.plans.explain import formatted_plan
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}i") for i in range(50)]
+        + [(99, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        DOCS,
+    )
+    path = str(tmp_path / "grams")
+    span_state_write(span_gram_state(corpus, k=8), path, n_buckets=32)
+
+    batch = spark.createDataFrame(
+        [(200, "alpha beta gamma delta epsilon zeta eta theta fresh")], DOCS
+    )
+    probe = span_state_probe(spark, path, batch, k=8)
+    # partition pruning reached the scan: only the batch's bucket values
+    plan = formatted_plan(probe)
+    assert "bucket" in plan and "dynamicpruning" not in plan.lower()
+
+    # cleaning against the pruned slice == cleaning against the full state
+    full = span_gram_state(corpus, k=8)
+    c_pruned, _ = remove_duplicate_spans_incremental(batch, probe, k=8)
+    c_full, _ = remove_duplicate_spans_incremental(batch, full, k=8)
+    assert sorted(map(tuple, c_pruned.collect())) == sorted(
+        map(tuple, c_full.collect())
+    )
+    # the reposted 8-token run is flagged through the pruned probe
+    assert c_pruned.first()["n_removed_tokens"] == 8
