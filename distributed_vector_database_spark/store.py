@@ -706,6 +706,39 @@ class VectorStore:
 
     # -- maintenance --------------------------------------------------------
 
+    def diff_versions(self, v_old: int, v_new: int):
+        """Time-travel audit across checkpoint versions (O13): which
+        keys were added / deleted / updated between snapshot v_old and
+        v_new? Snapshots are immutable parquet, so this is a pure
+        key-join of two versioned reads — no WAL replay, no log scan;
+        shuffle on key only (both sides are already key-range
+        partitioned from compact()'s clustered write, so at scale the
+        join co-locates). Values compare by (ts, vector) — maps are
+        not order-comparable in Spark, and every store mutation bumps
+        ts, so (ts, vector) equality means the row never changed."""
+        a = self.spark.read.parquet(f"{self._snap_dir}/v={v_old}")
+        b = self.spark.read.parquet(f"{self._snap_dir}/v={v_new}")
+        pa = F.col("__a").isNotNull()
+        pb = F.col("__b").isNotNull()
+        joined = (
+            a.select("key", F.struct("ts", "vector").alias("__a"))
+            .join(
+                b.select("key", F.struct("ts", "vector").alias("__b")),
+                "key",
+                "full_outer",
+            )
+        )
+        change = (
+            F.when(~pa & pb, F.lit("added"))
+            .when(pa & ~pb, F.lit("deleted"))
+            .when(pa & pb & ~F.col("__a").eqNullSafe(F.col("__b")), F.lit("updated"))
+        )
+        return (
+            joined.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select("key", "change_type")
+        )
+
     def compact(self) -> int:
         """Fold the change-log into the next snapshot version
         (O13 checkpoint + O14 rebuild: tombstones physically dropped).

@@ -359,3 +359,24 @@ def test_hnsw_index_lifecycle(store, spark):
 def test_hnsw_search_requires_build(store):
     with pytest.raises(ValueError, match="no HNSW index"):
         store.hnsw_search([0.0] * 4, top_k=3)
+
+
+def test_diff_versions_classifies_snapshot_changes(spark, tmp_path):
+    from distributed_vector_database_spark.store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "vs"), dim=4)
+    store.put("keep", [1.0, 0.0, 0.0, 0.0])
+    store.put("upd", [0.0, 1.0, 0.0, 0.0])
+    store.put("gone", [0.0, 0.0, 1.0, 0.0])
+    store.flush()
+    v1 = store.compact()
+    store.put("upd", [0.0, 9.0, 0.0, 0.0])   # rewrite -> newer ts/seq
+    store.delete("gone")
+    store.put("fresh", [0.0, 0.0, 0.0, 1.0])
+    store.flush()
+    v2 = store.compact()
+    diff = {
+        r["key"]: r["change_type"]
+        for r in store.diff_versions(v1, v2).collect()
+    }
+    assert diff == {"upd": "updated", "gone": "deleted", "fresh": "added"}
