@@ -112,6 +112,7 @@ MODEL_W = {               # linear quality-model weights (literal "model")
 }
 MODEL_B = -1.5
 NEG_K = 4                 # negatives per anchor (sample_negatives)
+MAXSIM_GROUPS = 50        # multi-vector docs built as vec_id % 50
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,6 +929,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sample_negatives"] = sample_negatives_q
+
+    def maxsim_topk_q(spark, sf):
+        # late-interaction (ColBERT MaxSim): multi-vector docs built by
+        # grouping the embeddings fixture; 2-vector query bag; score =
+        # sum_q max_d <q, d> as pure nested array expressions
+        from distributed_vector_database_spark.operators.knn import maxsim_topk
+
+        emb = _emb(spark, sf)
+        docs = emb.groupBy(
+            F.pmod("vec_id", F.lit(MAXSIM_GROUPS)).cast("long").alias("doc")
+        ).agg(
+            F.collect_list(F.col("embedding").cast("array<double>")).alias("vecs")
+        )
+        qvecs = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 2)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        return maxsim_topk(docs, qvecs, k=10)
+
+    q["maxsim_topk"] = maxsim_topk_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -1496,7 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
-        "customer_moving_avg", "orders_pivot",
+        "customer_moving_avg",
         "metadata_map_filter", "repetition_scores",
         # ANN exact anchors + SQL-reproducible text search (pinned in
         # budget by tests/test_contract_order.py — recall contracts of
@@ -1548,12 +1571,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 driver-green, a plain left-semi join pinned in pytest +
         # full gate — rotates down to tier 2)
         "sample_negatives",
+        # round-6 late-interaction MaxSim (new; orders_pivot — r4
+        # driver-green, pinned in pytest + full gate — rotates down)
+        "maxsim_topk",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
         "get_all_vectors", "dim_check", "asof_join", "customers_with_orders",
+        "orders_pivot",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -2783,6 +2810,28 @@ r AS (
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE {_H32_KEY} % 1000 < r.rate
+"""
+
+    o["maxsim_topk"] = f"""
+WITH d AS (
+  SELECT CAST(vec_id % {MAXSIM_GROUPS} AS BIGINT) AS doc,
+         list(CAST(embedding AS DOUBLE[])) AS vs
+  FROM embeddings GROUP BY 1
+),
+q AS (
+  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS qs
+  FROM embeddings WHERE vec_id < 2
+)
+SELECT doc,
+  round(list_sum([
+    list_max([
+      list_sum([p[1]*p[2] for p in list_zip(q1, dv)])
+      for dv in vs
+    ])
+    for q1 in qs
+  ]), 6) AS maxsim
+FROM d, q
+ORDER BY maxsim DESC, doc LIMIT 10
 """
 
     o["sample_negatives"] = f"""

@@ -279,3 +279,50 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(query_key, corpus_key, "score", "rank")
     )
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    query_vecs,
+    k: int = 10,
+    id_col: str = "doc",
+    vecs_col: str = "vecs",
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab &
+    Zaharia 2020): documents carry a BAG of vectors (one per token /
+    patch), the query is a small bag too, and the score is
+    sum over query vectors of (max over doc vectors of the dot
+    product) — fine-grained term-level matching that single-vector
+    cosine flattens away.
+
+    Pure nested higher-order expressions — per row O(|Q|·|D|·d)
+    codegen'd multiply-adds, zero shuffles, no Python — then the
+    usual TakeOrderedAndProject top-k, so the corpus never sorts
+    globally and only k rows per partition move. MaxSim is
+    set-semantic (max/sum over bags), so the score is independent of
+    vector order within a document — collect-order nondeterminism
+    cannot change results."""
+    from distributed_vector_database_spark.functions.vector import vector_lit
+
+    q_arr = F.array(*[vector_lit(q) for q in query_vecs])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    score = F.aggregate(
+        q_arr,
+        F.lit(0.0),
+        lambda acc, q: acc
+        + F.array_max(
+            F.transform(
+                F.col(vecs_col).cast("array<array<double>>"), lambda d: dot(q, d)
+            )
+        ),
+    )
+    return (
+        docs.select(id_col, F.round(score, 6).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -127,3 +127,33 @@ def test_null_vectors_excluded_not_ranked(spark):
     )
     res = knn_join(qs, emb, k=3).collect()
     assert [r["vec_id"] for r in res] == [1, 2]
+
+
+def test_maxsim_matches_numpy_and_stays_topk(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.knn import maxsim_topk
+    from distributed_vector_database_spark.plans.explain import (
+        formatted_plan,
+        has_operator,
+    )
+
+    rng = np.random.default_rng(11)
+    docs_np = {i: rng.normal(size=(3 + i % 3, 8)) for i in range(20)}
+    qs = rng.normal(size=(2, 8))
+    rows = [(i, [[float(x) for x in v] for v in m]) for i, m in docs_np.items()]
+    docs = spark.createDataFrame(rows, "doc long, vecs array<array<double>>")
+
+    df = maxsim_topk(docs, [list(map(float, q)) for q in qs], k=5)
+    assert has_operator(df, "TakeOrderedAndProject")
+    # no Python eval stage (the createDataFrame source scan mentions
+    # Python, which is the test harness, not the operator)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+    got = {r["doc"]: r["maxsim"] for r in df.collect()}
+    exact = {
+        i: round(sum((q @ m.T).max() for q in qs), 6) for i, m in docs_np.items()
+    }
+    top5 = dict(sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert got == {k: round(v, 6) for k, v in top5.items()}
