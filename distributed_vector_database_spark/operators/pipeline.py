@@ -119,3 +119,43 @@ def training_pipeline_spans(
     return pack_documents(sampled, token_budget=token_budget).select(
         "doc_id", "lang", "n_tokens", "bin_id"
     )
+
+
+def training_pipeline_audited(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    token_budget: int = 512,
+):
+    """training_pipeline plus in-plan stage accounting: returns
+    (packed_df, observations) where observations maps stage name ->
+    pyspark Observation. After ONE action on the result, each
+    observation yields its stage's row count — Spark's observe() rides
+    the existing plan (metrics accumulate during the normal pass), so
+    the audit costs zero extra scans and zero extra shuffles. At
+    100 TB "how many documents did each gate drop" must come from the
+    run itself, not from re-counting four intermediate tables."""
+    from pyspark.sql import Observation
+
+    obs = {
+        "input": Observation("input"),
+        "quality": Observation("quality"),
+        "exact": Observation("exact"),
+        "packed": Observation("packed"),
+    }
+    gated = docs.observe(obs["input"], F.count(F.lit(1)).alias("rows")).filter(
+        quality_score("text") >= min_quality
+    )
+    gated = gated.observe(obs["quality"], F.count(F.lit(1)).alias("rows"))
+    reps = (
+        gated.select(F.col("doc_id"), fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_unique = gated.join(reps, "doc_id", "left_semi").observe(
+        obs["exact"], F.count(F.lit(1)).alias("rows")
+    )
+    packed = pack_documents(exact_unique, token_budget=token_budget).select(
+        "doc_id", "lang", "n_tokens", "bin_id"
+    )
+    return packed.observe(obs["packed"], F.count(F.lit(1)).alias("rows")), obs

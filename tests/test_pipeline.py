@@ -39,3 +39,16 @@ def test_pipeline_fixture_survivor_rate(tables):
             .collect()
         )
         assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+def test_audited_pipeline_reports_stage_counts(spark, tables):
+    from distributed_vector_database_spark.operators.pipeline import (
+        training_pipeline_audited,
+    )
+
+    packed, obs = training_pipeline_audited(tables["documents"])
+    out_rows = packed.count()  # one action drives every observation
+    got = {name: o.get["rows"] for name, o in obs.items()}
+    assert got["input"] == tables["documents"].count()
+    assert got["input"] >= got["quality"] >= got["exact"] >= 1
+    assert got["packed"] == out_rows
