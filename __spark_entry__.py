@@ -951,6 +951,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return maxsim_topk(docs, qvecs, k=10)
 
     q["maxsim_topk"] = maxsim_topk_q
+
+    def maxsim_pruned_exact_q(spark, sf):
+        # full-pool pruned MaxSim must reproduce the brute operator
+        # bit-for-bit (same contract as the ann_*_exact anchors)
+        from distributed_vector_database_spark.operators.knn import (
+            maxsim_topk_pruned,
+        )
+
+        emb = _emb(spark, sf)
+        docs = emb.groupBy(
+            F.pmod("vec_id", F.lit(MAXSIM_GROUPS)).cast("long").alias("doc")
+        ).agg(
+            F.collect_list(F.col("embedding").cast("array<double>")).alias("vecs")
+        )
+        qvecs = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()
+        ]
+        return maxsim_topk_pruned(docs, qvecs, k=10, candidates=MAXSIM_GROUPS)
+
+    q["maxsim_pruned_exact"] = maxsim_pruned_exact_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -1520,7 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
         "customer_moving_avg",
-        "metadata_map_filter", "repetition_scores",
+        "metadata_map_filter",
         # ANN exact anchors + SQL-reproducible text search (pinned in
         # budget by tests/test_contract_order.py — recall contracts of
         # the quantized/IVF paths, hash-matched against brute-force SQL)
@@ -1573,7 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_negatives",
         # round-6 late-interaction MaxSim (new; orders_pivot — r4
         # driver-green, pinned in pytest + full gate — rotates down)
-        "maxsim_topk",
+        "maxsim_topk", "maxsim_pruned_exact",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
@@ -2833,6 +2854,8 @@ SELECT doc,
 FROM d, q
 ORDER BY maxsim DESC, doc LIMIT 10
 """
+
+    o["maxsim_pruned_exact"] = o["maxsim_topk"]
 
     o["sample_negatives"] = f"""
 WITH pos AS (

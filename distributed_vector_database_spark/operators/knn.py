@@ -326,3 +326,49 @@ def maxsim_topk(
         .orderBy(F.desc("maxsim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def maxsim_topk_pruned(
+    docs: DataFrame,
+    query_vecs,
+    k: int = 10,
+    candidates: int = 100,
+    id_col: str = "doc",
+    vecs_col: str = "vecs",
+) -> DataFrame:
+    """Two-stage MaxSim — the serving shape at scale (ColBERTv2/PLAID
+    prune with a cheap single-vector stage before exact late
+    interaction): stage 1 scores every document's MEAN vector against
+    the query centroid (O(d) per doc instead of O(|Q|·|D|·d)) and
+    keeps the top `candidates` via TakeOrderedAndProject; stage 2 runs
+    the exact MaxSim only on that candidate set (broadcast semi-join —
+    ≤`candidates` ids move). `candidates` >= corpus size degenerates
+    to the exact operator bit-for-bit (the hash anchor's contract).
+
+    The mean-vector proxy is the standard first-stage approximation,
+    not an admissible bound — recall is a measured property
+    (tests pin it on clustered data), exactly like the IVF/PQ tiers."""
+    from distributed_vector_database_spark.functions.vector import vector_lit
+
+    d = len(query_vecs[0])
+    centroid = [sum(q[i] for q in query_vecs) / len(query_vecs) for i in range(d)]
+    vecs = F.col(vecs_col).cast("array<array<double>>")
+    sums = F.aggregate(
+        vecs,
+        F.array_repeat(F.lit(0.0), d),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    mean = F.transform(sums, lambda x: x / F.size(vecs))
+    proxy = F.aggregate(
+        F.zip_with(mean, vector_lit(centroid), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        docs.select(id_col, proxy.alias("__proxy"))
+        .orderBy(F.desc("__proxy"), F.asc(id_col))
+        .limit(int(candidates))
+        .select(id_col)
+    )
+    pruned = docs.join(F.broadcast(cand), id_col, "left_semi")
+    return maxsim_topk(pruned, query_vecs, k=k, id_col=id_col, vecs_col=vecs_col)

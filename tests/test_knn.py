@@ -157,3 +157,35 @@ def test_maxsim_matches_numpy_and_stays_topk(spark):
     }
     top5 = dict(sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
     assert got == {k: round(v, 6) for k, v in top5.items()}
+
+
+def test_maxsim_pruned_full_pool_is_exact_and_recall_holds(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.knn import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(5, 8)) * 4.0
+    rows = [
+        (i, [[float(x) for x in centers[i % 5] + rng.normal(size=8) * 0.3]
+             for _ in range(4)])
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc long, vecs array<array<double>>")
+    qs = [[float(x) for x in centers[0] + rng.normal(size=8) * 0.1]]
+
+    exact = [(r["doc"], r["maxsim"]) for r in maxsim_topk(docs, qs, k=5).collect()]
+    # full candidate pool reproduces the exact operator bit-for-bit
+    full = [
+        (r["doc"], r["maxsim"])
+        for r in maxsim_topk_pruned(docs, qs, k=5, candidates=60).collect()
+    ]
+    assert full == exact
+    # a 4x-pruned pool keeps the true top-5 on clustered data
+    pruned = {
+        r["doc"] for r in maxsim_topk_pruned(docs, qs, k=5, candidates=15).collect()
+    }
+    assert pruned == {d for d, _ in exact}
