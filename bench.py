@@ -64,6 +64,8 @@ HEADLINE = [
     "training_pipeline_spans",
     "snapshot_diff",
     "temperature_sample",
+    "maxsim_topk",
+    "sample_negatives",
 ]
 
 
