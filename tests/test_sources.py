@@ -67,3 +67,28 @@ def test_parquet_write_sorted_within_partitions(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.filter("key = 42").count() == 1
+
+
+def test_multi_format_round_trips(spark, tables, tmp_path):
+    from distributed_vector_database_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    nation = tables["nation"]
+    schema = nation.schema.simpleString()[7:-1].replace(":", " ").replace(",", ", ")
+    want = sorted(map(tuple, nation.collect()))
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_table(nation, p, fmt)
+        got = read_table(spark, p, fmt, schema=schema)
+        assert sorted(map(tuple, got.collect())) == want, fmt
+
+
+def test_csv_rejects_complex_columns(spark, tables, tmp_path):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.sources.formats import write_table
+
+    with _pytest.raises(ValueError, match="complex columns"):
+        write_table(tables["embeddings"], str(tmp_path / "x"), "csv")
