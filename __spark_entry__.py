@@ -950,6 +950,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return maxsim_topk(docs, qvecs, k=10)
 
+    def packed_bins_q(spark, sf):
+        # materialized training sequences: pack assignments turned into
+        # EOS-joined token streams, deterministic member order
+        from distributed_vector_database_spark.operators.textops import (
+            materialize_bins,
+        )
+
+        return materialize_bins(load_table(spark, sf, "documents"))
+
+    q["packed_bins"] = packed_bins_q
+
     q["maxsim_topk"] = maxsim_topk_q
 
     def maxsim_pruned_exact_q(spark, sf):
@@ -1540,7 +1551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
-        "customer_moving_avg",
         "metadata_map_filter",
         # ANN exact anchors + SQL-reproducible text search (pinned in
         # budget by tests/test_contract_order.py — recall contracts of
@@ -1595,6 +1605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 late-interaction MaxSim (new; orders_pivot — r4
         # driver-green, pinned in pytest + full gate — rotates down)
         "maxsim_topk", "maxsim_pruned_exact",
+        # round-6 materialized packing (new; customer_moving_avg — r4
+        # driver-green, window semantics pinned in pytest + full gate —
+        # rotates down)
+        "packed_bins",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
@@ -2831,6 +2845,24 @@ r AS (
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE {_H32_KEY} % 1000 < r.rate
+"""
+
+    o["packed_bins"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, array_to_string({_TOKS}, ' ') AS norm,
+    CAST(len({_TOKS}) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prev
+  FROM t
+)
+SELECT lang, CAST(floor(prev / 512) AS BIGINT) AS bin_id,
+  string_agg(norm, ' </s> ' ORDER BY prev % 512, doc_id) AS packed_text,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id
 """
 
     o["maxsim_topk"] = f"""

@@ -335,3 +335,46 @@ def model_quality_scores(
     return staged.select(
         id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("model_score")
     )
+
+
+def materialize_bins(
+    docs: DataFrame,
+    token_budget: int = 512,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    eos: str = "</s>",
+) -> DataFrame:
+    """Turn pack_documents' bin ASSIGNMENTS into the actual training
+    sequences: one row per (stratum, bin) with the member documents'
+    lowercased tokens concatenated in pack order, EOS-joined — the
+    artifact a dataloader memory-maps. Output: (stratum, bin_id,
+    packed_text, n_docs, n_tokens).
+
+    Plan: the packing windows (parallel per stratum) + ONE groupBy on
+    (stratum, bin) whose groups are bounded by the token budget —
+    collect order pinned by (bin_offset, id), so the sequence is
+    deterministic, not collect_list-arbitrary."""
+    assigned = pack_documents(docs, token_budget, stratum_col, id_col)
+    joined = assigned.join(
+        docs.select(id_col, F.concat_ws(" ", tokenize("text")).alias("__norm")),
+        id_col,
+    )
+    return (
+        joined.groupBy(stratum_col, "bin_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bin_offset", id_col, "__norm"))
+            ).alias("__members"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            stratum_col,
+            "bin_id",
+            F.concat_ws(
+                f" {eos} ", F.transform("__members", lambda m: m["__norm"])
+            ).alias("packed_text"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

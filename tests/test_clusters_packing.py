@@ -67,3 +67,28 @@ def test_hnsw_partition_ann_runs_without_native_library(tables):
     out = hnsw_partition_ann(tables["embeddings"], [0.0] * 64, k=5).collect()
     assert len(out) == 5
     assert [r["score"] for r in out] == sorted(r["score"] for r in out)
+
+
+def test_materialize_bins_reconstructs_members_in_order(spark):
+    from distributed_vector_database_spark.operators.textops import (
+        materialize_bins,
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(f"t{i}w{j}" for j in range(10))) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    bins = {r["bin_id"]: r for r in materialize_bins(docs, token_budget=25).collect()}
+    assign = pack_documents(docs, token_budget=25).collect()
+    # every doc's tokens appear in its assigned bin, in pack order
+    by_bin = {}
+    for r in sorted(assign, key=lambda r: (r["bin_id"], r["bin_offset"], r["doc_id"])):
+        by_bin.setdefault(r["bin_id"], []).append(r["doc_id"])
+    for b, members in by_bin.items():
+        expect = " </s> ".join(
+            " ".join(f"t{i}w{j}" for j in range(10)) for i in members
+        )
+        assert bins[b]["packed_text"] == expect
+        assert bins[b]["n_docs"] == len(members)
+        assert bins[b]["n_tokens"] == 10 * len(members)
