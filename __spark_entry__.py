@@ -113,6 +113,7 @@ MODEL_W = {               # linear quality-model weights (literal "model")
 MODEL_B = -1.5
 NEG_K = 4                 # negatives per anchor (sample_negatives)
 MAXSIM_GROUPS = 50        # multi-vector docs built as vec_id % 50
+FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,6 +962,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["packed_bins"] = packed_bins_q
 
+    def funnel_steps_q(spark, sf):
+        # ordered-step funnel: greedy strictly-increasing walk per
+        # user, ONE shuffle for any number of steps
+        from distributed_vector_database_spark.operators.relational import (
+            funnel,
+        )
+
+        return funnel(load_table(spark, sf, "events"), FUNNEL_STEPS)
+
+    q["funnel_steps"] = funnel_steps_q
+
+    def funnel_report_q(spark, sf):
+        from distributed_vector_database_spark.operators.relational import (
+            funnel_report,
+        )
+
+        return funnel_report(load_table(spark, sf, "events"), FUNNEL_STEPS)
+
+    q["funnel_report"] = funnel_report_q
+
     q["maxsim_topk"] = maxsim_topk_q
 
     def maxsim_pruned_exact_q(spark, sf):
@@ -1548,10 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_first", "ann_ivfpq_topk_exact",
         # single-r1-row queries (stale evidence; the rest of this group
         # has rotated down as round-6 queries arrived)
-        "doc_token_positions",
         "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
-        "metadata_map_filter",
         # ANN exact anchors + SQL-reproducible text search (pinned in
         # budget by tests/test_contract_order.py — recall contracts of
         # the quantized/IVF paths, hash-matched against brute-force SQL)
@@ -1609,6 +1628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green, window semantics pinned in pytest + full gate —
         # rotates down)
         "packed_bins",
+        # round-6 funnel analysis (new; metadata_map_filter and
+        # doc_token_positions — r4/r1 driver-green, pinned in pytest +
+        # full gate — rotate down)
+        "funnel_steps", "funnel_report",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
@@ -2845,6 +2868,54 @@ r AS (
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE {_H32_KEY} % 1000 < r.rate
+"""
+
+    _funnel_user_cte = """
+s1 AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+fu AS (
+  SELECT u.user_id,
+    CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS INT) AS steps_completed
+  FROM u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+)"""
+
+    o["funnel_steps"] = f"""
+WITH {_funnel_user_cte}
+SELECT user_id, steps_completed FROM fu ORDER BY user_id
+"""
+
+    o["funnel_report"] = f"""
+WITH {_funnel_user_cte},
+st AS (
+  SELECT unnest([1, 2, 3]) AS step, unnest(['view', 'click', 'purchase']) AS step_name
+)
+SELECT st.step, st.step_name,
+  CAST((SELECT count(*) FROM fu WHERE fu.steps_completed >= st.step) AS BIGINT) AS n_users
+FROM st ORDER BY st.step
 """
 
     o["packed_bins"] = f"""

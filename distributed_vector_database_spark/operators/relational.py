@@ -444,3 +444,86 @@ def sketch_profile(
         ],
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: how far does each user get through an ORDERED
+    step sequence (view -> click -> purchase), where step i counts
+    only after step i-1's matching event? Greedy earliest-match over
+    the user's time-ordered events — the optimal subsequence match,
+    identical to the classic nested min-ts SQL chain but ONE shuffle
+    for any number of steps (the SQL chain re-joins per step).
+
+    Plan: groupBy user collects the (ts, type) events that match any
+    step (pre-filtered, so state per user is bounded by funnel-relevant
+    events), array_sort pins time order, and an aggregate-with-struct
+    accumulator walks the sequence counting completed steps. Returns
+    (user, steps_completed)."""
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                        F.col(type_col).alias("t")))
+            ).alias("__evs")
+        )
+    )
+    # struct accumulator (steps done, ts of the last matched step):
+    # each step must be STRICTLY later than the previous match, so
+    # equal-timestamp events never advance — bit-for-bit the nested
+    # strictly-greater min-ts SQL chain, independent of sort tiebreaks
+    init = F.struct(
+        F.lit(0).alias("s"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("lt"),
+    )
+    walked = F.aggregate(
+        "__evs",
+        init,
+        lambda acc, e: F.when(
+            (acc["s"] < F.lit(len(steps)))
+            & (e["t"] == F.element_at(steps_lit, acc["s"] + 1))
+            & (e["ts"] > acc["lt"]),
+            F.struct(
+                (acc["s"] + 1).alias("s"), e["ts"].alias("lt")
+            ),
+        ).otherwise(acc),
+    )
+    return per_user.select(
+        user_col, walked["s"].cast("int").alias("steps_completed")
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion table: for each step, how many users completed AT
+    LEAST that many ordered steps. Monotone by construction."""
+    per_user = funnel(events, steps, user_col, ts_col, type_col)
+    step_idx = F.explode(
+        F.sequence(F.lit(1), F.lit(len(steps)))
+    ).alias("step")
+    return (
+        per_user.select("steps_completed", step_idx)
+        .filter(F.col("steps_completed") >= F.col("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "step",
+            F.element_at(F.array(*[F.lit(s) for s in steps]), F.col("step")).alias(
+                "step_name"
+            ),
+            "n_users",
+        )
+    )

@@ -191,3 +191,4 @@ def test_snapshot_diff_single_shuffle(spark):
     df = snapshot_diff(log, 10, 20, seq_col="seq", value_cols=["value"])
     # ONE hash shuffle on key (partial + final agg share it)
     assert exchange_nodes(df) == (1, 0)
+

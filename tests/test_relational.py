@@ -1,0 +1,38 @@
+
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    import datetime
+
+    from distributed_vector_database_spark.operators.relational import (
+        funnel,
+        funnel_report,
+    )
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, t, minutes):
+        return (i, b + datetime.timedelta(minutes=minutes), u, t, 0.0)
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 9),
+        # user 2: purchase BEFORE view/click -> only 2 ordered steps
+        ev(4, 2, "purchase", 0), ev(5, 2, "view", 1), ev(6, 2, "click", 2),
+        # user 3: click and purchase at the SAME instant as view ->
+        # strictly-increasing rule counts only the view
+        ev(7, 3, "view", 0), ev(8, 3, "click", 0), ev(9, 3, "purchase", 0),
+        # user 4: never views
+        ev(10, 4, "click", 0), ev(11, 4, "purchase", 1),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["user_id"]: r["steps_completed"] for r in funnel(
+        events, ["view", "click", "purchase"]
+    ).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+    rep = {r["step"]: (r["step_name"], r["n_users"]) for r in funnel_report(
+        events, ["view", "click", "purchase"]
+    ).collect()}
+    assert rep == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
