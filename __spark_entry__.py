@@ -982,6 +982,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_report"] = funnel_report_q
 
+    def session_ids_q(spark, sf):
+        # batch dual of the streaming session window: stable 1-based
+        # gap-session ids per user
+        from distributed_vector_database_spark.operators.relational import (
+            assign_sessions,
+        )
+
+        ev = load_table(spark, sf, "events")
+        return assign_sessions(ev, gap_minutes=30).select(
+            "event_id", "user_id", "session_id"
+        )
+
+    q["session_ids"] = session_ids_q
+
+    def retention_cohorts_q(spark, sf):
+        from distributed_vector_database_spark.operators.relational import (
+            retention_cohorts,
+        )
+
+        return retention_cohorts(load_table(spark, sf, "events"))
+
+    q["retention_cohorts"] = retention_cohorts_q
+
     q["maxsim_topk"] = maxsim_topk_q
 
     def maxsim_pruned_exact_q(spark, sf):
@@ -1577,7 +1600,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "text_knn_expr",
         # recently-shaky or touched-this-round families
-        "event_range_join",
         "changelog_compact", "changelog_incremental", "upsert_semantics",
         "snapshot_diff",  # round-6 time-travel diff (new; distinct_user_
         # counts — r5 driver-green, untouched — rotates down to tier 2)
@@ -1586,7 +1608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_served",
         # round-6 numpy-HNSW anchors (0 prior driver rows)
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
-        "near_dup_clusters",  # clustering kernel changes in round 6
         "training_pipeline",  # composed plan — regression canary
         # round-6 composed spans pipeline (new; get_all_vectors — r1
         # green, a two-scalar corpus agg also exercised every round by
@@ -1632,6 +1653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_token_positions — r4/r1 driver-green, pinned in pytest +
         # full gate — rotate down)
         "funnel_steps", "funnel_report",
+        # round-6 sessionization + retention (new; event_range_join and
+        # near_dup_clusters — r5/r6 driver-green multi-round — rotate
+        # down to tier 2 to make room)
+        "session_ids", "retention_cohorts",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
         "hash_sample", "stratified_sample", "events_sessions",
@@ -2916,6 +2941,43 @@ st AS (
 SELECT st.step, st.step_name,
   CAST((SELECT count(*) FROM fu WHERE fu.steps_completed >= st.step) AS BIGINT) AS n_users
 FROM st ORDER BY st.step
+"""
+
+    o["session_ids"] = """
+WITH o AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(sum(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM o ORDER BY user_id, event_id
+"""
+
+    o["retention_cohorts"] = """
+WITH f AS (
+  SELECT user_id, CAST(min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events
+),
+cs AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY cohort_week),
+j AS (
+  SELECT f.cohort_week,
+    CAST(floor(date_diff('second', f.cohort_week, a.week) / 604800.0) AS INT) AS week_offset,
+    a.user_id
+  FROM a JOIN f ON a.user_id = f.user_id
+)
+SELECT j.cohort_week, j.week_offset,
+  CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+  CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+  round(count(DISTINCT j.user_id) / CAST(cs.n_cohort AS DOUBLE), 6) AS retention
+FROM j JOIN cs ON j.cohort_week = cs.cohort_week
+WHERE j.week_offset <= 8
+GROUP BY j.cohort_week, j.week_offset, cs.n_cohort
+ORDER BY 1, 2
 """
 
     o["packed_bins"] = f"""

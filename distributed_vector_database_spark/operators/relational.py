@@ -527,3 +527,81 @@ def funnel_report(
             "n_users",
         )
     )
+
+
+def assign_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization with STABLE ids: a new session starts
+    when a user's inter-event gap exceeds `gap_minutes`; session_id =
+    running count of session starts per user (1-based), so ids are
+    deterministic and joinable. One shuffle on user (lag + running sum
+    share the same window partitioning). The aggregate view of this
+    assignment is the session_window streaming query
+    (streaming/windows.py) — this is its batch, per-event dual."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col("event_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn(
+        "session_id", F.sum(is_start).over(run).cast("long")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week; for each
+    later week offset, the fraction of the cohort still active.
+    (cohort_week, week_offset, n_active, n_cohort, retention).
+
+    Plan: one agg finds each user's first week (shuffle on user), the
+    activity set is a distinct over (user, week) — both shuffles sized
+    by users x active weeks, never raw events; the cohort join
+    broadcasts the tiny cohort-size table."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.min(wk)).alias("cohort_week")
+    )
+    active = events.select(user_col, wk.alias("week")).distinct()
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    joined = active.join(first, user_col).select(
+        "cohort_week",
+        F.floor(
+            (
+                F.col("week").cast("long")
+                - F.col("cohort_week").cast("timestamp").cast("long")
+            )
+            / (7 * 86400)
+        )
+        .cast("int")
+        .alias("week_offset"),
+        user_col,
+    )
+    return (
+        joined.filter(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )

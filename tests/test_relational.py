@@ -36,3 +36,40 @@ def test_funnel_strict_ordering_semantics(spark):
         events, ["view", "click", "purchase"]
     ).collect()}
     assert rep == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_assign_sessions_gap_semantics(spark):
+    import datetime
+
+    from distributed_vector_database_spark.operators.relational import (
+        assign_sessions,
+    )
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, b, 1, "view", 0.0),
+        (2, b + datetime.timedelta(minutes=10), 1, "click", 0.0),   # same session
+        (3, b + datetime.timedelta(minutes=50), 1, "view", 0.0),    # 40-min gap -> new
+        (4, b, 2, "view", 0.0),                                     # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["event_id"]: r["session_id"] for r in assign_sessions(ev, 30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_retention_cohorts_shape(spark, tables):
+    from distributed_vector_database_spark.operators.relational import (
+        retention_cohorts,
+    )
+
+    rows = retention_cohorts(tables["events"]).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["week_offset"] <= 8
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        assert r["retention"] <= 1.0
+    # offset 0 is full by definition: every user is active in their
+    # own first week
+    assert all(r["retention"] == 1.0 for r in rows if r["week_offset"] == 0)
