@@ -706,6 +706,30 @@ class VectorStore:
 
     # -- maintenance --------------------------------------------------------
 
+    def export_wal(self, path: str) -> int:
+        """The reverse migration (interop out): dump current state as a
+        reference-format WAL JSON-lines directory
+        (src/utils/wal_manager.py:90-105 field names, epoch-millis
+        timestamps) that the reference engine replays with its own
+        recovery path. One PUT line per live key — tombstoned keys are
+        already gone from state(), so replaying the export yields
+        exactly this store's state. Returns the number of exported
+        entries."""
+        from distributed_vector_database_spark.sources.wal import (
+            write_wal_json,
+        )
+
+        # store ts is epoch-millis LONG; the WAL writer expects TIMESTAMP
+        state = self.state().select(
+            F.lit(OP_PUT).alias("op"),
+            "key",
+            "vector",
+            "metadata",
+            F.timestamp_millis(F.col("ts")).alias("ts"),
+        )
+        write_wal_json(state, path)
+        return int(self.spark.read.json(path).count())
+
     def diff_versions(self, v_old: int, v_new: int):
         """Time-travel audit across checkpoint versions (O13): which
         keys were added / deleted / updated between snapshot v_old and

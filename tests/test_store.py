@@ -380,3 +380,40 @@ def test_diff_versions_classifies_snapshot_changes(spark, tmp_path):
         for r in store.diff_versions(v1, v2).collect()
     }
     assert diff == {"upd": "updated", "gone": "deleted", "fresh": "added"}
+
+
+def test_export_wal_round_trips_through_import(spark, tmp_path):
+    """Interop OUT: export the store's state as a reference-format WAL,
+    import it into a fresh store — states must match (the reference
+    replay is dict-overwrite over these same lines)."""
+    from distributed_vector_database_spark.store import VectorStore
+
+    a = VectorStore(spark, str(tmp_path / "a"), dim=4)
+    a.put("x", [1.0, 2.0, 3.0, 4.0], {"m": "1"})
+    a.put("y", [0.0, 1.0, 0.0, 1.0])
+    a.put("gone", [9.0, 9.0, 9.0, 9.0])
+    a.delete("gone")
+    a.flush()
+    n = a.export_wal(str(tmp_path / "wal"))
+    assert n == 2  # tombstoned key not exported
+
+    b = VectorStore(spark, str(tmp_path / "b"), dim=4)
+    assert b.import_wal(str(tmp_path / "wal")) == 2
+    sa = {r["key"]: (list(r["vector"]), dict(r["metadata"] or {}))
+          for r in a.state().collect()}
+    sb = {r["key"]: (list(r["vector"]), dict(r["metadata"] or {}))
+          for r in b.state().collect()}
+    assert sa == sb
+    # the exported lines carry the reference's exact field names
+    import glob
+    import json
+
+    first = next(
+        ln
+        for f in sorted(glob.glob(str(tmp_path / "wal" / "part-*")))
+        for ln in open(f)
+        if ln.strip()
+    )
+    line = json.loads(first)
+    assert set(line) >= {"op_type", "key", "vector", "timestamp", "node_id"}
+    assert line["op_type"] == "PUT"
