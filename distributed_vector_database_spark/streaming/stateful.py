@@ -21,6 +21,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
@@ -67,6 +68,60 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         update_user_stats,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, steps_completed int"
+FUNNEL_STATE_SCHEMA = "step int, last_ts timestamp"
+
+
+def streaming_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """The live dual of operators/relational.funnel: per-user funnel
+    progress maintained ACROSS micro-batches with two fields of state
+    (current step, timestamp of its match) — bounded per user no
+    matter how long the stream runs. Each batch sorts only its own
+    rows; the strictly-increasing rule matches the batch operator, so
+    (with in-order delivery) the final emitted step per user equals
+    the batch funnel over the full history.
+
+    Caveat stated, not hidden: a funnel step arriving LATE (after a
+    later step was already consumed in a previous batch) cannot
+    rewind state — the batch operator is the replay/repair path,
+    exactly like compaction repairs the streaming store."""
+    step_list = list(steps)
+
+    def walk(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            step, last_ts = state.get
+        else:
+            step, last_ts = 0, None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_type"])
+        for _, r in rows.iterrows():
+            if step < len(step_list) and r["event_type"] == step_list[step]:
+                if last_ts is None or r["ts"] > last_ts:
+                    step += 1
+                    last_ts = r["ts"]
+        state.update((step, last_ts))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "steps_completed": [step]}
+        )
+
+    return events.filter(
+        F.col("event_type").isin(step_list)
+    ).groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
