@@ -672,13 +672,22 @@ class VectorStore:
         query_vector: Sequence[float],
         top_k: int = DEFAULT_TOP_K,
         ef: int | None = None,
+        predicate=None,
+        filter_overfetch: int = OVERFETCH,
     ) -> DataFrame:
         """ANN search over the persisted HNSW graph: the index PROPOSES
         an over-fetched candidate pool (2k per the reference,
         src/datanode/handler.py:364), live state DISPOSES — semi-join
         drops deleted keys, re-scoring uses current vectors. ef >= shard
         rows makes the proposal exhaustive (exact modulo the live-state
-        join)."""
+        join).
+
+        `predicate` filters on live-state columns (metadata map /
+        key); the proposal widens by `filter_overfetch` ON TOP of the
+        base 2x — the reference's filtered-search trick applied to its
+        own index type — so a selective filter still fills top_k. A
+        highly selective predicate should raise filter_overfetch
+        (~1/selectivity), same guidance as index_search."""
         from distributed_vector_database_spark.operators.hnsw import (
             hnsw_read_search,
         )
@@ -687,18 +696,20 @@ class VectorStore:
         v = latest_version(hnsw_dir)
         if v < 0:
             raise ValueError("no HNSW index built; call rebuild_hnsw_index() first")
+        width = OVERFETCH * top_k * (filter_overfetch if predicate is not None else 1)
         cand = hnsw_read_search(
             self.spark,
             f"{hnsw_dir}/v={v}",
             query_vector,
-            k=OVERFETCH * top_k,
+            k=width,
             key_col="key",
             vec_col="vector",
             ef=ef,
         )
-        fresh = cand.select("key").join(
-            self.state().select("key", "vector"), "key"
-        )
+        live = self.state().select("key", "vector", "metadata")
+        if predicate is not None:
+            live = live.filter(predicate)
+        fresh = cand.select("key").join(live.select("key", "vector"), "key")
         return knn_exact(
             fresh, query_vector, k=top_k, key_col="key", vec_col="vector",
             extra_cols=(),

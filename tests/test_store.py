@@ -417,3 +417,40 @@ def test_export_wal_round_trips_through_import(spark, tmp_path):
     line = json.loads(first)
     assert set(line) >= {"op_type", "key", "vector", "timestamp", "node_id"}
     assert line["op_type"] == "PUT"
+
+
+def test_hnsw_search_with_metadata_predicate(spark, tmp_path):
+    """Filtered ANN through the store's HNSW path: exhaustive ef makes
+    the proposal exact, so the filtered result must equal brute-force
+    filtered k-NN over live state."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.knn import knn_exact
+    from distributed_vector_database_spark.store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "vs"), dim=4)
+    rows = [
+        (f"k{i}", [float(i), float(i % 7), 1.0, 0.0], {"tag": str(i % 2)})
+        for i in range(40)
+    ]
+    for k, v, m in rows:
+        store.put(k, v, m)
+    store.flush()
+    store.compact()
+    store.rebuild_hnsw_index()
+
+    q = [3.0, 3.0, 1.0, 0.0]
+    pred = F.col("metadata")["tag"] == "1"
+    got = [
+        (r["key"], r["score"])
+        for r in store.hnsw_search(q, top_k=5, ef=1000, predicate=pred).collect()
+    ]
+    want_src = store.state().filter(pred).select("key", "vector")
+    want = [
+        (r["key"], r["score"])
+        for r in knn_exact(
+            want_src, q, k=5, key_col="key", vec_col="vector", extra_cols=()
+        ).collect()
+    ]
+    assert got == want
+    assert all(int(k[1:]) % 2 == 1 for k, _ in got)
