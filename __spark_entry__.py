@@ -1005,6 +1005,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retention_cohorts"] = retention_cohorts_q
 
+    def skew_report_q(spark, sf):
+        # pre-join diagnostics: top keys, share, ratio-to-uniform
+        from distributed_vector_database_spark.operators.skew import skew_report
+
+        return skew_report(load_table(spark, sf, "events"), "user_id")
+
+    q["skew_report"] = skew_report_q
+
     q["maxsim_topk"] = maxsim_topk_q
 
     def maxsim_pruned_exact_q(spark, sf):
@@ -1659,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_ids", "retention_cohorts",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
+        "skew_report",  # round-6 diagnostics (hash-oracled, tier 2)
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
@@ -2941,6 +2950,15 @@ st AS (
 SELECT st.step, st.step_name,
   CAST((SELECT count(*) FROM fu WHERE fu.steps_completed >= st.step) AS BIGINT) AS n_users
 FROM st ORDER BY st.step
+"""
+
+    o["skew_report"] = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT sum(n) AS total, count(*) AS keys FROM c)
+SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+  round(c.n / CAST(t.total AS DOUBLE), 6) AS share,
+  round(c.n * t.keys / CAST(t.total AS DOUBLE), 6) AS skew_ratio
+FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10
 """
 
     o["session_ids"] = """

@@ -62,3 +62,32 @@ def salted_aggregate(
         refn = "sum" if fn == "count" else fn  # counts combine by summing
         final_aggs.append(getattr(F, refn)(out).alias(out))
     return phase1.groupBy(*key_cols).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-skew diagnostics BEFORE a join/agg commits to a partition
+    strategy: the top keys by row count with their corpus share and
+    the ratio to a perfectly uniform key (share x distinct_keys —
+    values >> 1 mean salting / AQE skew handling will matter). One
+    partial-agg shuffle sized by distinct keys; the global totals ride
+    along via a 1-row broadcast cross join, never a second scan of the
+    counts."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("__keys") / F.col("__total"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(top_n)
+    )

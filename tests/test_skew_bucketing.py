@@ -81,3 +81,16 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_skew_report_flags_hot_keys(spark):
+    from distributed_vector_database_spark.operators.skew import skew_report
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    top = skew_report(df, "key", top_n=3).collect()
+    assert top[0]["key"] == "hot" and top[0]["n"] == 50
+    assert top[0]["share"] == 0.5
+    # 51 distinct keys, hot holds half the mass -> ratio 25.5
+    assert top[0]["skew_ratio"] == 25.5
+    assert all(r["n"] == 1 for r in top[1:])
