@@ -1672,7 +1672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
         "get_all_vectors", "dim_check", "asof_join", "customers_with_orders",
-        "orders_pivot",
+        "orders_pivot", "repetition_scores", "customer_moving_avg",
+        "metadata_map_filter", "doc_token_positions", "event_range_join",
+        "near_dup_clusters", "customers_above_avg_balance",
         "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
         "knn_join", "point_lookup", "vector_normalize", "shard_routing",
         "dedup_by_key", "events_sliding", "events_tumbling",
@@ -1684,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents",
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
         "simhash_dedup", "embedding_near_dup",
+        "orders_grouping_sets", "deterministic_shuffle",
+        "collapse_repetitions",
         # --- tier 3: rows-only by design ---
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
@@ -2725,7 +2729,7 @@ clean AS (
 cnt AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
 rates AS (
   SELECT lang,
-    CAST(floor(1000.0 * pow((SELECT min(n) FROM cnt) / CAST(n AS DOUBLE), 0.5)) AS INT) AS rate
+    CAST(greatest(floor(1000.0 * pow((SELECT min(n) FROM cnt) / CAST(n AS DOUBLE), 0.5)), 1) AS INT) AS rate
   FROM cnt
 ),
 samp AS (
@@ -2896,7 +2900,7 @@ WHERE {_H32_KEY} % 100 <
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 r AS (
   SELECT lang,
-    CAST(floor(1000.0 * pow((SELECT min(n) FROM c) / CAST(n AS DOUBLE), 0.5)) AS INT) AS rate
+    CAST(greatest(floor(1000.0 * pow((SELECT min(n) FROM c) / CAST(n AS DOUBLE), 0.5)), 1) AS INT) AS rate
   FROM c
 )
 SELECT d.doc_id, d.lang, d.source
@@ -2984,7 +2988,7 @@ a AS (
 cs AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY cohort_week),
 j AS (
   SELECT f.cohort_week,
-    CAST(floor(date_diff('second', f.cohort_week, a.week) / 604800.0) AS INT) AS week_offset,
+    CAST(floor(date_diff('day', f.cohort_week, CAST(a.week AS DATE)) / 7.0) AS INT) AS week_offset,
     a.user_id
   FROM a JOIN f ON a.user_id = f.user_id
 )

@@ -103,6 +103,7 @@ def bpe_encode(
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
     src = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches):
         import pandas as pd
@@ -130,5 +131,5 @@ def bpe_encode(
             )
 
     return src.mapInPandas(
-        run, schema=f"{id_col} long, bpe_tokens array<string>, n_bpe long"
+        run, schema=f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe long"
     )

@@ -969,6 +969,59 @@ def _strict_windows(toks, k: int):
     ).otherwise(F.sequence(F.lit(1), F.size(toks) - (k - 1)).cast("array<int>"))
 
 
+def _window_grams(
+    docs: DataFrame, k: int, id_col: str | None, text_col: str = "text"
+) -> DataFrame:
+    """([id_col,] pos, gram) for every strict k-token window — the ONE
+    place the gram expression lives. The persisted gram state, the
+    incremental batch probe, the bucket router, and the purge
+    subtraction all derive from this helper, so their hashes cannot
+    drift apart (they previously carried five verbatim copies)."""
+    staged = docs.withColumn("__toks", tokenize(text_col))
+    head = [F.col(id_col)] if id_col else []
+    return staged.select(
+        *head,
+        F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"),
+        F.col("__toks"),
+    ).select(
+        *([id_col] if id_col else []),
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram"),
+    )
+
+
+def _strip_flagged(
+    docs: DataFrame,
+    flagged_positions: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Drop every token covered by a flagged (id, pos) k-window and
+    rebuild the text — the shared reconstruction half of batch and
+    incremental span removal. The exists() probe is O(flagged) per
+    token; tokens/flags are staged columns (no-CSE rule)."""
+    flagged = flagged_positions.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__flags")
+    )
+    staged = (
+        docs.withColumn("__toks", tokenize(text_col))
+        .join(flagged, id_col, "left")
+        .withColumn("__flags", F.coalesce("__flags", F.array().cast("array<int>")))
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            "__flags", lambda q: (q <= i + 1) & (i + 1 < q + F.lit(k))
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
+
+
 def duplicate_span_windows(
     docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -984,16 +1037,7 @@ def duplicate_span_windows(
     (16-byte keys, not k-word strings) -> a count window flags grams
     with global multiplicity >= 2. Output is sized by the DUPLICATED
     mass, not the corpus."""
-    staged = docs.withColumn("__toks", tokenize(text_col))
-    wins = staged.select(
-        F.col(id_col),
-        F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"),
-        F.col("__toks"),
-    ).select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram"),
-    )
+    wins = _window_grams(docs, k, id_col, text_col)
     counts = Window.partitionBy("gram")
     return (
         wins.withColumn("__n", F.count(F.lit(1)).over(counts))
@@ -1053,7 +1097,7 @@ def remove_duplicate_spans(
 
     Output text is rebuilt from the tokenizer's lowercased tokens
     (same contract as collapse_repetitions)."""
-    flagged = (
+    flagged_positions = (
         duplicate_span_windows(docs, k, id_col, text_col)
         .withColumn(
             "__rk",
@@ -1062,25 +1106,9 @@ def remove_duplicate_spans(
             ),
         )
         .filter(F.col("__rk") > 1)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("__flags"))
+        .select(id_col, "pos")
     )
-    staged = (
-        docs.withColumn("__toks", tokenize(text_col))
-        .join(flagged, id_col, "left")
-        .withColumn("__flags", F.coalesce("__flags", F.array().cast("array<int>")))
-    )
-    kept = F.filter(
-        "__toks",
-        lambda t, i: ~F.exists(
-            "__flags", lambda q: (q <= i + 1) & (i + 1 < q + F.lit(k))
-        ),
-    )
-    return staged.select(
-        id_col,
-        F.concat_ws(" ", kept).alias("clean_text"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
-    )
+    return _strip_flagged(docs, flagged_positions, k, id_col, text_col)
 
 
 def span_gram_state(
@@ -1092,14 +1120,8 @@ def span_gram_state(
     duplicate the moment a new batch repeats it). 16-byte md5 keys +
     a count: proportional to corpus token mass, one partial-agg
     shuffle to build, additive to maintain."""
-    staged = docs.withColumn("__toks", tokenize(text_col))
     return (
-        staged.select(
-            F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"), "__toks"
-        )
-        .select(
-            F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram")
-        )
+        _window_grams(docs, k, None, text_col)
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1130,16 +1152,7 @@ def remove_duplicate_spans_incremental(
     state keyed by the BATCH's grams (left-semi probe; at scale the
     state is bucketed by gram so the probe prunes) — the corpus text
     is never touched."""
-    staged = batch.withColumn("__toks", tokenize(text_col))
-    wins = staged.select(
-        F.col(id_col),
-        F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"),
-        F.col("__toks"),
-    ).select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram"),
-    )
+    wins = _window_grams(batch, k, id_col, text_col)
     counts = Window.partitionBy("gram")
     order = Window.partitionBy("gram").orderBy(id_col, "pos")
     in_corpus = wins.join(state.select("gram"), "gram", "left_semi").select(
@@ -1151,26 +1164,10 @@ def remove_duplicate_spans_incremental(
         .filter((F.col("__n") >= 2) & (F.col("__rk") > 1))
         .select(id_col, "pos")
     )
-    flagged = (
-        in_corpus.unionByName(within)
-        .dropDuplicates([id_col, "pos"])
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("__flags"))
+    flagged_positions = in_corpus.unionByName(within).dropDuplicates(
+        [id_col, "pos"]
     )
-    joined = staged.join(flagged, id_col, "left").withColumn(
-        "__flags", F.coalesce("__flags", F.array().cast("array<int>"))
-    )
-    kept = F.filter(
-        "__toks",
-        lambda t, i: ~F.exists(
-            "__flags", lambda q: (q <= i + 1) & (i + 1 < q + F.lit(k))
-        ),
-    )
-    cleaned = joined.select(
-        id_col,
-        F.concat_ws(" ", kept).alias("clean_text"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
-    )
+    cleaned = _strip_flagged(batch, flagged_positions, k, id_col, text_col)
     delta = (
         wins.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1211,21 +1208,11 @@ def span_state_probe(
     corpus. Feed the result to remove_duplicate_spans_incremental as
     its `state`."""
     n_buckets = spark.read.parquet(f"{path}/meta").first()["n_buckets"]
-    staged = batch.withColumn("__toks", tokenize(text_col))
     buckets = [
         r["b"]
-        for r in staged.select(
-            F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"), "__toks"
-        )
+        for r in _window_grams(batch, k, None, text_col)
         .select(
-            F.pmod(
-                F.crc32(
-                    F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k)))
-                ),
-                F.lit(n_buckets),
-            )
-            .cast("int")
-            .alias("b")
+            F.pmod(F.crc32(F.col("gram")), F.lit(n_buckets)).cast("int").alias("b")
         )
         .distinct()
         .collect()

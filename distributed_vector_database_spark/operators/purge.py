@@ -25,8 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_vector_database_spark.functions.text import tokenize
-from distributed_vector_database_spark.operators.dedup import _strict_windows
+from distributed_vector_database_spark.operators.dedup import _window_grams
 from distributed_vector_database_spark.operators.lexical import (
     _applied_markers,
     _publish,
@@ -66,12 +65,23 @@ def purge_from_postings(
             .filter(F.col("bucket").isin(buckets))
             .filter(~F.col(doc_col).isin(ids))
         )
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # written data: a bucket whose every row belonged to purged
+        # docs would emit nothing and keep its files — delete those
+        # fully-victim partitions explicitly after the write
+        live_buckets = {
+            r["bucket"] for r in keep.select("bucket").distinct().collect()
+        }
         (
             keep.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
+        import shutil
+
+        for b in set(buckets) - live_buckets:
+            shutil.rmtree(f"{path}/postings/bucket={b}", ignore_errors=True)
         import uuid
 
         _publish(
@@ -99,14 +109,8 @@ def span_state_purge(
     value-identical to span_gram_state over the remaining corpus
     (tested), so incremental cleaning continues seamlessly after the
     deletion."""
-    staged = purged_docs.withColumn("__toks", tokenize(text_col))
     minus = (
-        staged.select(
-            F.explode(_strict_windows(F.col("__toks"), k)).alias("pos"), "__toks"
-        )
-        .select(
-            F.md5(F.concat_ws(" ", F.slice("__toks", F.col("pos"), k))).alias("gram")
-        )
+        _window_grams(purged_docs, k, None, text_col)
         .groupBy("gram")
         .agg((-F.count(F.lit(1))).alias("n"))
     )

@@ -534,6 +534,7 @@ def assign_sessions(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Gap-based sessionization with STABLE ids: a new session starts
     when a user's inter-event gap exceeds `gap_minutes`; session_id =
@@ -544,14 +545,15 @@ def assign_sessions(
     (streaming/windows.py) — this is its batch, per-event dual."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_start = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col), F.col("event_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return events.withColumn(
         "session_id", F.sum(is_start).over(run).cast("long")
     )
@@ -579,14 +581,14 @@ def retention_cohorts(
     cohort_sizes = first.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort")
     )
+    # calendar-day datediff, not epoch-second division: a DST
+    # transition inside the window would otherwise shift every
+    # spanning (cohort, week) pair into the wrong offset bucket in
+    # non-UTC session timezones
     joined = active.join(first, user_col).select(
         "cohort_week",
         F.floor(
-            (
-                F.col("week").cast("long")
-                - F.col("cohort_week").cast("timestamp").cast("long")
-            )
-            / (7 * 86400)
+            F.datediff(F.to_date("week"), F.col("cohort_week")) / 7
         )
         .cast("int")
         .alias("week_offset"),

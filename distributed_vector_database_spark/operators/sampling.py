@@ -238,13 +238,20 @@ def temperature_rates(
     re-run the corpus aggregation subtree)."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     one_part = F.pmod(F.crc32(F.col(stratum_col).cast("string")), F.lit(1))
+    # floor CLAMPED to >= 1: a single mis-detected stray document would
+    # otherwise make n_min = 1 and floor every major stratum's rate to
+    # ZERO (head languages silently vanish); the floor of temperature
+    # mixing is "keep at least 1/partition_count", never "drop"
     return (
         counts.withColumn("__nmin", F.min("__n").over(Window.partitionBy(one_part)))
         .select(
             stratum_col,
-            F.floor(
-                F.lit(float(partition_count))
-                * F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - alpha))
+            F.greatest(
+                F.floor(
+                    F.lit(float(partition_count))
+                    * F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - alpha))
+                ),
+                F.lit(1),
             )
             .cast("int")
             .alias("rate"),

@@ -737,9 +737,13 @@ class VectorStore:
             "vector",
             "metadata",
             F.timestamp_millis(F.col("ts")).alias("ts"),
-        )
-        write_wal_json(state, path)
-        return int(self.spark.read.json(path).count())
+        ).persist()
+        try:
+            n = int(state.count())
+            write_wal_json(state, path)
+        finally:
+            state.unpersist()
+        return n
 
     def diff_versions(self, v_old: int, v_new: int):
         """Time-travel audit across checkpoint versions (O13): which
@@ -748,17 +752,22 @@ class VectorStore:
         key-join of two versioned reads — no WAL replay, no log scan;
         shuffle on key only (both sides are already key-range
         partitioned from compact()'s clustered write, so at scale the
-        join co-locates). Values compare by (ts, vector) — maps are
-        not order-comparable in Spark, and every store mutation bumps
-        ts, so (ts, vector) equality means the row never changed."""
+        join co-locates). Values compare by (ts, vector, metadata
+        entries sorted by key — maps aren't directly comparable, their
+        sorted entry arrays are), so a metadata-only rewrite landing in
+        the SAME millisecond as the prior write (seq isn't persisted
+        into snapshots) is still classified as updated."""
         a = self.spark.read.parquet(f"{self._snap_dir}/v={v_old}")
         b = self.spark.read.parquet(f"{self._snap_dir}/v={v_new}")
         pa = F.col("__a").isNotNull()
         pb = F.col("__b").isNotNull()
+        payload = F.struct(
+            "ts", "vector", F.array_sort(F.map_entries("metadata")).alias("md")
+        )
         joined = (
-            a.select("key", F.struct("ts", "vector").alias("__a"))
+            a.select("key", payload.alias("__a"))
             .join(
-                b.select("key", F.struct("ts", "vector").alias("__b")),
+                b.select("key", payload.alias("__b")),
                 "key",
                 "full_outer",
             )

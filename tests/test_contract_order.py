@@ -63,3 +63,14 @@ def test_all_queries_callable_and_unique():
     q = em.queries()
     assert len(q) >= 76
     assert all(callable(v) for v in q.values())
+
+
+def test_no_hash_oracled_query_enumerates_below_rows_only():
+    # rows-only queries are weaker evidence by design; a hash-oracled
+    # query falling into the unordered tail (below them) silently
+    # loses driver exposure — pin the invariant instead of comments
+    q = list(em.queries().keys())
+    o = em.oracle_sql()
+    last_hash = max(i for i, k in enumerate(q) if k in o)
+    first_rows_only = min(i for i, k in enumerate(q) if k not in o)
+    assert last_hash < first_rows_only, (last_hash, first_rows_only)

@@ -62,3 +62,29 @@ def test_span_state_purge_equals_rebuild(spark):
     got = span_state_purge(span_gram_state(full, k=5), purged_docs, k=5)
     want = span_gram_state(remaining, k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_purge_clears_fully_victim_buckets(spark, tmp_path):
+    """A term occurring ONLY in purged docs can occupy a bucket whose
+    every row is a victim; dynamic overwrite alone would leave those
+    postings serving the deleted doc."""
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_postings_search,
+        postings_write,
+    )
+    from distributed_vector_database_spark.operators.purge import (
+        purge_from_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "zzzuniqueterm only here"), (2, "normal words live on")], DOCS
+    )
+    path = str(tmp_path / "p")
+    # many buckets -> the victim's terms very likely isolate; assert on
+    # behavior either way: the purged doc must be unfindable
+    postings_write(docs, path, n_buckets=64)
+    purge_from_postings(spark, path, [1])
+    hits = bm25_postings_search(spark, path, ["zzzuniqueterm"], k=5).collect()
+    assert hits == []
+    alive = bm25_postings_search(spark, path, ["normal"], k=5).collect()
+    assert [r["doc_id"] for r in alive] == [2]

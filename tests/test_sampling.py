@@ -134,3 +134,20 @@ def test_sample_negatives_uniform_and_anchor_free(spark):
     # degenerate single-row corpus emits nothing
     one = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert sample_negatives(one, k=3, partitions=2).count() == 0
+
+
+def test_temperature_rates_never_floor_a_stratum_to_zero(spark):
+    from distributed_vector_database_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    # one stray doc in a rare stratum + a huge head: without the clamp
+    # the head's rate floors to 0 and the corpus majority vanishes
+    rows = [(0, "stray")] + [(i, "head") for i in range(1, 5001)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {
+        r["lang"]: r["rate"]
+        for r in temperature_rates(df, "lang", alpha=0.5, partition_count=50).collect()
+    }
+    # sqrt(1/5000)*50 = 0.707 -> floor 0 -> clamped to 1
+    assert rates == {"stray": 50, "head": 1}
