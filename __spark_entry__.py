@@ -1035,6 +1035,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return maxsim_topk_pruned(docs, qvecs, k=10, candidates=MAXSIM_GROUPS)
 
     q["maxsim_pruned_exact"] = maxsim_pruned_exact_q
+
+    def maxsim_join_q(spark, sf):
+        # query-SET late interaction: every query bag against the
+        # multi-vector corpus through the per-partition GEMM kernel
+        from distributed_vector_database_spark.operators.knn import maxsim_join
+
+        emb = _emb(spark, sf)
+        docs = emb.groupBy(
+            F.pmod("vec_id", F.lit(MAXSIM_GROUPS)).cast("long").alias("doc")
+        ).agg(
+            F.collect_list(F.col("embedding").cast("array<double>")).alias("vecs")
+        )
+        qs = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.array(F.col("embedding").cast("array<double>")).alias("qvecs"),
+        )
+        return maxsim_join(qs, docs, k=10)
+
+    q["maxsim_join"] = maxsim_join_q
     q["ngram_jaccard_dedup"] = lambda spark, sf: ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T
     )
@@ -1608,7 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "text_knn_expr",
         # recently-shaky or touched-this-round families
-        "changelog_compact", "changelog_incremental", "upsert_semantics",
+        "changelog_compact", "upsert_semantics",
         "snapshot_diff",  # round-6 time-travel diff (new; distinct_user_
         # counts — r5 driver-green, untouched — rotates down to tier 2)
         # round-6 maintained continuous aggregate (new; asof_join — r5
@@ -1652,7 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_negatives",
         # round-6 late-interaction MaxSim (new; orders_pivot — r4
         # driver-green, pinned in pytest + full gate — rotates down)
-        "maxsim_topk", "maxsim_pruned_exact",
+        "maxsim_topk", "maxsim_pruned_exact", "maxsim_join",
         # round-6 materialized packing (new; customer_moving_avg — r4
         # driver-green, window semantics pinned in pytest + full gate —
         # rotates down)
@@ -1672,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
         "get_all_vectors", "dim_check", "asof_join", "customers_with_orders",
+        "changelog_incremental",
         "orders_pivot", "repetition_scores", "customer_moving_avg",
         "metadata_map_filter", "doc_token_positions", "event_range_join",
         "near_dup_clusters", "customers_above_avg_balance",
@@ -3043,6 +3063,31 @@ ORDER BY maxsim DESC, doc LIMIT 10
 """
 
     o["maxsim_pruned_exact"] = o["maxsim_topk"]
+
+    o["maxsim_join"] = f"""
+WITH d AS (
+  SELECT CAST(vec_id % {MAXSIM_GROUPS} AS BIGINT) AS doc,
+         list(CAST(embedding AS DOUBLE[])) AS vs
+  FROM embeddings GROUP BY 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 2
+),
+s AS (
+  SELECT q.query_id, d.doc,
+    round(list_max([
+      list_sum([p[1]*p[2] for p in list_zip(q.qv, dv)]) for dv in vs
+    ]), 6) AS maxsim
+  FROM d, q
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, doc) AS rk
+  FROM s
+)
+SELECT query_id, doc, maxsim, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10 ORDER BY query_id, rank
+"""
 
     o["sample_negatives"] = f"""
 WITH pos AS (

@@ -372,3 +372,93 @@ def maxsim_topk_pruned(
     )
     pruned = docs.join(F.broadcast(cand), id_col, "left_semi")
     return maxsim_topk(pruned, query_vecs, k=k, id_col=id_col, vecs_col=vecs_col)
+
+
+def maxsim_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    query_key: str = "query_id",
+    query_vecs: str = "qvecs",
+    doc_key: str = "doc",
+    doc_vecs: str = "vecs",
+    max_query_rows: int = 1_000,
+) -> DataFrame:
+    """Late-interaction k-NN JOIN: for every query BAG, its top-k
+    documents by MaxSim — knn_join's shape applied to multi-vector
+    rows. The query side (bags, assumed ≪ corpus) broadcasts into a
+    per-partition numpy kernel; each corpus partition emits ≤ nq*k
+    local winners (one (|Q|,|D|) GEMM per doc, scores summed over the
+    query bag's row-maxima), and the global window ranks only
+    n_partitions*nq*k rows — the corpus is never shuffled.
+
+    `max_query_rows` fail-fasts the broadcast assumption, same guard
+    and guidance as knn_join (chunk the query side above it; a
+    two-stage candidate prune per query is maxsim_topk_pruned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    qrows = (
+        queries.select(query_key, query_vecs).limit(max_query_rows + 1).collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"maxsim_join query side exceeds max_query_rows={max_query_rows}; "
+            "chunk the query side — every corpus partition receives all bags"
+        )
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_key} long, {doc_key} long, maxsim double, rank int"
+        )
+    qids = [r[query_key] for r in qrows]
+    qmats = [
+        np.asarray([[float(x) for x in v] for v in r[query_vecs]], dtype=np.float64)
+        for r in qrows
+    ]
+    qkey_type = dict(queries.dtypes)[query_key]
+    dkey_type = dict(docs.dtypes)[doc_key]
+    out_schema = f"{query_key} {qkey_type}, {doc_key} {dkey_type}, maxsim double"
+    proj = docs.filter(F.col(doc_vecs).isNotNull()).select(doc_key, doc_vecs)
+
+    def local_topk(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[doc_key].to_numpy()
+            scores = np.empty((len(qids), len(ids)), dtype=np.float64)
+            for r, bag in enumerate(pdf[doc_vecs].to_numpy()):
+                d = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in bag]
+                )  # (|D|, dim)
+                for j, qm in enumerate(qmats):
+                    scores[j, r] = (qm @ d.T).max(axis=1).sum()
+            parts = [
+                pd.DataFrame(
+                    {
+                        query_key: qid,
+                        doc_key: ids,
+                        "maxsim": np.round(scores[j], 6),
+                    }
+                )
+                for j, qid in enumerate(qids)
+            ]
+            cand = pd.concat(parts) if best is None else pd.concat([best, *parts])
+            best = (
+                cand.sort_values(
+                    ["maxsim", doc_key], ascending=[False, True]
+                )
+                .groupby(query_key, sort=False)
+                .head(k)
+            )
+        if best is not None:
+            yield best
+
+    local = proj.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy(query_key).orderBy(F.desc("maxsim"), F.asc(doc_key))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, doc_key, "maxsim", "rank")
+    )

@@ -189,3 +189,36 @@ def test_maxsim_pruned_full_pool_is_exact_and_recall_holds(spark):
         r["doc"] for r in maxsim_topk_pruned(docs, qs, k=5, candidates=15).collect()
     }
     assert pruned == {d for d, _ in exact}
+
+
+def test_maxsim_join_matches_per_query_operator(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.knn import (
+        maxsim_join,
+        maxsim_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    docs_rows = [
+        (i, [[float(x) for x in rng.normal(size=6)] for _ in range(3)])
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "doc long, vecs array<array<double>>"
+    ).repartition(4)
+    q_rows = [
+        (7, [[float(x) for x in rng.normal(size=6)] for _ in range(2)]),
+        (8, [[float(x) for x in rng.normal(size=6)] for _ in range(4)]),
+    ]
+    queries = spark.createDataFrame(q_rows, "query_id long, qvecs array<array<double>>")
+
+    joined = maxsim_join(queries, docs, k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc"], r["maxsim"])
+        for r in joined.collect()
+    }
+    for qid, qv in q_rows:
+        solo = maxsim_topk(docs, qv, k=5).collect()
+        for rank, r in enumerate(solo, start=1):
+            assert got[(qid, rank)] == (r["doc"], r["maxsim"]), (qid, rank)
