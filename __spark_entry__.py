@@ -354,6 +354,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_diff"] = snapshot_diff_q
 
+    def scd2_history_q(spark, sf):
+        # SCD2: every PUT version with its validity interval; DELETEs
+        # close the prior version and emit nothing (WAL history as
+        # queryable intervals, src/utils/wal_manager.py:80-113)
+        from distributed_vector_database_spark.operators.changelog import (
+            scd2_history,
+        )
+
+        h = scd2_history(
+            _event_log(spark, sf),
+            key_col="key",
+            ts_col="ts",
+            seq_col="seq",
+            value_cols=["value"],
+        )
+        return h.select(
+            F.col("key").alias("user_id"),
+            F.round("value", 6).alias("value"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+
+    q["scd2_history"] = scd2_history_q
+
     def upsert_semantics_q(spark, sf):
         # O1: put-overwrites — newer rows (the 'changes') replace older
         log = _event_log(spark, sf).select("key", "value", "ts", "seq")
@@ -916,6 +941,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_rollup_served"] = events_rollup_served_q
+
+    def events_gapfill_q(spark, sf):
+        # resample + LOCF: hourly per-series grid densified between
+        # each series' first and last bucket, aggregate carried
+        # forward across the ~5% empty hours in the fixture stream
+        ev = load_table(spark, sf, "events")
+        g = R.gapfill_locf(ev, series_col="event_type", step="hour")
+        return g.select(
+            "event_type",
+            "bucket",
+            "n",
+            "is_gap",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("sum_value_locf", 6).alias("sum_value_locf"),
+        )
+
+    q["events_gapfill"] = events_gapfill_q
+
+    def user_rolling_7d_q(spark, sf):
+        # RANGE window frame: trailing 7-day per-user activity at each
+        # event — frame bounded by event-time distance, not row count
+        ev = load_table(spark, sf, "events")
+        r = R.user_rolling_window(ev, days=7)
+        return r.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("n_7d").cast("long").alias("n_7d"),
+            F.round("sum_7d", 6).alias("sum_7d"),
+        )
+
+    q["user_rolling_7d"] = user_rolling_7d_q
+
+    def lm_perplexity_q(spark, sf):
+        # CCNet-shaped quality signal: train an add-k bigram LM on the
+        # corpus (two vocab-bounded count shuffles), score every doc
+        # by cross-entropy — hash-verifiable including the ln/exp
+        from distributed_vector_database_spark.operators.textops import (
+            bigram_lm_counts,
+            lm_cross_entropy,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        uni, bi, vocab = bigram_lm_counts(docs)
+        sc = lm_cross_entropy(docs, uni, bi, vocab, k=0.5)
+        return sc.select(
+            "doc_id",
+            "n_bigrams",
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round("perplexity", 4).alias("perplexity"),
+        )
+
+    q["lm_perplexity"] = lm_perplexity_q
 
     def sample_negatives_q(spark, sf):
         # contrastive negatives: k uniform corpus-level partners per
@@ -1617,19 +1695,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction", "top_terms", "winnow_fingerprints",
         "orders_cube", "event_value_median_udaf", "salted_user_counts",
         "events_dedup_first", "ann_ivfpq_topk_exact",
-        # single-r1-row queries (stale evidence; the rest of this group
-        # has rotated down as round-6 queries arrived)
-        "customers_above_avg_balance",
         # tier-2 queries last driver-checked in r4
         # ANN exact anchors + SQL-reproducible text search (pinned in
         # budget by tests/test_contract_order.py — recall contracts of
         # the quantized/IVF paths, hash-matched against brute-force SQL)
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "text_knn_expr",
-        # recently-shaky or touched-this-round families
-        "changelog_compact", "upsert_semantics",
+        # round-6 changelog-family additions (new; changelog_compact /
+        # upsert_semantics — 5-round driver-green veterans whose window
+        # semantics the new queries re-exercise — rotate down to tier 2)
         "snapshot_diff",  # round-6 time-travel diff (new; distinct_user_
         # counts — r5 driver-green, untouched — rotates down to tier 2)
+        "scd2_history",  # round-6 SCD2 validity intervals (new)
+        # round-6 time-series resample+LOCF and bigram-LM perplexity
+        # (new; customers_above_avg_balance — r1-green scalar-subquery
+        # coverage also run by the full gate — rotates down to tier 2)
+        "events_gapfill", "lm_perplexity",
         # round-6 maintained continuous aggregate (new; asof_join — r5
         # driver-green, pinned by test_asof + the bench — rotates down)
         "events_rollup_served",
@@ -1686,12 +1767,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_ids", "retention_cohorts",
         # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
         # --- semantics also pinned in pytest + full-gate re-runs      ---
+        # (budget is full at 50: the RANGE-frame rolling window heads
+        # tier 2 — full-gate checked every round, its ROWS-frame twin
+        # customer_moving_avg has multi-round driver evidence)
+        "user_rolling_7d",
         "skew_report",  # round-6 diagnostics (hash-oracled, tier 2)
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
         "get_all_vectors", "dim_check", "asof_join", "customers_with_orders",
-        "changelog_incremental",
+        "changelog_incremental", "changelog_compact", "upsert_semantics",
         "orders_pivot", "repetition_scores", "customer_moving_avg",
         "metadata_map_filter", "doc_token_positions", "event_range_join",
         "near_dup_clusters", "customers_above_avg_balance",
@@ -2302,6 +2387,84 @@ FROM j
 WHERE (NOT pa AND pb) OR (pa AND NOT pb)
    OR (pa AND pb AND va IS DISTINCT FROM vb)
 ORDER BY user_id
+"""
+
+    o["scd2_history"] = f"""
+WITH {_log_cte},
+h AS (
+  SELECT user_id, op, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM log
+)
+SELECT user_id, round(value, 6) AS value, ts AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM h WHERE op = 'PUT' ORDER BY user_id, valid_from
+"""
+
+    o["events_gapfill"] = """
+WITH agg AS (
+  SELECT event_type AS series, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+grid AS (
+  SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b
+),
+j AS (
+  SELECT g.series, g.bucket, a.n, a.sv
+  FROM grid g LEFT JOIN agg a ON g.series = a.series AND g.bucket = a.bucket
+)
+SELECT series AS event_type, bucket,
+  CAST(coalesce(n, 0) AS BIGINT) AS n, (n IS NULL) AS is_gap,
+  round(sv, 6) AS sum_value,
+  round(last_value(sv IGNORE NULLS) OVER (
+    PARTITION BY series ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS sum_value_locf
+FROM j ORDER BY 1, 2
+"""
+
+    o["user_rolling_7d"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events
+)
+SELECT user_id, event_id, ts,
+  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+  round(sum(value) OVER w, 6) AS sum_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+    o["lm_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+v AS (SELECT count(*) AS vs FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+sc AS (
+  SELECT p.doc_id,
+    ln((coalesce(bi.c2, 0) + 0.5) / (coalesce(uni.c1, 0) + 0.5 * (SELECT vs FROM v))) AS lp
+  FROM pairs p
+  LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+  LEFT JOIN uni ON p.w1 = uni.w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(-avg(lp), 6) AS cross_entropy,
+  round(exp(-avg(lp)), 4) AS perplexity
+FROM sc GROUP BY 1 ORDER BY 1
 """
 
     o["events_rollup_served"] = """

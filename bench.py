@@ -66,6 +66,8 @@ HEADLINE = [
     "temperature_sample",
     "maxsim_topk",
     "sample_negatives",
+    "events_gapfill",
+    "lm_perplexity",
 ]
 
 

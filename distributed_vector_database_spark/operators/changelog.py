@@ -136,6 +136,48 @@ def snapshot(state: DataFrame, path: str, partition_by: str | None = None) -> No
     w.parquet(path)
 
 
+def scd2_history(
+    log: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the change-log:
+    one row per PUT version with its validity interval. The WAL the
+    reference keeps for replay (src/utils/wal_manager.py:80-113)
+    already records every version of every key; this materializes that
+    history as queryable intervals instead of collapsing it to the
+    latest state (compact) or diffing two cutoffs (snapshot_diff):
+
+    - ``valid_from`` = the PUT's own timestamp
+    - ``valid_to``   = the NEXT entry's timestamp for the key (PUT
+      overwrite or DELETE both close the version); NULL = still open
+    - ``is_current`` = open interval (the row `compact` would return)
+
+    A DELETE closes the preceding version and emits no row of its own,
+    so point-in-time lookup is `valid_from <= t AND (valid_to IS NULL
+    OR t < valid_to)` — deleted spans simply have no covering row.
+
+    Scale: ONE hash shuffle on key + one window over the log (never
+    the base snapshot); the same cost as compact. Ties on ts broken by
+    `seq_col`, mirroring latest_per_key."""
+    if value_cols is None:
+        reserved = {key_col, ts_col, op_col, seq_col}
+        value_cols = [c for c in log.columns if c not in reserved]
+    order = [F.asc(ts_col)] + ([F.asc(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    hist = log.withColumn("__valid_to", F.lead(ts_col).over(w))
+    return hist.filter(F.col(op_col) == OP_PUT).select(
+        key_col,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+        F.col("__valid_to").isNull().alias("is_current"),
+    )
+
+
 def snapshot_diff(
     log: DataFrame,
     ts_a,

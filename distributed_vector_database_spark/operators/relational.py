@@ -607,3 +607,91 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
         )
     )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "hour",
+) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward: per
+    series, aggregate to fixed `step` buckets, densify onto the full
+    bucket grid between that series' first and last observation, and
+    forward-fill the aggregate across empty buckets. The resample +
+    LOCF primitive every monitoring/feature pipeline needs before
+    as-of joins or windowed models can assume a dense time axis.
+
+    Output per (series, bucket): ``n`` observed rows (0 in a gap),
+    ``is_gap``, ``sum_value`` (NULL in a gap), and ``sum_value_locf``
+    (the carried-forward value; never NULL because the grid starts at
+    an observed bucket).
+
+    Scale shape: the raw event scan collapses to ONE partial-agg
+    shuffle sized by series x buckets (never raw events downstream);
+    the grid explode is bounded by the same product; the forward-fill
+    window re-uses the series partitioning. No driver-side state, no
+    UDFs — sequence/explode + a running `last(ignorenulls)` frame."""
+    bucket = F.date_trunc(step, F.col(ts_col)).alias("bucket")
+    agg = events.groupBy(F.col(series_col).alias("series"), bucket).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sum_value")
+    )
+    bounds = agg.groupBy("series").agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = bounds.select(
+        "series",
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval 1 {step}"))
+        ).alias("bucket"),
+    )
+    filled = grid.join(agg, ["series", "bucket"], "left")
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("series").alias(series_col),
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.col("n").isNull().alias("is_gap"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )
+
+
+def user_rolling_window(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-RANGE window-frame coverage: per user, the rolling sum and
+    count of `value` over the trailing `days`-day interval ending at
+    each event (RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW) —
+    the feature-engineering primitive behind "activity in the last N
+    days" signals. Distinct from customer_moving_avg's ROWS frame: the
+    frame is bounded by event-time distance, not row count, so equal
+    timestamps share a frame and sparse users see small frames.
+
+    Plan: ONE hash shuffle on user + a range-frame window over epoch
+    seconds (Spark's rangeBetween needs a numeric ordering key; the
+    cast is a codegen'd map expression). State per user is bounded by
+    the interval width, and the shuffle is the same exchange any
+    per-user aggregation pays."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(epoch)
+        .rangeBetween(-days * 86400, Window.currentRow)
+    )
+    return events.select(
+        user_col,
+        F.col("event_id"),
+        F.col(ts_col),
+        F.count(F.lit(1)).over(w).alias(f"n_{days}d"),
+        F.sum(value_col).over(w).alias(f"sum_{days}d"),
+    )

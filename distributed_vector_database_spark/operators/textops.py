@@ -378,3 +378,88 @@ def materialize_bins(
             "n_tokens",
         )
     )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs; docs with < 2 tokens emit
+    nothing. Tokens staged once per the no-CSE-across-lambdas rule."""
+    from distributed_vector_database_spark.functions.text import tokenize_strict
+
+    staged = docs.select(id_col, tokenize_strict(text_col).alias("__toks"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 1),
+        lambda i: F.struct(
+            F.element_at("__toks", i).alias("w1"),
+            F.element_at("__toks", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    return (
+        staged.filter(F.size("__toks") >= 2)
+        .select(id_col, F.explode(pairs).alias("__bg"))
+        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a bigram language model from the corpus: returns
+    (unigram counts [w, c1], bigram counts [w1, w2, c2], and a 1-row
+    vocab frame [vocab_size]). The whole train pass is two token-scale
+    partial-agg shuffles (unigrams, bigrams) — the KenLM-count shape
+    without the native dep; counts tables are Zipf-bounded (vocabulary-
+    sized, not corpus-sized), so at 100 TB they broadcast or bucket
+    cheaply while the corpus is scanned once."""
+    from distributed_vector_database_spark.functions.text import tokenize_strict
+
+    toks = docs.select(tokenize_strict(text_col).alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        _doc_bigrams(docs, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab_size"))
+    return uni, bi, vocab
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram cross-entropy under an add-k-smoothed LM —
+    the CCNet-style perplexity quality signal (Wenzek et al. 2020):
+    score each doc by -avg ln p(w_i | w_{i-1}) with
+    p = (c(w1,w2) + k) / (c(w1) + k*V). Low cross-entropy = fluent
+    under the corpus LM; high = noise/outlier text (the tail a quality
+    gate drops). Estimator note: the context count is the TOTAL
+    unigram count of w1 (including doc-final occurrences) — the
+    smoothing absorbs the off-by-boundary mass and the oracle mirrors
+    the same estimator exactly, keeping scores hash-verifiable.
+
+    Plan: explode doc bigrams once, two equi-joins against the
+    vocabulary-sized count tables (broadcast when small — Catalyst/AQE
+    decide), one per-doc agg. Docs with < 2 tokens emit no row."""
+    pairs = _doc_bigrams(docs, text_col, id_col)
+    joined = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.coalesce("c2", F.lit(0)) + F.lit(k))
+        / (F.coalesce("c1", F.lit(0)) + F.lit(k) * F.col("vocab_size"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg(logp)).alias("cross_entropy"),
+    ).withColumn("perplexity", F.exp("cross_entropy"))
