@@ -676,6 +676,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_redaction"] = pii_redaction_q
 
+    def quality_deciles_q(spark, sf):
+        # rank-window family (ntile/percent_rank/cume_dist), per-lang
+        from distributed_vector_database_spark.operators.textops import (
+            quality_deciles,
+        )
+
+        return quality_deciles(load_table(spark, sf, "documents"), n_buckets=10)
+
+    q["quality_deciles"] = quality_deciles_q
+
     q["top_terms"] = lambda spark, sf: top_terms(
         load_table(spark, sf, "documents"), n=20
     )
@@ -1770,7 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (budget is full at 50: the RANGE-frame rolling window heads
         # tier 2 — full-gate checked every round, its ROWS-frame twin
         # customer_moving_avg has multi-round driver evidence)
-        "user_rolling_7d",
+        "user_rolling_7d", "quality_deciles",
         "skew_report",  # round-6 diagnostics (hash-oracled, tier 2)
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
@@ -2767,6 +2777,17 @@ WITH ds AS ({_doc_stats_sql()})
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d JOIN ds ON d.doc_id = ds.doc_id
 WHERE ds.quality >= {QUALITY_MIN}
+"""
+
+    o["quality_deciles"] = f"""
+WITH ds AS ({_doc_stats_sql()})
+SELECT doc_id, lang, quality,
+  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cum_dist
+FROM ds
+WINDOW w AS (PARTITION BY lang ORDER BY quality, doc_id)
+ORDER BY lang, doc_id
 """
 
     o["exact_dedup"] = f"""

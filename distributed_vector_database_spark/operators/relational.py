@@ -668,6 +668,7 @@ def user_rolling_window(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Time-RANGE window-frame coverage: per user, the rolling sum and
     count of `value` over the trailing `days`-day interval ending at
@@ -690,7 +691,7 @@ def user_rolling_window(
     )
     return events.select(
         user_col,
-        F.col("event_id"),
+        F.col(id_col),
         F.col(ts_col),
         F.count(F.lit(1)).over(w).alias(f"n_{days}d"),
         F.sum(value_col).over(w).alias(f"sum_{days}d"),

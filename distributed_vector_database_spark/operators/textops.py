@@ -463,3 +463,32 @@ def lm_cross_entropy(
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.avg(logp)).alias("cross_entropy"),
     ).withColumn("perplexity", F.exp("cross_entropy"))
+
+
+def quality_deciles(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Rank-based quality binning per language: ntile buckets,
+    percent_rank, and cume_dist over (quality, doc_id) — the
+    "keep the top-X% per language" selection primitive, and the
+    coverage row for the rank-window family (ntile/percent_rank/
+    cume_dist) the other window queries don't touch.
+
+    Partitioned by lang, never a global window: each language ranks
+    independently inside its own partition (the same reason
+    temperature_sample rates are per-stratum), so no single-partition
+    bottleneck at corpus scale. Ordering includes doc_id, so ranks are
+    total and deterministic — ties on the 6-dp quality score cannot
+    reshuffle buckets between runs."""
+    from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.functions.text import quality_score
+
+    staged = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return staged.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.ntile(n_buckets).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

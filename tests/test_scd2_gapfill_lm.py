@@ -314,3 +314,33 @@ def test_rolling_window_equal_timestamps_share_frame(spark):
     got = {r["event_id"]: r["sum_7d"] for r in user_rolling_window(ev).collect()}
     # both rows see the full peer group (a ROWS frame would not)
     assert got == {1: 3.0, 2: 3.0}
+
+
+# ---------------------------------------------------------------------------
+# quality_deciles (rank-window family)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_deciles_buckets_and_ranks(spark):
+    from distributed_vector_database_spark.operators.textops import quality_deciles
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (i + 1), "en") for i in range(20)]
+        + [(100, "uno dos tres", "es")],
+        "doc_id long, text string, lang string",
+    )
+    out = quality_deciles(docs, n_buckets=10).collect()
+    en = sorted((r for r in out if r["lang"] == "en"), key=lambda r: r["doc_id"])
+    # 20 docs over 10 buckets: every decile holds exactly 2
+    sizes = {}
+    for r in en:
+        sizes[r["decile"]] = sizes.get(r["decile"], 0) + 1
+    assert sizes == {d: 2 for d in range(1, 11)}
+    # ranks are per-language: the lone es doc is its own partition
+    es = [r for r in out if r["lang"] == "es"]
+    assert len(es) == 1 and es[0]["decile"] == 1
+    assert es[0]["pct_rank"] == 0.0 and es[0]["cum_dist"] == 1.0
+    # cume_dist is monotone in quality order and tops out at 1.0
+    by_rank = sorted(en, key=lambda r: (r["quality"], r["doc_id"]))
+    cds = [r["cum_dist"] for r in by_rank]
+    assert cds == sorted(cds) and cds[-1] == 1.0
