@@ -1070,6 +1070,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_report"] = funnel_report_q
 
+    _funnel_state_memo: dict[tuple, str] = {}
+
+    def _funnel_state_table(spark, sf):
+        # maintained funnel state for a fixture dir: built once per
+        # process by folding the events in TWO time-ordered
+        # micro-batches (split at the exact median ts — the in-order-
+        # delivery contract) through the replay-safe versioned fold;
+        # serving from the snapshot then proves fold(b1)+fold(b2)
+        # equals the one-shot batch funnel (the oracle)
+        import os as _os
+        import tempfile
+
+        from distributed_vector_database_spark.streaming.funnel_state import (
+            build_funnel_fold,
+        )
+
+        src = _os.path.join(sf, "events.parquet")
+        try:
+            st = _os.stat(src)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        path = _funnel_state_memo.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="dvdb_funnel_")
+            ev = load_table(spark, sf, "events")
+            cutoff = ev.agg(
+                F.expr("percentile(cast(ts as long), 0.5)")
+            ).first()[0]
+            fold = build_funnel_fold(path, FUNNEL_STEPS)
+            fold(ev.filter(F.col("ts").cast("long") <= cutoff), 0)
+            fold(ev.filter(F.col("ts").cast("long") > cutoff), 1)
+            _funnel_state_memo[key] = path
+        return path
+
+    def funnel_served_q(spark, sf):
+        # streaming funnel promoted to a served contract query: the
+        # conversion report read from maintained (step, last_ts)
+        # per-user state must hash-match the batch funnel_report oracle
+        from distributed_vector_database_spark.streaming.funnel_state import (
+            serve_funnel_report,
+        )
+
+        return serve_funnel_report(
+            spark, _funnel_state_table(spark, sf), FUNNEL_STEPS
+        )
+
+    q["funnel_served"] = funnel_served_q
+
     def session_ids_q(spark, sf):
         # batch dual of the streaming session window: stable 1-based
         # gap-session ids per user
@@ -1683,105 +1732,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -----------------------------------------------------------------------
     # Enumeration order: harnesses that enumerate this dict under a
     # query-count or time budget (each round records rows for exactly the
-    # first 50 insertion-order entries) should hit every DuckDB-hash-
-    # matched query before anything weaker. Round-6 rotation: the driver
-    # budget is a scarce verification resource, so the first 50 now
-    # prioritizes queries with the FEWEST prior green driver rounds —
-    # the 14 hash-oracled queries that had zero CORRECTNESS rows through
-    # r5 (bm25/hybrid/chunking/pii/cube/udaf/...), the 6 with a single
-    # r1 row, and the 5 tier-2 queries last seen r4 — while the 5-round
-    # -green veterans (knn family, TPC-H star schema, text analysis,
-    # dedup tiers) rotate down to tier 2. Tier 2 queries remain fully
-    # hash-oracled and run under full-gate checks (tools/
-    # check_correctness.py) every round; tier 3 is rows-only by design.
+    # first 50 insertion-order entries) allocate that budget to the
+    # queries with the FEWEST prior green driver rounds. Round-7
+    # rotation (VERDICT r6 item #1): the 19 queries that have NEVER
+    # produced a driver CORRECTNESS row — 6 hash-oracled
+    # (user_rolling_7d, quality_deciles, skew_report,
+    # orders_grouping_sets, deterministic_shuffle, collapse_repetitions)
+    # plus the 13 rows-only ANN/recall/multimodal/BPE queries — move
+    # into tier 1, completing cumulative driver coverage at 123/123.
+    # NOTE this deliberately places rows-only queries inside the budget
+    # for ONE round: weaker driver evidence for them beats zero driver
+    # evidence, and every displaced hash-oracled query remains checked
+    # by the full vanilla gate (tools/check_correctness.py) each round.
+    # Remaining slots keep (a) the 7 exact-recall anchors (pinned by
+    # tests/test_contract_order.py), (b) every query whose code changed
+    # this round (funnel_report/funnel_steps, maxsim_join,
+    # lm_perplexity), and (c) round-6 first-timers with only a single
+    # green driver round — composed pipelines, serving folds, and the
+    # changelog/event families. Displaced to tier 2: r6-green one-shot
+    # map/sample/lexical queries (bm25_topk, hybrid_*_topk,
+    # temperature_sample, maxsim_topk, ...), all hash-oracled and
+    # full-gate-checked every round.
     preferred = [
         # flagship stays first (driver smoke-check + optics)
         "flagship_knn",
-        # never-driver-checked hash-oracled queries (0 rows through r5)
-        # + the round-6 posting-list serving variant
-        "bm25_topk", "bm25_postings_topk", "hybrid_rrf_topk",
-        "hybrid_linear_topk",
+        # --- never-driver-checked hash-oracled (0 rows through r6) ---
+        "user_rolling_7d", "quality_deciles", "skew_report",
+        "orders_grouping_sets", "deterministic_shuffle",
+        "collapse_repetitions",
+        # --- never-driver-checked rows-only (0 rows through r6; each
+        # carries an in-plan recall column vs the exact kernel) ---
+        "ann_ivf_filtered", "embedding_near_dup_scale",
+        "ann_lsh_similarity_join",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
+        "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
+        "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
+        # --- exact-recall anchors (budget-pinned by contract tests) ---
+        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
+        "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
+        "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
+        "text_knn_expr", "ann_ivf_filtered_exact",
+        # --- code changed in round 7 (ADVICE fixes / exchange trim) ---
+        "funnel_steps", "funnel_report", "maxsim_join", "lm_perplexity",
+        # round-7 streaming funnel served via the idempotent fold path
+        "funnel_served",
+        # --- round-6 first-timers kept for a second driver round ---
+        "training_pipeline", "training_pipeline_spans",
+        "events_rollup_served", "hybrid_rrf_served", "bm25_postings_topk",
+        "snapshot_diff", "scd2_history", "events_gapfill",
+        "session_ids", "retention_cohorts",
+        "decontam_report", "decontam_filter", "source_overlap",
+        "token_budget_select", "dup_span_report", "remove_dup_spans",
+        # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
+        # --- also pinned in pytest + full-gate re-runs every round   ---
+        "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
         "ngram_jaccard_scale", "chunk_documents", "mixture_sample",
         "pii_redaction", "top_terms", "winnow_fingerprints",
         "orders_cube", "event_value_median_udaf", "salted_user_counts",
-        "events_dedup_first", "ann_ivfpq_topk_exact",
-        # tier-2 queries last driver-checked in r4
-        # ANN exact anchors + SQL-reproducible text search (pinned in
-        # budget by tests/test_contract_order.py — recall contracts of
-        # the quantized/IVF paths, hash-matched against brute-force SQL)
-        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
-        "ann_pq_topk_exact", "text_knn_expr",
-        # round-6 changelog-family additions (new; changelog_compact /
-        # upsert_semantics — 5-round driver-green veterans whose window
-        # semantics the new queries re-exercise — rotate down to tier 2)
-        "snapshot_diff",  # round-6 time-travel diff (new; distinct_user_
-        # counts — r5 driver-green, untouched — rotates down to tier 2)
-        "scd2_history",  # round-6 SCD2 validity intervals (new)
-        # round-6 time-series resample+LOCF and bigram-LM perplexity
-        # (new; customers_above_avg_balance — r1-green scalar-subquery
-        # coverage also run by the full gate — rotates down to tier 2)
-        "events_gapfill", "lm_perplexity",
-        # round-6 maintained continuous aggregate (new; asof_join — r5
-        # driver-green, pinned by test_asof + the bench — rotates down)
-        "events_rollup_served",
-        # round-6 numpy-HNSW anchors (0 prior driver rows)
-        "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
-        "training_pipeline",  # composed plan — regression canary
-        # round-6 composed spans pipeline (new; get_all_vectors — r1
-        # green, a two-scalar corpus agg also exercised every round by
-        # the full gate — rotates down to tier 2)
-        "training_pipeline_spans",
-        "ann_ivf_filtered_exact",  # round-6 filtered-IVF anchor
-        "hybrid_rrf_served",  # round-6 posting-list-served hybrid
-        # round-6 decontamination trio (0 prior driver rows; hash_sample /
-        # stratified_sample / events_sessions — all r5 driver-green —
-        # rotate down to tier 2 to make room)
-        "decontam_report", "decontam_filter", "source_overlap",
-        # round-6 budgeted corpus selection (event_json_extract — r5
-        # driver-green, untouched — rotates down to make room)
-        "token_budget_select",
-        # round-6 duplicate-span dedup (new; events_with_prev /
-        # event_value_percentiles — r5 driver-green, untouched — rotate
-        # down to tier 2 to make room)
-        "dup_span_report", "remove_dup_spans",
-        # round-6 temperature mixing (new; monthly_revenue — r1 green,
-        # window-agg semantics pinned in pytest + full gate — rotates
-        # down to tier 2 to make room)
-        "temperature_sample",
-        # round-6 JL projection (new; knn_topk_default — r1 green and
-        # bit-reproduced every round by the ann_*_topk_exact anchors —
-        # rotates down to tier 2)
-        "jl_projection",
-        # round-6 model-based quality scoring (new; dim_check — r1
-        # green, a 1-row corpus agg also exercised by the full gate —
-        # rotates down to tier 2)
-        "model_quality_scores",
-        # round-6 contrastive negatives (new; customers_with_orders —
-        # r4 driver-green, a plain left-semi join pinned in pytest +
-        # full gate — rotates down to tier 2)
-        "sample_negatives",
-        # round-6 late-interaction MaxSim (new; orders_pivot — r4
-        # driver-green, pinned in pytest + full gate — rotates down)
-        "maxsim_topk", "maxsim_pruned_exact", "maxsim_join",
-        # round-6 materialized packing (new; customer_moving_avg — r4
-        # driver-green, window semantics pinned in pytest + full gate —
-        # rotates down)
+        "events_dedup_first",
+        "temperature_sample", "jl_projection", "model_quality_scores",
+        "sample_negatives", "maxsim_topk", "maxsim_pruned_exact",
         "packed_bins",
-        # round-6 funnel analysis (new; metadata_map_filter and
-        # doc_token_positions — r4/r1 driver-green, pinned in pytest +
-        # full gate — rotate down)
-        "funnel_steps", "funnel_report",
-        # round-6 sessionization + retention (new; event_range_join and
-        # near_dup_clusters — r5/r6 driver-green multi-round — rotate
-        # down to tier 2 to make room)
-        "session_ids", "retention_cohorts",
-        # --- tier 2: hash-oracled veterans, 5/5 green driver rounds; ---
-        # --- semantics also pinned in pytest + full-gate re-runs      ---
-        # (budget is full at 50: the RANGE-frame rolling window heads
-        # tier 2 — full-gate checked every round, its ROWS-frame twin
-        # customer_moving_avg has multi-round driver evidence)
-        "user_rolling_7d", "quality_deciles",
-        "skew_report",  # round-6 diagnostics (hash-oracled, tier 2)
         "hash_sample", "stratified_sample", "events_sessions",
         "event_json_extract", "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
@@ -1801,15 +1812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents",
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
         "simhash_dedup", "embedding_near_dup",
-        "orders_grouping_sets", "deterministic_shuffle",
-        "collapse_repetitions",
-        # --- tier 3: rows-only by design ---
-        "ann_ivf_filtered", "embedding_near_dup_scale",
-        "ann_lsh_similarity_join",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
-        "text_to_doc_search",
-        "multimodal_embed", "bpe_token_counts",
     ]
     # queries not yet in the list run after every ordered entry (never
     # silently dropped, never reordered ahead of hash-oracled ones)
@@ -3159,6 +3161,10 @@ SELECT st.step, st.step_name,
   CAST((SELECT count(*) FROM fu WHERE fu.steps_completed >= st.step) AS BIGINT) AS n_users
 FROM st ORDER BY st.step
 """
+
+    # the served (maintained-state) funnel must equal the one-shot
+    # batch funnel over the full history — identical oracle
+    o["funnel_served"] = o["funnel_report"]
 
     o["skew_report"] = """
 WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

@@ -407,17 +407,19 @@ def maxsim_join(
             f"maxsim_join query side exceeds max_query_rows={max_query_rows}; "
             "chunk the query side — every corpus partition receives all bags"
         )
+    qkey_type = dict(queries.dtypes)[query_key]
+    dkey_type = dict(docs.dtypes)[doc_key]
     if not qrows:
         return queries.sparkSession.createDataFrame(
-            [], f"{query_key} long, {doc_key} long, maxsim double, rank int"
+            [],
+            f"{query_key} {qkey_type}, {doc_key} {dkey_type}, "
+            "maxsim double, rank int",
         )
     qids = [r[query_key] for r in qrows]
     qmats = [
         np.asarray([[float(x) for x in v] for v in r[query_vecs]], dtype=np.float64)
         for r in qrows
     ]
-    qkey_type = dict(queries.dtypes)[query_key]
-    dkey_type = dict(docs.dtypes)[doc_key]
     out_schema = f"{query_key} {qkey_type}, {doc_key} {dkey_type}, maxsim double"
     proj = docs.filter(F.col(doc_vecs).isNotNull()).select(doc_key, doc_vecs)
 

@@ -48,7 +48,9 @@ def purge_from_postings(
     if not markers:
         raise FileNotFoundError(f"no published attempts under {path}/applied")
     aids = sorted(m["aid"] for m in markers)
-    ids = [int(x) for x in doc_ids]
+    # compare in the column's native type — no int() coercion, so
+    # string doc ids work exactly as the configurable doc_col implies
+    ids = list(doc_ids)
     live = spark.read.parquet(f"{path}/postings").filter(F.col("aid").isin(aids))
     victim = live.filter(F.col(doc_col).isin(ids)).cache()
     try:

@@ -509,22 +509,29 @@ def funnel_report(
     type_col: str = "event_type",
 ) -> DataFrame:
     """Conversion table: for each step, how many users completed AT
-    LEAST that many ordered steps. Monotone by construction."""
+    LEAST that many ordered steps. Monotone by construction. Always
+    emits one row per step — a step nobody reached reports n_users=0
+    (the counts frame is left-joined onto a literal steps frame, so a
+    zero-completion step can't vanish from the report)."""
     per_user = funnel(events, steps, user_col, ts_col, type_col)
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
     step_idx = F.explode(
         F.sequence(F.lit(1), F.lit(len(steps)))
     ).alias("step")
-    return (
+    counts = (
         per_user.select("steps_completed", step_idx)
         .filter(F.col("steps_completed") >= F.col("step"))
         .groupBy("step")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        steps_df.join(counts, "step", "left")
         .select(
             "step",
-            F.element_at(F.array(*[F.lit(s) for s in steps]), F.col("step")).alias(
-                "step_name"
-            ),
-            "n_users",
+            "step_name",
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
         )
     )
 

@@ -222,3 +222,23 @@ def test_maxsim_join_matches_per_query_operator(spark):
         solo = maxsim_topk(docs, qv, k=5).collect()
         for rank, r in enumerate(solo, start=1):
             assert got[(qid, rank)] == (r["doc"], r["maxsim"]), (qid, rank)
+
+
+def test_maxsim_join_empty_query_side_keeps_key_dtypes(spark):
+    # string-keyed inputs with an empty query side must return the
+    # same schema as the non-empty path (ADVICE r6)
+    from distributed_vector_database_spark.operators.knn import maxsim_join
+
+    docs = spark.createDataFrame(
+        [("d1", [[1.0, 0.0]])], "doc string, vecs array<array<double>>"
+    )
+    queries = spark.createDataFrame(
+        [("q1", [[1.0, 0.0]])], "query_id string, qvecs array<array<double>>"
+    )
+    nonempty = maxsim_join(queries, docs, k=3)
+    empty = maxsim_join(queries.limit(0), docs, k=3)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in nonempty.schema.fields
+    ]
+    assert empty.count() == 0
+    assert [(r["query_id"], r["doc"]) for r in nonempty.collect()] == [("q1", "d1")]

@@ -51,6 +51,28 @@ def test_postings_purge_equals_rebuild(spark, tmp_path):
     assert _top(spark, p_purged, terms) == _top(spark, p_rebuilt, terms)
 
 
+def test_postings_purge_with_string_doc_ids(spark, tmp_path):
+    # doc_col is configurable — string ids must purge natively, with
+    # no int() coercion (ADVICE r6)
+    from distributed_vector_database_spark.operators.lexical import postings_write
+    from distributed_vector_database_spark.operators.purge import (
+        purge_from_postings,
+    )
+
+    full = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in CORPUS], "doc_id string, text string"
+    )
+    purge_ids = [f"doc-{i}" for i in PURGE]
+    remaining = full.filter(~F.col("doc_id").isin(purge_ids))
+    p_purged = str(tmp_path / "s_a")
+    p_rebuilt = str(tmp_path / "s_b")
+    postings_write(full, p_purged, n_buckets=8)
+    postings_write(remaining, p_rebuilt, n_buckets=8)
+    assert purge_from_postings(spark, p_purged, purge_ids) > 0
+    terms = ["spark", "filter", "join"]
+    assert _top(spark, p_purged, terms) == _top(spark, p_rebuilt, terms)
+
+
 def test_span_state_purge_equals_rebuild(spark):
     from distributed_vector_database_spark.operators.dedup import span_gram_state
     from distributed_vector_database_spark.operators.purge import span_state_purge

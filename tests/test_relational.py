@@ -38,6 +38,31 @@ def test_funnel_strict_ordering_semantics(spark):
     assert rep == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
 
 
+def test_funnel_report_emits_zero_rows_for_unreached_steps(spark):
+    # nobody purchases: the report must still carry all 3 steps, with
+    # n_users=0 for the unreached one (matches the DuckDB oracle shape)
+    import datetime
+
+    from distributed_vector_database_spark.operators.relational import funnel_report
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, b, 1, "view", 0.0),
+        (2, b + datetime.timedelta(minutes=1), 1, "click", 0.0),
+        (3, b, 2, "view", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    rep = funnel_report(events, ["view", "click", "purchase"]).orderBy("step").collect()
+    assert [(r["step"], r["step_name"], r["n_users"]) for r in rep] == [
+        (1, "view", 2), (2, "click", 1), (3, "purchase", 0)
+    ]
+    # fully-empty input: still 3 rows, all zero
+    rep0 = funnel_report(events.limit(0), ["view", "click", "purchase"]).collect()
+    assert sorted((r["step"], r["n_users"]) for r in rep0) == [(1, 0), (2, 0), (3, 0)]
+
+
 def test_assign_sessions_gap_semantics(spark):
     import datetime
 
