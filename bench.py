@@ -68,7 +68,92 @@ HEADLINE = [
     "sample_negatives",
     "events_gapfill",
     "lm_perplexity",
+    "funnel_report",
+    "funnel_served",
 ]
+
+
+def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
+    """Index BUILD vs PROBE timed separately (VERDICT r6 item #3).
+
+    The combined headline rows (ann_ivf_filtered, ann_hnsw_topk,
+    bm25_postings_topk) time an in-query build + search; at 100x scale
+    the index is prebuilt and only the probe cost recurs, so these
+    rows surface the serving-side number: build once into a temp dir
+    through the persisted layout (partitioned parquet -> partition-
+    pruned probes), then best-of-2 the probe alone."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build_auto,
+        ivf_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_postings_search,
+        postings_write,
+    )
+    from distributed_vector_database_spark.sources.fixtures import load_table
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="dvdb_bench_idx_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+
+    def probe_best_of_2(fn) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    # IVF: auto-tuned build persisted partitioned-by-centroid; probe is
+    # a partition-pruned read + exact rank inside probed cells
+    t0 = time.time()
+    centroids, assigned, nprobe = ivf_build_auto(emb)
+    ivf_write(assigned, f"{tmp}/ivf")
+    out["ann_ivf_build"] = round(time.time() - t0, 3)
+    stored = spark.read.parquet(f"{tmp}/ivf")
+    out["ann_ivf_probe"] = probe_best_of_2(
+        lambda: ivf_search(
+            spark, centroids, stored, qvec, k=10, nprobe=nprobe
+        ).count()
+    )
+
+    # HNSW: per-shard graphs persisted; probe reloads graphs and beam-
+    # searches (the reference's load_index + knn_query restart path)
+    t0 = time.time()
+    hnsw_write(emb, f"{tmp}/hnsw", num_shards=8)
+    out["ann_hnsw_build"] = round(time.time() - t0, 3)
+    out["ann_hnsw_probe"] = probe_best_of_2(
+        lambda: hnsw_read_search(spark, f"{tmp}/hnsw", qvec, k=10).count()
+    )
+
+    # BM25 postings: term-bucketed index build; probe prunes to the
+    # query terms' buckets
+    t0 = time.time()
+    postings_write(load_table(spark, sf_dir, "documents"), f"{tmp}/postings",
+                   n_buckets=32)
+    out["bm25_postings_build"] = round(time.time() - t0, 3)
+    out["bm25_postings_probe"] = probe_best_of_2(
+        lambda: bm25_postings_search(
+            spark, f"{tmp}/postings", ["data", "model", "system"], k=10
+        ).count()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -118,6 +203,18 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # this query's caches must not tax the next
 
+    # index build vs probe split (serving cost surfaced separately)
+    try:
+        split = _split_phase_rows(spark, sf_dir)
+        for name, sec in split.items():
+            timings[name] = sec
+            print(f"# {name}: {sec:.3f}s", file=sys.stderr)
+        spark.catalog.clearCache()
+    except Exception as exc:  # noqa: BLE001
+        failures["_split_phases"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# split phases FAILED: {failures['_split_phases']}",
+              file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",
@@ -126,6 +223,36 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # drift vs the pinned per-query baseline (VERDICT r6 item #2):
+    # a >1.5x ratio on this box is co-tenant noise until reproduced on
+    # a quiet rerun; a uniform shift across untouched queries is load,
+    # a single-query spike is a plan regression
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)
+        # ratios only make sense at the baseline's own scale factor
+        pinned = (
+            baseline.get("queries", {})
+            if baseline.get("sf") == out["sf"]
+            else {}
+        )
+        ratios = {
+            name: round(sec / pinned[name]["sec"], 2)
+            for name, sec in timings.items()
+            if name in pinned and pinned[name]["sec"] > 0
+        }
+        if ratios:
+            worst = max(ratios, key=ratios.get)
+            out["ratio_vs_pinned"] = ratios
+            out["max_ratio"] = ratios[worst]
+            out["max_ratio_query"] = worst
+            out["unpinned_queries"] = sorted(
+                n for n in timings if n not in pinned
+            )
+
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
