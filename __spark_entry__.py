@@ -989,13 +989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus (two vocab-bounded count shuffles), score every doc
         # by cross-entropy — hash-verifiable including the ln/exp
         from distributed_vector_database_spark.operators.textops import (
-            bigram_lm_counts,
-            lm_cross_entropy,
+            lm_perplexity_scores,
         )
 
         docs = load_table(spark, sf, "documents")
-        uni, bi, vocab = bigram_lm_counts(docs)
-        sc = lm_cross_entropy(docs, uni, bi, vocab, k=0.5)
+        sc = lm_perplexity_scores(docs, k=0.5)
         return sc.select(
             "doc_id",
             "n_bigrams",
@@ -1653,6 +1651,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hnsw_topk_exact"] = ann_hnsw_topk_exact_q
 
+    DELETE_MOD = 7  # vec_id % 7 == 3 is the deterministic victim set
+    _del_ann_memo: dict[tuple, tuple] = {}
+
+    def _deleted_ann_dirs(spark, sf):
+        # persisted IVF + HNSW layouts with vec_id % 7 == 3 deleted:
+        # IVF physically (partition-local rewrite, ivf_delete), HNSW
+        # soft (tombstones, the reference's deleted_ids.json model) —
+        # plus a COMPACTED copy of the HNSW layout (tombstones
+        # reclaimed via shard-local rebuild, the reference's
+        # _rebuild_hnsw_index). Built once per fixture dir.
+        import os as _os
+        import shutil as _shutil
+        import tempfile
+
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_delete,
+            ivf_write,
+        )
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_compact,
+            hnsw_delete,
+            hnsw_write,
+        )
+
+        src = _os.path.join(sf, "embeddings.parquet")
+        try:
+            st = _os.stat(src)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        got = _del_ann_memo.get(key)
+        if got is None:
+            root = tempfile.mkdtemp(prefix="dvdb_ann_del_")
+            emb = _emb(spark, sf)
+            victims = [
+                r["vec_id"]
+                for r in emb.filter(
+                    F.col("vec_id") % DELETE_MOD == 3
+                ).select("vec_id").collect()
+            ]
+            centroids, assigned = ivf_build(emb, n_centroids=8)
+            ivf_write(assigned, f"{root}/ivf")
+            ivf_delete(spark, f"{root}/ivf", victims)
+            hnsw_write(emb, f"{root}/hnsw", num_shards=4)
+            hnsw_delete(f"{root}/hnsw", victims)
+            _shutil.copytree(f"{root}/hnsw", f"{root}/hnsw_compacted")
+            hnsw_compact(spark, f"{root}/hnsw_compacted")
+            got = (root, centroids)
+            _del_ann_memo[key] = got
+        return got
+
+    def ann_ivf_delete_exact_q(spark, sf):
+        # deletion propagation through the persisted IVF layout:
+        # ivf_delete rewrites only the victims' centroid partitions;
+        # a full-width probe afterwards must equal brute force over
+        # the REMAINING corpus (hash anchor — no tombstone filtering,
+        # the rows are physically gone)
+        from distributed_vector_database_spark.operators.ann import ivf_search
+
+        root, centroids = _deleted_ann_dirs(spark, sf)
+        stored = spark.read.parquet(f"{root}/ivf")
+        return ivf_search(
+            spark, centroids, stored, _query_vec(spark, sf), k=10, nprobe=10**9
+        )
+
+    def ann_hnsw_delete_exact_q(spark, sf):
+        # the reference's soft-delete serve path (handler.py:99 filter
+        # against deleted_ids) on the persisted HNSW layout, in the
+        # exhaustive degenerate mode: tombstoned keys drop out of the
+        # candidate pool before truncation, so the result is exactly
+        # brute force over the live rows (hash anchor)
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_read_search,
+        )
+
+        root, _ = _deleted_ann_dirs(spark, sf)
+        return hnsw_read_search(
+            spark, f"{root}/hnsw", _query_vec(spark, sf), k=10, ef=10**9
+        )
+
+    def ann_hnsw_compact_exact_q(spark, sf):
+        # after compaction (shard-local graph rebuild, tombstones
+        # cleared — the reference's _rebuild_hnsw_index reclaim) the
+        # same exhaustive search must return the identical top-k:
+        # reclaim changes storage, never results (hash anchor)
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_read_search,
+        )
+
+        root, _ = _deleted_ann_dirs(spark, sf)
+        return hnsw_read_search(
+            spark, f"{root}/hnsw_compacted", _query_vec(spark, sf), k=10, ef=10**9
+        )
+
+    q["ann_ivf_delete_exact"] = ann_ivf_delete_exact_q
+    q["ann_hnsw_delete_exact"] = ann_hnsw_delete_exact_q
+    q["ann_hnsw_compact_exact"] = ann_hnsw_compact_exact_q
+
     def ann_hnsw_topk_q(spark, sf):
         # the real graph path: 4 shards (the reference's one-index-per-
         # data-node layout — the build parallelizes across shards), each
@@ -1772,6 +1869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "text_knn_expr", "ann_ivf_filtered_exact",
+        # round-7 deletion-propagation anchors (new operators:
+        # ivf_delete physical rewrite, hnsw_delete tombstones,
+        # hnsw_compact shard-local reclaim)
+        "ann_ivf_delete_exact", "ann_hnsw_delete_exact",
+        "ann_hnsw_compact_exact",
         # --- code changed in round 7 (ADVICE fixes / exchange trim) ---
         "funnel_steps", "funnel_report", "maxsim_join", "lm_perplexity",
         # round-7 streaming funnel served via the idempotent fold path
@@ -1780,11 +1882,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline", "training_pipeline_spans",
         "events_rollup_served", "hybrid_rrf_served", "bm25_postings_topk",
         "snapshot_diff", "scd2_history", "events_gapfill",
-        "session_ids", "retention_cohorts",
         "decontam_report", "decontam_filter", "source_overlap",
-        "token_budget_select", "dup_span_report", "remove_dup_spans",
+        "dup_span_report", "remove_dup_spans",
         # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
         # --- also pinned in pytest + full-gate re-runs every round   ---
+        # (session_ids / retention_cohorts / token_budget_select — r6
+        # driver-green, untouched — rotate down to make room for the
+        # round-7 deletion anchors)
+        "session_ids", "retention_cohorts", "token_budget_select",
         "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
         "ngram_jaccard_scale", "chunk_documents", "mixture_sample",
         "pii_redaction", "top_terms", "winnow_fingerprints",
@@ -2066,6 +2171,21 @@ SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
+
+    # deletion anchors: brute force over the REMAINING corpus
+    # (vec_id % 7 == 3 deleted through ivf_delete / hnsw_delete /
+    # hnsw_compact) — storage-side deletion must never change results
+    _knn_nolabel_deleted = f"""
+WITH {_QCTE},
+scored AS (
+  SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q
+  WHERE vec_id % 7 <> 3
+)
+SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
+"""
+    o["ann_ivf_delete_exact"] = _knn_nolabel_deleted
+    o["ann_hnsw_delete_exact"] = _knn_nolabel_deleted
+    o["ann_hnsw_compact_exact"] = _knn_nolabel_deleted
     o["ann_hnsw_topk_exact"] = _knn_nolabel
 
     # pure-expression text embedding (semantic.expr_text_embed): the

@@ -261,6 +261,60 @@ def ivf_write(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def ivf_delete(
+    spark: SparkSession, path: str, keys: list, key_col: str = "vec_id"
+) -> int:
+    """Physically remove vectors from a persisted IVF layout in place.
+
+    The reference can only SOFT-delete from its graph index
+    (src/datanode/handler.py:43 — "HNSW不支持物理删除" — tombstones
+    filtered at serve time, :99) and pays a periodic FULL index rebuild
+    to reclaim (:90-118). IVF has no cross-row graph state, so the
+    Spark layout does better: the victims' centroid partitions are
+    found with one pushed key filter, ONLY those partitions rewrite
+    (dynamic partition overwrite), untouched cells keep their files,
+    and a cell left empty has its directory removed. Cost follows the
+    deletion (O(affected cells)), never the corpus; searches afterwards
+    are exact over the remaining data with no tombstone filtering or
+    recall loss. Returns the number of rows removed."""
+    import shutil
+
+    ids = list(keys)
+    stored = spark.read.parquet(path)
+    victim = stored.filter(F.col(key_col).isin(ids)).cache()
+    try:
+        cells = [
+            r["centroid_id"]
+            for r in victim.select("centroid_id").distinct().collect()
+        ]
+        if not cells:
+            return 0
+        removed = victim.count()
+        keep = (
+            spark.read.parquet(path)
+            .filter(F.col("centroid_id").isin(cells))
+            .filter(~F.col(key_col).isin(ids))
+        )
+        # sever the read-path lineage before overwriting the very
+        # partitions the plan reads (same discipline as hnsw_append)
+        keep = keep.localCheckpoint(eager=True)
+        live = {
+            r["centroid_id"]
+            for r in keep.select("centroid_id").distinct().collect()
+        }
+        (
+            keep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+        for c in set(cells) - live:
+            shutil.rmtree(f"{path}/centroid_id={c}", ignore_errors=True)
+        return int(removed)
+    finally:
+        victim.unpersist()
+
+
 def ivf_read_probe(
     spark: SparkSession, path: str, probe_ids: list[int]
 ) -> DataFrame:

@@ -408,6 +408,47 @@ def _reconstruct(pdf, key_col: str, vec_col: str) -> "HnswIndex":
     return index
 
 
+def hnsw_delete(path: str, keys: Sequence) -> int:
+    """Soft-delete keys from a persisted hnsw_write layout — the
+    reference's exact deletion model: graph nodes cannot be physically
+    unlinked (src/datanode/handler.py:43 — "HNSW不支持物理删除"), so
+    deleted ids accumulate in a persisted tombstone set
+    (deleted_ids.json, handler.py:123-133) that serving filters out
+    (handler.py:99) until a compaction rebuild reclaims them
+    (handler.py:90-118 → hnsw_compact, which rewrites only affected
+    shards instead of the reference's full rebuild).
+
+    O(|keys|): one JSON tombstone file appended under
+    `path/_tombstones/` (underscore prefix → invisible to the parquet
+    scans). Tombstones are bounded between compactions; at 100 TB the
+    set rides the same driver->closure path the query vector does.
+    Returns the total number of distinct tombstoned keys."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tdir = _os.path.join(path, "_tombstones")
+    _os.makedirs(tdir, exist_ok=True)
+    with open(_os.path.join(tdir, f"t-{_uuid.uuid4().hex[:12]}.json"), "w") as fh:
+        _json.dump(sorted(set(keys)), fh)
+    return len(_read_tombstones(path))
+
+
+def _read_tombstones(path: str) -> frozenset:
+    import json as _json
+    import os as _os
+
+    tdir = _os.path.join(path, "_tombstones")
+    if not _os.path.isdir(tdir):
+        return frozenset()
+    out: set = set()
+    for fn in sorted(_os.listdir(tdir)):
+        if fn.endswith(".json"):
+            with open(_os.path.join(tdir, fn)) as fh:
+                out.update(_json.load(fh))
+    return frozenset(out)
+
+
 def hnsw_read_search(
     spark,
     path: str,
@@ -419,13 +460,20 @@ def hnsw_read_search(
 ) -> DataFrame:
     """Serve top-k from a persisted hnsw_write layout: each shard group
     reloads its graph and beam-searches; global ascending merge. The
-    reference's restart path (load_index + knn_query)."""
+    reference's restart path (load_index + knn_query).
+
+    Tombstoned keys (hnsw_delete) are filtered INSIDE each shard's
+    candidate pool with the fetch depth widened by the shard's own
+    tombstone count — filter-after-search like the reference
+    (handler.py:99) but with guaranteed candidate depth, so deletions
+    never shrink the honest top-k."""
     import numpy as np
     import pandas as pd
 
     k = _effective_k(k)
     fetch = OVERFETCH * k
     qlist = [float(v) for v in query_vec]
+    tomb = _read_tombstones(path)
     nodes = spark.read.parquet(path)
     key_type = dict(nodes.dtypes)[key_col]
 
@@ -435,18 +483,27 @@ def hnsw_read_search(
         index = _reconstruct(pdf, key_col, vec_col)
         pdf = pdf.sort_values("node_idx", kind="mergesort").reset_index(drop=True)
         n = len(pdf)
+        dead = (
+            pdf[key_col].isin(tomb).to_numpy()
+            if tomb
+            else np.zeros(n, dtype=bool)
+        )
         qv = np.asarray(qlist, dtype=np.float64)
         kk = min(fetch, n)
         eff_ef = max(ef if ef is not None else max(50, 2 * k), k)
         if eff_ef >= n:
             d = index.vectors - qv
             scores = np.einsum("ij,ij->i", d, d)
-            order = np.lexsort((pdf[key_col].to_numpy(), scores))[:kk]
+            order = np.lexsort((pdf[key_col].to_numpy(), scores))
+            order = order[~dead[order]][:kk]
             out = pdf.iloc[order][[key_col]].copy()
             out["score"] = np.round(scores[order], SCORE_DECIMALS)
             return out
-        hits = index.search(qv, kk, ef=eff_ef)
-        idx = [i for _, i in hits]
+        # widen by this shard's tombstone count so the post-filter
+        # pool still holds kk live candidates
+        kk2 = min(kk + int(dead.sum()), n)
+        hits = index.search(qv, kk2, ef=max(eff_ef, kk2))
+        idx = [i for _, i in hits if not dead[i]][:kk]
         d = index.vectors[idx] - qv
         out = pdf.iloc[idx][[key_col]].copy()
         out["score"] = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
@@ -490,6 +547,11 @@ def hnsw_append(
     atomic across shards — concurrent readers can see a mix of old and
     new shard files mid-append; the store's versioned rebuild is the
     atomic path.
+
+    A tombstoned key (hnsw_delete) that reappears in a batch is
+    RESURRECTED: its key leaves the tombstone set, and serving dedups
+    the old and new graph nodes to one row per key (newest-wins for
+    changed vectors stays the store layer's job, as below).
 
     `batch_id` (for foreachBatch callers): applied ids are recorded as
     marker files and replayed batches are skipped. The marker lands
@@ -616,10 +678,129 @@ def hnsw_append(
         .partitionBy("shard_id")
         .parquet(path)
     )
+    # re-putting a tombstoned key RESURRECTS it (upsert semantics, the
+    # reference's put path: the old node stays tombstoned, the new one
+    # serves) — drop appended keys from the tombstone set
+    tomb = _read_tombstones(path)
+    if tomb:
+        hit = {
+            r[key_col]
+            for r in batch.select(key_col)
+            .filter(F.col(key_col).isin(list(tomb)))
+            .distinct()
+            .collect()
+        }
+        if hit:
+            import shutil as _shutil
+
+            tdir = _os.path.join(path, "_tombstones")
+            _shutil.rmtree(tdir, ignore_errors=True)
+            remaining = tomb - hit
+            if remaining:
+                hnsw_delete(path, remaining)
     if batch_id is not None:
         _os.makedirs(marker_dir, exist_ok=True)
         with open(_os.path.join(marker_dir, f"b={batch_id}"), "w") as fh:
             fh.write("")
+
+
+def hnsw_compact(
+    spark,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> int:
+    """Reclaim tombstoned keys from a persisted hnsw_write layout —
+    the reference's periodic index rebuild (_rebuild_hnsw_index,
+    src/datanode/handler.py:90-118: re-add every live vector to a
+    fresh graph, then clear deleted_ids), except the Spark layout
+    rebuilds ONLY the shards that actually contain tombstoned keys
+    (dynamic partition overwrite; untouched shards keep their files
+    and graphs) — O(affected shards), not O(corpus). A shard whose
+    every row is tombstoned has its directory removed. Afterwards the
+    tombstone set is empty and serving pays zero filter cost again.
+    Returns the number of graph nodes physically removed."""
+    import os as _os
+    import shutil as _shutil
+
+    import numpy as np
+    import pandas as pd
+
+    tomb = _read_tombstones(path)
+    if not tomb:
+        return 0
+    nodes = spark.read.parquet(path)
+    key_type = dict(nodes.dtypes)[key_col]
+    dead = nodes.filter(F.col(key_col).isin(list(tomb)))
+    shards = [r["shard_id"] for r in dead.select("shard_id").distinct().collect()]
+    removed = dead.count()
+    if shards:
+        survivors = nodes.filter(F.col("shard_id").isin(shards)).filter(
+            ~F.col(key_col).isin(list(tomb))
+        )
+
+        out_schema = (
+            f"shard_id int, node_idx long, {key_col} {key_type}, "
+            f"{vec_col} array<double>, links array<array<long>>, "
+            "entry long, max_level int, m int, efc int, nshards int"
+        )
+
+        def rebuild_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(
+                    {c.split()[0]: pd.Series([], dtype="object")
+                     for c in out_schema.split(", ")}
+                )
+            m = int(pdf["m"].iloc[0])
+            efc = int(pdf["efc"].iloc[0])
+            rows = pdf.sort_values(key_col, kind="mergesort").reset_index(
+                drop=True
+            )
+            mat = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+            index = HnswIndex(m=m, ef_construction=efc, seed=seed)
+            index.build(mat)
+            n = len(rows)
+            links = [
+                [
+                    [int(x) for x in index.links[lvl].get(i, [])]
+                    for lvl in range(len(index.links))
+                    if i in index.links[lvl]
+                ]
+                for i in range(n)
+            ]
+            return pd.DataFrame(
+                {
+                    "shard_id": int(pdf["shard_id"].iloc[0]),
+                    "node_idx": np.arange(n, dtype=np.int64),
+                    key_col: rows[key_col].to_numpy(),
+                    vec_col: [list(map(float, v)) for v in mat],
+                    "links": links,
+                    "entry": int(index.entry),
+                    "max_level": int(index.max_level),
+                    "m": m,
+                    "efc": efc,
+                    "nshards": int(pdf["nshards"].iloc[0]),
+                }
+            )
+
+        rebuilt = survivors.groupBy("shard_id").applyInPandas(
+            rebuild_shard, schema=out_schema
+        )
+        rebuilt = rebuilt.localCheckpoint(eager=True)
+        live = {
+            r["shard_id"] for r in rebuilt.select("shard_id").distinct().collect()
+        }
+        (
+            rebuilt.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard_id")
+            .parquet(path)
+        )
+        for s in set(shards) - live:
+            _shutil.rmtree(f"{path}/shard_id={s}", ignore_errors=True)
+    _shutil.rmtree(_os.path.join(path, "_tombstones"), ignore_errors=True)
+    return int(removed)
 
 
 def hnsw_knn_join(

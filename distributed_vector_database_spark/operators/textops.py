@@ -465,6 +465,34 @@ def lm_cross_entropy(
     ).withColumn("perplexity", F.exp("cross_entropy"))
 
 
+def lm_perplexity_scores(
+    docs: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train + score in one call with STAGED count tables: the
+    unigram/bigram count frames are vocabulary-bounded (Zipf), so
+    materialize them once (cache) instead of re-running the corpus
+    token explode for every consumer — without staging, the unigram
+    subtree is computed twice (as the w1-context join input and again
+    for vocab_size) and the plan carries 16 exchanges; staged, the
+    corpus is scanned exactly twice (train, score) and the count
+    tables are reused from memory. At 100 TB the staged tables are
+    MB-scale and would be written to a warehouse path instead — the
+    eager localCheckpoint here is the local[*] stand-in for that
+    materialization (it also TRUNCATES LINEAGE, so the scoring plan
+    joins two materialized tables instead of replanning the train
+    shuffles: 16 exchanges -> the score path's own)."""
+    uni, bi, _ = bigram_lm_counts(docs, text_col, id_col)
+    uni = uni.localCheckpoint(eager=True)
+    bi = bi.localCheckpoint(eager=True)
+    # vocab must derive from the CHECKPOINTED unigram frame, or its
+    # agg silently recomputes the whole explode+shuffle subtree
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab_size"))
+    return lm_cross_entropy(docs, uni, bi, vocab, k, text_col, id_col)
+
+
 def quality_deciles(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Rank-based quality binning per language: ntile buckets,
     percent_rank, and cume_dist over (quality, doc_id) — the

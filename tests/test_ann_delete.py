@@ -1,0 +1,219 @@
+"""Deletion propagation for persisted ANN serving indexes: IVF
+physical partition-local rewrite, HNSW tombstones (the reference's
+deleted_ids model, src/datanode/handler.py:43,99,123-133) and
+shard-local compaction (its _rebuild_hnsw_index, handler.py:90-118)."""
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _emb(spark, n=200, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _ids(df, res):
+    return [r["vec_id"] for r in res.collect()]
+
+
+def test_ivf_delete_matches_exact_over_remaining(spark, tmp_path):
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    victims = [i for i in range(200) if i % 5 == 2]
+    path = str(tmp_path / "ivf")
+    centroids, assigned = ivf_build(emb, n_centroids=4)
+    ivf_write(assigned, path)
+
+    removed = ivf_delete(spark, path, victims)
+    assert removed == len(victims)
+    stored = spark.read.parquet(path)
+    assert stored.filter(F.col("vec_id").isin(victims)).count() == 0
+
+    got = ivf_search(spark, centroids, stored, q, k=7, nprobe=10**9)
+    want = knn_exact(
+        emb.filter(~F.col("vec_id").isin(victims)), q, k=7, extra_cols=()
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # deleting absent ids is a no-op
+    assert ivf_delete(spark, path, [99999]) == 0
+
+
+def test_ivf_delete_removes_emptied_cell_dirs(spark, tmp_path):
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_write,
+    )
+
+    emb = _emb(spark, n=60)
+    path = str(tmp_path / "ivf")
+    _, assigned = ivf_build(emb, n_centroids=3)
+    ivf_write(assigned, path)
+    # wipe one whole cell
+    cell = assigned.select("centroid_id").first()["centroid_id"]
+    cell_ids = [
+        r["vec_id"]
+        for r in assigned.filter(F.col("centroid_id") == cell).collect()
+    ]
+    ivf_delete(spark, path, cell_ids)
+    assert not os.path.isdir(f"{path}/centroid_id={cell}")
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("vec_id").isin(cell_ids)).count() == 0
+
+
+def test_hnsw_delete_tombstones_filter_at_serve(spark, tmp_path):
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_delete,
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=3)
+    # delete the CURRENT top-3 so the filter provably changes results
+    top = _ids(emb, hnsw_read_search(spark, path, q, k=3, ef=10**9))
+    n_tomb = hnsw_delete(path, top)
+    assert n_tomb == 3
+
+    got = hnsw_read_search(spark, path, q, k=7, ef=10**9)
+    want = knn_exact(
+        emb.filter(~F.col("vec_id").isin(top)), q, k=7, extra_cols=()
+    ).select("vec_id", "score")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # tombstone files accumulate across calls; the set unions
+    assert hnsw_delete(path, [top[0], 150]) == 4
+
+
+def test_hnsw_delete_graph_mode_keeps_depth(spark, tmp_path):
+    # beam-search mode (ef < n): the shard pool widens by its tombstone
+    # count, so deleting the whole current top-k still yields k live
+    # results with high recall
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_delete,
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    emb = _emb(spark, n=400)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    top = _ids(emb, hnsw_read_search(spark, path, q, k=10, ef=10**9))
+    hnsw_delete(path, top)
+    got = set(_ids(emb, hnsw_read_search(spark, path, q, k=10, ef=64)))
+    assert len(got) == 10 and not (got & set(top))
+    truth = set(
+        _ids(
+            emb,
+            knn_exact(
+                emb.filter(~F.col("vec_id").isin(top)), q, k=10, extra_cols=()
+            ),
+        )
+    )
+    assert len(got & truth) >= 9
+
+
+def test_hnsw_append_resurrects_tombstoned_key(spark, tmp_path):
+    from distributed_vector_database_spark.operators.hnsw import (
+        _read_tombstones,
+        hnsw_append,
+        hnsw_delete,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=100)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    hnsw_delete(path, [0, 50])
+    assert 0 not in set(_ids(emb, hnsw_read_search(spark, path, q, k=5, ef=10**9)))
+
+    # re-put key 0 (same vector): it must serve again; 50 stays dead
+    hnsw_append(spark, path, emb.filter(F.col("vec_id") == 0))
+    got = _ids(emb, hnsw_read_search(spark, path, q, k=5, ef=10**9))
+    assert got[0] == 0  # the query vector itself, score 0
+    assert _read_tombstones(path) == frozenset({50})
+
+
+def test_hnsw_compact_equals_fresh_build_and_clears_tombstones(
+    spark, tmp_path
+):
+    from distributed_vector_database_spark.operators.hnsw import (
+        _read_tombstones,
+        hnsw_compact,
+        hnsw_delete,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    victims = [i for i in range(200) if i % 4 == 1]
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=3)
+    hnsw_delete(path, victims)
+    before = [tuple(r) for r in hnsw_read_search(spark, path, q, k=7, ef=10**9).collect()]
+
+    removed = hnsw_compact(spark, path)
+    assert removed == len(victims)
+    assert _read_tombstones(path) == frozenset()
+    stored = spark.read.parquet(path)
+    assert stored.filter(F.col("vec_id").isin(victims)).count() == 0
+
+    # results identical before/after reclaim (exhaustive mode)
+    after = [tuple(r) for r in hnsw_read_search(spark, path, q, k=7, ef=10**9).collect()]
+    assert after == before
+
+    # fresh build over the remaining corpus serves the same answers
+    fresh = str(tmp_path / "fresh")
+    hnsw_write(emb.filter(~F.col("vec_id").isin(victims)), fresh, num_shards=3)
+    assert [
+        tuple(r) for r in hnsw_read_search(spark, fresh, q, k=7, ef=10**9).collect()
+    ] == after
+
+    # compacting with no tombstones is a no-op
+    assert hnsw_compact(spark, path) == 0
+
+
+def test_hnsw_compact_removes_fully_victim_shard(spark, tmp_path):
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_compact,
+        hnsw_delete,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=80)
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    stored = spark.read.parquet(path)
+    shard = stored.select("shard_id").first()["shard_id"]
+    shard_keys = [
+        r["vec_id"]
+        for r in stored.filter(F.col("shard_id") == shard).collect()
+    ]
+    hnsw_delete(path, shard_keys)
+    hnsw_compact(spark, path)
+    assert not os.path.isdir(f"{path}/shard_id={shard}")
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("vec_id").isin(shard_keys)).count() == 0
+    assert left.count() == 80 - len(shard_keys)

@@ -25,6 +25,10 @@ ANCHORS = {
     "ann_hnsw_knn_join_exact",
     "ann_ivf_filtered_exact",
     "text_knn_expr",
+    # round-7 deletion-propagation anchors
+    "ann_ivf_delete_exact",
+    "ann_hnsw_delete_exact",
+    "ann_hnsw_compact_exact",
 }
 
 # rows-only by design: ANN recall / multimodal / BPE queries with no
