@@ -261,6 +261,95 @@ def ivf_write(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def ivf_assign(
+    batch: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (euclidean argmin,
+    first-min tiebreak — identical to MLlib KMeans.transform). The
+    centroid matrix rides the closure (it is sqrt(n)-bounded by
+    construction); one vectorized numpy pass per Arrow batch, zero
+    shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cids = np.asarray([int(i) for i, _ in centroids], dtype=np.int64)
+    cnorm = np.einsum("ij,ij->i", cmat, cmat)
+    cols = batch.columns
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+            d = cnorm[None, :] - 2.0 * (mat @ cmat.T)
+            out = pdf.copy()
+            out["centroid_id"] = cids[np.argmin(d, axis=1)]
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
+    ) + ", centroid_id int"
+    return batch.mapInPandas(assign, schema=schema).select(
+        *cols, "centroid_id"
+    )
+
+
+def ivf_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    centroids: list,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Index-on-put for the persisted IVF layout (the reference's live
+    add on put, src/datanode/handler.py:253-261, minus the graph):
+    assign the batch against the EXISTING quantizer (ivf_assign) and
+    append files into only the affected centroid partitions — O(batch),
+    untouched cells keep their files.
+
+    UPSERT semantics: keys already present are physically removed
+    first (ivf_delete), so a re-put replaces its row. That pre-delete
+    also makes the operation replay-idempotent even across the
+    crash window (files appended, marker unwritten): the replay
+    deletes the crashed attempt's rows before re-appending. The
+    batch_id marker (foreachBatch callers) just skips the work on a
+    clean replay."""
+    import os as _os
+
+    marker_dir = _os.path.join(path, "_applied_batches")
+    if batch_id is not None and _os.path.exists(
+        _os.path.join(marker_dir, f"b={batch_id}")
+    ):
+        return
+    keys = [r[key_col] for r in batch.select(key_col).distinct().collect()]
+    stored = spark.read.parquet(path)
+    existing = [
+        r[key_col]
+        for r in stored.select(key_col)
+        .filter(F.col(key_col).isin(keys))
+        .distinct()
+        .collect()
+    ]
+    if existing:
+        ivf_delete(spark, path, existing, key_col=key_col)
+    # keep EVERY batch column (metadata rides along for filtered
+    # search) — callers append batches with the layout's schema
+    assigned = ivf_assign(batch, centroids, vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    if batch_id is not None:
+        _os.makedirs(marker_dir, exist_ok=True)
+        with open(_os.path.join(marker_dir, f"b={batch_id}"), "w") as fh:
+            fh.write("")
+
+
 def ivf_delete(
     spark: SparkSession, path: str, keys: list, key_col: str = "vec_id"
 ) -> int:

@@ -300,6 +300,108 @@ def test_streaming_hnsw_maintenance(tables, tmp_path, spark):
     assert after == got
 
 
+def test_hnsw_changelog_fold_put_delete_and_autocompact(spark, tmp_path):
+    """The reference's WAL-to-index replay: a put/delete changelog
+    folds into the layout (newest op per key wins within a batch);
+    tombstone fraction over threshold triggers shard-local reclaim."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.hnsw import (
+        _read_tombstones,
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+    from distributed_vector_database_spark.streaming.hnsw_maintenance import (
+        build_hnsw_changelog_fold,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    path = str(tmp_path / "idx")
+    hnsw_write(emb.filter(F.col("vec_id") < 100), path, num_shards=2)
+
+    fold = build_hnsw_changelog_fold(path, compact_threshold=0.05)
+    # batch 0: put 100-119, delete 0-9, and key 100 gets put-then-
+    # deleted (newest wins -> deleted), key 5 deleted-then-put -> live
+    b0 = [(int(i), "put", int(i), rows[i][1]) for i in range(100, 120)]
+    b0 += [(200 + i, "delete", i, None) for i in range(10)]
+    b0 += [(300, "delete", 100, None), (301, "put", 5, rows[5][1])]
+    batch = spark.createDataFrame(
+        b0, "seq long, op string, vec_id long, embedding array<double>"
+    )
+    fold(batch, 0)
+
+    dead = {i for i in range(10) if i != 5} | {100}
+    live = emb.filter(~F.col("vec_id").isin(list(dead)))
+    got = hnsw_read_search(spark, path, qv, k=10, ef=10**9).collect()
+    want = knn_exact(live, qv, k=10, extra_cols=()).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+    # 10 tombstones / ~121 rows > 0.05 threshold -> auto-compacted
+    assert _read_tombstones(path) == frozenset()
+    stored = spark.read.parquet(path)
+    assert stored.filter(F.col("vec_id").isin(list(dead))).count() == 0
+
+    # replaying the same batch leaves serving unchanged
+    fold(batch, 0)
+    again = hnsw_read_search(spark, path, qv, k=10, ef=10**9).collect()
+    assert [(r["vec_id"], r["score"]) for r in again] == [
+        (r["vec_id"], r["score"]) for r in got
+    ]
+
+
+def test_hnsw_changelog_live_stream(spark, tmp_path):
+    import json
+
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+    from distributed_vector_database_spark.streaming.hnsw_maintenance import (
+        run_hnsw_changelog_stream,
+    )
+
+    rng = np.random.default_rng(12)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    path = str(tmp_path / "idx")
+    hnsw_write(emb.filter(F.col("vec_id") < 60), path, num_shards=2)
+
+    cdir = tmp_path / "chg"
+    cdir.mkdir()
+    with open(cdir / "a.json", "w") as fh:
+        for i in range(60, 80):
+            fh.write(json.dumps(
+                {"seq": i, "op": "put", "vec_id": i, "embedding": rows[i][1]}
+            ) + "\n")
+    with open(cdir / "b.json", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps(
+                {"seq": 100 + i, "op": "delete", "vec_id": i,
+                 "embedding": None}
+            ) + "\n")
+    q = run_hnsw_changelog_stream(
+        spark, str(cdir), path, str(tmp_path / "ckpt"),
+        compact_threshold=None, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = hnsw_read_search(spark, path, qv, k=10, ef=10**9).collect()
+    want = knn_exact(
+        emb.filter(F.col("vec_id") >= 3), qv, k=10, extra_cols=()
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+
+
 def test_knn_join_served_from_persisted_index(tables, tmp_path, spark):
     """index_path mode: the join is answered from a persisted hnsw_write
     layout — no graph construction at query time; exhaustive mode equals

@@ -1,0 +1,149 @@
+"""IVF incremental maintenance: assignment parity with the MLlib
+quantizer, index-on-put append (upsert + replay-idempotent), and the
+put/delete changelog stream."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _emb(spark, n=150, dim=8, seed=9, start=0):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (start + i, [float(x) for x in rng.normal(size=dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assign_matches_mllib_quantizer(spark):
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_assign,
+        ivf_build,
+    )
+
+    emb = _emb(spark)
+    centroids, assigned = ivf_build(emb, n_centroids=5)
+    want = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, centroids).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_upsert_and_replay_idempotent(spark, tmp_path):
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    base = _emb(spark, n=100)
+    fresh = _emb(spark, n=30, seed=21, start=100)
+    path = str(tmp_path / "ivf")
+    centroids, assigned = ivf_build(base, n_centroids=4)
+    ivf_write(assigned, path)
+
+    ivf_append(spark, path, fresh, centroids)
+    stored = spark.read.parquet(path)
+    assert stored.count() == 130
+    q = base.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = ivf_search(spark, centroids, stored, q, k=8, nprobe=10**9)
+    want = knn_exact(base.unionByName(fresh), q, k=8, extra_cols=())
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # upsert: re-put key 100 with vector == query -> becomes top hit
+    twin = spark.createDataFrame(
+        [(100, [float(x) for x in q])], "vec_id long, embedding array<double>"
+    )
+    ivf_append(spark, path, twin, centroids)
+    stored = spark.read.parquet(path)
+    assert stored.count() == 130  # replaced, not duplicated
+    top = ivf_search(spark, centroids, stored, q, k=2, nprobe=10**9).collect()
+    assert {r["vec_id"] for r in top} == {0, 100}
+    assert all(r["score"] == 0.0 for r in top)
+
+    # replay without marker (the crash window): pre-delete makes the
+    # second apply replace, never duplicate
+    ivf_append(spark, path, twin, centroids)
+    assert spark.read.parquet(path).count() == 130
+
+    # clean replay with marker skips the work entirely
+    ivf_append(spark, path, fresh, centroids, batch_id=7)
+    n = spark.read.parquet(path).count()
+    ivf_append(spark, path, fresh, centroids, batch_id=7)
+    assert spark.read.parquet(path).count() == n
+
+
+def test_ivf_changelog_fold_and_live_stream(spark, tmp_path):
+    import json
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+    from distributed_vector_database_spark.streaming.ivf_maintenance import (
+        build_ivf_changelog_fold,
+        run_ivf_changelog_stream,
+    )
+
+    base = _emb(spark, n=80)
+    rows = {r["vec_id"]: r["embedding"] for r in base.collect()}
+    q = rows[0]
+    path = str(tmp_path / "ivf")
+    centroids, assigned = ivf_build(
+        base.filter(F.col("vec_id") < 60), n_centroids=4
+    )
+    ivf_write(assigned, path)
+
+    # fold: put 60-79, delete 1-3, and key 60 put-then-deleted
+    fold = build_ivf_changelog_fold(path, centroids)
+    b0 = [(int(i), "put", int(i), rows[i]) for i in range(60, 80)]
+    b0 += [(100 + i, "delete", i, None) for i in range(1, 4)]
+    b0 += [(200, "delete", 60, None)]
+    batch = spark.createDataFrame(
+        b0, "seq long, op string, vec_id long, embedding array<double>"
+    )
+    fold(batch, 0)
+    dead = {1, 2, 3, 60}
+    stored = spark.read.parquet(path)
+    got = ivf_search(spark, centroids, stored, q, k=8, nprobe=10**9)
+    want = knn_exact(
+        base.filter(~F.col("vec_id").isin(list(dead))), q, k=8, extra_cols=()
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # live stream on a fresh layout
+    path2 = str(tmp_path / "ivf2")
+    ivf_write(assigned, path2)
+    cdir = tmp_path / "chg"
+    cdir.mkdir()
+    with open(cdir / "a.json", "w") as fh:
+        for i in range(60, 80):
+            fh.write(json.dumps(
+                {"seq": i, "op": "put", "vec_id": i,
+                 "embedding": list(rows[i])}
+            ) + "\n")
+    with open(cdir / "b.json", "w") as fh:
+        for i in range(1, 4):
+            fh.write(json.dumps(
+                {"seq": 100 + i, "op": "delete", "vec_id": i,
+                 "embedding": None}
+            ) + "\n")
+    sq = run_ivf_changelog_stream(
+        spark, str(cdir), path2, str(tmp_path / "ckpt"), centroids,
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(120)
+    stored2 = spark.read.parquet(path2)
+    got2 = ivf_search(spark, centroids, stored2, q, k=8, nprobe=10**9)
+    want2 = knn_exact(
+        base.filter(~F.col("vec_id").isin([1, 2, 3])), q, k=8, extra_cols=()
+    )
+    assert [tuple(r) for r in got2.collect()] == [
+        tuple(r) for r in want2.collect()
+    ]
