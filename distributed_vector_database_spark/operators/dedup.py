@@ -754,6 +754,217 @@ def embedding_near_dup(
     )
 
 
+def _train_spherical_centroids(
+    unit: DataFrame,
+    n: int,
+    n_clusters: int,
+    train_sample: int,
+    lloyd_iters: int,
+    seed: int,
+    assign_dim: int | None,
+):
+    """Train the coarse spherical-k-means quantizer on a bounded sample
+    (driver-side Lloyd, FAISS-style — codebook statistics converge long
+    before the full corpus). Returns (cent_list, proj_list): centroid
+    rows as plain lists (they ride closures) and the optional JL
+    projection matrix when `assign_dim` shrinks the assignment space.
+    `unit` must be the (id, v) projection with non-null vectors."""
+    import numpy as np
+
+    sample = unit.select("v")
+    if n > train_sample:
+        sample = sample.sample(fraction=train_sample / n, seed=seed)
+    smat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
+    if smat.shape[0] == 0:
+        # Bernoulli sampling can return zero rows on a small corpus —
+        # fall back to a bounded deterministic prefix
+        smat = np.asarray(
+            [r["v"] for r in unit.select("v").limit(min(n, train_sample)).collect()],
+            dtype=np.float64,
+        )
+    snorm = np.linalg.norm(smat, axis=1, keepdims=True)
+    snorm[snorm == 0.0] = 1.0
+    smat = smat / snorm
+    proj_list = None
+    if assign_dim is not None and 0 < assign_dim < smat.shape[1]:
+        from distributed_vector_database_spark.functions.vector import (
+            rademacher_matrix,
+        )
+
+        proj_list = rademacher_matrix(smat.shape[1], int(assign_dim), seed)
+        pm = np.asarray(proj_list, dtype=np.float64)
+        smat = smat @ pm.T
+        pn = np.linalg.norm(smat, axis=1, keepdims=True)
+        pn[pn == 0.0] = 1.0
+        smat = smat / pn
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_clusters, smat.shape[0])
+    cent = smat[rng.choice(smat.shape[0], size=k_eff, replace=False)]
+    for _ in range(lloyd_iters):
+        # spherical k-means step: assign by max cosine, re-mean, renorm
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for ci in range(k_eff):
+            members = smat[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                cent[ci] = m / nm if nm > 0 else cent[ci]
+    return cent.tolist(), proj_list
+
+
+def _probe_assign_clusters(
+    unit: DataFrame,
+    cent_list: list,
+    proj_list: list | None,
+    probe: int,
+) -> DataFrame:
+    """Assign every (id, v) row to its `probe` nearest centroids with
+    one Arrow-batched matmul → (cluster, id, v) rows, `probe` per
+    input row. A pair is compared iff the two share an assigned
+    centroid, so probe >= 2 catches cluster-boundary pairs."""
+    import numpy as np
+    import pandas as pd
+
+    # clamp to the number of centroids actually TRAINED (k_eff can be
+    # < requested when the bounded sample is small): argpartition with
+    # kth >= k_eff would raise in every executor
+    probe = max(1, min(int(probe), len(cent_list)))
+
+    def assign_probe(batches):
+        cmat = np.asarray(cent_list, dtype=np.float64)  # (k, d or d')
+        pmat = (
+            np.asarray(proj_list, dtype=np.float64)
+            if proj_list is not None
+            else None
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            mat_n = mat / norms
+            if pmat is not None:
+                mat_n = mat_n @ pmat.T
+                pn = np.linalg.norm(mat_n, axis=1, keepdims=True)
+                pn[pn == 0.0] = 1.0
+                mat_n = mat_n / pn
+            sims = mat_n @ cmat.T  # (rows, k)
+            top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
+            ids = np.repeat(pdf["id"].to_numpy(), probe)
+            vs = pdf["v"].to_numpy().repeat(probe)
+            yield pd.DataFrame(
+                {"cluster": top.ravel().astype("int32"), "id": ids, "v": vs}
+            )
+
+    return unit.mapInPandas(
+        assign_probe, schema="cluster int, id long, v array<double>"
+    )
+
+
+def embedding_cluster_model(
+    emb: DataFrame,
+    target_cluster_rows: int = 4096,
+    train_sample: int = 100_000,
+    lloyd_iters: int = 8,
+    seed: int = 42,
+    assign_dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Public model hook for continual ingest: train the coarse
+    quantizer ONCE on the base corpus and reuse it for every later
+    batch (embedding_cluster_assign / embedding_near_dup_incremental).
+    Returns (cent_list, proj_list) — plain lists, trivially
+    picklable/persistable."""
+    unit = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    n = unit.count()
+    if n == 0:
+        raise ValueError("cannot train a cluster model on an empty corpus")
+    n_clusters = max(1, -(-n // int(target_cluster_rows)))
+    return _train_spherical_centroids(
+        unit, n, n_clusters, train_sample, lloyd_iters, seed, assign_dim
+    )
+
+
+def embedding_cluster_assign(
+    emb: DataFrame,
+    model,
+    probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-assign a corpus (or batch) against a FROZEN cluster model
+    → the (cluster, id, v) table embedding_near_dup_incremental joins
+    batches against. Persist this for the base corpus; per-batch cost
+    is one matmul pass over the batch only."""
+    cent_list, proj_list = model
+    unit = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return _probe_assign_clusters(unit, cent_list, proj_list, probe)
+
+
+_NEAR_DUP_CHUNK = 4096
+
+
+def _triangle_pairs_kernel(t: float, chunk: int = _NEAR_DUP_CHUNK):
+    """Upper-triangle chunked-GEMM cosine kernel over ONE group —
+    shared by the batch at-scale path and (for the within-batch leg)
+    the incremental path."""
+    import numpy as np
+    import pandas as pd
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        # sort by id so chunks tile the upper triangle cleanly: within
+        # the diagonal chunk ga<gb dedups; across chunks (j0 > i0) every
+        # right id already exceeds every left id
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
+        norms = np.linalg.norm(mat, axis=1)
+        out = []
+        # chunk both sides so the cos submatrix stays ~chunk² doubles
+        # regardless of cluster size (skewed clusters can't OOM a task)
+        for i0 in range(0, len(ids), chunk):
+            mi = mat[i0 : i0 + chunk]
+            ni = norms[i0 : i0 + chunk]
+            for j0 in range(i0, len(ids), chunk):
+                mj = mat[j0 : j0 + chunk]
+                nj = norms[j0 : j0 + chunk]
+                denom = np.outer(ni, nj)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(denom == 0.0, 0.0, (mi @ mj.T) / denom)
+                cos = np.round(cos, 6)
+                ia, ib = np.nonzero(cos >= t)
+                ga, gb = ids[i0 + ia], ids[j0 + ib]
+                keep = ga < gb
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ga, gb)[keep],
+                                "id_b": np.maximum(ga, gb)[keep],
+                                "cosine": cos[ia, ib][keep],
+                            }
+                        )
+                    )
+        return pd.concat(out) if out else empty
+
+    return cluster_pairs
+
+
 def embedding_near_dup_at_scale(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -803,10 +1014,12 @@ def embedding_near_dup_at_scale(
     so on high-dimensional corpora without cluster structure every
     bucket is huge and the candidate join goes quadratic — it OOMs at
     1M uniform vectors where this path runs in seconds
-    (tools/scale_smoke.py)."""
-    import numpy as np
-    import pandas as pd
+    (tools/scale_smoke.py).
 
+    Continual ingest: train once via embedding_cluster_model, persist
+    embedding_cluster_assign's output, and feed new batches to
+    embedding_near_dup_incremental — O(batch x cluster density) per
+    batch, the corpus never re-clustered."""
     t = float(threshold)
     if not -1.0 <= t <= 1.0:
         raise ValueError("cosine threshold must be in [-1, 1]")
@@ -826,87 +1039,54 @@ def embedding_near_dup_at_scale(
         # the scale path (recall 1 by construction)
         return embedding_near_dup(emb, t, id_col=id_col, vec_col=vec_col)
 
-    # -- 1. train centroids on a bounded sample (driver-side Lloyd) --------
-    sample = unit.select("v")
-    if n > train_sample:
-        sample = sample.sample(fraction=train_sample / n, seed=seed)
-    smat = np.asarray([r["v"] for r in sample.collect()], dtype=np.float64)
-    if smat.shape[0] == 0:
-        # Bernoulli sampling can return zero rows on a small corpus —
-        # fall back to a bounded deterministic prefix
-        smat = np.asarray(
-            [r["v"] for r in unit.select("v").limit(min(n, train_sample)).collect()],
-            dtype=np.float64,
-        )
-    snorm = np.linalg.norm(smat, axis=1, keepdims=True)
-    snorm[snorm == 0.0] = 1.0
-    smat = smat / snorm
-    proj_list = None
-    if assign_dim is not None and 0 < assign_dim < smat.shape[1]:
-        from distributed_vector_database_spark.functions.vector import (
-            rademacher_matrix,
-        )
-
-        proj_list = rademacher_matrix(smat.shape[1], int(assign_dim), seed)
-        pm = np.asarray(proj_list, dtype=np.float64)
-        smat = smat @ pm.T
-        pn = np.linalg.norm(smat, axis=1, keepdims=True)
-        pn[pn == 0.0] = 1.0
-        smat = smat / pn
-    rng = np.random.default_rng(seed)
-    k_eff = min(n_clusters, smat.shape[0])
-    # clamp to the number of centroids actually TRAINED (k_eff can be
-    # < n_clusters when the bounded sample is small): argpartition with
-    # kth >= k_eff would raise in every executor
-    probe = max(1, min(int(probe), k_eff))
-    cent = smat[rng.choice(smat.shape[0], size=k_eff, replace=False)]
-    for _ in range(lloyd_iters):
-        # spherical k-means step: assign by max cosine, re-mean, renorm
-        assign = np.argmax(smat @ cent.T, axis=1)
-        for ci in range(k_eff):
-            members = smat[assign == ci]
-            if len(members):
-                m = members.mean(axis=0)
-                nm = np.linalg.norm(m)
-                cent[ci] = m / nm if nm > 0 else cent[ci]
-    cent_list = cent.tolist()
-
-    # -- 2. probe-assign every vector (Arrow-batched matmul) ---------------
-    def assign_probe(batches):
-        cmat = np.asarray(cent_list, dtype=np.float64)  # (k, d or d')
-        pmat = (
-            np.asarray(proj_list, dtype=np.float64)
-            if proj_list is not None
-            else None
-        )
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            mat_n = mat / norms
-            if pmat is not None:
-                mat_n = mat_n @ pmat.T
-                pn = np.linalg.norm(mat_n, axis=1, keepdims=True)
-                pn[pn == 0.0] = 1.0
-                mat_n = mat_n / pn
-            sims = mat_n @ cmat.T  # (rows, k)
-            top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
-            ids = np.repeat(pdf["id"].to_numpy(), probe)
-            vs = pdf["v"].to_numpy().repeat(probe)
-            yield pd.DataFrame(
-                {"cluster": top.ravel().astype("int32"), "id": ids, "v": vs}
-            )
-
-    assigned = unit.mapInPandas(
-        assign_probe, schema=f"cluster int, id long, v array<double>"
+    cent_list, proj_list = _train_spherical_centroids(
+        unit, n, n_clusters, train_sample, lloyd_iters, seed, assign_dim
     )
+    assigned = _probe_assign_clusters(unit, cent_list, proj_list, probe)
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        _triangle_pairs_kernel(t), schema="id_a long, id_b long, cosine double"
+    )
+    # a pair sharing several probed centroids is found several times
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
-    # -- 3. exact cosine within each cluster group -------------------------
-    chunk = 4096
 
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+def embedding_near_dup_incremental(
+    batch: DataFrame,
+    corpus_assigned: DataFrame,
+    model,
+    threshold: float = 0.95,
+    probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Continual-ingest SemDeDup: near-dup pairs TOUCHING a new batch
+    against a corpus whose cluster assignments are already persisted
+    (embedding_cluster_assign under the same frozen model) — the
+    embedding analog of minhash_lsh_pairs_incremental.
+
+    Per cluster (cogrouped, so the corpus is partition-pruned to the
+    clusters the batch actually probes): one chunked batch x corpus
+    GEMM plus the upper-triangle batch x batch kernel. Emitted pairs
+    are exact cosines; equals the full at-scale recompute over
+    corpus ∪ batch (same model) restricted to batch-touching pairs —
+    pinned in tests. Cost is O(|batch| x cluster density), the corpus
+    is never re-clustered or re-compared against itself.
+
+    Caller contract: batch ids are new (disjoint from the corpus);
+    a re-ingested id would pair with its own old row."""
+    import numpy as np
+    import pandas as pd
+
+    t = float(threshold)
+    if not -1.0 <= t <= 1.0:
+        raise ValueError("cosine threshold must be in [-1, 1]")
+    b_assigned = embedding_cluster_assign(
+        batch, model, probe=probe, id_col=id_col, vec_col=vec_col
+    )
+    triangle = _triangle_pairs_kernel(t)
+    chunk = _NEAR_DUP_CHUNK
+
+    def pair_batch(corp_pdf: pd.DataFrame, bat_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series(dtype="int64"),
@@ -914,48 +1094,46 @@ def embedding_near_dup_at_scale(
                 "cosine": pd.Series(dtype="float64"),
             }
         )
-        if len(pdf) < 2:
+        if bat_pdf.empty:
             return empty
-        # sort by id so chunks tile the upper triangle cleanly: within
-        # the diagonal chunk ga<gb dedups; across chunks (j0 > i0) every
-        # right id already exceeds every left id
-        pdf = pdf.sort_values("id")
-        ids = pdf["id"].to_numpy()
-        mat = np.stack([np.asarray(v) for v in pdf["v"].to_numpy()])
-        norms = np.linalg.norm(mat, axis=1)
         out = []
-        # chunk both sides so the cos submatrix stays ~chunk² doubles
-        # regardless of cluster size (skewed clusters can't OOM a task)
-        for i0 in range(0, len(ids), chunk):
-            mi = mat[i0 : i0 + chunk]
-            ni = norms[i0 : i0 + chunk]
-            for j0 in range(i0, len(ids), chunk):
-                mj = mat[j0 : j0 + chunk]
-                nj = norms[j0 : j0 + chunk]
-                denom = np.outer(ni, nj)
+        bb = triangle(bat_pdf)
+        if len(bb):
+            out.append(bb)
+        if not corp_pdf.empty:
+            bmat = np.stack([np.asarray(v) for v in bat_pdf["v"].to_numpy()])
+            bids = bat_pdf["id"].to_numpy()
+            bn = np.linalg.norm(bmat, axis=1)
+            cids_all = corp_pdf["id"].to_numpy()
+            cvs = corp_pdf["v"].to_numpy()
+            for j0 in range(0, len(cids_all), chunk):
+                cmat = np.stack([np.asarray(v) for v in cvs[j0 : j0 + chunk]])
+                cn = np.linalg.norm(cmat, axis=1)
+                denom = np.outer(bn, cn)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = np.where(denom == 0.0, 0.0, (mi @ mj.T) / denom)
+                    cos = np.where(denom == 0.0, 0.0, (bmat @ cmat.T) / denom)
                 cos = np.round(cos, 6)
                 ia, ib = np.nonzero(cos >= t)
-                ga, gb = ids[i0 + ia], ids[j0 + ib]
-                keep = ga < gb
-                if keep.any():
+                if len(ia):
+                    ga, gb = bids[ia], cids_all[j0 + ib]
                     out.append(
                         pd.DataFrame(
                             {
-                                "id_a": np.minimum(ga, gb)[keep],
-                                "id_b": np.maximum(ga, gb)[keep],
-                                "cosine": cos[ia, ib][keep],
+                                "id_a": np.minimum(ga, gb),
+                                "id_b": np.maximum(ga, gb),
+                                "cosine": cos[ia, ib],
                             }
                         )
                     )
         return pd.concat(out) if out else empty
 
-    pairs = assigned.groupBy("cluster").applyInPandas(
-        cluster_pairs, schema="id_a long, id_b long, cosine double"
+    pairs = (
+        corpus_assigned.groupBy("cluster")
+        .cogroup(b_assigned.groupBy("cluster"))
+        .applyInPandas(pair_batch, schema="id_a long, id_b long, cosine double")
     )
-    # a pair sharing several probed centroids is found several times
     return pairs.dropDuplicates(["id_a", "id_b"])
+
 
 
 def _strict_windows(toks, k: int):

@@ -783,6 +783,36 @@ class VectorStore:
             .select("key", "change_type")
         )
 
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Retention GC: drop snapshot and index versions older than
+        the newest `keep_last` of each. Old versions exist only to
+        serve time travel (diff_versions) — at 100 TB they are the
+        dominant storage cost, and the reference keeps exactly ONE
+        checkpoint (src/datanode/handler.py:160-176 overwrites the
+        checkpoint path in place); `keep_last` generalizes that to a
+        bounded history. Serving reads only the newest version, so
+        vacuum never affects query results (pinned in tests). Returns
+        the number of version directories removed."""
+        import re as _re
+        import shutil as _shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        removed = 0
+        data_dir, cent_dir, meta_dir = self._index_dirs()
+        for d in (self._snap_dir, data_dir, cent_dir, meta_dir):
+            if not os.path.isdir(d):
+                continue
+            versions = sorted(
+                int(m.group(1))
+                for f in os.listdir(d)
+                if (m := _re.fullmatch(r"v=(\d+)", f))
+            )
+            for v in versions[:-keep_last]:
+                _shutil.rmtree(os.path.join(d, f"v={v}"), ignore_errors=True)
+                removed += 1
+        return removed
+
     def compact(self) -> int:
         """Fold the change-log into the next snapshot version
         (O13 checkpoint + O14 rebuild: tombstones physically dropped).

@@ -461,3 +461,73 @@ def test_bucketed_span_state_probe_prunes_and_matches(spark, tmp_path):
     )
     # the reposted 8-token run is flagged through the pruned probe
     assert c_pruned.first()["n_removed_tokens"] == 8
+
+
+def test_embedding_near_dup_incremental_equals_union_recompute(spark):
+    """Continual-ingest SemDeDup: batch-vs-corpus pairs under a frozen
+    model must equal the at-scale recompute over corpus ∪ batch (same
+    model) restricted to batch-touching pairs — the minhash
+    incremental contract applied to embeddings."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.dedup import (
+        _triangle_pairs_kernel,
+        embedding_cluster_assign,
+        embedding_cluster_model,
+        embedding_near_dup_incremental,
+    )
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    base_rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(400)
+    ]
+    # batch: 30 fresh vectors, 10 near-twins of corpus rows, 5 in-batch
+    # twin pairs
+    batch_rows = [
+        (1000 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(30)
+    ]
+    for j in range(10):
+        v = np.asarray(base_rows[j * 7][1]) + rng.normal(size=dim) * 1e-3
+        batch_rows.append((1100 + j, [float(x) for x in v]))
+    for j in range(5):
+        v = np.asarray(batch_rows[j][1]) + rng.normal(size=dim) * 1e-3
+        batch_rows.append((1200 + j, [float(x) for x in v]))
+
+    corpus = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    model = embedding_cluster_model(corpus, target_cluster_rows=64)
+    corpus_assigned = embedding_cluster_assign(corpus, model, probe=2)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_incremental(
+            batch, corpus_assigned, model, threshold=0.98, probe=2
+        ).collect()
+    }
+
+    # union recompute under the SAME frozen model
+    union_assigned = corpus_assigned.unionByName(
+        embedding_cluster_assign(batch, model, probe=2)
+    )
+    all_pairs = union_assigned.groupBy("cluster").applyInPandas(
+        _triangle_pairs_kernel(0.98),
+        schema="id_a long, id_b long, cosine double",
+    ).dropDuplicates(["id_a", "id_b"])
+    batch_ids = {r[0] for r in batch_rows}
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in all_pairs.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    assert got == want
+    # every planted twin pair found (corpus-batch and batch-batch legs)
+    planted_cb = {(j * 7, 1100 + j) for j in range(10)}
+    planted_bb = {(1000 + j, 1200 + j) for j in range(5)}
+    assert (planted_cb | planted_bb) <= set(got)
+    # no corpus-corpus pairs leak into the incremental report
+    assert all(a in batch_ids or b in batch_ids for a, b in got)

@@ -454,3 +454,39 @@ def test_hnsw_search_with_metadata_predicate(spark, tmp_path):
     ]
     assert got == want
     assert all(int(k[1:]) % 2 == 1 for k, _ in got)
+
+
+def test_vacuum_drops_old_versions_keeps_serving(store, tmp_path):
+    """Retention GC (the reference keeps ONE checkpoint, handler.py:
+    160-176; vacuum generalizes to a bounded history): old snapshot
+    versions disappear, serving and recent time travel are untouched."""
+    import os
+
+    store.put("a", [1.0, 0.0, 0.0, 0.0])
+    store.compact()                         # v0
+    store.put("b", [0.0, 1.0, 0.0, 0.0])
+    store.compact()                         # v1
+    store.put("a", [9.0, 0.0, 0.0, 0.0])
+    store.delete("b")
+    store.compact()                         # v2
+    snap_dir = store._snap_dir
+    assert sorted(os.listdir(snap_dir)) == ["v=0", "v=1", "v=2"]
+
+    removed = store.vacuum(keep_last=2)
+    assert removed == 1
+    assert sorted(os.listdir(snap_dir)) == ["v=1", "v=2"]
+    # serving unchanged
+    assert store.get("a")["vector"] == [9.0, 0.0, 0.0, 0.0]
+    assert store.get("b") is None
+    # time travel over RETAINED versions still works
+    diff = {r["key"]: r["change_type"]
+            for r in store.diff_versions(1, 2).collect()}
+    assert diff == {"a": "updated", "b": "deleted"}
+
+    # keep_last=1 keeps only the newest; serving still fine
+    assert store.vacuum(keep_last=1) == 1
+    assert sorted(os.listdir(snap_dir)) == ["v=2"]
+    assert store.count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        store.vacuum(keep_last=0)
