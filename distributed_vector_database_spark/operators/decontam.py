@@ -209,6 +209,13 @@ def source_overlap(
         F.col(group_col).alias("grp"),
         F.explode(_gram_set(staged, n, text_col)).alias("g"),
     ).distinct()
+    # the distinct (slice, gram) table feeds THREE consumers (both
+    # self-join sides + the totals agg); without staging, Catalyst
+    # replans the scan+explode+distinct subtree into each one — 20
+    # exchanges measured. Materialize it once (at 100 TB this is a
+    # warehouse write; locally an eager checkpoint) and the plan drops
+    # to the self-join's own shuffles.
+    grams = grams.localCheckpoint(eager=True)
     totals = grams.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
     shared = (
         grams.alias("a")

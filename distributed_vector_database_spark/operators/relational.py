@@ -576,15 +576,20 @@ def retention_cohorts(
     later week offset, the fraction of the cohort still active.
     (cohort_week, week_offset, n_active, n_cohort, retention).
 
-    Plan: one agg finds each user's first week (shuffle on user), the
-    activity set is a distinct over (user, week) — both shuffles sized
-    by users x active weeks, never raw events; the cohort join
-    broadcasts the tiny cohort-size table."""
+    Plan: raw events collapse ONCE to the distinct (user, week)
+    activity set (the only event-scale shuffle), which is staged
+    (eager checkpoint — at 100 TB, a warehouse write) because three
+    consumers derive from it: the first-week agg, the cohort sizes,
+    and the offset join. Every later shuffle is sized by
+    users x active weeks, never raw events; the cohort join broadcasts
+    the tiny cohort-size table."""
     wk = F.date_trunc("week", F.col(ts_col))
-    first = events.groupBy(user_col).agg(
-        F.to_date(F.min(wk)).alias("cohort_week")
-    )
     active = events.select(user_col, wk.alias("week")).distinct()
+    active = active.localCheckpoint(eager=True)
+    first = active.groupBy(user_col).agg(
+        F.to_date(F.min("week")).alias("cohort_week")
+    )
+    first = first.localCheckpoint(eager=True)
     cohort_sizes = first.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort")
     )
@@ -604,7 +609,12 @@ def retention_cohorts(
     return (
         joined.filter(F.col("week_offset") <= max_offset)
         .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+        # count(*), not count_distinct: the input is the DISTINCT
+        # (user, week) set and distinct weeks map to distinct offsets
+        # for a fixed user (week-truncated values differ by >= 7 days),
+        # so each user contributes at most one row per offset — same
+        # result without count_distinct's Expand + extra shuffle
+        .agg(F.count(F.lit(1)).alias("n_active"))
         .join(F.broadcast(cohort_sizes), "cohort_week")
         .select(
             "cohort_week",
