@@ -704,6 +704,72 @@ def hnsw_append(
             fh.write("")
 
 
+def hnsw_tune_ef(
+    spark,
+    path: str,
+    sample_queries: Sequence[Sequence[float]],
+    k: int = DEFAULT_TOP_K,
+    target_recall: float = 0.95,
+    ef_grid: Sequence[int] = (16, 32, 64, 128, 256),
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Pick the smallest beam width meeting a recall target — the
+    auto-tuning the reference skips (it hardcodes set_ef(64),
+    src/datanode/handler.py:112, regardless of corpus or k).
+
+    Offline calibration pass over a persisted hnsw_write layout:
+    ground truth per sample query comes from the layout's own
+    exhaustive mode (ef >= shard rows — the same bit-exact kernel the
+    hash anchors pin), then each candidate ef is measured ascending
+    and the first whose MEAN recall@k reaches `target_recall` wins.
+    Returns {"ef": chosen (None if the grid tops out below target),
+    "profile": [(ef, recall, sec_per_query), ...]}.
+
+    Cost: |grid| x |sample| searches against the prebuilt index —
+    serving-shaped work, run it once per (corpus, k) regime and store
+    the ef beside the layout. Recall is monotone in ef (a wider beam
+    only adds candidates), so first-hit is globally minimal on the
+    grid."""
+    import time as _time
+
+    queries = [[float(x) for x in q] for q in sample_queries]
+    if not queries:
+        raise ValueError("sample_queries must be non-empty")
+    truth = [
+        {
+            r[key_col]
+            for r in hnsw_read_search(
+                spark, path, q, k=k, key_col=key_col, vec_col=vec_col,
+                ef=10**9,
+            ).collect()
+        }
+        for q in queries
+    ]
+    profile: list[tuple[int, float, float]] = []
+    chosen = None
+    for ef in sorted(set(int(e) for e in ef_grid)):
+        hits, denom = 0, 0
+        t0 = _time.time()
+        for q, want in zip(queries, truth):
+            got = {
+                r[key_col]
+                for r in hnsw_read_search(
+                    spark, path, q, k=k, key_col=key_col, vec_col=vec_col,
+                    ef=ef,
+                ).collect()
+            }
+            hits += len(got & want)
+            denom += len(want)
+        per_q = (_time.time() - t0) / len(queries)
+        recall = hits / denom if denom else 1.0
+        profile.append((ef, round(recall, 4), round(per_q, 4)))
+        if chosen is None and recall >= target_recall:
+            chosen = ef
+            break
+    return {"ef": chosen, "profile": profile}
+
+
 def hnsw_compact(
     spark,
     path: str,

@@ -439,3 +439,45 @@ def test_knn_join_requires_exactly_one_source(tables):
         hnsw_knn_join(queries)
     with pytest.raises(ValueError, match="exactly one"):
         hnsw_knn_join(queries, emb, index_path="/tmp/x")
+
+
+def test_hnsw_tune_ef_picks_smallest_meeting_target(spark, tmp_path):
+    """The ef auto-tuner (the knob the reference hardcodes to 64):
+    first grid ef whose mean recall@k vs the layout's own exhaustive
+    mode reaches the target; profile recalls are monotone in ef."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_read_search,
+        hnsw_tune_ef,
+        hnsw_write,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(8, 16)) * 5
+    labels = rng.integers(0, 8, 600)
+    rows = [
+        (i, [float(x) for x in centers[labels[i]] + rng.normal(size=16) * 0.3])
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    hnsw_write(emb, path, num_shards=2)
+
+    qs = [rows[i][1] for i in (5, 100, 300)]
+    out = hnsw_tune_ef(
+        spark, path, qs, k=10, target_recall=0.9, ef_grid=(8, 32, 128)
+    )
+    assert out["ef"] is not None
+    # the chosen ef actually delivers the target on the samples
+    last_ef, last_recall, _ = out["profile"][-1]
+    assert last_ef == out["ef"] and last_recall >= 0.9
+    # recall monotone along the measured prefix
+    recalls = [r for _, r, _ in out["profile"]]
+    assert recalls == sorted(recalls)
+
+    # unreachable target: grid tops out, ef is None, full profile kept
+    out2 = hnsw_tune_ef(
+        spark, path, qs, k=10, target_recall=1.01, ef_grid=(8, 16)
+    )
+    assert out2["ef"] is None and len(out2["profile"]) == 2
