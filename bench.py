@@ -203,11 +203,14 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # this query's caches must not tax the next
 
-    # index build vs probe split (serving cost surfaced separately)
+    # index build vs probe split (serving cost surfaced separately).
+    # These rows stay OUT of the headline total: offline build wall
+    # time inside `value` would read as a uniform regression against
+    # rounds whose totals never contained it.
+    phases: dict[str, float] = {}
     try:
-        split = _split_phase_rows(spark, sf_dir)
-        for name, sec in split.items():
-            timings[name] = sec
+        phases = _split_phase_rows(spark, sf_dir)
+        for name, sec in phases.items():
             print(f"# {name}: {sec:.3f}s", file=sys.stderr)
         spark.catalog.clearCache()
     except Exception as exc:  # noqa: BLE001
@@ -221,6 +224,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "phase_split": phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -239,9 +243,10 @@ def main() -> None:
             if baseline.get("sf") == out["sf"]
             else {}
         )
+        measured = {**timings, **phases}
         ratios = {
             name: round(sec / pinned[name]["sec"], 2)
-            for name, sec in timings.items()
+            for name, sec in measured.items()
             if name in pinned and pinned[name]["sec"] > 0
         }
         if ratios:
@@ -250,7 +255,7 @@ def main() -> None:
             out["max_ratio"] = ratios[worst]
             out["max_ratio_query"] = worst
             out["unpinned_queries"] = sorted(
-                n for n in timings if n not in pinned
+                n for n in measured if n not in pinned
             )
 
     if failures:

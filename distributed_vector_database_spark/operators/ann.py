@@ -329,6 +329,9 @@ def ivf_append(
         _os.path.join(marker_dir, f"b={batch_id}")
     ):
         return
+    # a null vector has no cell — appending it would crash ivf_assign's
+    # np.stack on the executors, so drop such rows up front
+    batch = batch.filter(F.col(vec_col).isNotNull())
     keys = [r[key_col] for r in batch.select(key_col).distinct().collect()]
     stored = spark.read.parquet(path)
     existing = [

@@ -1064,13 +1064,16 @@ def embedding_near_dup_incremental(
     (embedding_cluster_assign under the same frozen model) — the
     embedding analog of minhash_lsh_pairs_incremental.
 
-    Per cluster (cogrouped, so the corpus is partition-pruned to the
-    clusters the batch actually probes): one chunked batch x corpus
-    GEMM plus the upper-triangle batch x batch kernel. Emitted pairs
-    are exact cosines; equals the full at-scale recompute over
-    corpus ∪ batch (same model) restricted to batch-touching pairs —
-    pinned in tests. Cost is O(|batch| x cluster density), the corpus
-    is never re-clustered or re-compared against itself.
+    Per cluster (cogrouped, with the corpus first FILTERED to the
+    batch's probed cluster ids — collected driver-side, <= |batch| x
+    probe values, so the isin predicate pushes into the corpus scan
+    and untouched clusters never shuffle or deserialize): one chunked
+    batch x corpus GEMM plus the upper-triangle batch x batch kernel.
+    Emitted pairs are exact cosines; equals the full at-scale
+    recompute over corpus ∪ batch (same model) restricted to
+    batch-touching pairs — pinned in tests. Cost is O(|batch| x
+    cluster density), the corpus is never re-clustered or re-compared
+    against itself.
 
     Caller contract: batch ids are new (disjoint from the corpus);
     a re-ingested id would pair with its own old row."""
@@ -1083,6 +1086,18 @@ def embedding_near_dup_incremental(
     b_assigned = embedding_cluster_assign(
         batch, model, probe=probe, id_col=id_col, vec_col=vec_col
     )
+    # the batch probes at most |batch| x probe clusters — prune the
+    # corpus to exactly those before the cogroup, otherwise every
+    # corpus cluster shuffles and Arrow-deserializes per batch just to
+    # return an empty frame (O(|corpus|) instead of the promised
+    # O(|batch| x cluster density)). Driver-side collect is bounded
+    # and the isin predicate reaches a parquet-backed corpus scan.
+    b_assigned = b_assigned.localCheckpoint(eager=True)
+    probed = [
+        r["cluster"]
+        for r in b_assigned.select("cluster").distinct().collect()
+    ]
+    corpus_assigned = corpus_assigned.filter(F.col("cluster").isin(probed))
     triangle = _triangle_pairs_kernel(t)
     chunk = _NEAR_DUP_CHUNK
 

@@ -346,7 +346,13 @@ def hnsw_write(
     key_type = dict(df.dtypes)[key_col]
 
     def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(batches), ignore_index=True)
+        frames = list(batches)
+        if not frames:
+            # a shard with fewer rows than partitions arrives as zero
+            # Arrow batches — emit nothing, the layout just has fewer
+            # populated shard directories
+            return
+        rows = pd.concat(frames, ignore_index=True)
         if rows.empty:
             return
         rows = rows.sort_values(key_col, kind="mergesort").reset_index(drop=True)
@@ -418,23 +424,51 @@ def hnsw_delete(path: str, keys: Sequence) -> int:
     (handler.py:90-118 → hnsw_compact, which rewrites only affected
     shards instead of the reference's full rebuild).
 
-    O(|keys|): one JSON tombstone file appended under
+    O(|keys|): one JSON tombstone record appended under
     `path/_tombstones/` (underscore prefix → invisible to the parquet
-    scans). Tombstones are bounded between compactions; at 100 TB the
-    set rides the same driver->closure path the query vector does.
+    scans). Records are APPEND-ONLY and carry a monotone sequence in
+    the file name; resurrection (hnsw_append re-putting a deleted key)
+    appends a `remove` record instead of rewriting the set, so there
+    is no crash window in which unrelated tombstones vanish.
+    Tombstones are bounded between compactions; at 100 TB the set
+    rides the same driver->closure path the query vector does.
     Returns the total number of distinct tombstoned keys."""
+    _append_tombstone_record(path, sorted(set(keys)))
+    return len(_read_tombstones(path))
+
+
+def _tombstone_seq(fn: str) -> int:
+    # new-style names: t-<seq:08d>-<uuid>.json; legacy names parse to 0
+    parts = fn.split("-")
+    if len(parts) >= 3 and parts[1].isdigit():
+        return int(parts[1])
+    return 0
+
+
+def _append_tombstone_record(path: str, payload) -> None:
+    """Atomically append one ordered record (a list = keys to add, or
+    {'remove': [...]} = keys to resurrect) to the tombstone log."""
     import json as _json
     import os as _os
     import uuid as _uuid
 
     tdir = _os.path.join(path, "_tombstones")
     _os.makedirs(tdir, exist_ok=True)
-    with open(_os.path.join(tdir, f"t-{_uuid.uuid4().hex[:12]}.json"), "w") as fh:
-        _json.dump(sorted(set(keys)), fh)
-    return len(_read_tombstones(path))
+    seq = 1 + max(
+        (_tombstone_seq(f) for f in _os.listdir(tdir) if f.endswith(".json")),
+        default=0,
+    )
+    fn = _os.path.join(tdir, f"t-{seq:08d}-{_uuid.uuid4().hex[:12]}.json")
+    tmp = fn + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+    _os.replace(tmp, fn)
 
 
 def _read_tombstones(path: str) -> frozenset:
+    """Fold the ordered tombstone log: plain-list records add keys,
+    {'remove': [...]} records resurrect them. Legacy (unsequenced)
+    records are all adds, so their relative order is immaterial."""
     import json as _json
     import os as _os
 
@@ -442,10 +476,15 @@ def _read_tombstones(path: str) -> frozenset:
     if not _os.path.isdir(tdir):
         return frozenset()
     out: set = set()
-    for fn in sorted(_os.listdir(tdir)):
-        if fn.endswith(".json"):
-            with open(_os.path.join(tdir, fn)) as fh:
-                out.update(_json.load(fh))
+    names = [f for f in _os.listdir(tdir) if f.endswith(".json")]
+    for fn in sorted(names, key=lambda f: (_tombstone_seq(f), f)):
+        with open(_os.path.join(tdir, fn)) as fh:
+            rec = _json.load(fh)
+        if isinstance(rec, dict):
+            out.difference_update(rec.get("remove", ()))
+            out.update(rec.get("add", ()))
+        else:
+            out.update(rec)
     return frozenset(out)
 
 
@@ -488,6 +527,12 @@ def hnsw_read_search(
             if tomb
             else np.zeros(n, dtype=bool)
         )
+        # a re-put key holds two graph nodes (appends can't unlink the
+        # old one); NEWEST node wins = max node_idx per key, since
+        # hnsw_append routes a key to the same shard hnsw_write did and
+        # appended nodes always take higher indices. Mask the stale
+        # ones so a changed vector never serves its overwritten score.
+        dead |= pdf.duplicated(subset=[key_col], keep="last").to_numpy()
         qv = np.asarray(qlist, dtype=np.float64)
         kk = min(fetch, n)
         eff_ef = max(ef if ef is not None else max(50, 2 * k), k)
@@ -512,9 +557,10 @@ def hnsw_read_search(
     local = nodes.groupBy("shard_id").applyInPandas(
         search_shard, schema=f"{key_col} {key_type}, score double"
     )
-    # a re-put key appears as two graph nodes (the reference tombstones
-    # the old hnsw_id; here the newest row wins at the store layer) —
-    # dedup to the best score per key, like knn_sharded's replica dedup
+    # within a shard the stale duplicate of a re-put key is already
+    # masked (newest node_idx wins, above); this cross-shard dedup is
+    # a safety net for layouts merged from foreign shards, mirroring
+    # knn_sharded's replica dedup
     from pyspark.sql.window import Window as _W
 
     dw = _W.partitionBy(key_col).orderBy("score")
@@ -549,9 +595,10 @@ def hnsw_append(
     atomic path.
 
     A tombstoned key (hnsw_delete) that reappears in a batch is
-    RESURRECTED: its key leaves the tombstone set, and serving dedups
-    the old and new graph nodes to one row per key (newest-wins for
-    changed vectors stays the store layer's job, as below).
+    RESURRECTED: a `remove` record is appended to the tombstone log,
+    and serving keeps only the NEWEST graph node per key (max
+    node_idx), so a re-put with a changed vector serves the new
+    vector even though the old node stays physically linked.
 
     `batch_id` (for foreachBatch callers): applied ids are recorded as
     marker files and replayed batches are skipped. The marker lands
@@ -680,24 +727,22 @@ def hnsw_append(
     )
     # re-putting a tombstoned key RESURRECTS it (upsert semantics, the
     # reference's put path: the old node stays tombstoned, the new one
-    # serves) — drop appended keys from the tombstone set
+    # serves) — append a `remove` record for the keys that actually
+    # gained a node (null-vector rows appended nothing, so they must
+    # not resurrect), leaving every other tombstone untouched even if
+    # we crash mid-way
     tomb = _read_tombstones(path)
     if tomb:
         hit = {
             r[key_col]
-            for r in batch.select(key_col)
+            for r in batch.filter(F.col(vec_col).isNotNull())
+            .select(key_col)
             .filter(F.col(key_col).isin(list(tomb)))
             .distinct()
             .collect()
         }
         if hit:
-            import shutil as _shutil
-
-            tdir = _os.path.join(path, "_tombstones")
-            _shutil.rmtree(tdir, ignore_errors=True)
-            remaining = tomb - hit
-            if remaining:
-                hnsw_delete(path, remaining)
+            _append_tombstone_record(path, {"remove": sorted(hit)})
     if batch_id is not None:
         _os.makedirs(marker_dir, exist_ok=True)
         with open(_os.path.join(marker_dir, f"b={batch_id}"), "w") as fh:
@@ -784,26 +829,38 @@ def hnsw_compact(
     rebuilds ONLY the shards that actually contain tombstoned keys
     (dynamic partition overwrite; untouched shards keep their files
     and graphs) — O(affected shards), not O(corpus). A shard whose
-    every row is tombstoned has its directory removed. Afterwards the
-    tombstone set is empty and serving pays zero filter cost again.
-    Returns the number of graph nodes physically removed."""
+    every row is tombstoned has its directory removed. Stale duplicate
+    nodes left by re-puts (hnsw_append keeps the old node linked; only
+    the max-node_idx one serves) are reclaimed in the same pass.
+    Afterwards the tombstone set is empty and serving pays zero filter
+    cost again. Returns the number of graph nodes physically
+    removed."""
     import os as _os
     import shutil as _shutil
 
     import numpy as np
     import pandas as pd
+    from pyspark.sql.window import Window as _W
 
     tomb = _read_tombstones(path)
-    if not tomb:
-        return 0
     nodes = spark.read.parquet(path)
     key_type = dict(nodes.dtypes)[key_col]
-    dead = nodes.filter(F.col(key_col).isin(list(tomb)))
+    nw = _W.partitionBy("shard_id", key_col).orderBy(F.desc("node_idx"))
+    nodes_rn = nodes.withColumn("__rn", F.row_number().over(nw))
+    stale = F.col("__rn") > 1
+    tombed = (
+        F.col(key_col).isin(list(tomb)) if tomb else F.lit(False)
+    )
+    dead = nodes_rn.filter(stale | tombed)
     shards = [r["shard_id"] for r in dead.select("shard_id").distinct().collect()]
     removed = dead.count()
+    if not removed and not tomb:
+        return 0
     if shards:
-        survivors = nodes.filter(F.col("shard_id").isin(shards)).filter(
-            ~F.col(key_col).isin(list(tomb))
+        survivors = (
+            nodes_rn.filter(F.col("shard_id").isin(shards))
+            .filter(~stale & ~tombed)
+            .drop("__rn")
         )
 
         out_schema = (

@@ -501,6 +501,39 @@ def funnel(
     )
 
 
+def report_from_steps_completed(
+    per_user: DataFrame,
+    steps: list[str],
+    completed_col: str = "steps_completed",
+) -> DataFrame:
+    """Shared tail of the batch and served funnel reports: turn a
+    (user, steps-completed) frame into the conversion table — one row
+    per step, n_users = users who completed AT LEAST that step,
+    zero-filled via a left join onto a literal steps frame. Both
+    funnel_report and streaming/funnel_state.py::serve_funnel_report
+    call this, so the served-equals-batch hash contract can't drift."""
+    steps_df = per_user.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    step_idx = F.explode(
+        F.sequence(F.lit(1), F.lit(len(steps)))
+    ).alias("step")
+    counts = (
+        per_user.select(F.col(completed_col).alias("__done"), step_idx)
+        .filter(F.col("__done") >= F.col("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        steps_df.join(counts, "step", "left")
+        .select(
+            "step",
+            "step_name",
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+        )
+    )
+
+
 def funnel_report(
     events: DataFrame,
     steps: list[str],
@@ -514,26 +547,7 @@ def funnel_report(
     (the counts frame is left-joined onto a literal steps frame, so a
     zero-completion step can't vanish from the report)."""
     per_user = funnel(events, steps, user_col, ts_col, type_col)
-    steps_df = events.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
-    )
-    step_idx = F.explode(
-        F.sequence(F.lit(1), F.lit(len(steps)))
-    ).alias("step")
-    counts = (
-        per_user.select("steps_completed", step_idx)
-        .filter(F.col("steps_completed") >= F.col("step"))
-        .groupBy("step")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-    return (
-        steps_df.join(counts, "step", "left")
-        .select(
-            "step",
-            "step_name",
-            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
-        )
-    )
+    return report_from_steps_completed(per_user, steps)
 
 
 def assign_sessions(

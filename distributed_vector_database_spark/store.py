@@ -800,7 +800,8 @@ class VectorStore:
             raise ValueError("keep_last must be >= 1")
         removed = 0
         data_dir, cent_dir, meta_dir = self._index_dirs()
-        for d in (self._snap_dir, data_dir, cent_dir, meta_dir):
+        hnsw_dir = os.path.join(self.root, "hnsw_index")
+        for d in (self._snap_dir, data_dir, cent_dir, meta_dir, hnsw_dir):
             if not os.path.isdir(d):
                 continue
             versions = sorted(

@@ -153,28 +153,21 @@ def build_funnel_fold(
 def serve_funnel_report(
     spark: SparkSession, state_dir: str, steps: list[str]
 ) -> DataFrame:
-    """Conversion table served from maintained state: for each step,
-    how many users completed AT LEAST that many ordered steps. Always
-    one row per step (left join onto a literal steps frame zero-fills
-    unreached steps) — the exact shape of the batch funnel_report."""
-    st = read_latest_funnel_state(spark, state_dir)
-    steps_df = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    """Conversion table served from maintained state — the exact shape
+    (and code path: operators/relational.py::report_from_steps_completed)
+    of the batch funnel_report, so the served-equals-batch hash
+    contract can't drift. A stream that consumed zero events has no
+    state versions; that serves the same all-zero report the batch
+    operator produces on an empty event set."""
+    from distributed_vector_database_spark.operators.relational import (
+        report_from_steps_completed,
     )
-    counts = (
-        st.select(
-            F.col("s").alias("steps_completed"),
-            F.explode(F.sequence(F.lit(1), F.lit(len(steps)))).alias("step"),
-        )
-        .filter(F.col("steps_completed") >= F.col("step"))
-        .groupBy("step")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-    return steps_df.join(counts, "step", "left").select(
-        "step",
-        "step_name",
-        F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
-    )
+
+    try:
+        st = read_latest_funnel_state(spark, state_dir)
+    except FileNotFoundError:
+        st = spark.createDataFrame([], "user long, s int, lt timestamp")
+    return report_from_steps_completed(st, steps, completed_col="s")
 
 
 def run_funnel_stream(

@@ -54,7 +54,14 @@ def build_ivf_changelog_fold(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        puts = last.filter(F.col(op_col) == "put").drop(op_col, seq_col)
+        # a malformed put carrying a null vector would crash
+        # ivf_assign's np.stack executor-side and kill the stream —
+        # drop it here (the HNSW twin filters inside hnsw_append)
+        puts = (
+            last.filter(F.col(op_col) == "put")
+            .filter(F.col(vec_col).isNotNull())
+            .drop(op_col, seq_col)
+        )
         dels = [
             r[key_col]
             for r in last.filter(F.col(op_col) == "delete")

@@ -217,3 +217,127 @@ def test_hnsw_compact_removes_fully_victim_shard(spark, tmp_path):
     left = spark.read.parquet(path)
     assert left.filter(F.col("vec_id").isin(shard_keys)).count() == 0
     assert left.count() == 80 - len(shard_keys)
+
+
+def test_hnsw_reput_changed_vector_serves_new_vector(spark, tmp_path):
+    """Newest node wins: a re-put key with a CHANGED vector must serve
+    the new vector's score, never the stale node's (the reference
+    tombstones the old hnsw_id on re-put, handler.py:253-261)."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_append,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=120)
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    # key 3 exactly matches q before the re-put
+    assert _ids(emb, hnsw_read_search(spark, path, q, k=1, ef=10**9)) == [3]
+
+    # move key 3 far away from q
+    far = [[float(v + 100.0) for v in q]]
+    moved = spark.createDataFrame(
+        [(3, far[0])], "vec_id long, embedding array<double>"
+    )
+    hnsw_append(spark, path, moved)
+
+    res = hnsw_read_search(spark, path, q, k=10, ef=10**9).collect()
+    by_id = {r["vec_id"]: r["score"] for r in res}
+    # stale node (score 0) must not serve; key 3 either drops out of
+    # the top-10 entirely or carries the far-away vector's distance
+    assert by_id.get(3, float("inf")) > 1.0
+    # searching near the NEW location finds key 3 first
+    assert _ids(emb, hnsw_read_search(spark, path, far[0], k=1, ef=10**9)) == [3]
+
+    # graph (beam) mode agrees: stale node masked inside the shard pool
+    res_beam = hnsw_read_search(spark, path, q, k=10, ef=64).collect()
+    assert {r["vec_id"]: r["score"] for r in res_beam}.get(
+        3, float("inf")
+    ) > 1.0
+
+
+def test_hnsw_null_vector_put_does_not_resurrect(spark, tmp_path):
+    """A put row with a NULL vector appends no node and must leave the
+    key's tombstone in place."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        _read_tombstones,
+        hnsw_append,
+        hnsw_delete,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=60)
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    hnsw_delete(path, [7, 9])
+    batch = spark.createDataFrame(
+        [(7, None), (11, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    hnsw_append(spark, path, batch)
+    assert _read_tombstones(path) == frozenset({7, 9})
+
+
+def test_hnsw_resurrection_is_append_only_and_reorderable(spark, tmp_path):
+    """Resurrection appends an ordered `remove` record instead of
+    rewriting the tombstone log, so unrelated tombstones survive any
+    crash between operations, and a later re-delete wins over an
+    earlier resurrection."""
+    import json
+    import os as _os
+
+    from distributed_vector_database_spark.operators.hnsw import (
+        _read_tombstones,
+        hnsw_append,
+        hnsw_delete,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=60)
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    hnsw_delete(path, [1, 2, 3])
+    files_before = set(_os.listdir(f"{path}/_tombstones"))
+    hnsw_append(spark, path, emb.filter(F.col("vec_id") == 2))
+    files_after = set(_os.listdir(f"{path}/_tombstones"))
+    # append-only: the delete record is untouched, one remove record added
+    assert files_before <= files_after
+    new = [f"{path}/_tombstones/{f}" for f in files_after - files_before]
+    assert len(new) == 1
+    with open(new[0]) as fh:
+        assert json.load(fh) == {"remove": [2]}
+    assert _read_tombstones(path) == frozenset({1, 3})
+
+    # re-delete after resurrection: the newer add record wins
+    hnsw_delete(path, [2])
+    assert _read_tombstones(path) == frozenset({1, 2, 3})
+
+
+def test_hnsw_compact_reclaims_stale_duplicate_nodes(spark, tmp_path):
+    """Compaction drops the stale node of a re-put key (only the
+    newest node per key survives) and results are unchanged."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_append,
+        hnsw_compact,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=100)
+    q = emb.filter(F.col("vec_id") == 5).first()["embedding"]
+    path = str(tmp_path / "hnsw")
+    hnsw_write(emb, path, num_shards=2)
+    far = spark.createDataFrame(
+        [(5, [float(v + 50.0) for v in q])],
+        "vec_id long, embedding array<double>",
+    )
+    hnsw_append(spark, path, far)
+    assert spark.read.parquet(path).filter(F.col("vec_id") == 5).count() == 2
+
+    before = [tuple(r) for r in hnsw_read_search(spark, path, q, k=7, ef=10**9).collect()]
+    removed = hnsw_compact(spark, path)
+    assert removed == 1
+    assert spark.read.parquet(path).filter(F.col("vec_id") == 5).count() == 1
+    after = [tuple(r) for r in hnsw_read_search(spark, path, q, k=7, ef=10**9).collect()]
+    assert after == before

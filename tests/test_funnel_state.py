@@ -172,3 +172,18 @@ def test_live_stream_maintains_state(spark, tmp_path):
         for r in serve_funnel_report(spark, state, STEPS).collect()
     }
     assert rep == {"view": 4, "click": 3, "purchase": 1}
+
+
+def test_serve_funnel_report_zero_events(spark, tmp_path):
+    """No state versions (the stream consumed nothing) serves the same
+    all-zero report the batch operator yields on an empty event set."""
+    from distributed_vector_database_spark.streaming.funnel_state import (
+        serve_funnel_report,
+    )
+
+    got = serve_funnel_report(
+        spark, str(tmp_path / "never_written"), ["view", "click", "buy"]
+    ).orderBy("step").collect()
+    assert [(r["step"], r["step_name"], r["n_users"]) for r in got] == [
+        (1, "view", 0), (2, "click", 0), (3, "buy", 0),
+    ]

@@ -147,3 +147,39 @@ def test_ivf_changelog_fold_and_live_stream(spark, tmp_path):
     assert [tuple(r) for r in got2.collect()] == [
         tuple(r) for r in want2.collect()
     ]
+
+
+def test_ivf_fold_ignores_null_vector_puts(spark, tmp_path):
+    """A malformed changelog put with a null embedding must be dropped,
+    not crash the micro-batch (np.stack over None kills every executor
+    task otherwise)."""
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.streaming.ivf_maintenance import (
+        build_ivf_changelog_fold,
+    )
+
+    base = _emb(spark, n=80)
+    path = str(tmp_path / "ivf")
+    centroids, assigned = ivf_build(base, n_centroids=4)
+    ivf_write(assigned, path)
+
+    fold = build_ivf_changelog_fold(path, centroids)
+    batch = spark.createDataFrame(
+        [
+            (1, "put", 200, [0.5] * 8),
+            (2, "put", 201, None),          # malformed: null vector
+            (3, "delete", 7, None),         # legitimate null on delete
+        ],
+        "seq long, op string, vec_id long, embedding array<double>",
+    )
+    fold(batch, 0)
+
+    stored = spark.read.parquet(path)
+    keys = {r["vec_id"] for r in stored.select("vec_id").collect()}
+    assert 200 in keys and 201 not in keys and 7 not in keys
+    got = ivf_search(spark, centroids, stored, [0.5] * 8, k=1, nprobe=10**9)
+    assert got.first()["vec_id"] == 200

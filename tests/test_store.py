@@ -490,3 +490,25 @@ def test_vacuum_drops_old_versions_keeps_serving(store, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         store.vacuum(keep_last=0)
+
+
+def test_vacuum_trims_hnsw_index_versions(store):
+    """Each rebuild_hnsw_index writes a full graph copy under
+    hnsw_index/v=N — the largest artifact at scale; vacuum must bound
+    that history too, and serving (newest version) stays intact."""
+    import os
+
+    for i in range(3):
+        store.put(f"k{i}", [float(i), 1.0, 0.0, 0.0])
+    store.rebuild_hnsw_index(num_shards=2)  # v0
+    store.put("k3", [3.0, 1.0, 0.0, 0.0])
+    store.rebuild_hnsw_index(num_shards=2)  # v1
+    store.put("k4", [4.0, 1.0, 0.0, 0.0])
+    store.rebuild_hnsw_index(num_shards=2)  # v2
+    hnsw_dir = os.path.join(store.root, "hnsw_index")
+    assert sorted(os.listdir(hnsw_dir)) == ["v=0", "v=1", "v=2"]
+
+    store.vacuum(keep_last=1)
+    assert sorted(os.listdir(hnsw_dir)) == ["v=2"]
+    got = [r["key"] for r in store.hnsw_search([4.0, 1.0, 0.0, 0.0], top_k=1, ef=1000).collect()]
+    assert got == ["k4"]
