@@ -552,6 +552,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_orders"] = topk_orders_q
 
+    # ---- TPC-H-shaped relational additions (round 7) ----------------------
+    # Q7/Q10/Q13/Q14/Q15/Q17/Q18/Q19 shapes over the available columns
+    # (the fixture lacks partsupp and commit/receipt dates, so Q2/Q4/
+    # Q9/Q11/Q12/Q16/Q20/Q21 have no faithful equivalent)
+
+    q["volume_shipping"] = lambda spark, sf: R.volume_shipping(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+    q["returned_item_revenue"] = lambda spark, sf: R.returned_item_revenue(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+    )
+    q["customer_order_distribution"] = (
+        lambda spark, sf: R.customer_order_distribution(
+            load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+        )
+    )
+    q["type_share_revenue"] = lambda spark, sf: R.type_share_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+    q["small_quantity_revenue"] = lambda spark, sf: R.small_quantity_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+    q["large_volume_customers"] = lambda spark, sf: R.large_volume_customers(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+    q["disjunctive_revenue"] = lambda spark, sf: R.disjunctive_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+    q["top_supplier"] = lambda spark, sf: R.top_supplier(
+        load_table(spark, sf, "supplier"), load_table(spark, sf, "lineitem")
+    )
+
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
     q["doc_stats"] = lambda spark, sf: doc_stats(load_table(spark, sf, "documents"))
@@ -2821,6 +2862,105 @@ FROM events GROUP BY event_type
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
   round(sum(o_totalprice), 2) AS total_price
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+    o["volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_19')
+  AND n2.n_name IN ('NATION_3', 'NATION_19')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+    o["returned_item_revenue"] = """
+SELECT c_custkey, c_name, n_name AS nation_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+    o["customer_order_distribution"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+    o["type_share_revenue"] = """
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+  / sum(l_extendedprice * (1 - l_discount)), 6) AS type_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1996
+"""
+
+    o["small_quantity_revenue"] = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+    o["large_volume_customers"] = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+  round(tq.total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 120.0
+) tq
+JOIN orders   ON tq.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+    o["disjunctive_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size <= 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size <= 40
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+    o["top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
 """
 
     o["orders_grouping_sets"] = """

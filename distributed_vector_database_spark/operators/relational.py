@@ -727,3 +727,253 @@ def user_rolling_window(
         F.count(F.lit(1)).over(w).alias(f"n_{days}d"),
         F.sum(value_col).over(w).alias(f"sum_{days}d"),
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_19",
+) -> DataFrame:
+    """TPC-H Q7-shaped nation-pair trade volume: revenue shipped
+    between two nations (either direction) by ship year.
+
+    Plan: both nation sides are pre-filtered to the two names and
+    broadcast, so supplier and customer prune through broadcast hash
+    joins BEFORE the big lineitem ⋈ orders shuffle — at 100 TB only
+    the two nations' lineitems reach the exchange (2/|nations| of the
+    fact table), and the year/pair grouping is a few hundred rows."""
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                supplier.join(n1, F.col("s_nationkey") == F.col("s_nk"))
+                .select("s_suppkey", "supp_nation")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def returned_item_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: customers ranked by revenue from RETURNED
+    items. The returnflag filter pushes into the lineitem scan; nation
+    broadcasts; top-k is a TakeOrderedAndProject after the agg."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(top_n)
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregation: the histogram of
+    order counts per customer INCLUDING zero-order customers (left
+    outer join, count of non-null keys). Two shuffles: one on custkey,
+    one on the tiny count domain."""
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def type_share_revenue(
+    lineitem: DataFrame, part: DataFrame, ptype: str = "ECONOMY", year: int = 1996
+) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio: the percentage of
+    that year's revenue coming from parts of one type. Part projects
+    to two columns and broadcasts; the year filter prunes the scan;
+    one reduce to a single row."""
+    return (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == ptype,
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("type_share")
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#2"
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: average yearly revenue
+    lost if small-quantity orders (below 20% of the part's average
+    quantity) of one brand were not taken. The per-part average is a
+    self-aggregation joined back on partkey — one extra shuffle on
+    partkey instead of a correlated subquery per row."""
+    thresh = (
+        lineitem.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == brand).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 120.0,
+    top_n: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped group-having-semi-join: customers whose orders
+    exceed a total-quantity threshold. The quantity aggregation is the
+    only fact-table shuffle; the surviving order keys are a tiny set
+    that semi-joins orders, then customer broadcasts in."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(top_n)
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR-ed
+    (brand, size, quantity) branches that Catalyst partially pushes
+    (the common p_partkey join key and the quantity bounds reach the
+    scans) — the canonical test that OR-heavy predicates don't force
+    a full-fact-table join."""
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity").between(1, 20))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#17")
+        & (F.col("p_size") <= 25)
+        & (F.col("l_quantity").between(10, 30))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#25")
+        & (F.col("p_size") <= 40)
+        & (F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped argmax-by-scalar-subquery: the supplier(s)
+    whose revenue in a quarter equals the maximum such revenue. The
+    per-supplier aggregation happens once and is joined against its
+    own 1-row max (broadcast nested loop over one row — benign), the
+    declarative form of the reference-free 'create view revenue'."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

@@ -98,3 +98,72 @@ def test_retention_cohorts_shape(spark, tables):
     # offset 0 is full by definition: every user is active in their
     # own first week
     assert all(r["retention"] == 1.0 for r in rows if r["week_offset"] == 0)
+
+
+def test_customer_order_distribution_includes_zero_order_customers(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    customer = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in customer_order_distribution(customer, orders).collect()
+    }
+    # customer 3 has zero orders and must appear in the 0 bucket
+    assert got == {2: 1, 1: 1, 0: 1}
+
+
+def test_top_supplier_returns_all_tied_maxima(spark):
+    import datetime
+
+    from distributed_vector_database_spark.operators.relational import (
+        top_supplier,
+    )
+
+    d = datetime.datetime(1996, 2, 1)
+    supplier = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey long, s_name string"
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, d, 100.0, 0.0),
+            (2, d, 50.0, 0.0),
+            (2, d, 50.0, 0.0),   # supplier 2 ties supplier 1 at 100
+            (3, d, 10.0, 0.0),
+            (3, datetime.datetime(1997, 1, 1), 500.0, 0.0),  # outside window
+        ],
+        "l_suppkey long, l_shipdate timestamp, l_extendedprice double, "
+        "l_discount double",
+    )
+    got = [
+        (r["s_suppkey"], r["total_revenue"])
+        for r in top_supplier(supplier, lineitem).collect()
+    ]
+    assert got == [(1, 100.0), (2, 100.0)]
+
+
+def test_small_quantity_revenue_threshold_is_per_part(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "Brand#2"), (2, "Brand#2")], "p_partkey long, p_brand string"
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # part 1: avg qty 10 -> threshold 2; only the qty-1 row counts
+            (1, 1.0, 70.0), (1, 10.0, 999.0), (1, 19.0, 999.0),
+            # part 2: avg qty 100 -> threshold 20; qty 19 counts HERE
+            (2, 19.0, 140.0), (2, 181.0, 999.0),
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    got = small_quantity_revenue(lineitem, part).first()["avg_yearly"]
+    assert got == round((70.0 + 140.0) / 7.0, 2)
