@@ -114,6 +114,14 @@ MODEL_B = -1.5
 NEG_K = 4                 # negatives per anchor (sample_negatives)
 MAXSIM_GROUPS = 50        # multi-vector docs built as vec_id % 50
 FUNNEL_STEPS = ["view", "click", "purchase"]
+MMR_K = 5                 # MMR selections
+MMR_POOL = 20             # MMR relevance-candidate pool
+MMR_LAMBDA = 0.75         # relevance/diversity trade-off (0.75 and 0.25
+                          # are exactly representable doubles — the SQL
+                          # literal and the kernel constant are bit-equal)
+RERANK_W = (-2.0, 0.5, 3.0, 1.0)  # cross-encoder stand-in: bias, bm25,
+                                  # jaccard, rel_len logistic weights
+TOPIC_SEEDS = 8           # nearest-centroid topics = embeddings of vec_id<8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +600,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_supplier"] = lambda spark, sf: R.top_supplier(
         load_table(spark, sf, "supplier"), load_table(spark, sf, "lineitem")
     )
+
+    # ---- retrieval additions (round 7): MMR / rerank / topic --------------
+
+    def mmr_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.knn import mmr_topk
+
+        return mmr_topk(
+            _emb(spark, sf), _query_vec(spark, sf),
+            k=MMR_K, pool=MMR_POOL, lam=MMR_LAMBDA,
+        )
+
+    q["mmr_topk"] = mmr_topk_q
+
+    def rerank_topk_q(spark, sf):
+        from distributed_vector_database_spark.operators.lexical import (
+            rerank_crossencoder,
+        )
+
+        return rerank_crossencoder(
+            load_table(spark, sf, "documents"), BM25_TERMS,
+            n_retrieve=HYBRID_POOL, k=10, weights=RERANK_W,
+            k1=BM25_K1, b=BM25_B,
+        )
+
+    q["rerank_topk"] = rerank_topk_q
+
+    def topic_assign_q(spark, sf):
+        from distributed_vector_database_spark.operators.ann import (
+            centroid_assign_expr,
+        )
+
+        emb = _emb(spark, sf)
+        seeds = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < TOPIC_SEEDS)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        return centroid_assign_expr(emb, seeds)
+
+    q["topic_assign"] = topic_assign_q
 
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
@@ -1979,6 +2028,50 @@ _SQL_SQ_L2 = (
     + _DV
     + ", qv)])"
 )
+
+_NORMED = (
+    "[x / sqrt(list_sum([y*y for y in " + _DV + "])) for x in " + _DV + "]"
+)
+
+
+def _mmr_oracle(k: int, pool: int, lam: float) -> str:
+    """Unrolled MMR greedy as k chained CTE steps — each step selects
+    the argmax of round(lam*rel - (1-lam)*max_cos_to_selected, 6) with
+    ties to the smaller vec_id, exactly the operators/knn.py kernel
+    (all cosines rounded 6dp before comparison on both sides)."""
+    dot = lambda a, b: f"list_sum([p[1]*p[2] for p in list_zip({a}, {b})])"  # noqa: E731
+    one_m = 1.0 - lam
+    ctes = [
+        f"qn AS (SELECT {_NORMED} AS v FROM embeddings"
+        f" WHERE vec_id = {QUERY_VEC_ID})",
+        f"candn AS (SELECT vec_id, {_NORMED} AS v FROM embeddings)",
+        f"cand AS (SELECT c.vec_id, c.v, round({dot('c.v', 'q.v')}, 6) AS rel"
+        f" FROM candn c, qn q ORDER BY rel DESC, vec_id LIMIT {pool})",
+        f"s1 AS (SELECT vec_id, v, rel, round({lam}*rel, 6) AS mmr, 1 AS rank"
+        f" FROM cand ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM s{j}" for j in range(1, i)
+        )
+        ctes.append(f"sel{i} AS ({sel})")
+        ctes.append(
+            f"s{i} AS (SELECT c.vec_id, c.v, c.rel,"
+            f" round({lam}*c.rel - {one_m}*(SELECT max(round("
+            f"{dot('c.v', 's.v')}, 6)) FROM sel{i} s), 6) AS mmr,"
+            f" {i} AS rank FROM cand c"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i})"
+            f" ORDER BY mmr DESC, c.vec_id LIMIT 1)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr FROM s{j}" for j in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS INT) AS rank, vec_id, rel AS relevance,"
+        f" mmr FROM ({final})"
+    )
 _TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _H32 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT)"
@@ -2392,6 +2485,52 @@ FROM e
     o["bm25_topk"] = f"""
 WITH {_bm25_ctes(10)}
 SELECT doc_id, score FROM bm25
+"""
+
+    o["mmr_topk"] = _mmr_oracle(MMR_K, MMR_POOL, MMR_LAMBDA)
+
+    _rerank_terms = "[" + ", ".join(
+        f"'{t}'" for t in sorted({t.lower() for t in BM25_TERMS})
+    ) + "]"
+    o["rerank_topk"] = f"""
+WITH {_bm25_ctes(HYBRID_POOL)},
+feats AS (
+  SELECT b.doc_id, b.score,
+    string_split_regex(trim(lower(d.text)), '\\s+') AS t
+  FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+),
+f2 AS (
+  SELECT doc_id, score,
+    CAST(len(list_intersect(list_distinct(t), {_rerank_terms})) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(list_distinct(t),
+              {_rerank_terms}))) AS DOUBLE) AS jac,
+    least(len(t) / 500.0, 1.0) AS rel_len
+  FROM feats
+)
+SELECT doc_id, score AS bm25,
+  round(1.0 / (1.0 + exp(-({RERANK_W[0]} + {RERANK_W[1]}*score
+    + {RERANK_W[2]}*jac + {RERANK_W[3]}*rel_len))), 6) AS ce_score
+FROM f2 ORDER BY ce_score DESC, doc_id LIMIT 10
+"""
+
+    o["topic_assign"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, {_DV} AS sv FROM embeddings
+  WHERE vec_id < {TOPIC_SEEDS}
+),
+d AS (
+  SELECT e.vec_id, s.sid,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2])
+      for p in list_zip({_DV.replace('embedding', 'e.embedding')}, s.sv)]),
+      6) AS dist
+  FROM embeddings e, seeds s
+),
+r AS (
+  SELECT vec_id, sid, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(sid AS INT) AS topic, dist FROM r WHERE rn = 1
 """
 
     # identical oracle: the postings index must serve the exact same

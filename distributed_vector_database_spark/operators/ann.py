@@ -671,3 +671,46 @@ def ivf_knn_join(
             "rank",
         )
     )
+
+
+def centroid_assign_expr(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as PURE codegen expressions — the
+    declarative dual of ivf_assign's numpy kernel, for topic/cluster
+    labeling jobs where every row's assignment is the OUTPUT (not an
+    internal index-routing step) and must be oracle-checkable.
+
+    Per row: squared-L2 to each centroid as a (dist, topic) struct;
+    array_min picks the minimum with struct ordering supplying the
+    (smallest distance, then smallest topic id) tie-break. Distances
+    round to 6dp before the argmin so the choice is reproducible in
+    ANSI SQL. Zero shuffles, zero Python — a map-only pass that scales
+    to any corpus; |centroids| is bounded (the expression tree is
+    O(centroids * dim)), so use ivf_assign for large codebooks."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for topic, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        entries.append(
+            F.struct(dist.alias("dist"), F.lit(topic).alias("topic"))
+        )
+    best = F.array_min(F.array(*entries))
+    return df.select(
+        F.col(id_col),
+        best["topic"].alias("topic"),
+        best["dist"].alias("dist"),
+    )

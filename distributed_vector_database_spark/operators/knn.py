@@ -464,3 +464,104 @@ def maxsim_join(
         .filter(F.col("rank") <= k)
         .select(query_key, doc_key, "maxsim", "rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select k results trading query relevance
+    against redundancy with what is already selected —
+    mmr(d) = lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s), first pick
+    maximizes pure relevance (empty-set redundancy = 0), ties break on
+    the smaller key.
+
+    Two stages: (1) the distributed part — cosine relevance as codegen
+    expressions over the corpus and a TakeOrderedAndProject down to
+    `pool` candidates (the only corpus-sized work; at 100 TB this is a
+    scan + top-k, zero shuffles); (2) the greedy walk over the
+    pool-sized candidate set as ONE vectorized numpy task
+    (O(pool^2) dot products on <=`pool` rows — driver-scale by
+    construction, same bounded-small-side discipline as knn_join).
+
+    All cosines round to 6dp BEFORE selection so the greedy's
+    comparisons are reproducible in the ANSI-SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    q = [float(x) for x in query_vec]
+    qn_denom = sum(x * x for x in q) ** 0.5
+    if qn_denom == 0.0:
+        raise ValueError("query vector must be non-zero")
+    qarr = F.array(*[F.lit(x) for x in q])
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(v, qarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rel = F.round(dot / (norm * F.lit(qn_denom)), 6)
+    cand = (
+        corpus.select(
+            F.col(key_col),
+            v.alias("__v"),
+            rel.alias("relevance"),
+        )
+        .orderBy(F.desc("relevance"), key_col)
+        .limit(pool)
+    )
+
+    out_schema = f"rank int, {key_col} long, relevance double, mmr double"
+    lam_f = float(lam)
+    k_f = int(k)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {c.split()[0]: pd.Series(dtype="object")
+                 for c in out_schema.split(", ")}
+            )
+        pdf = pdf.sort_values(
+            ["relevance", key_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)  # pairwise cosine, rounded like the oracle
+        rel_v = pdf["relevance"].to_numpy()
+        keys = pdf[key_col].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        redund = np.zeros(n)
+        rows = []
+        for rank in range(1, min(k_f, n) + 1):
+            mmr = np.round(lam_f * rel_v - (1.0 - lam_f) * redund, 6)
+            mask = np.ones(n, dtype=bool)
+            mask[selected] = False
+            # argmax mmr, tie -> smaller key: lexsort on (-mmr, key)
+            order = np.lexsort((keys, -mmr))
+            pick = next(i for i in order if mask[i])
+            selected.append(pick)
+            redund = np.maximum(redund, sims[:, pick])
+            rows.append((rank, keys[pick], rel_v[pick], mmr[pick]))
+        return pd.DataFrame(
+            rows, columns=["rank", key_col, "relevance", "mmr"]
+        )
+
+    return (
+        cand.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda _, pdf: greedy(pdf), schema=out_schema)
+    )

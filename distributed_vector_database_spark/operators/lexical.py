@@ -583,3 +583,64 @@ def hybrid_linear(
         .orderBy(F.desc("hybrid_score"), doc_col)
         .limit(k)
     )
+
+
+def rerank_crossencoder(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    n_retrieve: int = 20,
+    k: int = 10,
+    weights: Sequence[float] = (-2.0, 0.5, 3.0, 1.0),
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank: BM25 proposes `n_retrieve`
+    candidates, a deterministic cross-encoder stand-in re-scores the
+    (query, document) PAIR and keeps the top `k` — the standard
+    serving shape where an expensive pairwise model runs only on a
+    cheap retriever's shortlist (the pattern a real cross-encoder
+    slots into; this stand-in is a logistic model over pair features,
+    the `model_quality_scores` discipline applied to reranking).
+
+    Pair features: the stage-1 BM25 score, the Jaccard overlap between
+    the query bag and the document's distinct tokens, and a capped
+    relative length. ce_score = sigmoid(w0 + w1*bm25 + w2*jaccard +
+    w3*rel_len), rounded 6dp for the oracle hash.
+
+    Scale: stage 2 touches n_retrieve rows — constant work per query
+    regardless of corpus size; the corpus cost is entirely stage 1
+    (postings-served in production via bm25_postings_search). All
+    features are codegen expressions; no Python in either stage."""
+    w0, w1, w2, w3 = (float(x) for x in weights)
+    terms = sorted({t.lower() for t in query_terms})
+    qarr = F.array(*[F.lit(t) for t in terms])
+
+    stage1 = bm25_search(
+        docs, query_terms, k=n_retrieve, k1=k1, b=b,
+        doc_col=doc_col, text_col=text_col,
+    )
+    feats = stage1.join(
+        docs.select(doc_col, tokenize(text_col).alias("__toks")), doc_col
+    )
+    dtoks = F.array_distinct("__toks")
+    inter = F.size(F.array_intersect(dtoks, qarr)).cast("double")
+    union = F.size(F.array_union(dtoks, qarr)).cast("double")
+    jac = inter / union
+    rel_len = F.least(F.size("__toks") / F.lit(500.0), F.lit(1.0))
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.col("score")
+        + F.lit(w2) * jac
+        + F.lit(w3) * rel_len
+    )
+    return (
+        feats.select(
+            doc_col,
+            F.col("score").alias("bm25"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("ce_score"),
+        )
+        .orderBy(F.desc("ce_score"), doc_col)
+        .limit(k)
+    )

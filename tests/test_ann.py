@@ -327,3 +327,24 @@ def test_embedding_near_dup_at_scale_degenerate_sample(spark):
         emb, 0.9, target_cluster_rows=4, probe=5, train_sample=3
     ).collect()
     assert len(pairs) > 0 and all(r["cosine"] == 1.0 for r in pairs)
+
+
+def test_centroid_assign_expr_argmin_and_tiebreak(spark):
+    from distributed_vector_database_spark.operators.ann import (
+        centroid_assign_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    # centroids 1 and 2 are both at distance 0.5 from row 3 ->
+    # tie breaks to the LOWER topic id
+    cents = [[0.0, 0.0], [1.0, 1.0], [9.0, 9.0]]
+    got = {
+        r["vec_id"]: (r["topic"], r["dist"])
+        for r in centroid_assign_expr(df, cents).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2] == (1, 0.0)
+    assert got[3] == (0, 0.5)

@@ -242,3 +242,45 @@ def test_maxsim_join_empty_query_side_keeps_key_dtypes(spark):
     ]
     assert empty.count() == 0
     assert [(r["query_id"], r["doc"]) for r in nonempty.collect()] == [("q1", "d1")]
+
+
+def test_mmr_topk_diversifies_away_from_duplicates(spark):
+    """MMR's second pick must skip a near-duplicate of the first even
+    though it has the second-best relevance."""
+    from distributed_vector_database_spark.operators.knn import mmr_topk
+
+    rows = [
+        (1, [0.98, 0.19899749, 0.0]),   # best relevance (ties with 2)
+        (2, [1.96, 0.39799498, 0.0]),   # SAME direction as 1 (cos=1)
+        (3, [0.5, 0.8660254, 0.0]),     # diverse
+        (4, [0.5, 0.0, 0.8660254]),     # diverse
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        mmr_topk(corpus, [1.0, 0.0, 0.0], k=3, pool=4, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    picks = [r["vec_id"] for r in got]
+    # pure relevance would give [1, 2, ...]; the exact duplicate of the
+    # first pick scores 0.49 - 0.5 < any diverse candidate and is
+    # demoted below 4 (mmr 0.25 - 0.245)
+    assert picks == [1, 4, 2]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_mmr_topk_lambda_one_is_pure_relevance(spark):
+    from distributed_vector_database_spark.operators.knn import mmr_topk
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.5, 0.5]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        r["vec_id"]
+        for r in mmr_topk(corpus, [1.0, 0.0], k=3, pool=4, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    ]
+    # lam=1: redundancy term vanishes -> relevance order
+    assert got == [1, 2, 4]

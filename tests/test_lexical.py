@@ -586,3 +586,35 @@ def test_hybrid_linear_constant_list_and_bad_alpha(spark):
     assert got == {1: 1.0, 2: 0.5}
     with _pytest.raises(ValueError):
         hybrid_linear(a, b, alpha=1.5)
+
+
+def test_rerank_crossencoder_reorders_stage1(spark):
+    """A candidate with stronger pair features (full query overlap)
+    must overtake a higher-BM25 doc after reranking, and stage 2 only
+    ever sees stage 1's shortlist."""
+    from distributed_vector_database_spark.operators.lexical import (
+        rerank_crossencoder,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: many 'spark' repeats -> big bm25, but no overlap
+            # with the other query terms (jaccard 1/3-ish)
+            (1, "spark " * 30 + "filler " * 5),
+            # doc 2: all three query terms once -> modest bm25, high
+            # jaccard
+            (2, "spark filter join alpha beta"),
+            # doc 3: no query terms -> not retrieved at all
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    got = rerank_crossencoder(
+        docs, ["spark", "filter", "join"], n_retrieve=5, k=3,
+        weights=(-2.0, 0.1, 6.0, 0.5),
+    ).orderBy(F.desc("ce_score"), "doc_id").collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids           # never retrieved by stage 1
+    assert ids[0] == 2            # jaccard-heavy weights flip the order
