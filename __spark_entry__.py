@@ -122,6 +122,8 @@ MMR_LAMBDA = 0.75         # relevance/diversity trade-off (0.75 and 0.25
 RERANK_W = (-2.0, 0.5, 3.0, 1.0)  # cross-encoder stand-in: bias, bm25,
                                   # jaccard, rel_len logistic weights
 TOPIC_SEEDS = 8           # nearest-centroid topics = embeddings of vec_id<8
+OUTLIER_MAX_DIST = 1.9    # sq-L2 gate: ~p90 of nearest-seed distance
+SPLIT_TEST_PCT = 10       # leakage-safe split: clusters hashed to 10% test
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +643,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return centroid_assign_expr(emb, seeds)
 
     q["topic_assign"] = topic_assign_q
+
+    def embedding_outliers_q(spark, sf):
+        from distributed_vector_database_spark.operators.ann import (
+            embedding_outliers,
+        )
+
+        emb = _emb(spark, sf)
+        seeds = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < TOPIC_SEEDS)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        return embedding_outliers(emb, seeds, max_dist=OUTLIER_MAX_DIST)
+
+    q["embedding_outliers"] = embedding_outliers_q
+
+    def leakage_safe_split_q(spark, sf):
+        # near-dup clusters (MinHash LSH -> min-label CC) split so no
+        # duplicate cluster straddles train/test
+        from distributed_vector_database_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(docs)
+        members = dedup_clusters(docs.select(F.col("doc_id").alias("id")), pairs)
+        return leakage_safe_split(members, test_pct=SPLIT_TEST_PCT)
+
+    q["leakage_safe_split"] = leakage_safe_split_q
 
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
@@ -2533,6 +2565,32 @@ r AS (
 SELECT vec_id, CAST(sid AS INT) AS topic, dist FROM r WHERE rn = 1
 """
 
+    o["embedding_outliers"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, {_DV} AS sv FROM embeddings
+  WHERE vec_id < {TOPIC_SEEDS}
+),
+d AS (
+  SELECT e.vec_id,
+    list_sum([y*y for y in {_DV.replace('embedding', 'e.embedding')}]) AS norm2,
+    s.sid,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2])
+      for p in list_zip({_DV.replace('embedding', 'e.embedding')}, s.sv)]),
+      6) AS dist
+  FROM embeddings e, seeds s
+),
+r AS (
+  SELECT vec_id, norm2, sid, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(sid AS INT) AS topic, dist,
+  CASE WHEN norm2 < 1e-12 THEN 'degenerate_norm'
+       ELSE 'far_from_centroid' END AS reason
+FROM r
+WHERE rn = 1 AND (norm2 < 1e-12 OR dist > {OUTLIER_MAX_DIST})
+"""
+
     # identical oracle: the postings index must serve the exact same
     # ranking as the corpus-scan path
     o["bm25_postings_topk"] = o["bm25_topk"]
@@ -3472,6 +3530,17 @@ reach(id, r) AS (
   SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
 )
 SELECT id, CAST(min(r) AS BIGINT) AS rep_id FROM reach GROUP BY id
+"""
+
+    # cluster-level split rides on the identical clustering oracle, so
+    # the two stay in lock-step by construction
+    o["leakage_safe_split"] = f"""
+SELECT id, rep_id,
+  CASE WHEN CAST(('0x' || substring(md5(
+         CAST(rep_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+       % 100 < {SPLIT_TEST_PCT}
+       THEN 'test' ELSE 'train' END AS split
+FROM ({o["near_dup_clusters"]})
 """
     o["simhash_dedup"] = _simhash_sql(SIMHASH_MAX_HAMMING)
 

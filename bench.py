@@ -70,6 +70,14 @@ HEADLINE = [
     "lm_perplexity",
     "funnel_report",
     "funnel_served",
+    # round-7 additions: diversified/reranked retrieval, topic
+    # labeling, and the widest TPC-H shapes
+    "mmr_topk",
+    "rerank_topk",
+    "topic_assign",
+    "volume_shipping",
+    "customer_order_distribution",
+    "large_volume_customers",
 ]
 
 

@@ -678,6 +678,7 @@ def centroid_assign_expr(
     centroids: Sequence[Sequence[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Nearest-centroid assignment as PURE codegen expressions — the
     declarative dual of ivf_assign's numpy kernel, for topic/cluster
@@ -713,4 +714,50 @@ def centroid_assign_expr(
         F.col(id_col),
         best["topic"].alias("topic"),
         best["dist"].alias("dist"),
+        *extra_cols,
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    max_dist: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_norm: float = 1e-6,
+) -> DataFrame:
+    """Embedding-quality gate: rows whose vector is DEGENERATE (norm
+    below `min_norm` — a zeroed/failed encoder output) or whose
+    nearest-centroid distance exceeds `max_dist` (far outside every
+    cluster of the corpus's structure — encoder drift, corrupt input,
+    or genuine novelty that near-dup/IVF assumptions won't hold for).
+    The embedding-side sibling of textops' quality_filter: run it
+    before indexing so junk vectors never pollute cells/graphs.
+
+    Same zero-shuffle map-only shape as centroid_assign_expr;
+    distances rounded 6dp so the flag threshold is oracle-exact.
+    Returns (id, topic, dist, reason) for flagged rows only."""
+    v = F.col(vec_col).cast("array<double>")
+    norm2 = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    assigned = centroid_assign_expr(
+        df.withColumn("__norm2", norm2),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=("__norm2",),
+    )
+    degenerate = F.col("__norm2") < F.lit(float(min_norm) ** 2)
+    far = F.col("dist") > F.lit(float(max_dist))
+    return (
+        assigned.filter(degenerate | far)
+        .select(
+            id_col,
+            "topic",
+            "dist",
+            F.when(degenerate, F.lit("degenerate_norm"))
+            .otherwise(F.lit("far_from_centroid"))
+            .alias("reason"),
+        )
     )

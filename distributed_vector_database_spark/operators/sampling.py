@@ -338,3 +338,38 @@ def sample_negatives(
         wanted.join(pos.select(F.col(key_col).alias("neg_id"), "shuffle_pos"), "shuffle_pos")
         .select("anchor_id", "neg_id", F.col("slot").cast("int").alias("slot"))
     )
+
+
+def leakage_safe_split(
+    members: DataFrame,
+    test_pct: int = 10,
+    id_col: str = "id",
+    rep_col: str = "rep_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test assignment at NEAR-DUP-CLUSTER granularity: every
+    member of a duplicate cluster lands in the same split, so the eval
+    set can never contain a near-copy of a training document — the
+    leakage guard a plain per-document train_test_split cannot give
+    (two near-identical docs hash independently and straddle the
+    boundary ~2*test_pct% of the time).
+
+    Input is dedup_clusters' (id, rep_id) frame; membership is decided
+    by hash32(rep_id:salt) % 100 — the same content-stable discipline
+    as hash_sample, so growing the corpus never moves an existing
+    cluster between splits and a re-run is bit-identical. Zero extra
+    shuffles on top of the clustering: one map expression.
+
+    Returns (id, rep_id, split) with split in {'train', 'test'}."""
+    if not 0 <= test_pct <= 100:
+        raise ValueError("test_pct must be in [0, 100]")
+    bucket = hash32(
+        F.concat(F.col(rep_col).cast("string"), F.lit(":" + salt))
+    ) % 100
+    return members.select(
+        F.col(id_col),
+        F.col(rep_col),
+        F.when(bucket < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -348,3 +348,25 @@ def test_centroid_assign_expr_argmin_and_tiebreak(spark):
     assert got[1] == (0, 0.0)
     assert got[2] == (1, 0.0)
     assert got[3] == (0, 0.5)
+
+
+def test_embedding_outliers_flags_degenerate_and_far(spark):
+    from distributed_vector_database_spark.operators.ann import (
+        embedding_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0]),          # near centroid 0 -> kept
+            (2, [0.0, 0.0]),          # degenerate norm
+            (3, [50.0, 50.0]),        # far from every centroid
+            (4, [1.0, 1.1]),          # near centroid 1 -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    got = {
+        r["vec_id"]: r["reason"]
+        for r in embedding_outliers(df, cents, max_dist=5.0).collect()
+    }
+    assert got == {2: "degenerate_norm", 3: "far_from_centroid"}

@@ -151,3 +151,28 @@ def test_temperature_rates_never_floor_a_stratum_to_zero(spark):
     }
     # sqrt(1/5000)*50 = 0.707 -> floor 0 -> clamped to 1
     assert rates == {"stray": 50, "head": 1}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup cluster members must land in the SAME split; a plain
+    per-doc hash split would separate them."""
+    from distributed_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    members = spark.createDataFrame(
+        # cluster 1 = {1, 7, 42}, cluster 2 = {2}, ... across many reps
+        [(i, 1) for i in (1, 7, 42)]
+        + [(i, i) for i in range(100, 160)],
+        "id long, rep_id long",
+    )
+    got = leakage_safe_split(members, test_pct=30).collect()
+    by_id = {r["id"]: r["split"] for r in got}
+    assert len({by_id[1], by_id[7], by_id[42]}) == 1  # co-assigned
+    splits = set(by_id.values())
+    assert splits == {"train", "test"}  # 30% of 60 singletons hits both
+    # deterministic: a second run is bit-identical
+    again = {r["id"]: r["split"] for r in leakage_safe_split(
+        members, test_pct=30
+    ).collect()}
+    assert again == by_id
