@@ -1756,6 +1756,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_topk_exact"] = ann_pq_topk_exact_q
 
+    def ann_lsh_topk_exact_q(spark, sf):
+        # the LSH family's exhaustive degenerate mode (VERDICT r7 #5):
+        # one wide-bucket hash table over constant-coordinate-augmented
+        # vectors puts the whole corpus in the query's bucket, so the
+        # single-probe candidate set is the full corpus and MLlib's
+        # true-distance ranking is the brute-force answer; k = |corpus|
+        # + deterministic (score, key) top-10 truncation
+        from distributed_vector_database_spark.operators.ann import (
+            lsh_full_probe_topk,
+        )
+
+        return lsh_full_probe_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10
+        )
+
+    q["ann_lsh_topk_exact"] = ann_lsh_topk_exact_q
+
     def ann_hnsw_topk_exact_q(spark, sf):
         # per-partition HNSW graph (the reference's own algorithm,
         # operators/hnsw.py — pure numpy, no hnswlib) in its exhaustive
@@ -2334,6 +2351,7 @@ scored AS (
 SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
 """
     o["ann_ivf_topk_exact"] = _knn_nolabel
+    o["ann_lsh_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel

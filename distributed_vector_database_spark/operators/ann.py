@@ -79,6 +79,47 @@ def lsh_ann(
     )
 
 
+def lsh_full_probe_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact anchor for the LSH family (VERDICT r7 #5): a
+    full-coverage parameterization of the BucketedRandomProjectionLSH
+    path that degenerates to the exhaustive scan — the same pattern
+    the other index families anchor with (IVF nprobe>=n_centroids,
+    SQ/PQ rerank=corpus, HNSW ef>=shard rows).
+
+    approxNearestNeighbors is single-probe (only rows sharing a hash
+    bucket with the query are candidates), and floor(g.x / L) splits
+    on the sign of the projection no matter how wide L is — so "wide
+    buckets" alone leaves the corpus split across the hyperplane. The
+    degenerate mode therefore augments every vector with one large
+    constant coordinate M: g.[M, x] = M*g0 + g.x has the sign of g0
+    for every row (M dominates), so the SINGLE hash table's single
+    wide bucket holds the whole corpus and the candidate set is exact.
+    L2 distances are UNCHANGED by the augmentation (the constant
+    coordinate cancels), so the true-distance ranking MLlib computes
+    over the full candidate set is the brute-force answer; a
+    deterministic (score, key) truncation makes it hash-matchable
+    against the SQL oracle."""
+    aug = df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__aug",
+        F.concat(
+            F.array(F.lit(1.0e9)), F.col(vec_col).cast("array<double>")
+        ),
+    )
+    model, indexed = lsh_model(
+        aug, vec_col="__aug", bucket_length=1.0e15, num_hash_tables=1
+    )
+    n = indexed.count()
+    q_aug = [1.0e9, *[float(v) for v in query_vec]]
+    full = lsh_ann(model, indexed, q_aug, k=max(int(n), k), key_col=key_col)
+    return full.orderBy("score", key_col).limit(k)
+
+
 def lsh_similarity_join(
     model,
     indexed_a: DataFrame,
@@ -346,6 +387,16 @@ def ivf_append(
     # keep EVERY batch column (metadata rides along for filtered
     # search) — callers append batches with the layout's schema
     assigned = ivf_assign(batch, centroids, vec_col)
+    # a fully-emptied layout (ivf_delete of every row) is persisted as
+    # one flat schema-marker file; clear it before the partitioned
+    # append so root-level data files never coexist with partition dirs
+    if not any(
+        e.startswith("centroid_id=") for e in _os.listdir(path)
+    ):
+        for e in _os.listdir(path):
+            fp = _os.path.join(path, e)
+            if _os.path.isfile(fp) and not e.startswith("_applied"):
+                _os.remove(fp)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
     if batch_id is not None:
         _os.makedirs(marker_dir, exist_ok=True)
@@ -385,7 +436,10 @@ def ivf_delete(
         keep = (
             spark.read.parquet(path)
             .filter(F.col("centroid_id").isin(cells))
-            .filter(~F.col(key_col).isin(ids))
+            # NOT IN is tri-valued: a bare ~isin(ids) evaluates to NULL
+            # for null keys and would silently drop them from the
+            # rewritten cells — null keys are never deletion victims
+            .filter(~F.col(key_col).isin(ids) | F.col(key_col).isNull())
         )
         # sever the read-path lineage before overwriting the very
         # partitions the plan reads (same discipline as hnsw_append)
@@ -394,14 +448,22 @@ def ivf_delete(
             r["centroid_id"]
             for r in keep.select("centroid_id").distinct().collect()
         }
-        (
-            keep.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("centroid_id")
-            .parquet(path)
-        )
-        for c in set(cells) - live:
-            shutil.rmtree(f"{path}/centroid_id={c}", ignore_errors=True)
+        if live:
+            (
+                keep.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid_id")
+                .parquet(path)
+            )
+            for c in set(cells) - live:
+                shutil.rmtree(f"{path}/centroid_id={c}", ignore_errors=True)
+        else:
+            # every row deleted: a dynamic overwrite would leave a dir
+            # with zero data files and the next spark.read.parquet
+            # (e.g. ivf_append) would fail schema inference — write one
+            # empty schema-carrying file instead (centroid_id is an
+            # ordinary column of `keep`, so the schema round-trips)
+            keep.limit(0).coalesce(1).write.mode("overwrite").parquet(path)
         return int(removed)
     finally:
         victim.unpersist()

@@ -377,18 +377,22 @@ def hnsw_write(
                 "links": links,
                 "entry": int(index.entry),
                 "max_level": int(index.max_level),
-                # build params ride along so hnsw_append can continue
-                # insertion with the same graph configuration
+                # build params ride along so hnsw_append/hnsw_compact
+                # can continue insertion/rebuild with the same graph
+                # configuration — INCLUDING the level-draw seed, so a
+                # layout built with seed!=42 compacts to the same
+                # graph family it was built from
                 "m": m,
                 "efc": ef_construction,
                 "nshards": num_shards,
+                "seed": seed,
             }
         )
 
     schema = (
         f"shard_id int, node_idx long, {key_col} {key_type}, "
         f"{vec_col} array<double>, links array<array<long>>, "
-        "entry long, max_level int, m int, efc int, nshards int"
+        "entry long, max_level int, m int, efc int, nshards int, seed int"
     )
     proj.mapInPandas(build_shard, schema=schema).write.mode(
         "overwrite"
@@ -437,8 +441,24 @@ def hnsw_delete(path: str, keys: Sequence) -> int:
     return len(_read_tombstones(path))
 
 
+def _tombstone_sort_key(fn: str) -> tuple:
+    """Total order over tombstone records. Names are
+    t-<seq:08d>-<a|r>-<uuid>.json (a=add/delete, r=remove/resurrect);
+    legacy t-<seq>-<uuid>.json records sort as adds, unsequenced legacy
+    names parse to seq 0. The layout assumes a SINGLE maintenance
+    writer (one Spark driver owns the index, like the reference's one
+    process per datanode, src/datanode/handler.py) — but if two writers
+    ever do race a seq, the tie-break is still deterministic:
+    add-records apply before remove-records at equal seq, so a
+    racing delete+resurrect resolves resurrect-wins (matching the
+    newest-node-wins serving rule), never uuid-filename order."""
+    parts = fn.split("-")
+    seq = int(parts[1]) if len(parts) >= 3 and parts[1].isdigit() else 0
+    kind = 1 if (len(parts) >= 4 and parts[2] == "r") else 0
+    return (seq, kind, fn)
+
+
 def _tombstone_seq(fn: str) -> int:
-    # new-style names: t-<seq:08d>-<uuid>.json; legacy names parse to 0
     parts = fn.split("-")
     if len(parts) >= 3 and parts[1].isdigit():
         return int(parts[1])
@@ -447,7 +467,8 @@ def _tombstone_seq(fn: str) -> int:
 
 def _append_tombstone_record(path: str, payload) -> None:
     """Atomically append one ordered record (a list = keys to add, or
-    {'remove': [...]} = keys to resurrect) to the tombstone log."""
+    {'remove': [...]} = keys to resurrect) to the tombstone log.
+    Single-writer by design (see _tombstone_sort_key)."""
     import json as _json
     import os as _os
     import uuid as _uuid
@@ -458,7 +479,10 @@ def _append_tombstone_record(path: str, payload) -> None:
         (_tombstone_seq(f) for f in _os.listdir(tdir) if f.endswith(".json")),
         default=0,
     )
-    fn = _os.path.join(tdir, f"t-{seq:08d}-{_uuid.uuid4().hex[:12]}.json")
+    kind = "r" if isinstance(payload, dict) else "a"
+    fn = _os.path.join(
+        tdir, f"t-{seq:08d}-{kind}-{_uuid.uuid4().hex[:12]}.json"
+    )
     tmp = fn + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump(payload, fh)
@@ -477,7 +501,7 @@ def _read_tombstones(path: str) -> frozenset:
         return frozenset()
     out: set = set()
     names = [f for f in _os.listdir(tdir) if f.endswith(".json")]
-    for fn in sorted(names, key=lambda f: (_tombstone_seq(f), f)):
+    for fn in sorted(names, key=_tombstone_sort_key):
         with open(_os.path.join(tdir, fn)) as fh:
             rec = _json.load(fh)
         if isinstance(rec, dict):
@@ -620,10 +644,20 @@ def hnsw_append(
 
     nodes = spark.read.parquet(path)
     key_type = dict(nodes.dtypes)[key_col]
-    head = nodes.select("m", "efc", "nshards").limit(1).collect()
+    has_seed = "seed" in nodes.columns
+    head_cols = ["m", "efc", "nshards"] + (["seed"] if has_seed else [])
+    head = nodes.select(*head_cols).limit(1).collect()
     if not head:
         raise ValueError(f"empty HNSW layout at {path}")
     m, efc, nshards = int(head[0]["m"]), int(head[0]["efc"]), int(head[0]["nshards"])
+    # the persisted build seed wins over the parameter default —
+    # otherwise a layout built via hnsw_write(seed!=42) would get
+    # differently-seeded level draws on append (ADVICE r7); legacy
+    # layouts without the column fall back to the parameter
+    if has_seed:
+        seed = int(head[0]["seed"])
+    else:
+        nodes = nodes.withColumn("seed", F.lit(int(seed)))
 
     # same repartition(key) hash → a key lands on the shard whose graph
     # would have held it at build time
@@ -648,12 +682,12 @@ def hnsw_append(
     out_schema = (
         f"shard_id int, node_idx long, {key_col} {key_type}, "
         f"{vec_col} array<double>, links array<array<long>>, "
-        "entry long, max_level int, m int, efc int, nshards int"
+        "entry long, max_level int, m int, efc int, nshards int, seed int"
     )
 
     out_cols = [
         "shard_id", "node_idx", key_col, vec_col, "links",
-        "entry", "max_level", "m", "efc", "nshards",
+        "entry", "max_level", "m", "efc", "nshards", "seed",
     ]
 
     def merge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -707,6 +741,7 @@ def hnsw_append(
                 "m": m,
                 "efc": efc,
                 "nshards": nshards,
+                "seed": seed,
             }
         )
 
@@ -845,6 +880,12 @@ def hnsw_compact(
     tomb = _read_tombstones(path)
     nodes = spark.read.parquet(path)
     key_type = dict(nodes.dtypes)[key_col]
+    # rebuild with the seed the layout was BUILT with (persisted by
+    # hnsw_write since r8) — the parameter is only a fallback for
+    # legacy layouts lacking the column (ADVICE r7: a seed-42 default
+    # would shift approximate-path results of a seed!=42 layout)
+    if "seed" not in nodes.columns:
+        nodes = nodes.withColumn("seed", F.lit(int(seed)))
     nw = _W.partitionBy("shard_id", key_col).orderBy(F.desc("node_idx"))
     nodes_rn = nodes.withColumn("__rn", F.row_number().over(nw))
     stale = F.col("__rn") > 1
@@ -866,7 +907,8 @@ def hnsw_compact(
         out_schema = (
             f"shard_id int, node_idx long, {key_col} {key_type}, "
             f"{vec_col} array<double>, links array<array<long>>, "
-            "entry long, max_level int, m int, efc int, nshards int"
+            "entry long, max_level int, m int, efc int, nshards int, "
+            "seed int"
         )
 
         def rebuild_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -877,11 +919,12 @@ def hnsw_compact(
                 )
             m = int(pdf["m"].iloc[0])
             efc = int(pdf["efc"].iloc[0])
+            shard_seed = int(pdf["seed"].iloc[0])
             rows = pdf.sort_values(key_col, kind="mergesort").reset_index(
                 drop=True
             )
             mat = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
-            index = HnswIndex(m=m, ef_construction=efc, seed=seed)
+            index = HnswIndex(m=m, ef_construction=efc, seed=shard_seed)
             index.build(mat)
             n = len(rows)
             links = [
@@ -904,6 +947,7 @@ def hnsw_compact(
                     "m": m,
                     "efc": efc,
                     "nshards": int(pdf["nshards"].iloc[0]),
+                    "seed": shard_seed,
                 }
             )
 
@@ -914,14 +958,35 @@ def hnsw_compact(
         live = {
             r["shard_id"] for r in rebuilt.select("shard_id").distinct().collect()
         }
-        (
-            rebuilt.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("shard_id")
-            .parquet(path)
-        )
-        for s in set(shards) - live:
-            _shutil.rmtree(f"{path}/shard_id={s}", ignore_errors=True)
+        if live:
+            (
+                rebuilt.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard_id")
+                .parquet(path)
+            )
+            for s in set(shards) - live:
+                _shutil.rmtree(f"{path}/shard_id={s}", ignore_errors=True)
+        else:
+            all_shards = {
+                r["shard_id"]
+                for r in nodes.select("shard_id").distinct().collect()
+            }
+            if all_shards <= set(shards):
+                # EVERY shard reclaimed to empty: leave one empty
+                # schema-carrying file so the next
+                # spark.read.parquet(path) (hnsw_append,
+                # hnsw_read_search) doesn't fail schema inference
+                rebuilt.limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(path)
+            else:
+                # affected shards all emptied but others survive:
+                # just drop the emptied directories
+                for s in shards:
+                    _shutil.rmtree(
+                        f"{path}/shard_id={s}", ignore_errors=True
+                    )
     _shutil.rmtree(_os.path.join(path, "_tombstones"), ignore_errors=True)
     return int(removed)
 

@@ -516,16 +516,28 @@ def mmr_topk(
     )
     rel = F.round(dot / (norm * F.lit(qn_denom)), 6)
     cand = (
-        corpus.select(
+        # null embeddings would crash np.stack and zero-norm vectors
+        # divide to NaN in the normalization — drop both before the
+        # pool, matching knn_exact / maxsim_join (ADVICE r7)
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
             F.col(key_col),
             v.alias("__v"),
             rel.alias("relevance"),
+            norm.alias("__norm"),
         )
+        .where(F.col("__norm") > 0)
+        .drop("__norm")
         .orderBy(F.desc("relevance"), key_col)
         .limit(pool)
     )
 
-    out_schema = f"rank int, {key_col} long, relevance double, mmr double"
+    # key type follows the corpus schema (a string key must not be
+    # declared long — same fix maxsim_join's empty-result schema got)
+    qkey_type = dict(corpus.dtypes)[key_col]
+    out_schema = (
+        f"rank int, {key_col} {qkey_type}, relevance double, mmr double"
+    )
     lam_f = float(lam)
     k_f = int(k)
 

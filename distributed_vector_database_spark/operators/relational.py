@@ -752,6 +752,14 @@ def volume_shipping(
     n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
+    # customer prunes through the broadcast two-nation frame BEFORE it
+    # meets the fact join — at 100 TB customer itself won't broadcast,
+    # and an unpruned customer side would ship every customer into the
+    # o_custkey shuffle when only 2/|nations| of them can match
+    # (VERDICT r7 #2; mirrors the supplier-side pruning below)
+    cust_pruned = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -761,8 +769,7 @@ def volume_shipping(
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(cust_pruned, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",

@@ -370,3 +370,24 @@ def test_embedding_outliers_flags_degenerate_and_far(spark):
         for r in embedding_outliers(df, cents, max_dist=5.0).collect()
     }
     assert got == {2: "degenerate_norm", 3: "far_from_centroid"}
+
+
+def test_lsh_full_probe_matches_exact(tables, qvec):
+    """VERDICT r7 #5: the LSH family's degenerate-to-exhaustive anchor
+    must reproduce brute force bit-for-bit — including the corner the
+    wide-bucket-only parameterization misses (the floor(g.x/L) sign
+    split at the hyperplane, fixed by the constant-coordinate
+    augmentation)."""
+    from distributed_vector_database_spark.operators.ann import (
+        lsh_full_probe_topk,
+    )
+
+    got = lsh_full_probe_topk(tables["embeddings"], qvec, k=10).collect()
+    want = (
+        knn_exact(tables["embeddings"], qvec, k=10, extra_cols=())
+        .orderBy("score", "vec_id")
+        .collect()
+    )
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]

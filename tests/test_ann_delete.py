@@ -341,3 +341,131 @@ def test_hnsw_compact_reclaims_stale_duplicate_nodes(spark, tmp_path):
     assert spark.read.parquet(path).filter(F.col("vec_id") == 5).count() == 1
     after = [tuple(r) for r in hnsw_read_search(spark, path, q, k=7, ef=10**9).collect()]
     assert after == before
+
+
+def test_ivf_delete_preserves_null_keys(spark, tmp_path):
+    """NOT IN is tri-valued: null-key rows in a rewritten cell must
+    survive the delete (ADVICE r7)."""
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_write,
+    )
+
+    emb = _emb(spark, n=50)
+    nulled = emb.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") < 5, F.lit(None)).otherwise(F.col("vec_id")),
+    )
+    path = str(tmp_path / "ivf_nullkey")
+    _, assigned = ivf_build(nulled, n_centroids=2)
+    ivf_write(assigned, path)
+    before_nulls = (
+        spark.read.parquet(path).filter(F.col("vec_id").isNull()).count()
+    )
+    assert before_nulls == 5
+
+    removed = ivf_delete(spark, path, list(range(5, 50)))
+    assert removed == 45
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("vec_id").isNull()).count() == 5
+    assert after.count() == 5
+
+
+def test_ivf_delete_all_rows_leaves_readable_layout(spark, tmp_path):
+    """Deleting every row must leave a schema-carrying layout so
+    ivf_append / reads still work (ADVICE r7)."""
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_delete,
+        ivf_write,
+    )
+
+    emb = _emb(spark, n=30)
+    path = str(tmp_path / "ivf_empty")
+    centroids, assigned = ivf_build(emb, n_centroids=2)
+    ivf_write(assigned, path)
+
+    removed = ivf_delete(spark, path, list(range(30)))
+    assert removed == 30
+    # the read that used to fail schema inference
+    after = spark.read.parquet(path)
+    assert after.count() == 0
+    assert "embedding" in after.columns and "centroid_id" in after.columns
+
+    # append into the emptied layout resumes normal partitioned life
+    batch = _emb(spark, n=10, seed=9)
+    ivf_append(spark, path, batch, centroids)
+    again = spark.read.parquet(path)
+    assert again.count() == 10
+    assert any(
+        e.startswith("centroid_id=") for e in os.listdir(path)
+    )
+
+
+def test_hnsw_layout_persists_build_seed(spark, tmp_path):
+    """hnsw_compact / hnsw_append must reuse the persisted build seed,
+    not their parameter default (ADVICE r7)."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_compact,
+        hnsw_delete,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=120)
+    path = str(tmp_path / "hnsw_seeded")
+    hnsw_write(emb, path, num_shards=4, seed=7)
+    nodes = spark.read.parquet(path)
+    assert {r["seed"] for r in nodes.select("seed").distinct().collect()} == {7}
+
+    hnsw_delete(path, [3, 4])
+    # compact with the DEFAULT seed param — the persisted 7 must win
+    hnsw_compact(spark, path)
+    after = spark.read.parquet(path)
+    assert {r["seed"] for r in after.select("seed").distinct().collect()} == {7}
+
+
+def test_hnsw_compact_seeded_matches_fresh_build_same_seed(spark, tmp_path):
+    """A seed!=42 layout compacted must serve identically to a fresh
+    seed!=42 build over the survivors (graph family preserved)."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_compact,
+        hnsw_delete,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=150)
+    q = emb.filter(F.col("vec_id") == 11).first()["embedding"]
+    victims = [1, 2, 3]
+
+    p1 = str(tmp_path / "compacted")
+    hnsw_write(emb, p1, num_shards=4, seed=7)
+    hnsw_delete(p1, victims)
+    hnsw_compact(spark, p1)
+
+    p2 = str(tmp_path / "fresh")
+    hnsw_write(
+        emb.filter(~F.col("vec_id").isin(victims)), p2, num_shards=4, seed=7
+    )
+
+    got = hnsw_read_search(spark, p1, q, k=8, ef=16).collect()
+    want = hnsw_read_search(spark, p2, q, k=8, ef=16).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_tombstone_tiebreak_is_deterministic():
+    """At equal seq, add-records apply before remove-records regardless
+    of uuid filename order (ADVICE r7)."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        _tombstone_sort_key,
+    )
+
+    add = "t-00000003-a-ffffffffffff.json"
+    rem = "t-00000003-r-000000000000.json"
+    assert sorted([rem, add], key=_tombstone_sort_key) == [add, rem]
+    # legacy names sort as adds at their seq
+    legacy = "t-00000003-deadbeef0123.json"
+    assert _tombstone_sort_key(legacy)[1] == 0
+    assert _tombstone_sort_key("legacy.json")[0] == 0

@@ -284,3 +284,30 @@ def test_mmr_topk_lambda_one_is_pure_relevance(spark):
     ]
     # lam=1: redundancy term vanishes -> relevance order
     assert got == [1, 2, 4]
+
+
+def test_mmr_topk_string_key_and_null_zero_norm_rows(spark):
+    """ADVICE r7: non-long keys must flow through the output schema,
+    and null / zero-norm embeddings must be dropped before the pool."""
+    from distributed_vector_database_spark.operators.knn import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.8, 0.6]),
+            ("c", [0.0, 1.0]),
+            ("nullrow", None),
+            ("zerorow", [0.0, 0.0]),
+        ],
+        "doc string, embedding array<double>",
+    )
+    res = mmr_topk(
+        corpus, [1.0, 0.0], k=3, pool=10, lam=0.7, key_col="doc"
+    ).collect()
+    assert len(res) == 3
+    assert dict(mmr_topk(
+        corpus, [1.0, 0.0], k=3, pool=10, lam=0.7, key_col="doc"
+    ).dtypes)["doc"] == "string"
+    keys = {r["doc"] for r in res}
+    assert "nullrow" not in keys and "zerorow" not in keys
+    assert res[0]["doc"] == "a" and res[0]["rank"] == 1
