@@ -1969,65 +1969,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Enumeration order: harnesses that enumerate this dict under a
     # query-count or time budget (each round records rows for exactly the
     # first 50 insertion-order entries) allocate that budget to the
-    # queries with the FEWEST prior green driver rounds. Round-7
-    # rotation (VERDICT r6 item #1): the 19 queries that have NEVER
-    # produced a driver CORRECTNESS row — 6 hash-oracled
-    # (user_rolling_7d, quality_deciles, skew_report,
-    # orders_grouping_sets, deterministic_shuffle, collapse_repetitions)
-    # plus the 13 rows-only ANN/recall/multimodal/BPE queries — move
-    # into tier 1, completing cumulative driver coverage at 123/123.
-    # NOTE this deliberately places rows-only queries inside the budget
-    # for ONE round: weaker driver evidence for them beats zero driver
-    # evidence, and every displaced hash-oracled query remains checked
-    # by the full vanilla gate (tools/check_correctness.py) each round.
-    # Remaining slots keep (a) the 7 exact-recall anchors (pinned by
+    # queries with the FEWEST prior green driver rounds. Round-8
+    # rotation (VERDICT r7 item #1): the 13 queries that have NEVER
+    # produced a driver CORRECTNESS row — the 8 round-7 TPC-H shapes
+    # plus mmr_topk, rerank_topk, topic_assign, embedding_outliers,
+    # leakage_safe_split — move into tier 1, completing cumulative
+    # driver coverage at 141/141 (with the r8-new ann_lsh_topk_exact,
+    # which closes the one unanchored index family, VERDICT r7 #5).
+    # Remaining slots keep (a) the exact-recall anchors (pinned by
     # tests/test_contract_order.py), (b) every query whose code changed
-    # this round (funnel_report/funnel_steps, maxsim_join,
-    # lm_perplexity), and (c) round-6 first-timers with only a single
-    # green driver round — composed pipelines, serving folds, and the
-    # changelog/event families. Displaced to tier 2: r6-green one-shot
-    # map/sample/lexical queries (bm25_topk, hybrid_*_topk,
-    # temperature_sample, maxsim_topk, ...), all hash-oracled and
-    # full-gate-checked every round.
+    # this round (lm_perplexity token-staging rewrite, volume_shipping
+    # customer pruning, mmr_topk null/key-type guards, the IVF/HNSW
+    # deletion anchors over the maintenance edge-case fixes), and
+    # (c) round-7 first-timers with only a single green driver round.
+    # Displaced to tier 2: the r7 rows-only ANN block (each now has a
+    # driver rows row + a hash-green exact anchor in-budget), plus
+    # long-green one-shot queries — all hash-oracled and
+    # full-gate-checked every round by tools/check_correctness.py.
     preferred = [
         # flagship stays first (driver smoke-check + optics)
         "flagship_knn",
-        # --- never-driver-checked hash-oracled (0 rows through r6) ---
-        "user_rolling_7d", "quality_deciles", "skew_report",
-        "orders_grouping_sets", "deterministic_shuffle",
-        "collapse_repetitions",
-        # --- never-driver-checked rows-only (0 rows through r6; each
-        # carries an in-plan recall column vs the exact kernel) ---
-        "ann_ivf_filtered", "embedding_near_dup_scale",
-        "ann_lsh_similarity_join",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
-        "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
+        # --- never-driver-checked (0 rows through r7): TPC-H shapes ---
+        "volume_shipping", "returned_item_revenue",
+        "customer_order_distribution", "type_share_revenue",
+        "small_quantity_revenue", "large_volume_customers",
+        "disjunctive_revenue", "top_supplier",
+        # --- never-driver-checked (0 rows through r7): retrieval ops ---
+        "mmr_topk", "rerank_topk", "topic_assign",
+        "embedding_outliers", "leakage_safe_split",
+        # --- r8-new: the LSH family's first exact anchor ---
+        "ann_lsh_topk_exact",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
         "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
         "text_knn_expr", "ann_ivf_filtered_exact",
-        # round-7 deletion-propagation anchors (new operators:
-        # ivf_delete physical rewrite, hnsw_delete tombstones,
-        # hnsw_compact shard-local reclaim)
         "ann_ivf_delete_exact", "ann_hnsw_delete_exact",
         "ann_hnsw_compact_exact",
-        # --- code changed in round 7 (ADVICE fixes / exchange trim) ---
-        "funnel_steps", "funnel_report", "maxsim_join", "lm_perplexity",
-        # round-7 streaming funnel served via the idempotent fold path
-        "funnel_served",
-        # --- round-6 first-timers kept for a second driver round ---
+        # --- code changed in round 8 (perf fix: staged-token LM) ---
+        "lm_perplexity",
+        # --- round-7 first-timers kept for a second driver round ---
+        "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
+        "user_rolling_7d", "quality_deciles", "skew_report",
+        "orders_grouping_sets", "deterministic_shuffle",
+        "collapse_repetitions",
+        # --- round-6/7 two-round queries holding the last slots ---
         "training_pipeline", "training_pipeline_spans",
         "events_rollup_served", "hybrid_rrf_served", "bm25_postings_topk",
         "snapshot_diff", "scd2_history", "events_gapfill",
         "decontam_report", "decontam_filter", "source_overlap",
-        "dup_span_report", "remove_dup_spans",
+        "dup_span_report",
         # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
         # --- also pinned in pytest + full-gate re-runs every round   ---
-        # (session_ids / retention_cohorts / token_budget_select — r6
-        # driver-green, untouched — rotate down to make room for the
-        # round-7 deletion anchors)
+        # (the r7 rows-only ANN block rotates down: each has a driver
+        # rows row from r7 and a hash-green exact anchor in-budget)
+        "remove_dup_spans",
+        "ann_ivf_filtered", "embedding_near_dup_scale",
+        "ann_lsh_similarity_join",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
+        "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
+        "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
         "session_ids", "retention_cohorts", "token_budget_select",
         "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
         "ngram_jaccard_scale", "chunk_documents", "mixture_sample",

@@ -380,12 +380,17 @@ def materialize_bins(
     )
 
 
-def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w1, w2) adjacent-token pairs; docs with < 2 tokens emit
-    nothing. Tokens staged once per the no-CSE-across-lambdas rule."""
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __toks) staged token arrays — tokenize exactly once per the
+    no-CSE-across-lambdas rule."""
     from distributed_vector_database_spark.functions.text import tokenize_strict
 
-    staged = docs.select(id_col, tokenize_strict(text_col).alias("__toks"))
+    return docs.select(id_col, tokenize_strict(text_col).alias("__toks"))
+
+
+def _bigrams_from_tokens(toks: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs from a staged token frame;
+    docs with < 2 tokens emit nothing."""
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("__toks") - 1),
         lambda i: F.struct(
@@ -394,10 +399,14 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
     )
     return (
-        staged.filter(F.size("__toks") >= 2)
+        toks.filter(F.size("__toks") >= 2)
         .select(id_col, F.explode(pairs).alias("__bg"))
         .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
     )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return _bigrams_from_tokens(_doc_tokens(docs, text_col, id_col), id_col)
 
 
 def bigram_lm_counts(
@@ -471,26 +480,45 @@ def lm_perplexity_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Train + score in one call with STAGED count tables: the
-    unigram/bigram count frames are vocabulary-bounded (Zipf), so
-    materialize them once (cache) instead of re-running the corpus
-    token explode for every consumer — without staging, the unigram
-    subtree is computed twice (as the w1-context join input and again
-    for vocab_size) and the plan carries 16 exchanges; staged, the
-    corpus is scanned exactly twice (train, score) and the count
-    tables are reused from memory. At 100 TB the staged tables are
-    MB-scale and would be written to a warehouse path instead — the
-    eager localCheckpoint here is the local[*] stand-in for that
-    materialization (it also TRUNCATES LINEAGE, so the scoring plan
-    joins two materialized tables instead of replanning the train
-    shuffles: 16 exchanges -> the score path's own)."""
-    uni, bi, _ = bigram_lm_counts(docs, text_col, id_col)
-    uni = uni.localCheckpoint(eager=True)
-    bi = bi.localCheckpoint(eager=True)
-    # vocab must derive from the CHECKPOINTED unigram frame, or its
-    # agg silently recomputes the whole explode+shuffle subtree
+    """Train + score in one call with STAGED TOKENS: the corpus is
+    tokenized exactly once and materialized (eager localCheckpoint);
+    the unigram counts, bigram counts, vocab size, and the scoring
+    bigram stream are all derived from that one token frame inside a
+    SINGLE job, so Spark shares the materialized tokens across the
+    four subtrees instead of re-running the tokenize+scan per
+    consumer. (The r7 shape checkpointed the two COUNT tables instead:
+    that serialized two blocking corpus-tokenizing jobs before a third
+    tokenize in the score leg — 3 tokenize passes and ~1 s of
+    materialization barriers at sf0.1; token staging measured 0.81 s
+    vs 1.96 s, BENCH_BASELINE drift note in SCALE.md.) At 100 TB the
+    token frame is corpus-scale: localCheckpoint spills it to
+    executor-local disk like a shuffle write — one extra write of the
+    token column buys back two full tokenize scans, the same trade a
+    warehouse pipeline makes by persisting a tokenized silver table.
+    The count tables stay vocabulary-bounded (Zipf) and AQE broadcasts
+    them into the scoring joins after their shuffles."""
+    toks = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pairs = _bigrams_from_tokens(toks, id_col)
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab_size"))
-    return lm_cross_entropy(docs, uni, bi, vocab, k, text_col, id_col)
+    joined = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.coalesce("c2", F.lit(0)) + F.lit(k))
+        / (F.coalesce("c1", F.lit(0)) + F.lit(k) * F.col("vocab_size"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg(logp)).alias("cross_entropy"),
+    ).withColumn("perplexity", F.exp("cross_entropy"))
 
 
 def quality_deciles(docs: DataFrame, n_buckets: int = 10) -> DataFrame:

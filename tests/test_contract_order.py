@@ -29,6 +29,8 @@ ANCHORS = {
     "ann_ivf_delete_exact",
     "ann_hnsw_delete_exact",
     "ann_hnsw_compact_exact",
+    # round-8: the LSH family's first exact anchor (VERDICT r7 #5)
+    "ann_lsh_topk_exact",
 }
 
 # rows-only by design: ANN recall / multimodal / BPE queries with no
@@ -43,18 +45,17 @@ ROWS_ONLY = {
 }
 
 ROTATED_IN = {
-    # the 19 queries with zero driver CORRECTNESS rows through round 6
-    # (VERDICT r6 item #1) — 6 hash-oracled + the 13 rows-only —
-    # promoted into the budget in round 7 to complete cumulative
-    # driver coverage at 123/123
-    "user_rolling_7d", "quality_deciles", "skew_report",
-    "orders_grouping_sets", "deterministic_shuffle",
-    "collapse_repetitions",
-    *ROWS_ONLY,
-    # round-7 code changes that must show a green driver row
-    "funnel_steps", "funnel_report", "maxsim_join", "lm_perplexity",
-    # round-7 streaming funnel served from maintained state (new)
-    "funnel_served",
+    # the 13 queries with zero driver CORRECTNESS rows through round 7
+    # (VERDICT r7 item #1) — promoted into the budget in round 8 to
+    # complete cumulative driver coverage at 141/141
+    "volume_shipping", "returned_item_revenue",
+    "customer_order_distribution", "type_share_revenue",
+    "small_quantity_revenue", "large_volume_customers",
+    "disjunctive_revenue", "top_supplier",
+    "mmr_topk", "rerank_topk", "topic_assign",
+    "embedding_outliers", "leakage_safe_split",
+    # round-8 code changes that must show a green driver row
+    "ann_lsh_topk_exact", "lm_perplexity",
 }
 
 
