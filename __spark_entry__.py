@@ -674,6 +674,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["leakage_safe_split"] = leakage_safe_split_q
 
+    def canonical_selection_q(spark, sf):
+        # keep the BEST-quality member of each near-dup cluster (the
+        # id-min rep is a CC label, not a keep decision): cluster via
+        # MinHash-LSH -> CC, score via doc_stats quality, one window
+        from distributed_vector_database_spark.operators.dedup import (
+            select_canonical,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(docs)
+        members = dedup_clusters(docs.select(F.col("doc_id").alias("id")), pairs)
+        scores = doc_stats(docs).select(
+            F.col("doc_id").alias("id"), "quality"
+        )
+        return select_canonical(members, scores)
+
+    q["canonical_selection"] = canonical_selection_q
+
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
     q["doc_stats"] = lambda spark, sf: doc_stats(load_table(spark, sf, "documents"))
@@ -1997,6 +2015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never-driver-checked (0 rows through r7): retrieval ops ---
         "mmr_topk", "rerank_topk", "topic_assign",
         "embedding_outliers", "leakage_safe_split",
+        # r8-new: quality-aware canonical pick per near-dup cluster
+        "canonical_selection",
         # --- r8-new: the LSH family's first exact anchor ---
         "ann_lsh_topk_exact",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
@@ -2018,12 +2038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_served", "hybrid_rrf_served", "bm25_postings_topk",
         "snapshot_diff", "scd2_history", "events_gapfill",
         "decontam_report", "decontam_filter", "source_overlap",
-        "dup_span_report",
         # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
         # --- also pinned in pytest + full-gate re-runs every round   ---
         # (the r7 rows-only ANN block rotates down: each has a driver
         # rows row from r7 and a hash-green exact anchor in-budget)
-        "remove_dup_spans",
+        "dup_span_report", "remove_dup_spans",
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -3561,6 +3580,18 @@ SELECT id, rep_id,
        THEN 'test' ELSE 'train' END AS split
 FROM ({o["near_dup_clusters"]})
 """
+    # canonical pick rides the clustering oracle + the doc_stats
+    # quality expression, so all three stay in lock-step
+    o["canonical_selection"] = f"""
+WITH ds AS ({_doc_stats_sql()}),
+cl AS ({o["near_dup_clusters"]})
+SELECT cl.id, cl.rep_id,
+  first_value(cl.id) OVER w AS canonical_id,
+  (cl.id = first_value(cl.id) OVER w) AS is_canonical
+FROM cl JOIN ds ON cl.id = ds.doc_id
+WINDOW w AS (PARTITION BY cl.rep_id ORDER BY ds.quality DESC, cl.id)
+"""
+
     o["simhash_dedup"] = _simhash_sql(SIMHASH_MAX_HAMMING)
 
     o["embedding_near_dup"] = f"""

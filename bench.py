@@ -149,6 +149,69 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
         lambda: hnsw_read_search(spark, f"{tmp}/hnsw", qvec, k=10).count()
     )
 
+    # Served-after-maintenance probes (VERDICT r7 #7): replay a mixed
+    # put/delete changelog (2% re-put, 2% new, 2% delete) through the
+    # SAME fold bodies foreachBatch uses, then probe the maintained
+    # layout — regressions in the maintenance path (extra files per
+    # cell, tombstone filter cost, stale-node dedup) show up as probe
+    # drift that the fresh-build probes above can't see
+    from distributed_vector_database_spark.streaming.hnsw_maintenance import (
+        build_hnsw_changelog_fold,
+    )
+    from distributed_vector_database_spark.streaming.ivf_maintenance import (
+        build_ivf_changelog_fold,
+    )
+
+    n = emb.count()
+    slice_n = max(n // 50, 10)
+    reputs = (
+        emb.filter(F.col("vec_id") < slice_n)
+        .select(
+            "vec_id",
+            F.reverse(F.col("embedding")).alias("embedding"),
+            F.lit("put").alias("op"),
+        )
+    )
+    news = (
+        emb.filter(F.col("vec_id") < slice_n)
+        .select(
+            (F.col("vec_id") + F.lit(10 * n)).alias("vec_id"),
+            "embedding",
+            F.lit("put").alias("op"),
+        )
+    )
+    dels = (
+        emb.filter(
+            (F.col("vec_id") >= slice_n) & (F.col("vec_id") < 2 * slice_n)
+        )
+        .select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("delete").alias("op"),
+        )
+    )
+    changelog = (
+        reputs.unionByName(news).unionByName(dels)
+        .withColumn("seq", F.col("vec_id"))
+    )
+
+    t0 = time.time()
+    build_ivf_changelog_fold(f"{tmp}/ivf", centroids)(changelog, 1)
+    out["ann_ivf_fold"] = round(time.time() - t0, 3)
+    served = spark.read.parquet(f"{tmp}/ivf")
+    out["ann_ivf_served_probe"] = probe_best_of_2(
+        lambda: ivf_search(
+            spark, centroids, served, qvec, k=10, nprobe=nprobe
+        ).count()
+    )
+
+    t0 = time.time()
+    build_hnsw_changelog_fold(f"{tmp}/hnsw")(changelog, 1)
+    out["ann_hnsw_fold"] = round(time.time() - t0, 3)
+    out["ann_hnsw_served_probe"] = probe_best_of_2(
+        lambda: hnsw_read_search(spark, f"{tmp}/hnsw", qvec, k=10).count()
+    )
+
     # BM25 postings: term-bucketed index build; probe prunes to the
     # query terms' buckets
     t0 = time.time()

@@ -349,6 +349,7 @@ def ivf_append(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    assume_absent: bool = False,
 ) -> None:
     """Index-on-put for the persisted IVF layout (the reference's live
     add on put, src/datanode/handler.py:253-261, minus the graph):
@@ -362,7 +363,13 @@ def ivf_append(
     crash window (files appended, marker unwritten): the replay
     deletes the crashed attempt's rows before re-appending. The
     batch_id marker (foreachBatch callers) just skips the work on a
-    clean replay."""
+    clean replay.
+
+    `assume_absent=True` skips the existing-key check and pre-delete
+    entirely — for callers that ALREADY deleted every batch key from
+    the layout (the changelog fold unions put+delete victims into one
+    ivf_delete rewrite; a second upsert pre-delete here would rewrite
+    the affected cells twice per batch)."""
     import os as _os
 
     marker_dir = _os.path.join(path, "_applied_batches")
@@ -373,17 +380,19 @@ def ivf_append(
     # a null vector has no cell — appending it would crash ivf_assign's
     # np.stack on the executors, so drop such rows up front
     batch = batch.filter(F.col(vec_col).isNotNull())
-    keys = [r[key_col] for r in batch.select(key_col).distinct().collect()]
-    stored = spark.read.parquet(path)
-    existing = [
-        r[key_col]
-        for r in stored.select(key_col)
-        .filter(F.col(key_col).isin(keys))
-        .distinct()
-        .collect()
-    ]
-    if existing:
-        ivf_delete(spark, path, existing, key_col=key_col)
+    if not assume_absent:
+        stored = spark.read.parquet(path)
+        # keys already stored, found with a broadcast SEMI JOIN — never
+        # a collected isin() list: a 100k-key batch as literals makes a
+        # multi-minute Catalyst predicate (the r8 1M maintenance smoke
+        # measured the fold 10x slower than a full rebuild before this)
+        existing = stored.select(key_col).join(
+            F.broadcast(batch.select(key_col).distinct()),
+            key_col,
+            "left_semi",
+        )
+        if existing.limit(1).count():
+            ivf_delete(spark, path, existing, key_col=key_col)
     # keep EVERY batch column (metadata rides along for filtered
     # search) — callers append batches with the layout's schema
     assigned = ivf_assign(batch, centroids, vec_col)
@@ -405,7 +414,10 @@ def ivf_append(
 
 
 def ivf_delete(
-    spark: SparkSession, path: str, keys: list, key_col: str = "vec_id"
+    spark: SparkSession,
+    path: str,
+    keys: "list | DataFrame",
+    key_col: str = "vec_id",
 ) -> int:
     """Physically remove vectors from a persisted IVF layout in place.
 
@@ -414,17 +426,47 @@ def ivf_delete(
     filtered at serve time, :99) and pays a periodic FULL index rebuild
     to reclaim (:90-118). IVF has no cross-row graph state, so the
     Spark layout does better: the victims' centroid partitions are
-    found with one pushed key filter, ONLY those partitions rewrite
-    (dynamic partition overwrite), untouched cells keep their files,
-    and a cell left empty has its directory removed. Cost follows the
-    deletion (O(affected cells)), never the corpus; searches afterwards
-    are exact over the remaining data with no tombstone filtering or
-    recall loss. Returns the number of rows removed."""
-    import shutil
+    found with one pushed key filter, ONLY those partitions rewrite,
+    untouched cells keep their files, and a cell left empty has its
+    directory removed. Cost follows the deletion (O(affected cells)),
+    never the corpus; searches afterwards are exact over the remaining
+    data with no tombstone filtering or recall loss. Returns the
+    number of rows removed.
 
-    ids = list(keys)
+    The rewrite lands in a SIDE directory and the affected cell dirs
+    are swapped in by rename — one read + one write of the affected
+    cells. (The r7 shape localCheckpointed the keep-side before a
+    dynamic-partition overwrite to break the read-write cycle: that
+    materialized every surviving row TWICE — checkpoint then write —
+    and the 1M maintenance smoke measured the fold slower than a full
+    rebuild. The swap needs no lineage break because it never writes
+    the directory it reads.) The swap is per-cell-atomic, not
+    cross-cell-atomic — same exposure as dynamic partition overwrite;
+    the store's versioned rebuild is the atomic path.
+
+    `keys` is a Python list OR a single-column DataFrame. Large victim
+    sets MUST come as a DataFrame: the key set enters the plan as a
+    broadcast semi/anti join, never a collected isin() literal list —
+    a 100k-literal predicate costs Catalyst minutes (r8 1M maintenance
+    smoke) and caps out at the driver, while the join form is the
+    same plan at 100 TB. The anti join also keeps null-key rows for
+    free (nulls never match a join key; they are never victims)."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
     stored = spark.read.parquet(path)
-    victim = stored.filter(F.col(key_col).isin(ids)).cache()
+    if isinstance(keys, DataFrame):
+        kdf = keys.selectExpr(f"{keys.columns[0]} as {key_col}").distinct()
+    else:
+        ids = list(keys)
+        if not ids:
+            return 0
+        key_type = dict(stored.dtypes)[key_col]
+        kdf = spark.createDataFrame(
+            [(k,) for k in ids], f"{key_col} {key_type}"
+        ).distinct()
+    victim = stored.join(F.broadcast(kdf), key_col, "left_semi").cache()
     try:
         cells = [
             r["centroid_id"]
@@ -436,34 +478,41 @@ def ivf_delete(
         keep = (
             spark.read.parquet(path)
             .filter(F.col("centroid_id").isin(cells))
-            # NOT IN is tri-valued: a bare ~isin(ids) evaluates to NULL
-            # for null keys and would silently drop them from the
-            # rewritten cells — null keys are never deletion victims
-            .filter(~F.col(key_col).isin(ids) | F.col(key_col).isNull())
+            .join(F.broadcast(kdf), key_col, "left_anti")
         )
-        # sever the read-path lineage before overwriting the very
-        # partitions the plan reads (same discipline as hnsw_append)
-        keep = keep.localCheckpoint(eager=True)
-        live = {
-            r["centroid_id"]
-            for r in keep.select("centroid_id").distinct().collect()
-        }
-        if live:
-            (
-                keep.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("centroid_id")
-                .parquet(path)
+        side = f"{path}__rewrite_{_uuid.uuid4().hex[:12]}"
+        try:
+            keep.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                side
             )
-            for c in set(cells) - live:
-                shutil.rmtree(f"{path}/centroid_id={c}", ignore_errors=True)
-        else:
-            # every row deleted: a dynamic overwrite would leave a dir
-            # with zero data files and the next spark.read.parquet
-            # (e.g. ivf_append) would fail schema inference — write one
-            # empty schema-carrying file instead (centroid_id is an
-            # ordinary column of `keep`, so the schema round-trips)
-            keep.limit(0).coalesce(1).write.mode("overwrite").parquet(path)
+            live = {
+                d for d in _os.listdir(side) if d.startswith("centroid_id=")
+            }
+            remaining = any(
+                d.startswith("centroid_id=")
+                and d not in {f"centroid_id={c}" for c in cells}
+                for d in _os.listdir(path)
+            )
+            if not live and not remaining:
+                # every row of the layout deleted: leave one empty
+                # schema-carrying file so the next spark.read.parquet
+                # (e.g. ivf_append) doesn't fail schema inference.
+                # Built lineage-free from the schema (a frame derived
+                # from `keep` would read the very path it overwrites);
+                # centroid_id is an ordinary column, so it round-trips
+                empty = spark.createDataFrame([], keep.schema)
+                empty.coalesce(1).write.mode("overwrite").parquet(path)
+            else:
+                for c in cells:
+                    shutil.rmtree(
+                        f"{path}/centroid_id={c}", ignore_errors=True
+                    )
+                for d in live:
+                    _os.rename(
+                        _os.path.join(side, d), _os.path.join(path, d)
+                    )
+        finally:
+            shutil.rmtree(side, ignore_errors=True)
         return int(removed)
     finally:
         victim.unpersist()

@@ -1414,3 +1414,47 @@ def span_state_probe(
     if not buckets:
         return state.filter(F.lit(False)).select("gram", "n")
     return state.filter(F.col("bucket").isin(buckets)).select("gram", "n")
+
+
+def select_canonical(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    rep_col: str = "rep_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: real
+    pipelines keep the BEST copy of a duplicate group, not an
+    arbitrary one — `dedup_clusters`' rep_id is the MIN id (a label,
+    chosen for CC convergence), so this second step picks the member
+    with the highest quality score (tie -> smallest id) as the row to
+    keep, and flags everything else as droppable.
+
+    `members` is dedup_clusters' (id, rep_id); `scores` carries
+    (id, quality) — doc_stats' quality or any model score. One
+    broadcast-or-shuffle equi-join on id plus ONE hash shuffle on
+    rep_id for the window; clusters are tiny by construction
+    (duplicate groups), so the window never skews. At 100 TB this is
+    the same single-shuffle shape as the clustering step it follows.
+
+    Returns (id, rep_id, canonical_id, is_canonical)."""
+    from pyspark.sql.window import Window
+
+    scored = members.join(
+        scores.select(
+            F.col(id_col), F.col(quality_col).alias("__q")
+        ),
+        id_col,
+        "left",
+    )
+    w = Window.partitionBy(rep_col).orderBy(
+        F.desc_nulls_last("__q"), F.asc(id_col)
+    )
+    return scored.withColumn(
+        "canonical_id", F.first(id_col).over(w)
+    ).select(
+        id_col,
+        rep_col,
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -495,8 +495,10 @@ def lm_perplexity_scores(
     executor-local disk like a shuffle write — one extra write of the
     token column buys back two full tokenize scans, the same trade a
     warehouse pipeline makes by persisting a tokenized silver table.
-    The count tables stay vocabulary-bounded (Zipf) and AQE broadcasts
-    them into the scoring joins after their shuffles."""
+    The count tables stay vocabulary-bounded (Zipf), so they are
+    broadcast into the scoring joins explicitly — the score leg is
+    then a map-side pass over the bigram stream with no scoring-side
+    shuffle at any corpus size."""
     toks = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
     uni = (
         toks.select(F.explode("__toks").alias("w"))
@@ -507,8 +509,8 @@ def lm_perplexity_scores(
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab_size"))
     joined = (
-        pairs.join(bi, ["w1", "w2"], "left")
-        .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
     )
     logp = F.log(

@@ -5,16 +5,17 @@ src/datanode/handler.py:253-261, applied to a quantizer layout the
 reference doesn't have).
 
 Semantics per micro-batch: newest op per key wins (changelog
-compaction); puts upsert via ivf_append (assign against the existing
-quantizer, append files into affected cells only — re-put keys
-physically replaced), deletes remove rows physically via ivf_delete
-(partition-local rewrite; no tombstones, no serve-time filtering, no
-compaction debt — IVF's advantage over the graph index).
+compaction); then ONE ivf_delete rewrite removes every batch key
+(delete keys and put keys alike — the upsert pre-clear), and one
+ivf_append(assume_absent=True) lands the put rows into their cells.
+Deletion is physical (partition-local rewrite; no tombstones, no
+serve-time filtering, no compaction debt — IVF's advantage over the
+graph index).
 
-Replay safety: ivf_append's upsert pre-delete makes the put leg
-idempotent even across its crash window (appended files without a
-marker are replaced on replay); ivf_delete of already-removed keys
-removes nothing. The quantizer is FROZEN at build time — the standard
+Replay safety: the batch_id marker guards the whole fold; across the
+crash window (rows appended, marker unwritten) the replay's delete
+pass removes the crashed attempt's rows — they are put keys, hence
+victims — before re-appending. The quantizer is FROZEN at build time — the standard
 IVF practice; drift in the data distribution degrades cell balance,
 not correctness (every vector still lands in exactly one cell), and
 the repair path is an ivf_build_auto rebuild."""
@@ -45,7 +46,17 @@ def build_ivf_changelog_fold(
     from pyspark.sql.window import Window
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        import os as _os
+
         if batch.isEmpty():
+            return
+        # the marker now guards the WHOLE fold, not just the append:
+        # the single-rewrite delete pass removes put keys too, so a
+        # clean replay that skipped only the append would delete
+        # applied rows without restoring them
+        if _os.path.exists(
+            _os.path.join(index_dir, "_applied_batches", f"b={batch_id}")
+        ):
             return
         spark_ = batch.sparkSession
         w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
@@ -62,19 +73,25 @@ def build_ivf_changelog_fold(
             .filter(F.col(vec_col).isNotNull())
             .drop(op_col, seq_col)
         )
-        dels = [
-            r[key_col]
-            for r in last.filter(F.col(op_col) == "delete")
-            .select(key_col)
-            .collect()
-        ]
+        # ONE rewrite per batch: the victim set is every batch key —
+        # delete keys AND put keys (covers re-put upserts, and makes
+        # the whole fold replay-idempotent: a crashed append's rows
+        # are themselves put keys, so the replay's delete pass removes
+        # them before re-appending). Keys stay a DataFrame end-to-end —
+        # ivf_delete turns them into a broadcast anti join, never a
+        # collected literal list (O(batch) keys would otherwise
+        # round-trip the driver and explode the Catalyst predicate).
+        # Splitting this into upsert-pre-delete + delete-leg (the r7
+        # shape) rewrote the affected cells twice per batch; at 1M/100k
+        # ops the single-rewrite fold halves the dominant cost.
+        victims = last.select(key_col)
+        ivf_delete(spark_, index_dir, victims, key_col=key_col)
         if puts.limit(1).count() > 0:
             ivf_append(
                 spark_, index_dir, puts, centroids,
                 key_col=key_col, vec_col=vec_col, batch_id=batch_id,
+                assume_absent=True,
             )
-        if dels:
-            ivf_delete(spark_, index_dir, dels, key_col=key_col)
 
     return fold
 

@@ -55,7 +55,7 @@ ROTATED_IN = {
     "mmr_topk", "rerank_topk", "topic_assign",
     "embedding_outliers", "leakage_safe_split",
     # round-8 code changes that must show a green driver row
-    "ann_lsh_topk_exact", "lm_perplexity",
+    "ann_lsh_topk_exact", "lm_perplexity", "canonical_selection",
 }
 
 

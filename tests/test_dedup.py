@@ -531,3 +531,44 @@ def test_embedding_near_dup_incremental_equals_union_recompute(spark):
     assert (planted_cb | planted_bb) <= set(got)
     # no corpus-corpus pairs leak into the incremental report
     assert all(a in batch_ids or b in batch_ids for a, b in got)
+
+
+def test_select_canonical_keeps_best_quality_member(spark):
+    """Canonical pick = highest quality in the cluster, tie -> smaller
+    id; singletons are their own canonical."""
+    from distributed_vector_database_spark.operators.dedup import (
+        select_canonical,
+    )
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "id long, rep_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.5)], "id long, quality double"
+    )
+    got = {
+        r["id"]: (r["canonical_id"], r["is_canonical"])
+        for r in select_canonical(members, scores).collect()
+    }
+    # 2 and 3 tie at 0.9 -> smaller id (2) wins; 1 is dropped
+    assert got == {
+        1: (2, False),
+        2: (2, True),
+        3: (2, False),
+        9: (9, True),
+    }
+
+
+def test_select_canonical_missing_score_sorts_last(spark):
+    from distributed_vector_database_spark.operators.dedup import (
+        select_canonical,
+    )
+
+    members = spark.createDataFrame([(1, 1), (2, 1)], "id long, rep_id long")
+    scores = spark.createDataFrame([(2, 0.1)], "id long, quality double")
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in select_canonical(members, scores).collect()
+    }
+    # id 1 has no score -> nulls last -> 2 is canonical despite id order
+    assert got == {1: 2, 2: 2}

@@ -192,3 +192,53 @@ def test_snapshot_diff_single_shuffle(spark):
     # ONE hash shuffle on key (partial + final agg share it)
     assert exchange_nodes(df) == (1, 0)
 
+
+
+def test_embedding_outliers_zero_shuffle(tables):
+    # quality gate must stay a map-only pass (runs before indexing at
+    # corpus scale — a shuffle here would double-scan 100 TB)
+    from distributed_vector_database_spark.operators.ann import (
+        embedding_outliers,
+    )
+
+    cents = [[0.0] * 64, [1.0] * 64]
+    df = embedding_outliers(tables["embeddings"], cents, max_dist=5.0)
+    assert not has_operator(df, "Exchange")
+    assert not has_operator(df, "MapInPandas")  # codegen, not Python
+
+
+def test_leakage_safe_split_adds_no_shuffle(tables):
+    # split assignment is one map expression over the clustering
+    # output — content-stable hash, no exchange of its own
+    from distributed_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    members = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), (F.col("vec_id") % 10).alias("rep_id")
+    )
+    df = leakage_safe_split(members, test_pct=10)
+    assert not has_operator(df, "Exchange")
+
+
+def test_volume_shipping_customer_prunes_before_fact_join(tables):
+    # VERDICT r7 #2: customer must meet the broadcast two-nation frame
+    # BEFORE the o_custkey fact join, so at 100x only 2/|nations| of
+    # customers ship into the shuffle. All joins here broadcast at
+    # fixture scale; the load-bearing check is that no shuffle (and no
+    # sort-merge path) carries the unpruned customer table.
+    df = R.volume_shipping(
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+        tables["supplier"],
+        tables["nation"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the customer⋈nation(c_nk) prune must sit on the BUILD side of
+    # the o_custkey fact join, i.e. print DEEPER (later) than it; in
+    # the pre-fix plan the c_nk join was outermost (applied after the
+    # fact join) and printed first
+    fact_join = plan.index("BroadcastHashJoin [o_custkey")
+    prune_join = plan.index("], [c_nk")
+    assert prune_join > fact_join, "customer joins the fact side unpruned"

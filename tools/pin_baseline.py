@@ -30,7 +30,8 @@ def main() -> None:
             f"baseline sf={base.get('sf')}"
         )
     added = []
-    for name, sec in bench.get("queries", {}).items():
+    measured = {**bench.get("queries", {}), **bench.get("phase_split", {})}
+    for name, sec in measured.items():
         if name not in base["queries"]:
             base["queries"][name] = {"sec": sec, "source": source}
             added.append(name)
