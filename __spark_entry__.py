@@ -1808,6 +1808,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hnsw_topk_exact"] = ann_hnsw_topk_exact_q
 
+    _hnsw_filtered_memo: dict[str, str] = {}
+
+    def ann_hnsw_filtered_exact_q(spark, sf):
+        # filtered ANN through the persisted-HNSW path (r8): the label
+        # rides the layout (hnsw_write extra_cols), the predicate masks
+        # nodes inside each shard like tombstones with widened fetch,
+        # and ef >= shard rows degenerates to exact filtered brute
+        # force — pinned by the same SQL oracle as knn_filtered
+        import tempfile
+
+        from distributed_vector_database_spark.operators.hnsw import (
+            hnsw_read_search,
+            hnsw_write,
+        )
+
+        emb = _emb(spark, sf)
+        if sf not in _hnsw_filtered_memo:
+            path = tempfile.mkdtemp(prefix="dvdb_hnsw_filt_")
+            hnsw_write(emb, path, num_shards=4, extra_cols=("label",))
+            _hnsw_filtered_memo[sf] = path
+        res = hnsw_read_search(
+            spark,
+            _hnsw_filtered_memo[sf],
+            _query_vec(spark, sf),
+            k=KNN_K,
+            ef=10**9,
+            predicate=F.col("label") == KNN_FILTER_LABEL,
+        )
+        return res.join(
+            F.broadcast(emb.select("vec_id", "label")), "vec_id"
+        ).select("vec_id", "label", "score")
+
+    q["ann_hnsw_filtered_exact"] = ann_hnsw_filtered_exact_q
+
     DELETE_MOD = 7  # vec_id % 7 == 3 is the deterministic victim set
     _del_ann_memo: dict[tuple, tuple] = {}
 
@@ -2026,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_knn_expr", "ann_ivf_filtered_exact",
         "ann_ivf_delete_exact", "ann_hnsw_delete_exact",
         "ann_hnsw_compact_exact",
+        # r8-new: filtered serving through the persisted HNSW layout
+        "ann_hnsw_filtered_exact",
         # --- code changed in round 8 (perf fix: staged-token LM) ---
         "lm_perplexity",
         # --- round-7 first-timers kept for a second driver round ---
@@ -2036,13 +2072,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6/7 two-round queries holding the last slots ---
         "training_pipeline", "training_pipeline_spans",
         "events_rollup_served", "hybrid_rrf_served", "bm25_postings_topk",
-        "snapshot_diff", "scd2_history", "events_gapfill",
+        "snapshot_diff", "scd2_history",
         "decontam_report", "decontam_filter", "source_overlap",
         # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
         # --- also pinned in pytest + full-gate re-runs every round   ---
         # (the r7 rows-only ANN block rotates down: each has a driver
         # rows row from r7 and a hash-green exact anchor in-budget)
-        "dup_span_report", "remove_dup_spans",
+        "events_gapfill", "dup_span_report", "remove_dup_spans",
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
@@ -2335,6 +2371,7 @@ ORDER BY t.score, t.vec_id
     # full-probe filtered IVF must reproduce the brute-force filtered
     # k-NN bit-for-bit — same oracle
     o["ann_ivf_filtered_exact"] = o["knn_filtered"]
+    o["ann_hnsw_filtered_exact"] = o["knn_filtered"]
     o["knn_threshold"] = _knn_sql(20, threshold=KNN_THRESHOLD)
     o["knn_topk_default"] = _knn_sql(5)
     o["knn_sharded"] = _knn_sql(KNN_K)  # exact kernel → same oracle

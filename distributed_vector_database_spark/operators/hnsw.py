@@ -331,19 +331,29 @@ def hnsw_write(
     m: int = 16,
     ef_construction: int = 128,
     seed: int = 42,
+    extra_cols: Sequence[str] = (),
 ) -> None:
     """Build one HNSW graph per shard and persist graphs + vectors as a
-    shard_id-partitioned parquet layout. Build parallelism = num_shards."""
+    shard_id-partitioned parquet layout. Build parallelism = num_shards.
+
+    `extra_cols` persists metadata columns alongside each node so
+    hnsw_read_search can serve FILTERED queries (predicate evaluated
+    inside the shard against these columns — the reference's metadata
+    filter on its HNSW path, declared in src/vector_db.thrift:26)."""
     import numpy as np
     import pandas as pd
     from pyspark import TaskContext
 
+    extra_cols = list(extra_cols)
     proj = (
         df.filter(F.col(vec_col).isNotNull())
-        .select(key_col, vec_col)
+        .select(key_col, vec_col, *extra_cols)
         .repartition(num_shards, key_col)
     )
     key_type = dict(df.dtypes)[key_col]
+    extra_schema = "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in extra_cols
+    )
 
     def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = list(batches)
@@ -386,6 +396,7 @@ def hnsw_write(
                 "efc": ef_construction,
                 "nshards": num_shards,
                 "seed": seed,
+                **{c: rows[c].to_numpy() for c in extra_cols},
             }
         )
 
@@ -393,6 +404,7 @@ def hnsw_write(
         f"shard_id int, node_idx long, {key_col} {key_type}, "
         f"{vec_col} array<double>, links array<array<long>>, "
         "entry long, max_level int, m int, efc int, nshards int, seed int"
+        + extra_schema
     )
     proj.mapInPandas(build_shard, schema=schema).write.mode(
         "overwrite"
@@ -520,6 +532,7 @@ def hnsw_read_search(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     ef: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Serve top-k from a persisted hnsw_write layout: each shard group
     reloads its graph and beam-searches; global ascending merge. The
@@ -529,7 +542,16 @@ def hnsw_read_search(
     candidate pool with the fetch depth widened by the shard's own
     tombstone count — filter-after-search like the reference
     (handler.py:99) but with guaranteed candidate depth, so deletions
-    never shrink the honest top-k."""
+    never shrink the honest top-k.
+
+    `predicate` (a Column over metadata columns persisted via
+    hnsw_write(extra_cols=...)) serves FILTERED ANN the same way: rows
+    failing the predicate are masked like tombstones — the graph stays
+    intact (nodes can't be dropped without breaking adjacency), the
+    beam fetch widens by the shard's masked count, and the exhaustive
+    (ef >= shard rows) mode degenerates to exact filtered brute force.
+    Evaluated by Catalyst in the scan, not in Python — only the
+    boolean lands in the kernel."""
     import numpy as np
     import pandas as pd
 
@@ -538,6 +560,9 @@ def hnsw_read_search(
     qlist = [float(v) for v in query_vec]
     tomb = _read_tombstones(path)
     nodes = spark.read.parquet(path)
+    has_pred = predicate is not None
+    if has_pred:
+        nodes = nodes.withColumn("__keep", predicate)
     key_type = dict(nodes.dtypes)[key_col]
 
     def search_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -551,6 +576,10 @@ def hnsw_read_search(
             if tomb
             else np.zeros(n, dtype=bool)
         )
+        if has_pred:
+            # predicate-failing nodes mask exactly like tombstones
+            # (NULL predicate = not kept, matching WHERE semantics)
+            dead |= ~pdf["__keep"].fillna(False).to_numpy().astype(bool)
         # a re-put key holds two graph nodes (appends can't unlink the
         # old one); NEWEST node wins = max node_idx per key, since
         # hnsw_append routes a key to the same shard hnsw_write did and
@@ -659,22 +688,46 @@ def hnsw_append(
     else:
         nodes = nodes.withColumn("seed", F.lit(int(seed)))
 
+    # metadata columns persisted by hnsw_write(extra_cols=...) must
+    # ride the append too — the batch has to carry the same columns
+    known = {
+        "shard_id", "node_idx", key_col, vec_col, "links",
+        "entry", "max_level", "m", "efc", "nshards", "seed",
+    }
+    extras = [c for c in nodes.columns if c not in known]
+    missing = [c for c in extras if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"layout persists metadata columns {extras}; batch lacks "
+            f"{missing}"
+        )
+    extra_schema = "".join(
+        f", {c} {dict(nodes.dtypes)[c]}" for c in extras
+    )
+
     # same repartition(key) hash → a key lands on the shard whose graph
     # would have held it at build time
-    tagged_schema = f"shard_id int, {key_col} {key_type}, {vec_col} array<double>"
+    tagged_schema = (
+        f"shard_id int, {key_col} {key_type}, {vec_col} array<double>"
+        + extra_schema
+    )
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = pdf[[key_col, vec_col]].copy()
+            out = pdf[[key_col, vec_col, *extras]].copy()
             out.insert(0, "shard_id", pid)
             yield out
 
     new_rows = (
         batch.filter(F.col(vec_col).isNotNull())
-        .select(key_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .select(
+            key_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            *extras,
+        )
         .repartition(nshards, key_col)
         .mapInPandas(tag, schema=tagged_schema)
     )
@@ -683,11 +736,12 @@ def hnsw_append(
         f"shard_id int, node_idx long, {key_col} {key_type}, "
         f"{vec_col} array<double>, links array<array<long>>, "
         "entry long, max_level int, m int, efc int, nshards int, seed int"
+        + extra_schema
     )
 
     out_cols = [
         "shard_id", "node_idx", key_col, vec_col, "links",
-        "entry", "max_level", "m", "efc", "nshards", "seed",
+        "entry", "max_level", "m", "efc", "nshards", "seed", *extras,
     ]
 
     def merge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -704,6 +758,7 @@ def hnsw_append(
         if left.empty:
             index = HnswIndex(m=m, ef_construction=efc, seed=seed).build(fmat)
             keys = fresh[key_col].to_numpy()
+            extra_vals = {c: fresh[c].to_numpy() for c in extras}
             shard_id = int(fresh["shard_id"].iloc[0])
         else:
             left = left.sort_values("node_idx", kind="mergesort").reset_index(
@@ -719,6 +774,12 @@ def hnsw_append(
             keys = np.concatenate(
                 [left[key_col].to_numpy(), fresh[key_col].to_numpy()]
             )
+            extra_vals = {
+                c: np.concatenate(
+                    [left[c].to_numpy(), fresh[c].to_numpy()]
+                )
+                for c in extras
+            }
             shard_id = int(left["shard_id"].iloc[0])
         n = len(index.vectors)
         links = [
@@ -742,6 +803,7 @@ def hnsw_append(
                 "efc": efc,
                 "nshards": nshards,
                 "seed": seed,
+                **extra_vals,
             }
         )
 

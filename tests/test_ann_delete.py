@@ -469,3 +469,72 @@ def test_tombstone_tiebreak_is_deterministic():
     legacy = "t-00000003-deadbeef0123.json"
     assert _tombstone_sort_key(legacy)[1] == 0
     assert _tombstone_sort_key("legacy.json")[0] == 0
+
+
+def test_hnsw_filtered_serving_matches_filtered_brute_force(spark, tmp_path):
+    """Predicate masks nodes inside the shard pool (graph intact);
+    exhaustive ef reproduces filtered knn_exact; beam mode keeps full
+    candidate depth via the widened fetch."""
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_read_search,
+        hnsw_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    emb = _emb(spark, n=200).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int")
+    )
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "hnsw_filt")
+    hnsw_write(emb, path, num_shards=4, extra_cols=("label",))
+
+    got = hnsw_read_search(
+        spark, path, q, k=7, ef=10**9, predicate=F.col("label") == 2
+    ).collect()
+    want = knn_exact(
+        emb.filter(F.col("label") == 2), q, k=7, extra_cols=()
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # beam mode: selective predicate, results still honest top-k
+    beam = hnsw_read_search(
+        spark, path, q, k=7, ef=32, predicate=F.col("label") == 2
+    ).collect()
+    got_ids = {r["vec_id"] for r in beam}
+    assert len(beam) == 7
+    assert all(i % 4 == 2 for i in got_ids)
+
+
+def test_hnsw_append_carries_metadata_columns(spark, tmp_path):
+    from distributed_vector_database_spark.operators.hnsw import (
+        hnsw_append,
+        hnsw_read_search,
+        hnsw_write,
+    )
+
+    emb = _emb(spark, n=80).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int")
+    )
+    path = str(tmp_path / "hnsw_meta")
+    hnsw_write(emb, path, num_shards=2, extra_cols=("label",))
+
+    batch = _emb(spark, n=100, seed=8).filter(F.col("vec_id") >= 80).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int")
+    )
+    hnsw_append(spark, path, batch)
+    nodes = spark.read.parquet(path)
+    assert nodes.count() == 100
+    assert nodes.filter(F.col("label").isNull()).count() == 0
+
+    # appended rows are filterable immediately
+    q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    res = hnsw_read_search(
+        spark, path, q, k=5, ef=10**9, predicate=F.col("label") == 1
+    ).collect()
+    assert all(r["vec_id"] % 4 == 1 for r in res)
+
+    # a batch missing the metadata column is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks"):
+        hnsw_append(spark, path, _emb(spark, n=5, seed=3))

@@ -31,6 +31,8 @@ ANCHORS = {
     "ann_hnsw_compact_exact",
     # round-8: the LSH family's first exact anchor (VERDICT r7 #5)
     "ann_lsh_topk_exact",
+    # round-8: filtered serving through the persisted HNSW layout
+    "ann_hnsw_filtered_exact",
 }
 
 # rows-only by design: ANN recall / multimodal / BPE queries with no
@@ -56,6 +58,7 @@ ROTATED_IN = {
     "embedding_outliers", "leakage_safe_split",
     # round-8 code changes that must show a green driver row
     "ann_lsh_topk_exact", "lm_perplexity", "canonical_selection",
+    "ann_hnsw_filtered_exact",
 }
 
 
