@@ -78,6 +78,8 @@ HEADLINE = [
     "volume_shipping",
     "customer_order_distribution",
     "large_volume_customers",
+    # round-8: quality-aware canonical pick per near-dup cluster
+    "canonical_selection",
 ]
 
 

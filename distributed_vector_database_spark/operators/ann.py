@@ -380,6 +380,13 @@ def ivf_append(
     # a null vector has no cell — appending it would crash ivf_assign's
     # np.stack on the executors, so drop such rows up front
     batch = batch.filter(F.col(vec_col).isNotNull())
+    # appended files must keep the LAYOUT's vector element type: a
+    # float-layout with double-appended files fails every later read
+    # with PARQUET_COLUMN_DATA_TYPE_MISMATCH (parquet has no schema
+    # merge across element widths) — found by the r8 served-probe
+    # bench, where a changelog union had widened float to double
+    stored_vec_type = dict(spark.read.parquet(path).dtypes)[vec_col]
+    batch = batch.withColumn(vec_col, F.col(vec_col).cast(stored_vec_type))
     if not assume_absent:
         stored = spark.read.parquet(path)
         # keys already stored, found with a broadcast SEMI JOIN — never

@@ -538,3 +538,28 @@ def test_hnsw_append_carries_metadata_columns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="lacks"):
         hnsw_append(spark, path, _emb(spark, n=5, seed=3))
+
+
+def test_ivf_append_keeps_layout_vector_element_type(spark, tmp_path):
+    """A float-element layout appended with double-element batch rows
+    must not produce mixed parquet files (every later read fails with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH)."""
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_write,
+    )
+
+    emb = _emb(spark, n=40).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    path = str(tmp_path / "ivf_float")
+    centroids, assigned = ivf_build(emb, n_centroids=2)
+    ivf_write(assigned, path)
+
+    batch = _emb(spark, n=50, seed=4).filter(F.col("vec_id") >= 40)
+    assert dict(batch.dtypes)["embedding"] == "array<double>"
+    ivf_append(spark, path, batch, centroids)
+    after = spark.read.parquet(path)
+    assert dict(after.dtypes)["embedding"] == "array<float>"
+    assert after.count() == 50
