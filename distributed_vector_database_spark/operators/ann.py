@@ -294,12 +294,119 @@ def ivf_build_auto(
     return sorted(out_centroids), out, nprobe
 
 
-def ivf_write(assigned: DataFrame, path: str) -> None:
+def ivf_write(assigned: DataFrame, path: str, centroids: list | None = None) -> None:
     """Persist an IVF-assigned corpus partitioned by centroid_id — the
     physical layout that makes probes partition-PRUNED parquet reads
     (only nprobe/k of the files are ever opened). At 100 TB this is the
-    difference between an index probe and a full scan."""
+    difference between an index probe and a full scan.
+
+    Pass `centroids` to persist the quantizer WITH the layout
+    (_quantizer.json) — the reference's save_index lifecycle
+    (src/datanode/handler.py:46-88): a restarted process reloads the
+    quantizer from the layout (ivf_read_quantizer) instead of needing
+    the driver that trained it; incremental maintenance
+    (ivf_split_fat_cells) rewrites it as cells split."""
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    if centroids is not None:
+        _write_quantizer(path, centroids)
+
+
+def _write_quantizer(path: str, centroids: list) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, "_quantizer.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(
+            [[int(i), [float(x) for x in v]] for i, v in centroids], fh
+        )
+    _os.replace(tmp, _os.path.join(path, "_quantizer.json"))
+
+
+def ivf_read_quantizer(path: str) -> list:
+    """Reload the persisted quantizer (the reference's load_index
+    restart path). Raises FileNotFoundError for layouts written
+    without centroids."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_quantizer.json")) as fh:
+        return [(int(i), list(map(float, v))) for i, v in _json.load(fh)]
+
+
+def ivf_split_fat_cells(
+    spark: SparkSession,
+    path: str,
+    cap_factor: float = 4.0,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> int:
+    """Incremental cell-balance maintenance for a persisted IVF layout:
+    after enough appends, some cells grow fat (every probe that hits
+    one degrades toward a full scan). Instead of the reference's FULL
+    index rebuild every 200k puts (src/datanode/handler.py:240-251),
+    split ONLY the cells holding more than `cap_factor` x the mean
+    cell size: re-cluster just their members (sampled KMeans, k =
+    ceil(size/mean)), rewrite those cell directories into the new
+    sub-cells, and update the persisted quantizer. Cost follows the
+    fat cells, never the corpus; untouched cells keep their files.
+    Requires a layout written with centroids (ivf_write(centroids=)).
+    Returns the number of cells split."""
+    import math as _math
+    import shutil as _shutil
+
+    centroids = ivf_read_quantizer(path)
+    stored = spark.read.parquet(path)
+    n = stored.count()
+    if n == 0 or not centroids:
+        return 0
+    mean = n / len(centroids)
+    sizes = {
+        r["centroid_id"]: r["cnt"]
+        for r in stored.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    fat = [c for c, s in sizes.items() if s > cap_factor * mean]
+    if not fat:
+        return 0
+    cent_map = dict(centroids)
+    next_id = max(cent_map) + 1
+    out_centroids = [(i, v) for i, v in centroids if i not in fat]
+    for cid in fat:
+        members = (
+            stored.filter(F.col("centroid_id") == cid).drop("centroid_id")
+        )
+        sub_k = max(2, _math.ceil(sizes[cid] / mean))
+        sub_sample = min(max(10_000, 128 * sub_k), 200_000)
+        sub_centroids, sub_assigned = ivf_build(
+            members,
+            n_centroids=sub_k,
+            vec_col=vec_col,
+            seed=seed,
+            train_sample_rows=(
+                sub_sample if sizes[cid] > sub_sample else None
+            ),
+        )
+        remap = {i: next_id + i for i, _ in sub_centroids}
+        out_centroids.extend((remap[i], v) for i, v in sub_centroids)
+        mapping = F.create_map(
+            *[F.lit(x) for pair in remap.items() for x in pair]
+        )
+        sub_assigned = sub_assigned.withColumn(
+            "centroid_id", mapping[F.col("centroid_id")].cast("int")
+        )
+        # new sub-cell ids never collide with live dirs, so this is a
+        # plain append of fresh directories followed by removing the
+        # fat cell — no read-write cycle on any directory
+        sub_assigned.write.mode("append").partitionBy("centroid_id").parquet(
+            path
+        )
+        _shutil.rmtree(f"{path}/centroid_id={cid}", ignore_errors=True)
+        next_id += sub_k
+    _write_quantizer(path, out_centroids)
+    return len(fat)
 
 
 def ivf_assign(

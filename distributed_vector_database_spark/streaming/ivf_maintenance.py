@@ -40,10 +40,27 @@ def build_ivf_changelog_fold(
     vec_col: str = "embedding",
     op_col: str = "op",
     seq_col: str = "seq",
+    split_cap_factor: float | None = None,
 ):
     """foreachBatch body replaying a put/delete changelog into the
-    persisted IVF layout."""
+    persisted IVF layout.
+
+    When the layout persists its quantizer (ivf_write(centroids=)),
+    each batch assigns against THAT copy, not the closure's — cell
+    splits (ivf_split_fat_cells) update the persisted quantizer, and
+    an append against the stale closure copy would route rows into
+    removed cell ids that no probe ever reads. `split_cap_factor`
+    turns on auto-split after each batch (the incremental analog of
+    the reference's rebuild-every-200k-puts trigger,
+    src/datanode/handler.py:240-251) — requires a persisted quantizer."""
+    import os as _os2
+
     from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_read_quantizer,
+        ivf_split_fat_cells,
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         import os as _os
@@ -86,11 +103,22 @@ def build_ivf_changelog_fold(
         # ops the single-rewrite fold halves the dominant cost.
         victims = last.select(key_col)
         ivf_delete(spark_, index_dir, victims, key_col=key_col)
+        has_quantizer = _os2.path.exists(
+            _os2.path.join(index_dir, "_quantizer.json")
+        )
+        cents = (
+            ivf_read_quantizer(index_dir) if has_quantizer else centroids
+        )
         if puts.limit(1).count() > 0:
             ivf_append(
-                spark_, index_dir, puts, centroids,
+                spark_, index_dir, puts, cents,
                 key_col=key_col, vec_col=vec_col, batch_id=batch_id,
                 assume_absent=True,
+            )
+        if split_cap_factor is not None and has_quantizer:
+            ivf_split_fat_cells(
+                spark_, index_dir, cap_factor=split_cap_factor,
+                key_col=key_col, vec_col=vec_col,
             )
 
     return fold

@@ -183,3 +183,138 @@ def test_ivf_fold_ignores_null_vector_puts(spark, tmp_path):
     assert 200 in keys and 201 not in keys and 7 not in keys
     got = ivf_search(spark, centroids, stored, [0.5] * 8, k=1, nprobe=10**9)
     assert got.first()["vec_id"] == 200
+
+
+def test_quantizer_persists_and_reloads(spark, tmp_path):
+    """ivf_write(centroids=) persists the quantizer with the layout —
+    the reference's save_index/load_index restart lifecycle."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_read_quantizer,
+        ivf_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_q")
+    centroids, assigned = ivf_build(emb, n_centroids=4)
+    ivf_write(assigned, path, centroids=centroids)
+
+    # a "restarted process": reload everything from the layout
+    cents2 = ivf_read_quantizer(path)
+    assert cents2 == [(i, [float(x) for x in v]) for i, v in centroids]
+    stored = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") == 5).first()["embedding"]
+    got = ivf_search(spark, cents2, stored, q, k=6, nprobe=10**9).collect()
+    want = knn_exact(emb, q, k=6, extra_cols=()).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_split_fat_cells_rebalances_and_stays_exact(spark, tmp_path):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_read_quantizer,
+        ivf_search,
+        ivf_split_fat_cells,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    rng = np.random.default_rng(5)
+    # two tight clusters + one huge diffuse blob -> one fat cell
+    rows = []
+    for i in range(30):
+        rows.append((i, [float(x) for x in rng.normal(loc=10.0, size=8)]))
+    for i in range(30, 60):
+        rows.append((i, [float(x) for x in rng.normal(loc=-10.0, size=8)]))
+    for i in range(60, 400):
+        rows.append((i, [float(x) for x in rng.normal(scale=0.5, size=8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_fat")
+    centroids, assigned = ivf_build(emb, n_centroids=3)
+    ivf_write(assigned, path, centroids=centroids)
+
+    n_split = ivf_split_fat_cells(spark, path, cap_factor=1.5)
+    assert n_split >= 1
+    cents2 = ivf_read_quantizer(path)
+    assert len(cents2) > len(centroids) - n_split
+    stored = spark.read.parquet(path)
+    # layout cells and quantizer ids agree
+    live = {r["centroid_id"] for r in stored.select("centroid_id").distinct().collect()}
+    assert live <= {i for i, _ in cents2}
+    assert stored.count() == 400
+    # full-width search over the split layout is still exact
+    q = emb.filter(F.col("vec_id") == 100).first()["embedding"]
+    got = ivf_search(spark, cents2, stored, q, k=8, nprobe=10**9).collect()
+    want = knn_exact(emb, q, k=8, extra_cols=()).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # max cell size shrank
+    sizes = [
+        r["cnt"]
+        for r in stored.groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
+    ]
+    assert max(sizes) < 340
+
+
+def test_fold_uses_persisted_quantizer_after_split(spark, tmp_path):
+    """Appends after a split must assign against the UPDATED quantizer
+    — the closure's stale copy would route rows into removed cells."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_read_quantizer,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.streaming.ivf_maintenance import (
+        build_ivf_changelog_fold,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(scale=0.5, size=8)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_fold_split")
+    centroids, assigned = ivf_build(emb, n_centroids=3)
+    ivf_write(assigned, path, centroids=centroids)
+
+    fold = build_ivf_changelog_fold(
+        path, centroids, split_cap_factor=1.5
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1000 + i, [float(x) for x in rng.normal(scale=0.5, size=8)], "put", i)
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>, op string, seq long",
+    )
+    fold(batch1, batch_id=1)
+    cents_after = ivf_read_quantizer(path)
+
+    batch2 = spark.createDataFrame(
+        [
+            (2000 + i, [float(x) for x in rng.normal(scale=0.5, size=8)], "put", i)
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>, op string, seq long",
+    )
+    fold(batch2, batch_id=2)
+    stored = spark.read.parquet(path)
+    live = {
+        r["centroid_id"]
+        for r in stored.select("centroid_id").distinct().collect()
+    }
+    # every stored cell is probe-reachable through the CURRENT quantizer
+    assert live <= {i for i, _ in ivf_read_quantizer(path)}
+    assert stored.count() == 340
