@@ -1476,6 +1476,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_similarity_join"] = ann_lsh_similarity_join_q
 
+    def ann_lsh_join_exact_q(spark, sf):
+        # the LSH similarity-JOIN leg's degenerate-to-exhaustive anchor
+        # (companion to ann_lsh_topk_exact): single wide bucket over
+        # augmented vectors -> candidate set = all pairs -> the radius
+        # filter is the exact all-pairs-within-L2 join
+        from distributed_vector_database_spark.operators.ann import (
+            lsh_full_coverage_join,
+        )
+
+        return lsh_full_coverage_join(_emb(spark, sf), max_l2=1.2)
+
+    q["ann_lsh_join_exact"] = ann_lsh_join_exact_q
+
     # ---- streaming-shaped window aggregates (SURVEY §2.2 Streaming) -------
 
     q["events_tumbling"] = lambda spark, sf: tumbling_counts(
@@ -2372,6 +2385,22 @@ ORDER BY t.score, t.vec_id
     # k-NN bit-for-bit — same oracle
     o["ann_ivf_filtered_exact"] = o["knn_filtered"]
     o["ann_hnsw_filtered_exact"] = o["knn_filtered"]
+
+    # LSH similarity-join anchor: exact all-pairs within L2 radius
+    # (approxSimilarityJoin filters dist < threshold strictly)
+    o["ann_lsh_join_exact"] = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum([pr[1]*pr[2] for pr in
+      list_zip(
+        [x[1]-x[2] for x in list_zip(a.v, b.v)],
+        [x[1]-x[2] for x in list_zip(a.v, b.v)]
+      )]) AS sq
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sq, 6) AS score FROM p WHERE sq < {1.2 * 1.2}
+"""
     o["knn_threshold"] = _knn_sql(20, threshold=KNN_THRESHOLD)
     o["knn_topk_default"] = _knn_sql(5)
     o["knn_sharded"] = _knn_sql(KNN_K)  # exact kernel → same oracle

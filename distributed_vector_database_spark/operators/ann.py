@@ -120,6 +120,35 @@ def lsh_full_probe_topk(
     return full.orderBy("score", key_col).limit(k)
 
 
+def lsh_full_coverage_join(
+    df: DataFrame,
+    max_l2: float,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact anchor for the LSH similarity-JOIN leg: the same
+    constant-coordinate augmentation as lsh_full_probe_topk puts every
+    row in the single wide bucket, so approxSimilarityJoin's candidate
+    set is ALL pairs and the radius filter makes it the exact
+    all-pairs-within-L2 join (distances unchanged by the augmentation)
+    — hash-matchable against a brute-force pair oracle. Degenerate
+    mode only: the candidate set is O(n^2), which is the point of the
+    anchor, not the serving path (the serving path is the banded
+    approximate join / embedding_near_dup_at_scale)."""
+    aug = df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__aug",
+        F.concat(
+            F.array(F.lit(1.0e9)), F.col(vec_col).cast("array<double>")
+        ),
+    )
+    model, indexed = lsh_model(
+        aug, vec_col="__aug", bucket_length=1.0e15, num_hash_tables=1
+    )
+    return lsh_similarity_join(
+        model, indexed, indexed, max_l2, key_a=key_col, key_b=key_col
+    )
+
+
 def lsh_similarity_join(
     model,
     indexed_a: DataFrame,

@@ -391,3 +391,32 @@ def test_lsh_full_probe_matches_exact(tables, qvec):
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in want
     ]
+
+
+def test_lsh_full_coverage_join_matches_exact_pairs(tables):
+    """The similarity-join leg's degenerate anchor: single-bucket
+    augmentation makes the candidate set all pairs, so the radius
+    join equals brute force."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.ann import (
+        lsh_full_coverage_join,
+    )
+
+    emb = tables["embeddings"]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_full_coverage_join(emb, max_l2=1.2).collect()
+    }
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    import itertools
+
+    import numpy as np
+
+    vecs = {r[0]: np.asarray(r[1]) for r in rows}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if float(np.sqrt(((vecs[a] - vecs[b]) ** 2).sum())) < 1.2
+    }
+    assert got == want
