@@ -661,6 +661,37 @@ def ivf_delete(
         victim.unpersist()
 
 
+def ivf_read_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+    extra_cols: Sequence[str] = (),
+    selectivity: float | None = None,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF layout using its PERSISTED
+    quantizer (ivf_write(centroids=)) — the restart path: nothing but
+    the layout directory is needed, mirroring hnsw_read_search and the
+    reference's load_index + knn_query lifecycle."""
+    return ivf_search(
+        spark,
+        ivf_read_quantizer(path),
+        spark.read.parquet(path),
+        query_vec,
+        k=k,
+        nprobe=nprobe,
+        key_col=key_col,
+        vec_col=vec_col,
+        predicate=predicate,
+        extra_cols=extra_cols,
+        selectivity=selectivity,
+    )
+
+
 def ivf_read_probe(
     spark: SparkSession, path: str, probe_ids: list[int]
 ) -> DataFrame:

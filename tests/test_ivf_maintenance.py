@@ -318,3 +318,30 @@ def test_fold_uses_persisted_quantizer_after_split(spark, tmp_path):
     # every stored cell is probe-reachable through the CURRENT quantizer
     assert live <= {i for i, _ in ivf_read_quantizer(path)}
     assert stored.count() == 340
+
+
+def test_ivf_read_search_restart_path(spark, tmp_path):
+    """Serving needs nothing but the layout directory (quantizer
+    reloaded from _quantizer.json)."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_build,
+        ivf_read_search,
+        ivf_write,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_restart")
+    centroids, assigned = ivf_build(emb, n_centroids=4)
+    ivf_write(assigned, path, centroids=centroids)
+
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    got = ivf_read_search(spark, path, q, k=6, nprobe=10**9).collect()
+    want = knn_exact(emb, q, k=6, extra_cols=()).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
