@@ -602,6 +602,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_supplier"] = lambda spark, sf: R.top_supplier(
         load_table(spark, sf, "supplier"), load_table(spark, sf, "lineitem")
     )
+    # round-8 additions: Q6/Q12/Q22 shapes (the remaining TPC-H forms
+    # expressible over the fixture columns — no partsupp/commitdate)
+    q["discount_revenue"] = lambda spark, sf: R.discount_revenue(
+        load_table(spark, sf, "lineitem")
+    )
+    q["priority_shipping_mix"] = lambda spark, sf: R.priority_shipping_mix(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    q["idle_rich_customers"] = lambda spark, sf: R.idle_rich_customers(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
 
     # ---- retrieval additions (round 7): MMR / rerank / topic --------------
 
@@ -3262,6 +3273,37 @@ SELECT s_suppkey, s_name, total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 ORDER BY s_suppkey
+"""
+
+    o["discount_revenue"] = """
+SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.06 - 0.01 - 1e-9
+  AND l_discount <= 0.06 + 0.01 + 1e-9
+  AND l_quantity < 24
+"""
+
+    o["priority_shipping_mix"] = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+    o["idle_rich_customers"] = """
+SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS num_custs,
+  round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY 1 ORDER BY 1
 """
 
     o["orders_grouping_sets"] = """

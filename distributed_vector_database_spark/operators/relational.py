@@ -984,3 +984,93 @@ def top_supplier(
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+def discount_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount_center: float = 0.06,
+    discount_band: float = 0.01,
+    max_quantity: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change: one filtered scan,
+    one global agg — the canonical predicate-pushdown probe (every
+    filter must reach the parquet scan; at 100 TB the scan cost IS the
+    query cost, so a filter evaluated post-scan reads 10x the bytes).
+    Rounded half-up at 2dp to stay oracle-exact."""
+    lo = discount_center - discount_band - 1e-9
+    hi = discount_center + discount_band + 1e-9
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from)
+            & (F.col("l_shipdate") < date_to)
+            & (F.col("l_discount") >= lo)
+            & (F.col("l_discount") <= hi)
+            & (F.col("l_quantity") < max_quantity)
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("double").alias("rev_cents")
+        )
+        .select((F.col("rev_cents") / 100).alias("revenue"))
+    )
+
+
+def priority_shipping_mix(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shaped conditional-aggregation mix: per ship-year
+    bucket, how many lineitems belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs low — SUM(CASE WHEN ...) after one fact
+    join. The plan is a single o_orderkey-shuffled join (orders
+    projected to two columns) + a partial-agg groupBy over a
+    year-bounded key space."""
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    ).join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped: customers whose balance exceeds the positive-
+    balance average but who have placed NO orders, grouped by market
+    segment. Combines the de-correlated scalar subquery (1-row
+    broadcast average) with a LEFT ANTI join against orders — the
+    anti side shuffles only the distinct o_custkey set, never the
+    order rows."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.join(
+        F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        orders.select("o_custkey").distinct(),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("num_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )

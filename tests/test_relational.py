@@ -167,3 +167,56 @@ def test_small_quantity_revenue_threshold_is_per_part(spark):
     )
     got = small_quantity_revenue(lineitem, part).first()["avg_yearly"]
     assert got == round((70.0 + 140.0) / 7.0, 2)
+
+
+def test_discount_revenue_single_row(tables):
+    from distributed_vector_database_spark.operators.relational import (
+        discount_revenue,
+    )
+
+    rows = discount_revenue(tables["lineitem"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["revenue"] is None or rows[0]["revenue"] >= 0
+
+
+def test_priority_shipping_mix_counts_partition(tables):
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.relational import (
+        priority_shipping_mix,
+    )
+
+    li, orders = tables["lineitem"], tables["orders"]
+    rows = priority_shipping_mix(li, orders).collect()
+    total = sum(r["high_line_count"] + r["low_line_count"] for r in rows)
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    assert total == joined.count()
+
+
+def test_idle_rich_customers_excludes_order_placers(tables):
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.relational import (
+        idle_rich_customers,
+    )
+
+    segs = idle_rich_customers(tables["customer"], tables["orders"]).collect()
+    # every counted customer is above the positive-balance average and
+    # orderless; spot-check via recomputation
+    cust, orders = tables["customer"], tables["orders"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal")
+    ).first()[0]
+    manual = (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(
+            orders.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert sum(r["num_custs"] for r in segs) == manual
