@@ -124,6 +124,10 @@ RERANK_W = (-2.0, 0.5, 3.0, 1.0)  # cross-encoder stand-in: bias, bm25,
 TOPIC_SEEDS = 8           # nearest-centroid topics = embeddings of vec_id<8
 OUTLIER_MAX_DIST = 1.9    # sq-L2 gate: ~p90 of nearest-seed distance
 SPLIT_TEST_PCT = 10       # leakage-safe split: clusters hashed to 10% test
+EPOCH_BUDGET = 300_000    # epoch_mixture: token budget (n_chars proxy)
+EPOCH_MAX = 4             # epoch_mixture: repetition cap per source
+EPOCH_HI_W = 3.0          # epoch_mixture: weight for src0-src4
+EPOCH_LO_W = 1.0          # epoch_mixture: weight for the rest
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +706,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return select_canonical(members, scores)
 
     q["canonical_selection"] = canonical_selection_q
+
+    def epoch_mixture_q(spark, sf):
+        # epoch-budgeted mixing ("repeat wikipedia 3x"): src0-4 carry
+        # triple weight; each source's budget share becomes a capped
+        # epoch count, docs repeat per full epoch + a content-stable
+        # hash draw for the fractional one
+        from distributed_vector_database_spark.operators.sampling import (
+            epoch_mixture,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        weights = {
+            f"src{i}": (EPOCH_HI_W if i < 5 else EPOCH_LO_W)
+            for i in range(20)
+        }
+        return epoch_mixture(
+            docs, weights, EPOCH_BUDGET, max_epochs=EPOCH_MAX,
+            token_col="n_chars",
+        )
+
+    q["epoch_mixture"] = epoch_mixture_q
 
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
@@ -3698,6 +3723,42 @@ SELECT cl.id, cl.rep_id,
   (cl.id = first_value(cl.id) OVER w) AS is_canonical
 FROM cl JOIN ds ON cl.id = ds.doc_id
 WINDOW w AS (PARTITION BY cl.rep_id ORDER BY ds.quality DESC, cl.id)
+"""
+
+    o["epoch_mixture"] = f"""
+WITH w AS (
+  SELECT source, sum(n_chars) AS mass,
+    CASE WHEN CAST(substring(source, 4) AS INT) < 5
+         THEN {EPOCH_HI_W} ELSE {EPOCH_LO_W} END AS wt
+  FROM documents GROUP BY source
+),
+tw AS (SELECT sum(DISTINCT 0) + {5 * EPOCH_HI_W + 15 * EPOCH_LO_W} AS total_w),
+e AS (
+  SELECT source,
+    least(CAST({EPOCH_MAX} AS DOUBLE),
+          {EPOCH_BUDGET} * (wt / (SELECT total_w FROM tw)) / CAST(mass AS DOUBLE)
+    ) AS epochs
+  FROM w
+),
+f AS (
+  SELECT source, CAST(floor(epochs) AS INT) AS full_e,
+    CAST(floor((epochs - floor(epochs)) * 1000000 + 0.5) AS BIGINT) AS frac6
+  FROM e
+),
+whole AS (
+  SELECT d.doc_id, d.source, CAST(gs.epoch AS INT) AS epoch
+  FROM documents d JOIN f ON d.source = f.source
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, f.full_e)) AS epoch) gs
+),
+extra AS (
+  SELECT d.doc_id, d.source, f.full_e + 1 AS epoch
+  FROM documents d JOIN f ON d.source = f.source
+  WHERE {_H32.format(x="CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':epoch'")}
+        % 1000000 < f.frac6
+)
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM whole
+UNION ALL
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM extra
 """
 
     o["simhash_dedup"] = _simhash_sql(SIMHASH_MAX_HAMMING)

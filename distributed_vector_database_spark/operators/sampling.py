@@ -373,3 +373,90 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def epoch_mixture(
+    docs: DataFrame,
+    weights: dict,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Epoch-budgeted corpus mixing — the pretraining primitive behind
+    "repeat wikipedia 3x": each source gets a share of `budget_tokens`
+    proportional to its weight, expressed as an EPOCH COUNT over that
+    source (capped at `max_epochs` — repeating a small high-quality
+    source past a few epochs stops helping), and every document is
+    emitted once per full epoch plus a content-stable hash draw for
+    the fractional epoch.
+
+    epochs_s = min(max_epochs, budget*w_s/sum(w) / token_mass_s);
+    a doc appears floor(epochs_s) times (epoch = 1..floor), and one
+    more time iff hash32("id:source:epoch") % 1e6 < frac(epochs_s)*1e6
+    — so growing the corpus or re-running never changes an existing
+    doc's epoch list (the same content-stable discipline as
+    hash_sample / deterministic_shuffle).
+
+    Plan: the per-source token mass is an aggregate (tiny — one row
+    per source) collected and broadcast back as a literal map; the
+    expansion is posexplode(sequence(1, full_s)) + one hash filter —
+    zero shuffles beyond the one mass aggregation, output rows carry
+    (id, source, epoch). At 100 TB the mass table is KB-sized and the
+    expansion is embarrassingly parallel."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    mass = {
+        r[source_col]: r["__mass"]
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(token_col).alias("__mass"))
+        .collect()
+    }
+    full_map, frac_map = {}, {}
+    for src, m in mass.items():
+        w = float(weights.get(src, 0.0))
+        if w <= 0 or not m:
+            full_map[src], frac_map[src] = 0, 0
+            continue
+        epochs = min(
+            float(max_epochs), budget_tokens * (w / total_w) / float(m)
+        )
+        full_map[src] = int(epochs)
+        # floor(x+0.5), not round(): Python rounds half-to-even while
+        # SQL rounds half-away — the same 6dp discipline as elsewhere
+        frac_map[src] = int((epochs - int(epochs)) * 1_000_000 + 0.5)
+    full_expr = F.create_map(
+        *[F.lit(x) for kv in full_map.items() for x in kv]
+    )[F.col(source_col)]
+    frac_expr = F.create_map(
+        *[F.lit(x) for kv in frac_map.items() for x in kv]
+    )[F.col(source_col)]
+    base = docs.select(id_col, source_col).withColumn(
+        "__full", F.coalesce(full_expr, F.lit(0))
+    ).withColumn("__frac", F.coalesce(frac_expr, F.lit(0)))
+    whole = base.filter(F.col("__full") >= 1).select(
+        id_col,
+        source_col,
+        F.explode(F.sequence(F.lit(1), F.col("__full"))).alias("epoch"),
+    )
+    extra = base.filter(
+        hash32(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col(source_col),
+                F.lit(":epoch"),
+            )
+        )
+        % 1_000_000
+        < F.col("__frac")
+    ).select(
+        id_col, source_col, (F.col("__full") + F.lit(1)).alias("epoch")
+    )
+    return whole.unionByName(extra)

@@ -176,3 +176,56 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         members, test_pct=30
     ).collect()}
     assert again == by_id
+
+
+def test_epoch_mixture_caps_and_weights(spark):
+    from distributed_vector_database_spark.operators.sampling import (
+        epoch_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hq", 100) for i in range(5)]
+        + [(100 + i, "lq", 100) for i in range(50)]
+        + [(900 + i, "zero", 100) for i in range(3)],
+        "doc_id long, source string, n_tokens long",
+    )
+    # hq mass 500, lq mass 5000; weights 1:1 over budget 4000 ->
+    # hq target 2000 -> 4 epochs (capped from 4.0); lq target 2000 ->
+    # 0.4 epochs (fractional only); zero weight -> dropped
+    out = epoch_mixture(
+        docs, {"hq": 1.0, "lq": 1.0}, budget_tokens=4000, max_epochs=4
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "zero" not in by_src
+    hq_epochs = {r["epoch"] for r in by_src["hq"]}
+    assert hq_epochs == {1, 2, 3, 4}
+    assert len(by_src["hq"]) == 20  # 5 docs x 4 epochs, no fraction
+    # lq: only fractional epoch-1 members, ~40% by content-stable hash
+    assert all(r["epoch"] == 1 for r in by_src["lq"])
+    assert 0 < len(by_src["lq"]) < 50
+
+    # re-run is bit-identical (content-stable hash draw)
+    again = epoch_mixture(
+        docs, {"hq": 1.0, "lq": 1.0}, budget_tokens=4000, max_epochs=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_epoch_mixture_validates_inputs(spark):
+    import pytest
+
+    from distributed_vector_database_spark.operators.sampling import (
+        epoch_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10)], "doc_id long, source string, n_tokens long"
+    )
+    with pytest.raises(ValueError):
+        epoch_mixture(docs, {"a": 1.0}, budget_tokens=0)
+    with pytest.raises(ValueError):
+        epoch_mixture(docs, {"a": 1.0}, budget_tokens=10, max_epochs=0)
+    with pytest.raises(ValueError):
+        epoch_mixture(docs, {"a": -1.0}, budget_tokens=10)
