@@ -617,6 +617,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["idle_rich_customers"] = lambda spark, sf: R.idle_rich_customers(
         load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
     )
+    # round-8 second batch: Q4/Q8/Q9/Q21 shapes (semi-join EXISTS,
+    # market-share conditional agg, profit multi-join, and the
+    # agg-rewrite of Q21's EXISTS/NOT-EXISTS self-join pair)
+    q["late_shipment_priority"] = lambda spark, sf: R.late_shipment_priority(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+    q["market_share"] = lambda spark, sf: R.nation_market_share(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+        part=load_table(spark, sf, "part"),
+    )
+    q["product_profit"] = lambda spark, sf: R.product_profit(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "part"),
+    )
+    q["waiting_suppliers"] = lambda spark, sf: R.waiting_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "supplier"),
+    )
 
     # ---- retrieval additions (round 7): MMR / rerank / topic --------------
 
@@ -727,6 +754,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["epoch_mixture"] = epoch_mixture_q
+
+    q["corpus_profile"] = lambda spark, sf: __import__(
+        "distributed_vector_database_spark.operators.relational",
+        fromlist=["corpus_profile"],
+    ).corpus_profile(
+        load_table(spark, sf, "documents"),
+        cols=["doc_id", "lang", "source", "n_chars"],
+    )
 
     # ---- text analysis / LLM pipeline (SURVEY §2.3) -----------------------
 
@@ -2100,6 +2135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers", "leakage_safe_split",
         # r8-new: quality-aware canonical pick per near-dup cluster
         "canonical_selection",
+        # r8-new: epoch-budgeted pretraining mixture + corpus profiler
+        "epoch_mixture", "corpus_profile",
+        # r8-new: Q4/Q8/Q9/Q21 shapes (completes the TPC-H forms
+        # expressible over the fixture columns)
+        "late_shipment_priority", "market_share",
+        "product_profit", "waiting_suppliers",
         # --- r8-new: the LSH family's first exact anchor ---
         "ann_lsh_topk_exact",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
@@ -2120,10 +2161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_repetitions",
         # --- round-6/7 two-round queries holding the last slots ---
         "training_pipeline", "training_pipeline_spans",
-        "events_rollup_served", "hybrid_rrf_served", "bm25_postings_topk",
-        "snapshot_diff", "scd2_history",
-        "decontam_report", "decontam_filter", "source_overlap",
+        "events_rollup_served", "hybrid_rrf_served",
         # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
+        # (bm25_postings_topk/snapshot_diff/scd2_history/decontam_report/
+        # decontam_filter/source_overlap rotate down for the six r8-new
+        # oracled queries above: all multi-round-green, full-gate-covered)
+        "bm25_postings_topk", "snapshot_diff", "scd2_history",
+        "decontam_report", "decontam_filter", "source_overlap",
         # --- also pinned in pytest + full-gate re-runs every round   ---
         # (the r7 rows-only ANN block rotates down: each has a driver
         # rows row from r7 and a hash-green exact anchor in-budget)
@@ -3331,6 +3375,70 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY 1 ORDER BY 1
 """
 
+    o["late_shipment_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+    o["market_share"] = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+  round(
+    sum(CASE WHEN sn.n_name = 'NATION_7'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY 1 ORDER BY 1
+"""
+
+    o["product_profit"] = """
+SELECT sn.n_name AS supp_nation,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  floor(sum(l_extendedprice * (1 - l_discount)
+            - 0.6 * p_retailprice * l_quantity) * 100 + 0.5) / 100 AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    o["waiting_suppliers"] = """
+WITH per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN l_suppkey END) AS n_late,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
     o["orders_grouping_sets"] = """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
   round(sum(o_totalprice), 2) AS total_price
@@ -3759,6 +3867,20 @@ extra AS (
 SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM whole
 UNION ALL
 SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM extra
+"""
+
+    o["corpus_profile"] = """
+WITH u AS (
+  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+  UNION ALL SELECT 'lang', lang FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+)
+SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+  min(val) AS min_val, max(val) AS max_val
+FROM u GROUP BY col_name
 """
 
     o["simhash_dedup"] = _simhash_sql(SIMHASH_MAX_HAMMING)

@@ -78,8 +78,15 @@ HEADLINE = [
     "volume_shipping",
     "customer_order_distribution",
     "large_volume_customers",
-    # round-8: quality-aware canonical pick per near-dup cluster
+    # round-8: quality-aware canonical pick per near-dup cluster,
+    # epoch-budgeted mixture, and the one-pass corpus profiler
     "canonical_selection",
+    "epoch_mixture",
+    "corpus_profile",
+    # round-8 second batch: the two heaviest of the Q4/Q8/Q9/Q21
+    # shapes (8-way join market share; Q21 agg-rewrite)
+    "market_share",
+    "waiting_suppliers",
 ]
 
 

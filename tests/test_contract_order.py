@@ -58,7 +58,9 @@ ROTATED_IN = {
     "embedding_outliers", "leakage_safe_split",
     # round-8 code changes that must show a green driver row
     "ann_lsh_topk_exact", "lm_perplexity", "canonical_selection",
-    "ann_hnsw_filtered_exact",
+    "ann_hnsw_filtered_exact", "epoch_mixture", "corpus_profile",
+    "late_shipment_priority", "market_share",
+    "product_profit", "waiting_suppliers",
 }
 
 

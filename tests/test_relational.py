@@ -220,3 +220,161 @@ def test_idle_rich_customers_excludes_order_placers(tables):
         .count()
     )
     assert sum(r["num_custs"] for r in segs) == manual
+
+
+def test_corpus_profile_nulls_and_distincts(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        corpus_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "id long, tag string"
+    )
+    prof = {r["col_name"]: r for r in corpus_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 3
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["tag"]["n_nulls"] == 1
+    assert prof["tag"]["n_distinct"] == 1
+    assert prof["tag"]["min_val"] == "a"
+
+    approx = {r["col_name"]: r for r in corpus_profile(df, approx=True).collect()}
+    assert approx["id"]["n_distinct"] >= 2  # HLL estimate, small-n exact-ish
+
+
+def _dt(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_late_shipment_priority_exists_semantics(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        late_shipment_priority,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, _dt("1996-02-01"), "1-URGENT"),   # has a late item
+            (2, _dt("1996-02-01"), "1-URGENT"),   # on-time only
+            (3, _dt("1996-02-01"), "3-MEDIUM"),   # two late items -> 1 order
+            (4, _dt("1995-06-01"), "1-URGENT"),   # outside window, late item
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, _dt("1996-05-01")),  # 90 days late
+            (1, _dt("1996-02-10")),  # on time
+            (2, _dt("1996-02-20")),
+            (3, _dt("1996-06-01")),
+            (3, _dt("1996-07-01")),
+            (4, _dt("1995-12-01")),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in late_shipment_priority(orders, lineitem).collect()
+    }
+    assert got == {"1-URGENT": 1, "3-MEDIUM": 1}
+
+
+def test_waiting_suppliers_only_sole_late_on_multisupplier_orders(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        waiting_suppliers,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, _dt("1996-01-01"), "F"),  # 2 supps, only supp 10 late
+            (2, _dt("1996-01-01"), "F"),  # 2 supps, both late -> excluded
+            (3, _dt("1996-01-01"), "F"),  # 1 supp late -> single-supplier, excluded
+            (4, _dt("1996-01-01"), "O"),  # not finished -> excluded
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderstatus string",
+    )
+    late, ontime = _dt("1996-06-01"), _dt("1996-02-01")
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, late), (1, 20, ontime),
+            (2, 10, late), (2, 20, late),
+            (3, 10, late),
+            (4, 10, late), (4, 20, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "Supp#10"), (20, "Supp#20")], "s_suppkey long, s_name string"
+    )
+    rows = waiting_suppliers(lineitem, orders, supplier).collect()
+    assert [(r["s_name"], r["numwait"]) for r in rows] == [("Supp#10", 1)]
+
+
+def test_nation_market_share_fraction(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        nation_market_share,
+    )
+
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N_A", 0), (1, "N_B", 0), (2, "N_C", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 2)], "c_custkey long, c_nationkey long"
+    )
+    supplier = spark.createDataFrame(
+        [(10, 0), (20, 1)], "s_suppkey long, s_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, _dt("1996-03-01")), (200, 2, _dt("1996-03-01"))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    # order 100 (ASIA customer): 30.0 from N_A supplier, 10.0 from N_B
+    # order 200 (EUROPE customer): excluded entirely
+    lineitem = spark.createDataFrame(
+        [
+            (100, 10, 30.0, 0.0),
+            (100, 20, 10.0, 0.0),
+            (200, 10, 99.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    rows = nation_market_share(
+        lineitem, orders, customer, supplier, nation, region,
+        target_nation="N_A", target_region="ASIA",
+    ).collect()
+    assert [(r["order_year"], r["mkt_share"]) for r in rows] == [(1996, 0.75)]
+
+
+def test_product_profit_cost_proxy_and_filter(spark):
+    from distributed_vector_database_spark.operators.relational import (
+        product_profit,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "red widget", 10.0), (2, "blue bolt", 10.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N_A")], "n_nationkey long, n_name string"
+    )
+    supplier = spark.createDataFrame([(10, 0)], "s_suppkey long, s_nationkey long")
+    orders = spark.createDataFrame(
+        [(100, _dt("1996-03-01"))], "o_orderkey long, o_orderdate timestamp"
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (100, 1, 10, 2.0, 50.0, 0.1),   # red: 50*0.9 - 0.6*10*2 = 33.0
+            (100, 2, 10, 2.0, 50.0, 0.1),   # blue: name-filtered out
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+    rows = product_profit(lineitem, orders, supplier, nation, part).collect()
+    assert [(r["supp_nation"], r["order_year"], r["profit"]) for r in rows] == [
+        ("N_A", 1996, 33.0)
+    ]
