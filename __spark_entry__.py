@@ -87,6 +87,9 @@ from distributed_vector_database_spark.streaming.windows import (
 # ---------------------------------------------------------------------------
 QUERY_VEC_ID = 0          # query vector = embedding of vec_id 0
 KNN_K = 5
+RANGE_RADIUS = 1.2        # ann_ivf_range: L2 radius (score <= 1.44; the
+                          # nearest boundary gap in every fixture is
+                          # >1e-3, so 6-dp rounding can't flip membership)
 KNN_JOIN_K = 3
 KNN_JOIN_NQUERIES = 5     # query set = vec_id < 5
 KNN_FILTER_LABEL = 3      # the declared-but-dead metadata filter, implemented
@@ -1819,6 +1822,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk_exact"] = ann_ivf_topk_exact_q
 
+    def ann_ivf_range_q(spark, sf):
+        # EXACT range search (all vectors within L2 radius) over the
+        # IVF layout with triangle-inequality cell pruning: cells whose
+        # bounding ball (ivf_cell_stats) cannot intersect the query
+        # ball are proven empty and never read, so the result is
+        # hash-matched against the brute-force radius oracle while the
+        # scan stays partition-pruned. The reference has no range
+        # search at all (top-k + threshold only, src/vector_db.thrift:27).
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_cell_stats,
+            ivf_range_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        stats = ivf_cell_stats(assigned, centroids)
+        return ivf_range_search(
+            spark,
+            centroids,
+            assigned,
+            _query_vec(spark, sf),
+            radius=RANGE_RADIUS,
+            cell_radii=stats,
+        )
+
+    q["ann_ivf_range"] = ann_ivf_range_q
+
     def ann_sq_topk_exact_q(spark, sf):
         # full-pool exact refine (FAISS IndexRefine with the pool = the
         # whole corpus): codes select, true vectors re-score — must
@@ -2143,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit", "waiting_suppliers",
         # --- r8-new: the LSH family's first exact anchor ---
         "ann_lsh_topk_exact",
+        # r8-new: exact radius search with triangle-inequality pruning
+        "ann_ivf_range",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2517,6 +2550,18 @@ scored AS (
 SELECT vec_id, score FROM scored ORDER BY score, vec_id LIMIT 10
 """
     o["ann_ivf_topk_exact"] = _knn_nolabel
+
+    # range search: pruning only removes provably-empty cells, so the
+    # oracle is the plain brute-force radius scan
+    o["ann_ivf_range"] = f"""
+WITH {_QCTE},
+scored AS (
+  SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q
+)
+SELECT vec_id, score FROM scored
+WHERE score <= {RANGE_RADIUS} * {RANGE_RADIUS}
+ORDER BY score, vec_id
+"""
     o["ann_lsh_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel

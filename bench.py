@@ -87,6 +87,8 @@ HEADLINE = [
     # shapes (8-way join market share; Q21 agg-rewrite)
     "market_share",
     "waiting_suppliers",
+    # round-8: exact radius search with triangle-inequality pruning
+    "ann_ivf_range",
 ]
 
 
@@ -106,6 +108,8 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
 
     from distributed_vector_database_spark.operators.ann import (
         ivf_build_auto,
+        ivf_cell_stats,
+        ivf_range_search,
         ivf_search,
         ivf_write,
     )
@@ -146,6 +150,18 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
     out["ann_ivf_probe"] = probe_best_of_2(
         lambda: ivf_search(
             spark, centroids, stored, qvec, k=10, nprobe=nprobe
+        ).count()
+    )
+
+    # range serving: cell bounding radii are a build-time artifact
+    # (one agg pass, like the quantizer); the probe reads only cells
+    # whose balls intersect the query ball
+    t0 = time.time()
+    cell_stats = ivf_cell_stats(stored, centroids)
+    out["ann_ivf_range_stats"] = round(time.time() - t0, 3)
+    out["ann_ivf_range_probe"] = probe_best_of_2(
+        lambda: ivf_range_search(
+            spark, centroids, stored, qvec, radius=1.2, cell_radii=cell_stats
         ).count()
     )
 

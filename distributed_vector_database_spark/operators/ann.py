@@ -29,6 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.vector import squared_l2
 from distributed_vector_database_spark.operators.knn import knn_exact
 
 
@@ -701,6 +702,122 @@ def ivf_read_probe(
     from pyspark.sql import functions as F
 
     return spark.read.parquet(path).filter(F.col("centroid_id").isin(probe_ids))
+
+
+def ivf_cell_stats(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> list[tuple[int, float, int]]:
+    """Per-cell bounding statistics: (centroid_id, radius, n) where
+    radius = max L2 distance from any member to its centroid.
+
+    One aggregation pass over the corpus (broadcast the tiny centroid
+    table, codegen distance, max per cell) — computed once at BUILD
+    time and reused by every range query, exactly like the quantizer
+    itself. At 100 TB this is a map-side-combined agg producing
+    n_centroids rows (≤65536 by ivf_auto_params), so collecting it to
+    the driver is bounded regardless of corpus size.
+
+    The radii turn the IVF layout into a ball-cover: the triangle
+    inequality gives d(q, p) >= d(q, c) - radius_c for every member p
+    of cell c, so a range query can PROVE entire cells empty of
+    results without reading them (ivf_range_search)."""
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in centroids],
+        "centroid_id int, _cent array<double>",
+    )
+    rows = (
+        assigned.filter(F.col(vec_col).isNotNull())
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "centroid_id",
+            F.sqrt(squared_l2(vec_col, F.col("_cent"))).alias("_d"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.max("_d").alias("radius"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return [(int(r["centroid_id"]), float(r["radius"]), int(r["n"])) for r in rows]
+
+
+def ivf_range_search(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    assigned: DataFrame,
+    query_vec: Sequence[float],
+    radius: float,
+    cell_radii: list[tuple[int, float, int]] | None = None,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT range search (every vector within L2 `radius` of the
+    query) over the IVF layout, with triangle-inequality cell pruning.
+
+    The reference exposes only top-k with a post-hoc distance threshold
+    (src/vector_db.thrift:27 `threshold`, declared on the dead filter
+    path) — a k-bounded range search that silently truncates dense
+    neighborhoods. This is the real thing: unbounded result set, yet
+    never a full scan. For each cell c with bounding radius R_c
+    (ivf_cell_stats), the triangle inequality gives
+        min_{p in c} d(q, p) >= d(q, c) - R_c,
+    so any cell with d(q, c) - R_c > radius provably contains no
+    result and is skipped WITHOUT reading it. The surviving cells are
+    read through the pushed centroid_id filter (partition pruning on a
+    persisted layout), scored with the codegen distance kernel, and
+    filtered on the rounded score — bit-identical to a brute-force SQL
+    oracle, because pruning only removes provably-empty cells.
+
+    Centroid ranking is driver-side numpy over the (bounded) quantizer,
+    like ivf_search. A small slack (1e-3) widens the prune test so the
+    6-dp score rounding at the filter can never disagree with the
+    unrounded geometry at the boundary. Scores are SQUARED L2 (the
+    engine-wide convention, hnswlib space='l2'); `radius` is the true
+    L2 distance, so the filter is score <= radius².
+
+    At 100 TB: cells are parquet partition dirs, the prune test is
+    O(n_centroids) on the driver, and the scan touches only cells whose
+    balls intersect the query ball — for a selective radius that is the
+    same nprobe-like cost as top-k probes. `cell_radii` comes from the
+    build-time ivf_cell_stats pass (persist it with the quantizer);
+    recomputing per query would be a full corpus pass and is only the
+    default for convenience at fixture scale."""
+    import numpy as np
+
+    if cell_radii is None:
+        cell_radii = ivf_cell_stats(assigned, centroids, vec_col=vec_col)
+    rad_by_id = {cid: r for cid, r, _ in cell_radii}
+    q = np.asarray([float(v) for v in query_vec])
+    keep_cells = []
+    for cid, cvec in centroids:
+        d_qc = float(np.sqrt(((np.asarray(cvec) - q) ** 2).sum()))
+        # cells with no members have no stats row: nothing to read
+        if cid not in rad_by_id:
+            continue
+        if d_qc - rad_by_id[cid] <= float(radius) + 1e-3:
+            keep_cells.append(int(cid))
+    if not keep_cells:
+        return (
+            assigned.select(key_col, *extra_cols)
+            .withColumn("score", F.lit(0.0))
+            .limit(0)
+        )
+    pruned = assigned.filter(F.col("centroid_id").isin(keep_cells))
+    if predicate is not None:
+        pruned = pruned.filter(predicate)
+    scored = (
+        pruned.filter(F.col(vec_col).isNotNull())
+        .select(
+            key_col,
+            *extra_cols,
+            F.round(squared_l2(vec_col, list(query_vec)), 6).alias("score"),
+        )
+        .filter(F.col("score") <= float(radius) * float(radius))
+    )
+    return scored.orderBy("score", key_col)
 
 
 def ivf_search(
