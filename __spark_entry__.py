@@ -236,6 +236,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_join"] = knn_join_q
 
+    def knn_classify_q(spark, sf):
+        # k-NN label propagation (FineWeb-Edu/DCLM classifier
+        # bootstrapping): every 10th vector plays "unlabeled", the rest
+        # are the labeled seed corpus; predict by majority vote of the
+        # KNN_K nearest labeled neighbors (ties -> smaller label)
+        from distributed_vector_database_spark.operators.ann import knn_classify
+
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        corpus = emb.filter(F.col("vec_id") % 10 != 0)
+        return knn_classify(qs, corpus, k=KNN_K)
+
+    q["knn_classify"] = knn_classify_q
+
+    def retrieval_eval_q(spark, sf):
+        # the metric layer the reference lacks: recall@10 / MRR /
+        # nDCG@10 of the exact retriever against label-match relevance
+        # (docs sharing the query's label are the relevant set)
+        from distributed_vector_database_spark.operators.evaluation import (
+            retrieval_metrics,
+        )
+
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        results = knn_join(qs, emb, k=10)
+        qlab = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+        )
+        qrels = (
+            qlab.join(
+                emb.select("vec_id", "label"),
+                F.col("__ql") == F.col("label"),
+            )
+            .select("query_id", "vec_id", F.lit(1.0).alias("rel"))
+        )
+        return retrieval_metrics(results, qrels, k=10)
+
+    q["retrieval_eval"] = retrieval_eval_q
+
+    def ann_ivf_range_join_q(spark, sf):
+        # exact all-pairs-within-radius join: cell PAIRS whose bounding
+        # balls cannot intersect within the radius are pruned before
+        # any row is co-located; survivors get the block distance
+        # kernel — hash-matches the brute-force pair oracle while never
+        # forming the O(n^2) candidate space on clustered data
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_cell_stats,
+            ivf_range_join,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        stats = ivf_cell_stats(assigned, centroids)
+        return ivf_range_join(
+            spark, centroids, assigned, RANGE_RADIUS, cell_radii=stats
+        )
+
+    q["ann_ivf_range_join"] = ann_ivf_range_join_q
+
     def point_lookup_q(spark, sf):
         # O3: pushed-down key predicate replaces the LevelDB get
         return _emb(spark, sf).filter(F.col("vec_id") == 42).select(
@@ -2176,6 +2242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_exact",
         # r8-new: exact radius search with triangle-inequality pruning
         "ann_ivf_range",
+        # r8-new: k-NN label propagation (majority vote of labeled nbrs)
+        "knn_classify",
+        # r8-new: retrieval metric layer (recall@k / MRR / nDCG@k)
+        "retrieval_eval",
+        # r8-new: exact all-pairs radius join via cell-pair pruning
+        "ann_ivf_range_join",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2539,6 +2611,95 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
     o["ann_ivf_knn_join_exact"] = o["knn_join"]
     o["ann_hnsw_knn_join_exact"] = o["knn_join"]
 
+    o["knn_classify"] = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, {_DV} AS qv FROM embeddings
+  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
+),
+cs AS (
+  SELECT vec_id, label, {_DV} AS cv FROM embeddings
+  WHERE vec_id % 10 <> 0 AND label IS NOT NULL AND embedding IS NOT NULL
+),
+scored AS (
+  SELECT qs.query_id, cs.vec_id, cs.label,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(cs.cv, qs.qv)]), 6) AS score
+  FROM cs, qs
+),
+ranked AS (
+  SELECT query_id, vec_id, label,
+    row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rn
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM ranked WHERE rn <= {KNN_K} GROUP BY query_id, label
+),
+win AS (
+  SELECT query_id, label, votes,
+    sum(votes) OVER (PARTITION BY query_id) AS total,
+    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS wrn
+  FROM votes
+)
+SELECT query_id, label AS pred_label, votes,
+  round(votes * 1.0 / total, 6) AS confidence
+FROM win WHERE wrn = 1 ORDER BY query_id
+"""
+
+    o["retrieval_eval"] = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, {_DV} AS qv FROM embeddings
+  WHERE vec_id < {KNN_JOIN_NQUERIES}
+),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(CAST(e.embedding AS DOUBLE[]), qs.qv)]), 6) AS score
+  FROM embeddings e, qs
+),
+res AS (
+  SELECT query_id, vec_id, rnk FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+qrels AS (
+  SELECT q.vec_id AS query_id, e.vec_id, 1.0 AS rel
+  FROM embeddings q JOIN embeddings e ON e.label = q.label
+  WHERE q.vec_id < {KNN_JOIN_NQUERIES}
+),
+totals AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+ideal AS (
+  SELECT query_id, sum(rel / log2(irank + 1)) AS idcg FROM (
+    SELECT query_id, rel,
+      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS irank
+    FROM qrels
+  ) WHERE irank <= 10 GROUP BY 1
+),
+hit AS (
+  SELECT r.query_id, r.rnk, coalesce(qr.rel, 0.0) AS rel
+  FROM res r LEFT JOIN qrels qr
+    ON r.query_id = qr.query_id AND r.vec_id = qr.vec_id
+),
+perq AS (
+  SELECT query_id,
+    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
+    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+    sum(rel / log2(rnk + 1)) AS dcg
+  FROM hit GROUP BY 1
+)
+SELECT p.query_id,
+  round(CASE WHEN t.n_rel IS NULL OR t.n_rel = 0 THEN 0.0
+             ELSE p.n_hit * 1.0 / t.n_rel END, 6) AS recall_k,
+  round(CASE WHEN p.first_rel IS NULL THEN 0.0
+             ELSE 1.0 / p.first_rel END, 6) AS mrr,
+  round(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+             ELSE p.dcg / i.idcg END, 6) AS ndcg_k
+FROM perq p
+LEFT JOIN totals t USING (query_id)
+LEFT JOIN ideal i USING (query_id)
+ORDER BY p.query_id
+"""
+
     # exact-equals ANN anchors: full probe / full-pool refine degenerate
     # to brute force, so the oracle is the plain exact scan (no label
     # column — the ANN kernels return (vec_id, score) only)
@@ -2561,6 +2722,21 @@ scored AS (
 SELECT vec_id, score FROM scored
 WHERE score <= {RANGE_RADIUS} * {RANGE_RADIUS}
 ORDER BY score, vec_id
+"""
+
+    # range JOIN: cell-pair pruning removes only provably-empty pairs,
+    # so the oracle is the brute-force all-pairs radius scan (rounded
+    # filter, the engine's range contract)
+    o["ann_ivf_range_join"] = f"""
+WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_sum([(pr[1]-pr[2])*(pr[1]-pr[2]) for pr in list_zip(a.v, b.v)]), 6) AS score
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM p
+WHERE score <= {RANGE_RADIUS} * {RANGE_RADIUS}
+ORDER BY id_a, id_b
 """
     o["ann_lsh_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel

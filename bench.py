@@ -89,6 +89,11 @@ HEADLINE = [
     "waiting_suppliers",
     # round-8: exact radius search with triangle-inequality pruning
     "ann_ivf_range",
+    # round-8: k-NN label propagation (classifier bootstrapping)
+    "knn_classify",
+    # round-8: retrieval metrics + exact radius join
+    "retrieval_eval",
+    "ann_ivf_range_join",
 ]
 
 

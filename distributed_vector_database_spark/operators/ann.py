@@ -324,7 +324,12 @@ def ivf_build_auto(
     return sorted(out_centroids), out, nprobe
 
 
-def ivf_write(assigned: DataFrame, path: str, centroids: list | None = None) -> None:
+def ivf_write(
+    assigned: DataFrame,
+    path: str,
+    centroids: list | None = None,
+    cell_stats: list | None = None,
+) -> None:
     """Persist an IVF-assigned corpus partitioned by centroid_id — the
     physical layout that makes probes partition-PRUNED parquet reads
     (only nprobe/k of the files are ever opened). At 100 TB this is the
@@ -335,10 +340,18 @@ def ivf_write(assigned: DataFrame, path: str, centroids: list | None = None) -> 
     (src/datanode/handler.py:46-88): a restarted process reloads the
     quantizer from the layout (ivf_read_quantizer) instead of needing
     the driver that trained it; incremental maintenance
-    (ivf_split_fat_cells) rewrites it as cells split."""
+    (ivf_split_fat_cells) rewrites it as cells split.
+
+    Pass `cell_stats` (ivf_cell_stats) to persist the per-cell bounding
+    radii too — the range-search analog of the quantizer: a restarted
+    process serves exact radius queries (ivf_read_range_search) from
+    the layout directory alone, and ivf_append keeps the radii wide
+    enough as batches land."""
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     if centroids is not None:
         _write_quantizer(path, centroids)
+    if cell_stats is not None:
+        _write_cell_stats(path, cell_stats)
 
 
 def _write_quantizer(path: str, centroids: list) -> None:
@@ -362,6 +375,59 @@ def ivf_read_quantizer(path: str) -> list:
 
     with open(_os.path.join(path, "_quantizer.json")) as fh:
         return [(int(i), list(map(float, v))) for i, v in _json.load(fh)]
+
+
+def _write_cell_stats(path: str, stats: list) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, "_cell_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(
+            [[int(i), float(r), int(n)] for i, r, n in stats], fh
+        )
+    _os.replace(tmp, _os.path.join(path, "_cell_stats.json"))
+
+
+def ivf_read_cell_stats(path: str) -> list[tuple[int, float, int]]:
+    """Reload the persisted per-cell bounding radii (ivf_cell_stats,
+    written by ivf_write(cell_stats=)). Radii are UPPER BOUNDS on the
+    true cell radius at read time: deletion can only shrink a cell, so
+    a stale-after-delete radius keeps range pruning exact (just less
+    tight), and ivf_append widens radii with each batch. `n` is
+    as-of-the-last-refresh, informational only."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_cell_stats.json")) as fh:
+        return [
+            (int(i), float(r), int(n)) for i, r, n in _json.load(fh)
+        ]
+
+
+def ivf_widen_cell_stats(
+    path: str,
+    batch_assigned: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> None:
+    """Merge a just-appended batch into the persisted cell radii:
+    new_radius(c) = max(old_radius(c), max distance of the batch's
+    members of c to its centroid). O(batch) — one agg over the batch
+    only, never the layout — so the maintained radii cost what the
+    append costs. Cells the batch creates get fresh rows. No-op for
+    layouts without a stats file."""
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(path, "_cell_stats.json")):
+        return
+    old = {cid: (r, n) for cid, r, n in ivf_read_cell_stats(path)}
+    for cid, r, n in ivf_cell_stats(batch_assigned, centroids, vec_col):
+        if cid in old:
+            old[cid] = (max(old[cid][0], r), old[cid][1] + n)
+        else:
+            old[cid] = (r, n)
+    _write_cell_stats(path, [(c, r, n) for c, (r, n) in old.items()])
 
 
 def ivf_split_fat_cells(
@@ -436,6 +502,24 @@ def ivf_split_fat_cells(
         _shutil.rmtree(f"{path}/centroid_id={cid}", ignore_errors=True)
         next_id += sub_k
     _write_quantizer(path, out_centroids)
+    # refresh persisted range-search radii for the rewritten cells:
+    # fat-cell rows are gone, the new sub-cells get exact fresh radii
+    # (one agg over JUST the split members — cost follows the fat
+    # cells like the split itself). No-op without a stats file.
+    import os as _os
+
+    if _os.path.exists(_os.path.join(path, "_cell_stats.json")):
+        kept = [
+            (c, r, n)
+            for c, r, n in ivf_read_cell_stats(path)
+            if c not in set(fat)
+        ]
+        new_ids = [c for c, _ in out_centroids if c not in dict(centroids)]
+        sub_rows = spark.read.parquet(path).filter(
+            F.col("centroid_id").isin(new_ids)
+        )
+        kept.extend(ivf_cell_stats(sub_rows, out_centroids, vec_col))
+        _write_cell_stats(path, kept)
     return len(fat)
 
 
@@ -551,6 +635,11 @@ def ivf_append(
             if _os.path.isfile(fp) and not e.startswith("_applied"):
                 _os.remove(fp)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    # layouts carrying range-search radii stay servable: widen the
+    # persisted per-cell bounds with this batch (O(batch); no-op
+    # without a stats file). Deletes never widen, so the pre-delete
+    # above needs no counterpart.
+    ivf_widen_cell_stats(path, assigned, centroids, vec_col)
     if batch_id is not None:
         _os.makedirs(marker_dir, exist_ok=True)
         with open(_os.path.join(marker_dir, f"b={batch_id}"), "w") as fh:
@@ -693,6 +782,36 @@ def ivf_read_search(
     )
 
 
+def ivf_read_range_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    radius: float,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Serve an exact radius query from a persisted IVF layout using
+    its PERSISTED quantizer and cell radii (ivf_write(centroids=,
+    cell_stats=)) — the restart path: nothing but the layout directory
+    is needed. Radii maintained by ivf_append/ivf_split_fat_cells stay
+    upper bounds (see ivf_read_cell_stats), so pruning remains exact
+    across the whole maintenance lifecycle."""
+    return ivf_range_search(
+        spark,
+        ivf_read_quantizer(path),
+        spark.read.parquet(path),
+        query_vec,
+        radius,
+        cell_radii=ivf_read_cell_stats(path),
+        key_col=key_col,
+        vec_col=vec_col,
+        predicate=predicate,
+        extra_cols=extra_cols,
+    )
+
+
 def ivf_read_probe(
     spark: SparkSession, path: str, probe_ids: list[int]
 ) -> DataFrame:
@@ -794,10 +913,12 @@ def ivf_range_search(
     keep_cells = []
     for cid, cvec in centroids:
         d_qc = float(np.sqrt(((np.asarray(cvec) - q) ** 2).sum()))
-        # cells with no members have no stats row: nothing to read
-        if cid not in rad_by_id:
-            continue
-        if d_qc - rad_by_id[cid] <= float(radius) + 1e-3:
+        # no stats row usually means an empty cell, but stats may also
+        # predate the cell (no widen pass ran) — probing is the only
+        # EXACT choice either way, and probing an empty cell is free
+        if cid not in rad_by_id or (
+            d_qc - rad_by_id[cid] <= float(radius) + 1e-3
+        ):
             keep_cells.append(int(cid))
     if not keep_cells:
         return (
@@ -818,6 +939,143 @@ def ivf_range_search(
         .filter(F.col("score") <= float(radius) * float(radius))
     )
     return scored.orderBy("score", key_col)
+
+
+def ivf_range_join(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    assigned: DataFrame,
+    radius: float,
+    cell_radii: list[tuple[int, float, int]] | None = None,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs-within-L2-radius JOIN via ball-cover cell-pair
+    pruning — the scale path for which `lsh_similarity_join` is the
+    approximate shortcut and `lsh_full_coverage_join` the O(n²)
+    anchor.
+
+    For cells c1, c2 with bounding radii R1, R2 (ivf_cell_stats), the
+    triangle inequality gives min-pair-distance ≥ d(centroid1,
+    centroid2) − R1 − R2, so any cell PAIR with that bound > radius is
+    provably empty of results and never co-located. The surviving
+    pairs become a tiny broadcast table; one shuffle groups each
+    admitted pair's rows into ONE task, and a blocked numpy GEMM (the
+    ivf_knn_join kernel's arithmetic, which hash-matches the SQL fold
+    oracle) scores |c1|×|c2| candidates inside the task, emitting only
+    in-radius pairs — the n²-row intermediate that a join-then-filter
+    plan would materialize through the shuffle never exists. Same-cell
+    pairs dedup on key<; cross-cell pairs appear once (c1 ≤ c2) and
+    are id-normalized in the kernel. Task memory is bounded: cells are
+    ~sqrt(n) rows and the A-side is chunked against the B matrix.
+
+    At 100 TB: cells are ~sqrt(n) rows by ivf_auto_params, the pair
+    prune is driver-side numpy over ≤ n_centroids² (vectorized; at the
+    65536-cell cap that is one 4e9-element matrix op — chunk it or
+    coarse-grid the centroids first if memory-bound), and the
+    candidate work is Σ |c1|×|c2| over intersecting pairs only — for a
+    selective radius on clustered data that is near-linear in n, vs
+    the n² brute force. Output: (id_a, id_b, score) with id_a < id_b,
+    score = squared L2 rounded 6dp, filter score ≤ radius² — the same
+    rounding contract as ivf_range_search, so a SQL oracle
+    hash-matches."""
+    import numpy as np
+
+    key_type = dict(assigned.dtypes)[key_col]
+    empty_schema = f"id_a {key_type}, id_b {key_type}, score double"
+    if cell_radii is None:
+        cell_radii = ivf_cell_stats(assigned, centroids, vec_col=vec_col)
+    rad_by_id = {cid: r for cid, r, _ in cell_radii}
+    live = [(cid, v) for cid, v in centroids if cid in rad_by_id]
+    if not live:
+        return spark.createDataFrame([], empty_schema)
+    ids = np.asarray([cid for cid, _ in live])
+    cmat = np.asarray([v for _, v in live], dtype=np.float64)
+    radv = np.asarray([rad_by_id[cid] for cid, _ in live])
+    # pairwise centroid distances, vectorized; keep i <= j pairs whose
+    # balls can intersect within the query radius (+ rounding slack)
+    d2 = (
+        (cmat**2).sum(axis=1)[:, None]
+        - 2.0 * (cmat @ cmat.T)
+        + (cmat**2).sum(axis=1)[None, :]
+    )
+    d = np.sqrt(np.maximum(d2, 0.0))
+    bound = radv[:, None] + radv[None, :] + float(radius) + 1e-3
+    ii, jj = np.nonzero(np.triu(d <= bound))
+    pairs = [(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)]
+    if not pairs:
+        return spark.createDataFrame([], empty_schema)
+    import pandas as pd
+
+    pairs_df = spark.createDataFrame(
+        [(i, ca, cb) for i, (ca, cb) in enumerate(pairs)],
+        "__pid int, __ca int, __cb int",
+    )
+    base = assigned.filter(F.col(vec_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        "centroid_id",
+    )
+    a_side = base.join(
+        F.broadcast(pairs_df),
+        base["centroid_id"] == pairs_df["__ca"],
+    ).select("__pid", "__ca", "__cb", "__k", "__v", F.lit(0).alias("__side"))
+    b_side = base.join(
+        F.broadcast(pairs_df),
+        base["centroid_id"] == pairs_df["__cb"],
+    ).select("__pid", "__ca", "__cb", "__k", "__v", F.lit(1).alias("__side"))
+    both = a_side.unionByName(b_side)
+    r2 = float(radius) * float(radius)
+
+    def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        self_pair = bool(pdf["__ca"].iat[0] == pdf["__cb"].iat[0])
+        A = pdf[pdf["__side"] == 0]
+        B = A if self_pair else pdf[pdf["__side"] == 1]
+        if A.empty or B.empty:
+            return empty
+        bmat = np.stack([np.asarray(x) for x in B["__v"].to_numpy()])
+        bk = B["__k"].to_numpy()
+        bn2 = (bmat**2).sum(1)
+        out = []
+        for a0 in range(0, len(A), 1024):
+            ach = A.iloc[a0 : a0 + 1024]
+            amat = np.stack([np.asarray(x) for x in ach["__v"].to_numpy()])
+            ak = ach["__k"].to_numpy()
+            d2 = np.round(
+                np.maximum(
+                    (amat**2).sum(1, keepdims=True)
+                    - 2.0 * (amat @ bmat.T)
+                    + bn2[None, :],
+                    0.0,
+                ),
+                6,
+            )
+            hit = d2 <= r2
+            if self_pair:
+                hit &= ak[:, None] < bk[None, :]
+            ri, ci = np.nonzero(hit)
+            if len(ri):
+                ka, kb = ak[ri], bk[ci]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ka, kb),
+                            "id_b": np.maximum(ka, kb),
+                            "score": d2[ri, ci],
+                        }
+                    )
+                )
+        return pd.concat(out) if out else empty
+
+    scored = both.groupBy("__pid").applyInPandas(score_pair, empty_schema)
+    return scored.orderBy("id_a", "id_b")
 
 
 def ivf_search(
@@ -1162,4 +1420,87 @@ def embedding_outliers(
             .otherwise(F.lit("far_from_centroid"))
             .alias("reason"),
         )
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_key: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_key: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    use_ivf: bool = False,
+    **join_kw,
+) -> DataFrame:
+    """k-NN label propagation: predict a label for every query vector
+    by MAJORITY VOTE of its k nearest LABELED corpus neighbors — the
+    classifier-bootstrapping primitive of modern pretraining pipelines
+    (label a seed set, propagate to the corpus, train the cheap
+    fastText-style filter on the propagated labels; FineWeb-Edu /
+    DCLM shape). The reference stores a `label` per vector
+    (src/datanode/handler.py:228 metadata) but offers no way to use
+    it; this closes that loop.
+
+    Plan: null-labeled corpus rows are dropped BEFORE the distance
+    kernel (they cannot vote). The neighbor set comes from knn_join
+    (exact, query side broadcast — queries ≪ corpus) or, with
+    use_ivf=True, from ivf_knn_join (large×large, shared coarse
+    quantizer, neither side broadcast). Labels are attached by
+    joining the (n_queries × k)-row neighbor set BACK to the corpus:
+    broadcast for the exact path (bounded by max_query_rows × k), a
+    plain shuffle join for the IVF path where the neighbor set itself
+    is corpus-sized. The vote is one groupBy over n_queries × k rows.
+
+    Deterministic: neighbor ranking ties break on corpus key (the
+    engine-wide contract), vote ties break on the SMALLER label.
+    Returns (query_key, pred_label, votes, confidence) with
+    confidence = votes / neighbors_found (≤ k when the labeled corpus
+    is small), rounded 6dp for oracle parity."""
+    from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.operators.knn import knn_join
+
+    labeled = corpus.filter(
+        F.col(label_col).isNotNull() & F.col(corpus_vec).isNotNull()
+    )
+    join = ivf_knn_join if use_ivf else knn_join
+    nbrs = join(
+        queries,
+        labeled.select(corpus_key, corpus_vec),
+        k=k,
+        query_key=query_key,
+        query_vec=query_vec,
+        corpus_key=corpus_key,
+        corpus_vec=corpus_vec,
+        **join_kw,
+    )
+    lab = labeled.select(corpus_key, label_col)
+    if use_ivf:
+        with_label = nbrs.join(lab, corpus_key)
+    else:
+        with_label = lab.join(F.broadcast(nbrs), corpus_key)
+    votes = with_label.groupBy(query_key, label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy(query_key)
+    ranked = votes.withColumn(
+        "__total", F.sum("votes").over(w)
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            w.orderBy(F.col("votes").desc(), F.col(label_col).asc())
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            query_key,
+            F.col(label_col).alias("pred_label"),
+            "votes",
+            F.round(F.col("votes") / F.col("__total"), 6).alias("confidence"),
+        )
+        .orderBy(query_key)
     )

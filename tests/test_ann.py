@@ -420,3 +420,58 @@ def test_lsh_full_coverage_join_matches_exact_pairs(tables):
         if float(np.sqrt(((vecs[a] - vecs[b]) ** 2).sum())) < 1.2
     }
     assert got == want
+
+
+def test_knn_classify_majority_ties_and_null_labels(spark):
+    """Hand-built geometry: query at origin, 2 near 'A'(label 2) votes,
+    2 near 'B'(label 1) votes -> 2-2 tie breaks to the SMALLER label;
+    a null-labeled row sitting closest of all must not vote."""
+    from distributed_vector_database_spark.operators.ann import knn_classify
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.01, 0.0], None),   # closest but unlabeled: excluded
+            (2, [0.1, 0.0], 2),
+            (3, [0.0, 0.1], 2),
+            (4, [0.2, 0.0], 1),
+            (5, [0.0, 0.2], 1),
+            (6, [9.0, 9.0], 0),       # far: outside k=4
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    qs = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    got = knn_classify(qs, corpus, k=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["pred_label"] == 1  # tie 2-2 -> smaller label wins
+    assert r["votes"] == 2 and abs(r["confidence"] - 0.5) < 1e-9
+
+
+def test_knn_classify_ivf_path_matches_exact_at_full_probe(spark, tables):
+    """use_ivf=True with nprobe == n_clusters degenerates to the exact
+    join, so predictions must equal the broadcast path exactly."""
+    from distributed_vector_database_spark.operators.ann import knn_classify
+
+    emb = tables["embeddings"]
+    from pyspark.sql import functions as F
+
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    exact = [tuple(r) for r in knn_classify(qs, corpus, k=5).collect()]
+    via_ivf = [
+        tuple(r)
+        for r in knn_classify(
+            qs,
+            corpus,
+            k=5,
+            use_ivf=True,
+            target_cluster_rows=64,
+            nprobe=10**9,
+        ).collect()
+    ]
+    assert via_ivf == exact

@@ -345,3 +345,87 @@ def test_ivf_read_search_restart_path(spark, tmp_path):
     got = ivf_read_search(spark, path, q, k=6, nprobe=10**9).collect()
     want = knn_exact(emb, q, k=6, extra_cols=()).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_cell_stats_lifecycle_keeps_range_search_exact(spark, tmp_path):
+    """Persisted radii must stay valid upper bounds through append
+    (widen), delete (stale-but-conservative), and fat-cell split
+    (refreshed rows) — range results equal brute force at every step."""
+    from distributed_vector_database_spark.functions.vector import squared_l2
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_cell_stats,
+        ivf_delete,
+        ivf_read_cell_stats,
+        ivf_read_range_search,
+        ivf_split_fat_cells,
+        ivf_write,
+    )
+
+    def brute(live_df, q, radius):
+        return [
+            tuple(r)
+            for r in live_df.select(
+                "vec_id",
+                F.round(squared_l2("embedding", q), 6).alias("score"),
+            )
+            .filter(F.col("score") <= radius * radius)
+            .orderBy("score", "vec_id")
+            .collect()
+        ]
+
+    base = _emb(spark, n=120, dim=4)
+    path = str(tmp_path / "ivf_range")
+    centroids, assigned = ivf_build(base, n_centroids=4)
+    ivf_write(
+        assigned, path, centroids=centroids,
+        cell_stats=ivf_cell_stats(assigned, centroids),
+    )
+    q = list(base.filter(F.col("vec_id") == 0).first()["embedding"])
+    radius = 2.0
+
+    got = ivf_read_range_search(spark, path, q, radius)
+    assert [tuple(r) for r in got.collect()] == brute(base, q, radius)
+
+    # append a far outlier INTO an existing cell's fringe: without the
+    # widen pass its cell's stale radius could prune it away
+    out_vec = [float(x) + 1.2 for x in q[:2]] + [float(x) for x in q[2:]]
+    fringe = spark.createDataFrame(
+        [(500, out_vec)], "vec_id long, embedding array<double>"
+    )
+    ivf_append(spark, path, fringe, centroids)
+    live = base.unionByName(fringe)
+    got = ivf_read_range_search(spark, path, q, radius)
+    assert [tuple(r) for r in got.collect()] == brute(live, q, radius)
+    assert any(r["vec_id"] == 500 for r in got.collect())
+
+    # delete some of the in-radius hits: stale radii stay conservative
+    victims = [r[0] for r in brute(live, q, radius)[:3]]
+    ivf_delete(spark, path, victims)
+    live = live.filter(~F.col("vec_id").isin(victims))
+    got = ivf_read_range_search(spark, path, q, radius)
+    assert [tuple(r) for r in got.collect()] == brute(live, q, radius)
+
+    # force a fat-cell split (append a dense blob near the query),
+    # then range search must still be exact with refreshed stats
+    blob = spark.createDataFrame(
+        [
+            (600 + i, [float(x) + 0.001 * i for x in q])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_append(spark, path, blob, centroids)
+    live = live.unionByName(blob)
+    nsplit = ivf_split_fat_cells(spark, path, cap_factor=1.5)
+    assert nsplit >= 1
+    got = ivf_read_range_search(spark, path, q, radius)
+    assert [tuple(r) for r in got.collect()] == brute(live, q, radius)
+    # stats rows track the post-split quantizer's cells
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_read_quantizer,
+    )
+    stat_ids = {c for c, _, _ in ivf_read_cell_stats(path)}
+    quant_ids = {c for c, _ in ivf_read_quantizer(path)}
+    assert stat_ids <= quant_ids

@@ -143,3 +143,50 @@ def test_ivf_range_search_empty_and_nulls(spark):
     )
     ids = {r["vec_id"] for r in got2.collect()}
     assert 99 not in ids and len(ids) == 20
+
+
+def test_ivf_range_join_prunes_cross_cell_pairs_and_stays_exact(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.functions.vector import squared_l2
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_cell_stats,
+        ivf_range_join,
+    )
+
+    df = _two_far_clusters(spark)
+    centroids, assigned = ivf_build(df, n_centroids=2)
+    stats = ivf_cell_stats(assigned, centroids)
+
+    got = [
+        tuple(r)
+        for r in ivf_range_join(
+            spark, centroids, assigned, radius=0.5, cell_radii=stats
+        ).collect()
+    ]
+    # brute force over all pairs
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = [
+        tuple(r)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(squared_l2(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") <= 0.25)
+        .orderBy("id_a", "id_b")
+        .collect()
+    ]
+    assert got == brute and len(got) > 0
+    # no cross-cluster pair can be within 0.5 of each other (clusters
+    # 100 apart): every result pair stays inside one cluster
+    assert all((ia < 20) == (ib < 20) for ia, ib, _ in got)
+    # the pair-prune math itself: the cross pair's bound exceeds radius
+    import numpy as np
+
+    rad = {c: r for c, r, _ in stats}
+    (c0, v0), (c1, v1) = centroids
+    d = float(np.sqrt(((np.asarray(v0) - np.asarray(v1)) ** 2).sum()))
+    assert d - rad[c0] - rad[c1] > 0.5  # cross pair provably empty
