@@ -1939,6 +1939,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_sq_topk_exact"] = ann_sq_topk_exact_q
 
+    def ann_bq_topk_exact_q(spark, sf):
+        # binary quantization, full-pool refine: 1-bit Hamming codes
+        # select, true vectors re-score — must reproduce knn_exact
+        from distributed_vector_database_spark.operators.quantization import (
+            bq_encode,
+            bq_search,
+            bq_train,
+        )
+
+        emb = _emb(spark, sf)
+        means = bq_train(emb)
+        return bq_search(
+            bq_encode(emb, means),
+            means,
+            _query_vec(spark, sf),
+            k=10,
+            rerank=10**6,
+        )
+
+    q["ann_bq_topk_exact"] = ann_bq_topk_exact_q
+
+    def ann_bq_topk_q(spark, sf):
+        # serving mode: Hamming over the 32x-compressed codes ranks a
+        # rerank*k pool, exact refine on the pool only (rows + recall)
+        from distributed_vector_database_spark.operators.quantization import (
+            bq_encode,
+            bq_search,
+            bq_train,
+        )
+
+        emb = _emb(spark, sf)
+        means = bq_train(emb)
+        res = bq_search(
+            bq_encode(emb, means), means, _query_vec(spark, sf), k=10, rerank=4
+        )
+        return _with_recall(res, spark, sf)
+
+    q["ann_bq_topk"] = ann_bq_topk_q
+
     def ann_pq_topk_exact_q(spark, sf):
         # same full-pool refine through the PQ/ADC path
         from distributed_vector_database_spark.operators.quantization import (
@@ -2248,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval",
         # r8-new: exact all-pairs radius join via cell-pair pruning
         "ann_ivf_range_join",
+        # r8-new: binary quantization (1-bit Hamming + exact refine)
+        "ann_bq_topk_exact",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2280,7 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
+        "ann_ivfpq_topk", "ann_bq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
         "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
         "session_ids", "retention_cohorts", "token_budget_select",
         "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
@@ -2740,6 +2781,7 @@ ORDER BY id_a, id_b
 """
     o["ann_lsh_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
+    o["ann_bq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
 

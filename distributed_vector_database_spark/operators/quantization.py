@@ -307,3 +307,111 @@ def ivf_pq_search(
     return pq_search(
         pruned, codebooks, query_vec, k=k, key_col=key_col, rerank=rerank, vec_col=vec_col
     )
+
+
+# -- binary quantization ------------------------------------------------------
+
+
+def bq_train(df: DataFrame, vec_col: str = "embedding") -> list:
+    """Per-dimension mean over the corpus — the 1-bit threshold vector.
+    One aggregation (the cheapest quantizer to train: BQ needs only a
+    centering point; FAISS uses 0 for normalized vectors, the
+    per-dimension mean generalizes to uncentered corpora)."""
+    arr = F.col(vec_col).cast("array<double>")
+    dim = df.select(F.size(arr).alias("d")).first()["d"]
+    row = df.select(
+        *[F.avg(F.element_at(arr, i + 1)).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    return [float(x) for x in row]
+
+
+def _bq_words(vals, means) -> list[int]:
+    """Driver-side packing of one vector into 32-bit words (bit i of
+    word w = sign of dimension 32w+i against its mean)."""
+    words = []
+    for w0 in range(0, len(means), 32):
+        word = 0
+        for i, m in enumerate(means[w0 : w0 + 32]):
+            if float(vals[w0 + i]) > m:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def bq_encode(
+    df: DataFrame, means: Sequence[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """1-bit codes: 32 dimensions pack into one int word, 32x smaller
+    than float32 — BUILT AS A NATIVE COLUMN EXPRESSION (a sum of
+    disjoint power-of-two CASE terms per word), so encoding stays
+    inside whole-stage codegen: no Python, no Arrow, scales with
+    executors. Adds `bq_codes array<int>`; keeps every input column
+    (the true vector rides along for rerank)."""
+    arr = F.col(vec_col).cast("array<double>")
+    words = []
+    for w0 in range(0, len(means), 32):
+        terms = [
+            F.when(
+                F.element_at(arr, w0 + i + 1) > F.lit(float(m)),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i, m in enumerate(means[w0 : w0 + 32])
+        ]
+        word = terms[0]
+        for t in terms[1:]:
+            word = word + t
+        words.append(word.cast("long"))
+    return df.withColumn("bq_codes", F.array(*words))
+
+
+def bq_search(
+    encoded: DataFrame,
+    means: Sequence[float],
+    query_vec: Sequence[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+    rerank: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BQ candidate generation + exact refine, fully declarative:
+
+    1. Hamming distance between the corpus codes and the query's codes
+       — zip_with + bit_count(xor) folds, all JVM codegen over the
+       32x-compressed column (the scan never reads the float vectors
+       for ranking).
+    2. Top-(rerank*k) pool by (hamming, key) — TakeOrderedAndProject,
+       ≤ pool rows leave each partition.
+    3. Exact squared-L2 re-score of the pool's TRUE vectors, top-k by
+       (score, key) — the FAISS IndexBinaryFlat + refine shape.
+
+    A pool covering the whole corpus degenerates to knn_exact (the
+    hash-oracled anchor ann_bq_topk_exact relies on this, same
+    contract as sq_search/pq_search rerank anchors)."""
+    from distributed_vector_database_spark.functions.vector import squared_l2
+
+    qwords = _bq_words([float(v) for v in query_vec], list(means))
+    qlit = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("bq_codes"),
+            qlit,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pool_n = max(int(rerank) * k, k)
+    pool = (
+        encoded.filter(F.col(vec_col).isNotNull())
+        .select(key_col, vec_col, ham.alias("__ham"))
+        .orderBy("__ham", key_col)
+        .limit(pool_n)
+    )
+    return (
+        pool.select(
+            key_col,
+            F.round(squared_l2(vec_col, list(query_vec)), 6).alias("score"),
+        )
+        .orderBy("score", key_col)
+        .limit(k)
+    )

@@ -115,3 +115,64 @@ def test_pq_full_pool_refine_equals_exact(tables, qvec):
         for r in pq_search(pq_encode(emb, books), books, qvec, k=10, rerank=10**6).collect()
     ]
     assert got == exact
+
+
+def test_bq_encode_packs_expected_bits(spark):
+    from distributed_vector_database_spark.operators.quantization import (
+        _bq_words,
+        bq_encode,
+    )
+
+    # 34 dims -> 2 words; means all 0: bit i set iff x_i > 0
+    means = [0.0] * 34
+    vals = [1.0 if i in (0, 5, 31, 33) else -1.0 for i in range(34)]
+    df = spark.createDataFrame(
+        [(1, vals)], "vec_id long, embedding array<double>"
+    )
+    row = bq_encode(df, means).first()
+    want = _bq_words(vals, means)
+    assert list(row["bq_codes"]) == want
+    assert want[0] == (1 << 0) | (1 << 5) | (1 << 31)  # bit 31 needs long
+    assert want[1] == 1 << 1
+
+
+def test_bq_full_pool_refine_equals_exact(tables, qvec):
+    from distributed_vector_database_spark.operators.quantization import (
+        bq_encode,
+        bq_search,
+        bq_train,
+    )
+
+    emb = tables["embeddings"]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in knn_exact(emb, qvec, k=10, extra_cols=()).collect()
+    ]
+    means = bq_train(emb)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in bq_search(
+            bq_encode(emb, means), means, qvec, k=10, rerank=10**6
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_bq_serving_recall(tables, qvec, exact_ids):
+    from distributed_vector_database_spark.operators.quantization import (
+        bq_encode,
+        bq_search,
+        bq_train,
+    )
+
+    emb = tables["embeddings"]
+    means = bq_train(emb)
+    got = {
+        r["vec_id"]
+        for r in bq_search(
+            bq_encode(emb, means), means, qvec, k=10, rerank=8
+        ).collect()
+    }
+    # 1-bit codes at 64-d: Hamming is a coarse proxy — require the pool
+    # to recover most of the true top-10 after exact refine
+    assert len(got & exact_ids) >= 6
