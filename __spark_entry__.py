@@ -87,6 +87,8 @@ from distributed_vector_database_spark.streaming.windows import (
 # ---------------------------------------------------------------------------
 QUERY_VEC_ID = 0          # query vector = embedding of vec_id 0
 KNN_K = 5
+SEM_DECONTAM_T = 0.3      # semantic_decontam: cosine flag threshold
+                          # (fixture boundary gap >= 4.5e-4 tri-scale)
 RANGE_RADIUS = 1.2        # ann_ivf_range: L2 radius (score <= 1.44; the
                           # nearest boundary gap in every fixture is
                           # >1e-3, so 6-dp rounding can't flip membership)
@@ -1004,6 +1006,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontam_filter"] = decontam_filter_q
+
+    def semantic_decontam_q(spark, sf):
+        # embedding-space decontamination: corpus items within cosine
+        # SEM_DECONTAM_T of any eval item (vec_id < 5 plays the eval
+        # set), best match per item, ties to the smaller eval id —
+        # catches the paraphrased leakage n-gram decontam misses
+        from distributed_vector_database_spark.operators.decontam import (
+            semantic_decontam,
+        )
+
+        emb = _emb(spark, sf)
+        ev = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES)
+        corpus = emb.filter(F.col("vec_id") >= KNN_JOIN_NQUERIES)
+        return semantic_decontam(corpus, ev, threshold=SEM_DECONTAM_T)
+
+    q["semantic_decontam"] = semantic_decontam_q
 
     def source_overlap_q(spark, sf):
         from distributed_vector_database_spark.operators.decontam import (
@@ -2289,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_range_join",
         # r8-new: binary quantization (1-bit Hamming + exact refine)
         "ann_bq_topk_exact",
+        # r8-new: embedding-space decontamination
+        "semantic_decontam",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2911,6 +2931,33 @@ c AS (
 SELECT doc_id, quality, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """.replace("{ds}", _doc_stats_sql())
+
+    o["semantic_decontam"] = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, {_DV} AS v FROM embeddings
+  WHERE vec_id < {KNN_JOIN_NQUERIES} AND embedding IS NOT NULL
+),
+c AS (
+  SELECT vec_id, {_DV} AS v FROM embeddings
+  WHERE vec_id >= {KNN_JOIN_NQUERIES} AND embedding IS NOT NULL
+),
+cos AS (
+  SELECT c.vec_id, ev.eval_id,
+    round(
+      CASE WHEN sqrt(list_sum([x*x for x in c.v])) * sqrt(list_sum([x*x for x in ev.v])) = 0.0
+           THEN 0.0
+           ELSE list_sum([p[1]*p[2] for p in list_zip(c.v, ev.v)])
+                / (sqrt(list_sum([x*x for x in c.v])) * sqrt(list_sum([x*x for x in ev.v])))
+      END, 6) AS cosine
+  FROM c, ev
+),
+flagged AS (
+  SELECT vec_id, eval_id, cosine,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rn
+  FROM cos WHERE cosine >= {SEM_DECONTAM_T}
+)
+SELECT vec_id, eval_id, cosine FROM flagged WHERE rn = 1 ORDER BY vec_id
+"""
 
     o["decontam_filter"] = f"""
 WITH {_DECONTAM_CTES}

@@ -94,6 +94,8 @@ HEADLINE = [
     # round-8: retrieval metrics + exact radius join
     "retrieval_eval",
     "ann_ivf_range_join",
+    # round-8: embedding-space decontamination
+    "semantic_decontam",
 ]
 
 

@@ -235,3 +235,63 @@ def source_overlap(
             F.col("n_shared") / F.col("n_grams").cast("double"), 6
         ).alias("containment"),
     )
+
+
+def semantic_decontam(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus items whose embedding is
+    within cosine `threshold` of ANY eval/benchmark item — the
+    embedding-space complement of the n-gram procedures above, which
+    miss paraphrased or translated eval leakage entirely (the
+    n-gram-decontaminated-but-semantically-contaminated gap documented
+    by Yang et al. 2023, "Rethinking Benchmark and Contamination").
+
+    Returns (id_col, eval_id_col, cosine) — one row per flagged corpus
+    item with its BEST-matching eval item (ties to the smaller eval
+    id), cosine rounded 6dp. Anti-join the ids against the corpus to
+    clean it, mirroring `decontaminate`.
+
+    100 TB shape: the eval side is small by construction and
+    BROADCASTS (same standing as the gram broadcast above); the corpus
+    scans once with no shuffle — cosine per (row × eval) is a codegen
+    zip_with/aggregate fold, the per-item argmax is a partial-agg-able
+    max_by-style window confined to the flagged rows. Corpus-side cost
+    is n_eval cosines per row; for eval sets past ~10⁴ switch the
+    inner product to the blocked-GEMM kernel family (maxsim_join's
+    shape) — the contract here stays the declarative, oracle-exact
+    path."""
+    from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    ev = eval_emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias(eval_id_col), F.col(vec_col).alias("__ev")
+    )
+    corp = corpus_emb.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    )
+    scored = corp.join(F.broadcast(ev)).select(
+        id_col,
+        eval_id_col,
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("__ev")), 6
+        ).alias("cosine"),
+    )
+    flagged = scored.filter(F.col("cosine") >= float(threshold))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col(eval_id_col).asc()
+    )
+    return (
+        flagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(id_col)
+    )

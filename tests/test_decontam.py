@@ -204,3 +204,42 @@ def test_source_overlap_matrix(spark):
     assert abs(m[("s1", "s2")]["containment"] - 0.5) < 1e-9
     # disjoint slices produce NO row (inner join) — absence is the signal
     assert ("s1", "s3") not in m and ("s3", "s1") not in m
+
+
+def test_semantic_decontam_flags_paraphrase_shaped_neighbors(spark):
+    """Hand-built geometry: a corpus vector nearly parallel to an eval
+    vector is flagged with the right best-match; orthogonal ones are
+    not; zero vectors never flag (cosine defined 0); ties go to the
+    smaller eval id."""
+    from distributed_vector_database_spark.operators.decontam import (
+        semantic_decontam,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.99, 0.01]),   # ~eval 0
+            (11, [0.0, 5.0]),     # exactly eval 1 direction (scale-free)
+            (12, [1.0, -1.0]),    # 45 deg off both: cos ~0.707 < 0.95
+            (13, [0.0, 0.0]),     # zero vector: cosine 0, never flags
+            (14, [1.0, 1.0]),     # cos ~0.7071 to BOTH: tie -> eval 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["eval_id"], r["cosine"])
+        for r in semantic_decontam(corpus, ev, threshold=0.95).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10][0] == 0 and got[10][1] > 0.99
+    assert got[11] == (1, 1.0)
+
+    low = {
+        r["vec_id"]: r["eval_id"]
+        for r in semantic_decontam(corpus, ev, threshold=0.7).collect()
+    }
+    assert low[14] == 0  # equal cosine to both evals -> smaller id wins
+    assert 13 not in low
