@@ -162,9 +162,18 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
 
     # range serving: cell bounding radii are a build-time artifact
     # (one agg pass, like the quantizer); the probe reads only cells
-    # whose balls intersect the query ball
+    # whose balls intersect the query ball. Persisted with the layout
+    # so the changelog fold below maintains them (append widens,
+    # delete stays conservative) — the served range probe after the
+    # fold exercises that whole lifecycle.
+    from distributed_vector_database_spark.operators.ann import (
+        _write_cell_stats,
+        ivf_read_cell_stats,
+    )
+
     t0 = time.time()
     cell_stats = ivf_cell_stats(stored, centroids)
+    _write_cell_stats(f"{tmp}/ivf", cell_stats)
     out["ann_ivf_range_stats"] = round(time.time() - t0, 3)
     out["ann_ivf_range_probe"] = probe_best_of_2(
         lambda: ivf_range_search(
@@ -234,6 +243,18 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
     out["ann_ivf_served_probe"] = probe_best_of_2(
         lambda: ivf_search(
             spark, centroids, served, qvec, k=10, nprobe=nprobe
+        ).count()
+    )
+    # range probe over the MAINTAINED layout: radii widened by the
+    # fold's appends, conservative after its deletes — still exact
+    out["ann_ivf_range_served_probe"] = probe_best_of_2(
+        lambda: ivf_range_search(
+            spark,
+            centroids,
+            served,
+            qvec,
+            radius=1.2,
+            cell_radii=ivf_read_cell_stats(f"{tmp}/ivf"),
         ).count()
     )
 
