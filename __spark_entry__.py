@@ -1871,6 +1871,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfpq_topk_exact"] = ann_ivfpq_topk_exact_q
 
+    def ann_ivfbq_topk_q(spark, sf):
+        # IVF+BQ serving: coarse prune to nprobe cells, Hamming over
+        # the 1-bit codes inside them, exact refine (rows + recall)
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            bq_encode,
+            bq_train,
+            ivf_bq_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=16)
+        means = bq_train(emb)
+        res = ivf_bq_search(
+            centroids, bq_encode(assigned, means), means,
+            _query_vec(spark, sf), k=10, nprobe=8,
+        )
+        return _with_recall(res, spark, sf)
+
+    q["ann_ivfbq_topk"] = ann_ivfbq_topk_q
+
+    def ann_ivfbq_topk_exact_q(spark, sf):
+        # exact anchor for the composed IVF+BQ path: full probe + full
+        # pool must reproduce knn_exact bit-for-bit
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            bq_encode,
+            bq_train,
+            ivf_bq_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=16)
+        means = bq_train(emb)
+        return ivf_bq_search(
+            centroids, bq_encode(assigned, means), means,
+            _query_vec(spark, sf), k=10, nprobe=len(centroids),
+            rerank=10**6,
+        )
+
+    q["ann_ivfbq_topk_exact"] = ann_ivfbq_topk_exact_q
+
     def ann_ivf_knn_join_exact_q(spark, sf):
         # full-probe mode: every query meets every cluster, so the
         # routed kernel must reproduce the exact join — hash-matched
@@ -2306,7 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-new: exact all-pairs radius join via cell-pair pruning
         "ann_ivf_range_join",
         # r8-new: binary quantization (1-bit Hamming + exact refine)
-        "ann_bq_topk_exact",
+        # and its IVF composition
+        "ann_bq_topk_exact", "ann_ivfbq_topk_exact",
         # r8-new: embedding-space decontamination
         "semantic_decontam",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
@@ -2341,7 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_filtered", "embedding_near_dup_scale",
         "ann_lsh_similarity_join",
         "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_bq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
+        "ann_ivfpq_topk", "ann_bq_topk", "ann_ivfbq_topk",
+        "ann_hnsw_topk", "ann_ivf_knn_join",
         "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
         "session_ids", "retention_cohorts", "token_budget_select",
         "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
@@ -2802,6 +2846,7 @@ ORDER BY id_a, id_b
     o["ann_lsh_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_bq_topk_exact"] = _knn_nolabel
+    o["ann_ivfbq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
 

@@ -415,3 +415,38 @@ def bq_search(
         .orderBy("score", key_col)
         .limit(k)
     )
+
+
+def ivf_bq_search(
+    centroids: list,
+    encoded: DataFrame,
+    means: Sequence[float],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+BQ — the FAISS `IndexBinaryIVF(+refine)` composition:
+    coarse-quantizer partition pruning (only nprobe/n_centroids of the
+    layout is read), Hamming ranking over the 32x-compressed 1-bit
+    codes inside the probed cells (bit_count(xor) codegen — the scan
+    never touches float vectors for ranking), exact refine of the
+    candidate pool. The cheapest serving tier in the composition
+    matrix (IVF×flat / IVF×PQ / IVF×BQ): codes cost 2 bigints/row at
+    64-d vs 8 PQ bytes, with no codebook training beyond per-dim
+    means.
+
+    `encoded` = bq_encode(assigned) where assigned carries centroid_id
+    from ann.ivf_build. nprobe >= n_centroids + pool >= corpus
+    degenerates to knn_exact (hash-anchorable); serving mode is
+    recall-tested like the other compositions."""
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    order = ((cmat - q) ** 2).sum(axis=1).argsort()
+    probe_ids = [int(centroids[i][0]) for i in order[:nprobe]]
+    pruned = encoded.filter(F.col("centroid_id").isin(probe_ids))
+    return bq_search(
+        pruned, means, query_vec, k=k, key_col=key_col, rerank=rerank, vec_col=vec_col
+    )

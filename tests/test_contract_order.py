@@ -42,7 +42,8 @@ ROWS_ONLY = {
     "ann_ivf_filtered", "embedding_near_dup_scale",
     "ann_lsh_similarity_join",
     "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_bq_topk", "ann_hnsw_topk", "ann_ivf_knn_join",
+    "ann_ivfpq_topk", "ann_bq_topk", "ann_ivfbq_topk",
+    "ann_hnsw_topk", "ann_ivf_knn_join",
     "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
 }
 

@@ -176,3 +176,28 @@ def test_bq_serving_recall(tables, qvec, exact_ids):
     # 1-bit codes at 64-d: Hamming is a coarse proxy — require the pool
     # to recover most of the true top-10 after exact refine
     assert len(got & exact_ids) >= 6
+
+
+def test_ivf_bq_full_probe_full_pool_equals_exact(tables, qvec):
+    from distributed_vector_database_spark.operators.ann import ivf_build
+    from distributed_vector_database_spark.operators.quantization import (
+        bq_encode,
+        bq_train,
+        ivf_bq_search,
+    )
+
+    emb = tables["embeddings"]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in knn_exact(emb, qvec, k=10, extra_cols=()).collect()
+    ]
+    centroids, assigned = ivf_build(emb, n_centroids=4)
+    means = bq_train(emb)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_bq_search(
+            centroids, bq_encode(assigned, means), means, qvec,
+            k=10, nprobe=len(centroids), rerank=10**6,
+        ).collect()
+    ]
+    assert got == exact
