@@ -1913,6 +1913,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfbq_topk_exact"] = ann_ivfbq_topk_exact_q
 
+    def ann_ivf_batch_exact_q(spark, sf):
+        # batched serving anchor: Q queries, ONE pruned scan; full
+        # probe degenerates every per-query mask to all-rows, so the
+        # result must reproduce the knn_join oracle bit-for-bit
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_batch_search,
+            ivf_build,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        qs = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return ivf_batch_search(
+            spark, centroids, assigned, qs, k=KNN_JOIN_K, nprobe=10**9
+        )
+
+    q["ann_ivf_batch_exact"] = ann_ivf_batch_exact_q
+
     def ann_ivf_knn_join_exact_q(spark, sf):
         # full-probe mode: every query meets every cluster, so the
         # routed kernel must reproduce the exact join — hash-matched
@@ -2352,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bq_topk_exact", "ann_ivfbq_topk_exact",
         # r8-new: embedding-space decontamination
         "semantic_decontam",
+        # r8-new: batched IVF serving (Q queries, one pruned scan)
+        "ann_ivf_batch_exact",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2715,6 +2738,7 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
 
     o["ann_ivf_knn_join_exact"] = o["knn_join"]
     o["ann_hnsw_knn_join_exact"] = o["knn_join"]
+    o["ann_ivf_batch_exact"] = o["knn_join"]
 
     o["knn_classify"] = f"""
 WITH qs AS (

@@ -1504,3 +1504,119 @@ def knn_classify(
         )
         .orderBy(query_key)
     )
+
+
+def ivf_batch_search(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_key: str = "query_id",
+    query_vec: str = "query_vec",
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Serve a BATCH of queries against one IVF layout in a SINGLE
+    pruned scan — the amortized form of calling ivf_search per query
+    (the reference answers each SearchRequest with its own full index
+    pass, src/datanode/handler.py:346-369; Q queries there cost Q
+    scans, here one).
+
+    Plan: probe cells are ranked driver-side for all Q queries at once
+    (one Q×C numpy pass over the bounded quantizer); the corpus is
+    read ONCE through the pushed filter on the UNION of probe cells
+    (partition pruning on a persisted layout — cells probed by several
+    queries are still read once); inside each partition a vectorized
+    kernel scores every query against only the rows whose cell that
+    query probes (per-query membership mask over the batch), emitting
+    ≤ Q·k rows per partition; the global window ranks Q·k·n_partitions
+    rows. Same bounded-broadcast guard as knn_join (`max_query_rows`
+    fail-fast) — the unbounded-query-side path is ivf_knn_join.
+
+    nprobe >= n_centroids degenerates every mask to all-rows and the
+    result reproduces knn_join bit-for-bit (the hash anchor); serving
+    mode trades recall for probes exactly like ivf_search. Returns
+    (query_key, key_col, score, rank <= k)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(query_key, query_vec).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivf_batch_search query side exceeds max_query_rows="
+            f"{max_query_rows}; use ann.ivf_knn_join for unbounded "
+            "query sets"
+        )
+    key_type = dict(assigned.dtypes)[key_col]
+    qkey_type = dict(queries.dtypes)[query_key]
+    out_schema = f"{query_key} {qkey_type}, {key_col} {key_type}, score double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = [r[query_key] for r in qrows]
+    qm = np.asarray(
+        [[float(x) for x in r[query_vec]] for r in qrows], dtype=np.float64
+    )
+    cids = np.asarray([int(i) for i, _ in centroids])
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    width = min(int(nprobe), len(centroids))
+    # Q x C distance block, one argpartition per query
+    d2 = (
+        (qm**2).sum(1, keepdims=True)
+        - 2.0 * (qm @ cmat.T)
+        + (cmat**2).sum(1)[None, :]
+    )
+    order = np.argsort(d2, axis=1, kind="stable")[:, :width]
+    probe_sets = [cids[row] for row in order]
+    union_cells = sorted({int(c) for row in probe_sets for c in row})
+    pruned = assigned.filter(
+        F.col("centroid_id").isin(union_cells)
+        & F.col(vec_col).isNotNull()
+    ).select(key_col, vec_col, "centroid_id")
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cents = pdf["centroid_id"].to_numpy()
+            keys = pdf[key_col].to_numpy()
+            parts = [] if best is None else [best]
+            for j, qid in enumerate(qids):
+                mask = np.isin(cents, probe_sets[j])
+                if not mask.any():
+                    continue
+                d = mat[mask] - qm[j]
+                scores = np.round(np.einsum("ij,ij->i", d, d), 6)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_key: qid,
+                            key_col: keys[mask],
+                            "score": scores,
+                        }
+                    )
+                )
+            if len(parts) > (0 if best is None else 1):
+                best = (
+                    pd.concat(parts)
+                    .sort_values(["score", key_col])
+                    .groupby(query_key, sort=False)
+                    .head(k)
+                )
+        if best is not None:
+            yield best
+
+    local = pruned.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy(query_key).orderBy("score", key_col)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, key_col, "score", "rank")
+    )

@@ -475,3 +475,47 @@ def test_knn_classify_ivf_path_matches_exact_at_full_probe(spark, tables):
         ).collect()
     ]
     assert via_ivf == exact
+
+
+def test_ivf_batch_search_serving_and_guard(spark, tables):
+    """Partial-probe serving: one pruned scan answers Q queries; each
+    query's candidates come only from ITS probed cells; recall at
+    nprobe=2 of 4 stays useful; the query-side budget fails fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_batch_search,
+        ivf_build,
+    )
+    from distributed_vector_database_spark.operators.knn import knn_exact
+
+    emb = tables["embeddings"]
+    centroids, assigned = ivf_build(emb, n_centroids=4)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = ivf_batch_search(
+        spark, centroids, assigned, qs, k=5, nprobe=2
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_q) == set(range(8))
+    hits = 0
+    for qid, ids in by_q.items():
+        qv = list(
+            emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        )
+        exact = {
+            r["vec_id"]
+            for r in knn_exact(emb, qv, k=5, extra_cols=()).collect()
+        }
+        hits += len(set(ids) & exact)
+    assert hits / (5 * 8) >= 0.7  # half the cells probed
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_batch_search(
+            spark, centroids, assigned, qs, k=5, nprobe=2, max_query_rows=3
+        )
