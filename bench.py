@@ -257,6 +257,26 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
             cell_radii=ivf_read_cell_stats(f"{tmp}/ivf"),
         ).count()
     )
+    # batched serving: 16 queries through ONE scan pruned to the union
+    # of their probe cells — the row to compare against 16x the
+    # single-query ann_ivf_probe cost
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_batch_search,
+    )
+
+    batch_q = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint()
+    )
+    out["ann_ivf_batch16_probe"] = probe_best_of_2(
+        lambda: ivf_batch_search(
+            spark, centroids, served, batch_q, k=10, nprobe=nprobe
+        ).count()
+    )
 
     t0 = time.time()
     build_hnsw_changelog_fold(f"{tmp}/hnsw")(changelog, 1)
