@@ -87,6 +87,7 @@ from distributed_vector_database_spark.streaming.windows import (
 # ---------------------------------------------------------------------------
 QUERY_VEC_ID = 0          # query vector = embedding of vec_id 0
 KNN_K = 5
+SEQ_LEN = 512             # training_examples: tokens per example
 SEM_DECONTAM_T = 0.3      # semantic_decontam: cosine flag threshold
                           # (fixture boundary gap >= 4.5e-4 tri-scale)
 RANGE_RADIUS = 1.2        # ann_ivf_range: L2 radius (score <= 1.44; the
@@ -924,6 +925,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_documents"] = lambda spark, sf: pack_documents(
         load_table(spark, sf, "documents"), token_budget=512
     )
+
+    def training_examples_q(spark, sf):
+        # the GPT-style example builder: global shuffled token stream
+        # sliced into fixed SEQ_LEN-token examples crossing doc
+        # boundaries (pack_documents is the no-split discipline; this
+        # is the every-example-full one)
+        from distributed_vector_database_spark.operators.textops import (
+            build_training_examples,
+        )
+
+        return build_training_examples(
+            load_table(spark, sf, "documents"), seq_len=SEQ_LEN, seed="7"
+        )
+
+    q["training_examples"] = training_examples_q
 
     def pii_redaction_q(spark, sf):
         # the fixture corpus carries no PII, so the query plants a
@@ -2375,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam",
         # r8-new: batched IVF serving (Q queries, one pruned scan)
         "ann_ivf_batch_exact",
+        # r8-new: GPT-style fixed-length example builder
+        "training_examples",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -4099,6 +4117,38 @@ z AS (
 )
 SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS model_score
 FROM z ORDER BY doc_id
+"""
+
+    o["training_examples"] = f"""
+WITH d AS (
+  SELECT doc_id, list_append(string_split(text, ' '), '<eod>') AS toks,
+         md5(CAST(doc_id AS VARCHAR) || '7') AS h
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+    CAST(coalesce(sum(len(toks)) OVER (
+      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS s0
+  FROM d
+),
+tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total FROM d),
+ex AS (
+  SELECT doc_id, toks, n, s0,
+    unnest(generate_series(s0 // {SEQ_LEN}, (s0 + n - 1) // {SEQ_LEN})) AS ex_id
+  FROM t
+),
+pieces AS (
+  SELECT e.ex_id, e.s0,
+    list_slice(e.toks,
+      CAST(greatest(e.s0, e.ex_id * {SEQ_LEN}) - e.s0 + 1 AS BIGINT),
+      CAST(least(e.s0 + e.n, e.ex_id * {SEQ_LEN} + {SEQ_LEN}) - e.s0 AS BIGINT)
+    ) AS piece
+  FROM ex e, tot WHERE e.ex_id < tot.total // {SEQ_LEN}
+)
+SELECT CAST(ex_id AS BIGINT) AS example_id, CAST(count(*) AS INT) AS n_docs,
+  string_agg(array_to_string(piece, ' '), ' ' ORDER BY s0) AS text
+FROM pieces GROUP BY ex_id ORDER BY example_id
 """
 
     o["pack_documents"] = f"""

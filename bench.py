@@ -96,6 +96,8 @@ HEADLINE = [
     "ann_ivf_range_join",
     # round-8: embedding-space decontamination
     "semantic_decontam",
+    # round-8: GPT-style fixed-length example builder
+    "training_examples",
 ]
 
 

@@ -550,3 +550,148 @@ def quality_deciles(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+def build_training_examples(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "0",
+    eod: str = "<eod>",
+    partitions: int | None = None,
+) -> DataFrame:
+    """The pretraining EXAMPLE BUILDER: concatenate every document (in
+    a content-stable shuffled order, EOD marker appended to each) into
+    one global token stream and slice it into consecutive `seq_len`-
+    token examples that CROSS document boundaries — the GPT-style
+    packing step that turns a cleaned corpus into the fixed-shape rows
+    a trainer consumes. pack_documents bins whole documents (no doc
+    ever split); this is the complementary discipline where every
+    example is exactly seq_len tokens and documents are split wherever
+    the grid falls. The trailing partial example is dropped (standard
+    practice — it would need padding).
+
+    Scale shape (no global window, no driver data):
+    1. token arrays staged once per doc (withColumn — Catalyst will
+       not CSE a tokenize into per-gram lambdas);
+    2. the global order is md5(id‖seed) — content-stable, identical on
+       any cluster and in the SQL oracle (deterministic_shuffle's
+       idiom), and each doc's STARTING OFFSET in the token stream
+       comes from the distributed prefix-sum (range partition on the
+       hash, O(P) driver offsets, partition-local cumsum windows in
+       parallel);
+    3. a doc overlapping examples [start/L .. (start+n-1)/L] EXPLODES
+       to one row per overlapped example (fan-out ≤ n/L + 1 — total
+       explode volume ≈ corpus tokens / L, not corpus × examples);
+    4. one example_id shuffle groups the pieces; codegen slice() cuts
+       each doc's contribution, sort_array orders pieces by offset,
+       flatten + array_join assembles the example text.
+
+    Returns (example_id, n_docs, text) with exactly total_tokens/L
+    rows, hash-matchable against a windowed SQL oracle."""
+    from pyspark.sql.window import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = docs.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    L = int(seq_len)
+    staged = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.concat(
+                F.split(F.col(text_col), " "), F.array(F.lit(eod))
+            ).alias("__toks"),
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))
+            ).alias("__h"),
+        )
+        .withColumn("__n", F.size("__toks").cast("long"))
+    )
+    ranged = (
+        staged.repartitionByRange(p, F.asc("__h"), F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = ranged.groupBy("__pid").agg(
+            F.sum("__n").alias("__t")
+        ).collect()
+        offset = 0
+        live = []
+        for r in sorted(totals, key=lambda r: r["__pid"]):
+            live.append((r["__pid"], offset))
+            offset += int(r["__t"] or 0)
+        n_examples = offset // L
+        if not live or n_examples == 0:
+            return spark.createDataFrame(
+                [], "example_id long, n_docs int, text string"
+            )
+        off_df = F.broadcast(
+            spark.createDataFrame(live, ["__pid", "__offset"])
+        )
+        w = Window.partitionBy("__pid").orderBy(F.asc("__h"), F.asc(id_col))
+        with_start = (
+            ranged.join(off_df, "__pid")
+            .withColumn(
+                "__end", (F.col("__offset") + F.sum("__n").over(w))
+            )
+            .withColumn("__start", F.col("__end") - F.col("__n"))
+        )
+        ex = (
+            with_start.withColumn(
+                "__ex",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("__start") / L),
+                        F.floor((F.col("__start") + F.col("__n") - 1) / L),
+                    )
+                ),
+            )
+            .filter(F.col("__ex") < n_examples)
+            .withColumn(
+                "__s", F.greatest(F.col("__start"), F.col("__ex") * L)
+            )
+            .withColumn(
+                "__e",
+                F.least(
+                    F.col("__start") + F.col("__n"), F.col("__ex") * L + L
+                ),
+            )
+            .withColumn(
+                "__piece",
+                F.slice(
+                    "__toks",
+                    (F.col("__s") - F.col("__start") + 1).cast("int"),
+                    (F.col("__e") - F.col("__s")).cast("int"),
+                ),
+            )
+        )
+        out = (
+            ex.groupBy(F.col("__ex").alias("example_id"))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_docs"),
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("__s").alias("s"),
+                                        F.col("__piece").alias("p"),
+                                    )
+                                )
+                            ),
+                            lambda x: x["p"],
+                        )
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            .orderBy("example_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()

@@ -92,3 +92,42 @@ def test_materialize_bins_reconstructs_members_in_order(spark):
         assert bins[b]["packed_text"] == expect
         assert bins[b]["n_docs"] == len(members)
         assert bins[b]["n_tokens"] == 10 * len(members)
+
+
+def test_build_training_examples_slices_exactly(spark):
+    """5 docs of known sizes, seq_len=7: every example has exactly 7
+    tokens (incl. <eod> markers), concatenating examples reproduces
+    the prefix of the global hash-ordered stream, the trailing partial
+    is dropped, and n_docs counts every contributing doc."""
+    import hashlib
+
+    from distributed_vector_database_spark.operators.textops import (
+        build_training_examples,
+    )
+
+    docs = [(i, " ".join(f"d{i}w{j}" for j in range(3 + i))) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    L = 7
+    got = build_training_examples(df, seq_len=L, seed="s").collect()
+
+    # reference computation in plain python
+    order = sorted(
+        docs, key=lambda d: (hashlib.md5(f"{d[0]}s".encode()).hexdigest(), d[0])
+    )
+    stream = []
+    bounds = []
+    for did, text in order:
+        toks = text.split(" ") + ["<eod>"]
+        bounds.append((len(stream), len(stream) + len(toks)))
+        stream.extend(toks)
+    n_examples = len(stream) // L
+    assert len(got) == n_examples and n_examples >= 2
+
+    rows = {r["example_id"]: r for r in got}
+    for e in range(n_examples):
+        toks = rows[e]["text"].split(" ")
+        assert toks == stream[e * L : (e + 1) * L]
+        want_docs = sum(
+            1 for s, t in bounds if s < (e + 1) * L and t > e * L
+        )
+        assert rows[e]["n_docs"] == want_docs
