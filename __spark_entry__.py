@@ -88,6 +88,7 @@ from distributed_vector_database_spark.streaming.windows import (
 QUERY_VEC_ID = 0          # query vector = embedding of vec_id 0
 KNN_K = 5
 SEQ_LEN = 512             # training_examples: tokens per example
+PHRASE_QUERY = "table part"  # phrase_search: the positional query
 SEM_DECONTAM_T = 0.3      # semantic_decontam: cosine flag threshold
                           # (fixture boundary gap >= 4.5e-4 tri-scale)
 RANGE_RADIUS = 1.2        # ann_ivf_range: L2 radius (score <= 1.44; the
@@ -940,6 +941,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["training_examples"] = training_examples_q
+
+    def phrase_search_q(spark, sf):
+        # positional phrase query ("new york" as a phrase, not a bag
+        # of words): exact token-sequence matches with count + first
+        # position, zero Python in the plan
+        from distributed_vector_database_spark.operators.lexical import (
+            phrase_search,
+        )
+
+        return phrase_search(
+            load_table(spark, sf, "documents"), PHRASE_QUERY
+        )
+
+    q["phrase_search"] = phrase_search_q
 
     def pii_redaction_q(spark, sf):
         # the fixture corpus carries no PII, so the query plants a
@@ -2013,6 +2028,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_range"] = ann_ivf_range_q
 
+    def ann_ivf_range_filtered_q(spark, sf):
+        # FILTERED range search: the metadata predicate applies INSIDE
+        # the geometrically-admitted cells (pruning is unaffected — a
+        # filter can only shrink results, never move the ball cover),
+        # so the filtered result stays exact with zero extra probes
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_build,
+            ivf_cell_stats,
+            ivf_range_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        stats = ivf_cell_stats(assigned, centroids)
+        return ivf_range_search(
+            spark,
+            centroids,
+            assigned,
+            _query_vec(spark, sf),
+            radius=RANGE_RADIUS * 2,
+            cell_radii=stats,
+            predicate=F.col("label") == KNN_FILTER_LABEL,
+        )
+
+    q["ann_ivf_range_filtered"] = ann_ivf_range_filtered_q
+
     def ann_sq_topk_exact_q(spark, sf):
         # full-pool exact refine (FAISS IndexRefine with the pool = the
         # whole corpus): codes select, true vectors re-score — must
@@ -2393,6 +2434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_exact",
         # r8-new: GPT-style fixed-length example builder
         "training_examples",
+        # r8-new: positional phrase query
+        "phrase_search",
+        # r8-new: filtered radius search
+        "ann_ivf_range_filtered",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2868,6 +2913,17 @@ scored AS (
 )
 SELECT vec_id, score FROM scored
 WHERE score <= {RANGE_RADIUS} * {RANGE_RADIUS}
+ORDER BY score, vec_id
+"""
+
+    o["ann_ivf_range_filtered"] = f"""
+WITH {_QCTE},
+scored AS (
+  SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q
+  WHERE label = {KNN_FILTER_LABEL}
+)
+SELECT vec_id, score FROM scored
+WHERE score <= {RANGE_RADIUS * 2} * {RANGE_RADIUS * 2}
 ORDER BY score, vec_id
 """
 
@@ -4117,6 +4173,28 @@ z AS (
 )
 SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS model_score
 FROM z ORDER BY doc_id
+"""
+
+    o["phrase_search"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND contains(lower(text), '{PHRASE_QUERY}')
+),
+pos AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(toks) - {len(PHRASE_QUERY.split()) - 1})) AS p,
+    toks
+  FROM t WHERE len(toks) >= {len(PHRASE_QUERY.split())}
+),
+hit AS (
+  SELECT doc_id, p FROM pos
+  WHERE list_slice(toks, p, p + {len(PHRASE_QUERY.split()) - 1}) =
+        {PHRASE_QUERY.split()}
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_matches,
+  CAST(min(p) AS INT) AS first_pos
+FROM hit GROUP BY doc_id ORDER BY doc_id
 """
 
     o["training_examples"] = f"""

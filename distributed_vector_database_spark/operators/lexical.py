@@ -644,3 +644,56 @@ def rerank_crossencoder(
         .orderBy(F.desc("ce_score"), doc_col)
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional PHRASE query: documents containing the exact token
+    sequence, with match count and the first match position — the
+    positional-index capability BM25's bag-of-words scoring cannot
+    express ("new york" as a phrase, not two terms).
+
+    Plan: tokens staged once (the no-CSE rule), then every candidate
+    start offset becomes a row via sequence+explode and a codegen
+    slice()==literal comparison keeps the matches — zero Python, one
+    doc_id re-aggregation of match rows only. The explode fan-out is
+    tokens-per-doc, the same volume every shingle operator here
+    already pays; a pre-filter on contains(lowered_text, phrase)
+    prunes non-candidate docs before any explode, so the heavy path
+    runs only on docs that contain the words at all. Returns
+    (doc_id, n_matches, first_pos) with 1-based token positions,
+    n_matches >= 1."""
+    from distributed_vector_database_spark.functions.text import tokenize
+
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    k = len(words)
+    lit_phrase = F.array(*[F.lit(w) for w in words])
+    staged = (
+        docs.filter(F.col(text_col).isNotNull())
+        # cheap substring pre-filter: every true phrase match contains
+        # this substring (token-split is whitespace, so the joined
+        # words appear verbatim); false candidates die in the exact
+        # positional check below
+        .filter(F.contains(F.lower(F.col(text_col)), F.lit(" ".join(words))))
+        .select(doc_col, tokenize(text_col).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= k)
+    )
+    hits = (
+        staged.withColumn(
+            "__pos", F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1)))
+        )
+        .filter(F.slice("__toks", F.col("__pos"), k) == lit_phrase)
+        .groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matches"),
+            F.min("__pos").cast("int").alias("first_pos"),
+        )
+    )
+    return hits.orderBy(doc_col)

@@ -618,3 +618,38 @@ def test_rerank_crossencoder_reorders_stage1(spark):
     ids = [r["doc_id"] for r in got]
     assert 3 not in ids           # never retrieved by stage 1
     assert ids[0] == 2            # jaccard-heavy weights flip the order
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    """Exact positional semantics: overlapping matches count, phrase
+    across a doc boundary never matches, case-insensitive, and the
+    substring pre-filter cannot create false positives ('tab le part'
+    contains the chars but not the token sequence)."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.lexical import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # 'a b' at 1 and 3 (overlap-adjacent)
+            (2, "x A B y"),          # case-insensitive at 2
+            (3, "ab ba"),            # substring trap: no token match
+            (4, "b a"),              # reversed: no match
+            (5, None),               # null text survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in phrase_search(docs, "a b").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_matches"] == 2 and got[1]["first_pos"] == 1
+    assert got[2]["n_matches"] == 1 and got[2]["first_pos"] == 2
+
+    # true overlapping occurrences ('a a a' for phrase 'a a')
+    dd = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    r = phrase_search(dd, "a a").collect()[0]
+    assert r["n_matches"] == 2 and r["first_pos"] == 1
+
+    with pytest.raises(ValueError):
+        phrase_search(docs, "   ")
