@@ -103,6 +103,7 @@ JACCARD_T = 0.2
 SIMHASH_MAX_HAMMING = 3
 TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
 BM25_TERMS = ["spark", "filter", "join"]  # lexical query bag (bm25/hybrid)
+SPARSE_QW = {"spark": 1.5, "filter": 0.7, "join": 1.0}  # sparse_dot_topk
 BM25_K1, BM25_B = 1.2, 0.75
 HYBRID_POOL = 20          # per-leg top-n fed into reciprocal-rank fusion
 RRF_C = 60                # standard RRF constant (Cormack et al. 2009)
@@ -1146,6 +1147,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_postings_topk"] = bm25_postings_topk_q
+
+    def sparse_dot_topk_q(spark, sf):
+        # learned-sparse serving (SPLADE/uniCOIL shape) from the SAME
+        # postings layout BM25 serves from: query = sparse term->weight
+        # vector, doc weight = saturated tf/(tf+1), score = sparse dot
+        from distributed_vector_database_spark.operators.lexical import (
+            sparse_dot_search,
+        )
+
+        idx = _postings_index(spark, sf)
+        return sparse_dot_search(spark, idx, SPARSE_QW, k=10)
+
+    q["sparse_dot_topk"] = sparse_dot_topk_q
 
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
@@ -2438,6 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search",
         # r8-new: filtered radius search
         "ann_ivf_range_filtered",
+        # r8-new: learned-sparse serving from the postings layout
+        "sparse_dot_topk",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -3231,6 +3247,26 @@ WHERE rn = 1 AND (norm2 < 1e-12 OR dist > {OUTLIER_MAX_DIST})
     # identical oracle: the postings index must serve the exact same
     # ranking as the corpus-scan path
     o["bm25_postings_topk"] = o["bm25_topk"]
+
+    _sparse_terms = sorted(SPARSE_QW)
+    _sparse_tfs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_sparse_terms)
+    )
+    _sparse_score = " + ".join(
+        f"{SPARSE_QW[t]} * tf{i} / (tf{i} + 1)"
+        for i, t in enumerate(_sparse_terms)
+    )
+    _sparse_any = " + ".join(f"tf{i}" for i in range(len(_sparse_terms)))
+    o["sparse_dot_topk"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+stf AS (SELECT doc_id, {_sparse_tfs} FROM toks),
+scored AS (
+  SELECT doc_id, round({_sparse_score}, 6) AS score
+  FROM stf WHERE {_sparse_any} > 0
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     o["hybrid_rrf_topk"] = f"""
 WITH {_bm25_ctes(HYBRID_POOL)},

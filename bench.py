@@ -98,6 +98,11 @@ HEADLINE = [
     "semantic_decontam",
     # round-8: GPT-style fixed-length example builder
     "training_examples",
+    # round-8: positional phrase search, filtered radius search, and
+    # learned-sparse serving from the shared postings layout
+    "phrase_search",
+    "ann_ivf_range_filtered",
+    "sparse_dot_topk",
 ]
 
 

@@ -697,3 +697,62 @@ def phrase_search(
         )
     )
     return hits.orderBy(doc_col)
+
+
+def sparse_dot_search(
+    spark,
+    path: str,
+    query_weights: dict[str, float],
+    k: int = 10,
+    doc_col: str = "doc_id",
+    doc_weight=None,
+) -> DataFrame:
+    """Learned-sparse retrieval over the SAME postings layout BM25
+    serves from — the SPLADE/uniCOIL serving shape: the query is a
+    sparse term→weight vector, each document a sparse vector of term
+    weights, score = the sparse dot product over matched terms. With
+    unit query weights and tf doc weights this is plain weighted term
+    matching; with model-produced weights it serves a learned-sparse
+    retriever — the postings infrastructure (bucket pruning, publish
+    markers, O(batch) appends) is identical either way, which is the
+    point: one index, two scoring families.
+
+    `doc_weight` is a Column expression over the postings row
+    (defaults to saturated tf / (tf + 1) — uniCOIL-ish — computed on
+    the pruned slice only). Scores round 6dp; ties break on doc id.
+
+    100 TB shape: identical to bm25_postings_search — bucket partition
+    pruning + term predicate pushdown mean the scan reads ONLY the
+    query terms' posting rows; one groupBy(doc) sums contributions;
+    TakeOrderedAndProject emits k rows."""
+    if not query_weights:
+        raise ValueError("query_weights must be non-empty")
+    qw = {t.lower(): float(w) for t, w in query_weights.items()}
+    terms = sorted(qw)
+    n_buckets = int(
+        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
+    )
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    aids = sorted(m["aid"] for m in markers)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    if doc_weight is None:
+        tf = F.col("tf").cast("double")
+        doc_weight = tf / (tf + F.lit(1.0))
+    qmap = F.create_map(
+        *[F.lit(x) for t in terms for x in (t, qw[t])]
+    )
+    slice_ = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .filter(F.col("aid").isin(aids))
+    )
+    return (
+        slice_.withColumn("__s", qmap[F.col("term")] * doc_weight)
+        .groupBy(doc_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.desc("score"), doc_col)
+        .limit(k)
+    )

@@ -653,3 +653,36 @@ def test_phrase_search_positions_and_overlaps(spark):
 
     with pytest.raises(ValueError):
         phrase_search(docs, "   ")
+
+
+def test_sparse_dot_search_weights_and_saturation(spark, tmp_path):
+    """Hand-built postings: weighted sparse dot with tf saturation —
+    a doc repeating a low-weight term cannot outscore a doc matching
+    the high-weight term (tf/(tf+1) caps at 1), and unmatched terms
+    contribute nothing."""
+    from distributed_vector_database_spark.operators.lexical import (
+        postings_write,
+        sparse_dot_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat " * 50),             # tf(cat)=50 -> 0.5 * ~0.98
+            (2, "dog"),                   # tf(dog)=1  -> 2.0 * 0.5
+            (3, "cat dog"),               # both
+            (4, "bird"),                  # no match: absent from output
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    postings_write(docs, path, n_buckets=4)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in sparse_dot_search(
+            spark, path, {"cat": 0.5, "dog": 2.0}, k=10
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[3] > got[2] > got[1]  # both > dog-only > saturated cat
+    assert abs(got[2] - 2.0 * 0.5) < 1e-6
+    assert abs(got[1] - 0.5 * (50 / 51)) < 1e-6
