@@ -718,6 +718,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "orders"),
         load_table(spark, sf, "supplier"),
     )
+    # round-8 third batch: Q2/Q11/Q16/Q20 shapes — with these, all 22
+    # TPC-H query forms have a fixture-expressible shape (partsupp is
+    # derived from lineitem's (l_partkey, l_suppkey) pairs)
+    q["min_cost_supplier"] = lambda spark, sf: R.min_cost_supplier(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+    q["important_part_values"] = lambda spark, sf: R.important_part_values(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+    q["supplier_part_counts"] = lambda spark, sf: R.supplier_part_counts(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+    )
+    q["excess_stock_suppliers"] = lambda spark, sf: R.excess_stock_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
 
     # ---- retrieval additions (round 7): MMR / rerank / topic --------------
 
@@ -2411,8 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green one-shot queries — all hash-oracled and
     # full-gate-checked every round by tools/check_correctness.py.
     preferred = [
-        # flagship stays first (driver smoke-check + optics)
-        "flagship_knn",
         # --- never-driver-checked (0 rows through r7): TPC-H shapes ---
         "volume_shipping", "returned_item_revenue",
         "customer_order_distribution", "type_share_revenue",
@@ -2454,6 +2478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_range_filtered",
         # r8-new: learned-sparse serving from the postings layout
         "sparse_dot_topk",
+        # r8-new: Q2/Q16/Q20 shapes (completes all 22 TPC-H forms;
+        # Q11's important_part_values heads tier 2 for the r9 rotation)
+        "min_cost_supplier", "supplier_part_counts",
+        "excess_stock_suppliers",
         # --- exact-recall anchors (budget-pinned by contract tests) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
         "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
@@ -2465,7 +2493,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_filtered_exact",
         # --- code changed in round 8 (perf fix: staged-token LM) ---
         "lm_perplexity",
-        # --- round-7 first-timers kept for a second driver round ---
+        # ---- tier 2 (below the 50-row budget; full-gate-checked every
+        # round): important_part_values first for the r9 rotation, then
+        # multi-round-green veterans (flagship_knn has 7 green rounds;
+        # entry() still smoke-checks it every round regardless) ----
+        "important_part_values",
+        "flagship_knn",
+        # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
         "user_rolling_7d", "quality_deciles", "skew_report",
         "orders_grouping_sets", "deterministic_shuffle",
@@ -3926,6 +3960,83 @@ FROM per_order JOIN supplier ON late_supp = s_suppkey
 WHERE n_supp > 1 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
+"""
+
+    o["min_cost_supplier"] = """
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+supply AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+    min(l_extendedprice / l_quantity) AS uc
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN rs ON l_suppkey = s_suppkey
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 25
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_partkey ORDER BY uc, s_suppkey) AS rn
+  FROM supply
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+  p_name, round(uc, 6) AS unit_cost
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+    o["important_part_values"] = """
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_12')
+  GROUP BY 1
+)
+SELECT l_partkey AS partkey, floor(v * 100 + 0.5) / 100 AS part_value
+FROM val WHERE v > (SELECT 2.0 * avg(v) FROM val)
+ORDER BY part_value DESC, partkey
+"""
+
+    o["supplier_part_counts"] = """
+WITH pairs AS (
+  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+    AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+    o["excess_stock_suppliers"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_ps
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(qty_ps) AS qty_p FROM ps GROUP BY 1),
+excess AS (
+  SELECT DISTINCT l_suppkey FROM ps JOIN tot USING (l_partkey)
+  WHERE qty_ps > 0.3 * qty_p
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM excess JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN (
+  'NATION_5', 'NATION_9', 'NATION_17', 'NATION_2', 'NATION_21')
+ORDER BY s_name
 """
 
     o["orders_grouping_sets"] = """

@@ -103,6 +103,11 @@ HEADLINE = [
     "phrase_search",
     "ann_ivf_range_filtered",
     "sparse_dot_topk",
+    # round-8: Q2/Q11/Q16/Q20 shapes — completes all 22 TPC-H forms
+    "min_cost_supplier",
+    "important_part_values",
+    "supplier_part_counts",
+    "excess_stock_suppliers",
 ]
 
 

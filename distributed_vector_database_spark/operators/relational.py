@@ -1310,3 +1310,223 @@ def waiting_suppliers(
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    part_type: str = "LARGE",
+    size_lo: int = 10,
+    size_hi: int = 25,
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    the region's supplier offering it at the lowest unit cost. The
+    fixture has no partsupp, so the supplier↔part relation and its
+    cost are derived from lineitem: unit_cost(part, supp) =
+    min(l_extendedprice / l_quantity) over their shipments — the same
+    correlated-min + argmin-join-back skeleton as the spec's
+    ps_supplycost subquery.
+
+    Plan: the part filter and the region⋈nation⋈supplier frame both
+    broadcast into the fact scan, so the (partkey, suppkey) shuffle
+    carries ONLY qualifying parts shipped by in-region suppliers —
+    at 100 TB that is sizes×type selectivity of the fact table, not
+    all of it. The argmin is a window over the already part-filtered
+    aggregate (ties break on suppkey), never a fact self-join."""
+    parts_f = part.filter(
+        (F.col("p_type") == part_type)
+        & F.col("p_size").between(size_lo, size_hi)
+    ).select("p_partkey", "p_name")
+    rsupp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__uc"),
+        )
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(F.min("__uc").alias("__min_uc"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("__min_uc", "s_suppkey")
+    return (
+        supply.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("__min_uc", 6).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple[str, ...] = ("NATION_7", "NATION_12"),
+    mult: float = 2.0,
+) -> DataFrame:
+    """TPC-H Q11-shaped important-stock scan: per-part value shipped by
+    the given nations' suppliers, keeping parts whose value exceeds
+    `mult`× the average part value — the HAVING-vs-global-scalar-
+    subquery shape (the spec's FRACTION threshold made scale-free:
+    an absolute fraction of the total goes to zero rows as the part
+    count grows, an avg multiple does not).
+
+    Plan: the nation prune broadcasts into the fact scan (semi-join),
+    ONE l_partkey shuffle with map-side partials builds the per-part
+    values, and the scalar average is an aggregate OF THAT aggregate —
+    parts-sized, not fact-sized — broadcast back as a 1-row frame."""
+    nsupp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        lineitem.join(
+            F.broadcast(nsupp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__v")
+        )
+    )
+    thresh = val.agg((F.avg("__v") * F.lit(mult)).alias("__t"))
+    return (
+        val.join(F.broadcast(thresh), F.col("__v") > F.col("__t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            # floor(x*100+0.5)/100, not round(,2): float sums land on
+            # exact .xx5 halves here and Spark/DuckDB round() disagree
+            (F.floor(F.col("__v") * 100 + F.lit(0.5)) / 100).alias(
+                "part_value"
+            ),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#15",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 5, 10, 15, 20, 25, 30, 35),
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count histogram: how many distinct
+    suppliers ship each qualifying (brand, type, size), excluding
+    flagged suppliers. partsupp is derived from lineitem's
+    (l_partkey, l_suppkey) pairs; the spec's complaint-comment
+    exclusion becomes the negative-balance suppliers (the fixture has
+    no s_comment).
+
+    Plan: the part predicate broadcasts into the fact scan BEFORE the
+    distinct, so the dedup shuffle carries only qualifying parts'
+    pairs (~sizes/50 of the fact table at 100 TB); the supplier
+    exclusion is a broadcast anti-join on the deduped pairs; the
+    count-distinct reuses the (partkey, suppkey) clustering."""
+    parts_f = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def excess_stock_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    share: float = 0.3,
+    date_from: str = "1997-01-01",
+    date_to: str = "1999-01-01",
+    nations: tuple[str, ...] = (
+        "NATION_5", "NATION_9", "NATION_17", "NATION_2", "NATION_21",
+    ),
+) -> DataFrame:
+    """TPC-H Q20-shaped dominant-stock suppliers: suppliers in the
+    given nations who shipped more than `share` of some qualifying
+    part's total quantity in the window — the spec's nested
+    semi-join-with-correlated-aggregate (ps_availqty > 0.5 *
+    sum(l_quantity)) re-derived from lineitem alone.
+
+    Plan: part-name prefix + date range broadcast/push into the fact
+    scan, ONE (partkey, suppkey) shuffle builds per-pair quantities,
+    the per-part total is a reaggregation of that already-small
+    frame, and the final nation/supplier decoration is broadcast.
+    No fact self-join anywhere — the correlated subquery is two
+    stacked aggregations."""
+    parts_f = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    ps = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from)
+            & (F.col("l_shipdate") < date_to)
+        )
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty_ps"))
+    )
+    tot = ps.groupBy("p_partkey").agg(F.sum("__qty_ps").alias("__qty_p"))
+    nsupp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        ps.join(tot, "p_partkey")
+        .filter(F.col("__qty_ps") > F.lit(share) * F.col("__qty_p"))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -62,6 +62,12 @@ ROTATED_IN = {
     "ann_hnsw_filtered_exact", "epoch_mixture", "corpus_profile",
     "late_shipment_priority", "market_share",
     "product_profit", "waiting_suppliers",
+    # round-8 third batch: Q2/Q16/Q20 shapes (Q11's
+    # important_part_values heads tier 2 for the round-9 rotation;
+    # displaced: flagship_knn / funnel_served / funnel_steps, all
+    # driver-green in r7 and still full-gate-checked every round)
+    "min_cost_supplier", "supplier_part_counts",
+    "excess_stock_suppliers",
 }
 
 

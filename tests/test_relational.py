@@ -378,3 +378,151 @@ def test_product_profit_cost_proxy_and_filter(spark):
     assert [(r["supp_nation"], r["order_year"], r["profit"]) for r in rows] == [
         ("N_A", 1996, 33.0)
     ]
+
+
+def test_min_cost_supplier_argmin_with_tiebreak(spark):
+    """Per part: the in-region supplier with the lowest derived unit
+    cost wins; cost ties break on the lower suppkey; parts outside the
+    size/type filter and suppliers outside the region never appear."""
+    from distributed_vector_database_spark.operators.relational import (
+        min_cost_supplier,
+    )
+
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N_EU", 0), (1, "N_AS", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 5.0, 0), (20, "S20", 9.0, 0), (30, "S30", 1.0, 1)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey long",
+    )
+    part = spark.createDataFrame(
+        [(1, "p1", "LARGE", 15), (2, "p2", "LARGE", 15),
+         (3, "p3", "SMALL", 15), (4, "p4", "LARGE", 99)],
+        "p_partkey long, p_name string, p_type string, p_size int",
+    )
+    # part 1: S10 at cost 2.0 (min over two shipments), S20 at 3.0
+    # part 2: tie at 4.0 -> lower suppkey (10) wins
+    # part 3/4: filtered out by type/size; S30 out-of-region lines ignored
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, 8.0, 4.0), (1, 10, 2.0, 1.0), (1, 20, 3.0, 1.0),
+            (1, 30, 0.5, 1.0),
+            (2, 20, 4.0, 1.0), (2, 10, 8.0, 2.0),
+            (3, 10, 1.0, 1.0), (4, 10, 1.0, 1.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_quantity double",
+    )
+    rows = min_cost_supplier(lineitem, part, supplier, nation, region).collect()
+    got = {r["p_partkey"]: (r["s_name"], r["unit_cost"]) for r in rows}
+    assert got == {1: ("S10", 2.0), 2: ("S10", 4.0)}
+    assert all(r["n_name"] == "N_EU" for r in rows)
+
+
+def test_important_part_values_threshold_vs_average(spark):
+    """Only parts above mult x the average part value survive; lines
+    from out-of-nation suppliers never count toward any part."""
+    from distributed_vector_database_spark.operators.relational import (
+        important_part_values,
+    )
+
+    nation = spark.createDataFrame(
+        [(0, "NATION_7"), (1, "OTHER")], "n_nationkey long, n_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(10, 0), (20, 1)], "s_suppkey long, s_nationkey long"
+    )
+    # in-nation values: part 1 = 100, part 2 = 10, part 3 = 10
+    # avg = 40 -> with mult=2 threshold is 80: only part 1 survives
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 0.0),
+            (2, 10, 10.0, 0.0),
+            (3, 10, 10.0, 0.0),
+            (1, 20, 1000.0, 0.0),  # out-of-nation: ignored
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    rows = important_part_values(
+        lineitem, supplier, nation, nations=("NATION_7",), mult=2.0
+    ).collect()
+    assert [(r["partkey"], r["part_value"]) for r in rows] == [(1, 100.0)]
+
+
+def test_supplier_part_counts_exclusions(spark):
+    """Negative-balance suppliers are anti-joined out, excluded
+    brand/type/size parts never reach the distinct, and the count is
+    distinct suppliers (repeat shipments collapse)."""
+    from distributed_vector_database_spark.operators.relational import (
+        supplier_part_counts,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#1", "LARGE", 5),
+            (2, "Brand#15", "LARGE", 5),   # excluded brand
+            (3, "Brand#1", "PROMO", 5),    # excluded type
+            (4, "Brand#1", "LARGE", 7),    # size not in set
+        ],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(10, 1.0), (20, -5.0), (30, 0.0)],
+        "s_suppkey long, s_acctbal double",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (1, 30),
+         (2, 10), (3, 10), (4, 10)],
+        "l_partkey long, l_suppkey long",
+    )
+    rows = supplier_part_counts(lineitem, part, supplier).collect()
+    assert [
+        (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+        for r in rows
+    ] == [("Brand#1", "LARGE", 5, 2)]  # supp 10 + 30; 20 excluded
+
+
+def test_excess_stock_suppliers_share_and_window(spark):
+    """A supplier qualifies iff it shipped > share of some matching
+    part's total quantity inside the date window; out-of-window and
+    non-matching-part lines count toward nothing."""
+    from distributed_vector_database_spark.operators.relational import (
+        excess_stock_suppliers,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "red bolt"), (2, "blue bolt")], "p_partkey long, p_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_5"), (1, "OTHER")], "n_nationkey long, n_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 7.0, 0), (20, "S20", 3.0, 0), (30, "S30", 1.0, 1)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey long",
+    )
+    inside, outside = _dt("1997-06-01"), _dt("1996-06-01")
+    # part 1 in-window: S10 ships 70, S20 ships 30 -> only S10 > 50%
+    # S20's huge out-of-window line must not help it
+    # part 2 (non-matching name): S20 dominates but it counts nothing
+    # S30 dominates part 1? no - keep S30 out-of-nation AND minor
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, 70.0, inside), (1, 20, 30.0, inside),
+            (1, 20, 500.0, outside),
+            (2, 20, 100.0, inside),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, "
+        "l_shipdate timestamp",
+    )
+    rows = excess_stock_suppliers(
+        lineitem, part, supplier, nation,
+        name_prefix="red", share=0.5,
+        date_from="1997-01-01", date_to="1998-01-01",
+        nations=("NATION_5",),
+    ).collect()
+    assert [(r["s_name"], r["s_acctbal"]) for r in rows] == [("S10", 7.0)]
