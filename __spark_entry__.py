@@ -2138,6 +2138,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_bq_topk_exact"] = ann_bq_topk_exact_q
 
+    _mrl_memo: dict[str, str] = {}
+
+    def ann_mrl_topk_exact_q(spark, sf):
+        # Matryoshka layout-path anchor: the prefix column is
+        # materialized in its own parquet column (the coarse scan's
+        # ReadSchema never touches the full vectors — pinned by
+        # tests/test_mrl.py), and a pool covering the corpus makes the
+        # two-pass serve reproduce knn_exact bit-for-bit. The
+        # truncated-pool serving mode is pytest-covered on synthetic
+        # decaying-variance embeddings instead of a contract row: the
+        # fixture embeddings are iid random (no front-loaded signal),
+        # which is precisely the data MRL-trained embedders exist to
+        # avoid — a recall number against them would measure the
+        # fixture, not the operator.
+        import tempfile
+
+        from distributed_vector_database_spark.operators.quantization import (
+            mrl_read_search,
+            mrl_write,
+        )
+
+        if sf not in _mrl_memo:
+            path = tempfile.mkdtemp(prefix="dvdb_mrl_")
+            mrl_write(_emb(spark, sf), path, prefix_dim=16)
+            _mrl_memo[sf] = path
+        return mrl_read_search(
+            spark, _mrl_memo[sf], _query_vec(spark, sf), k=10, rerank=10**6
+        )
+
+    q["ann_mrl_topk_exact"] = ann_mrl_topk_exact_q
+
     def ann_bq_topk_q(spark, sf):
         # serving mode: Hamming over the 32x-compressed codes ranks a
         # rerank*k pool, exact refine on the pool only (rows + recall)
@@ -2498,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-round-green veterans (flagship_knn has 7 green rounds;
         # entry() still smoke-checks it every round regardless) ----
         "important_part_values",
+        "ann_mrl_topk_exact",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -2994,6 +3026,7 @@ ORDER BY id_a, id_b
     o["ann_lsh_topk_exact"] = _knn_nolabel
     o["ann_sq_topk_exact"] = _knn_nolabel
     o["ann_bq_topk_exact"] = _knn_nolabel
+    o["ann_mrl_topk_exact"] = _knn_nolabel
     o["ann_ivfbq_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel

@@ -297,6 +297,20 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
         lambda: hnsw_read_search(spark, f"{tmp}/hnsw", qvec, k=10).count()
     )
 
+    # Matryoshka layout: prefix column materialized for ReadSchema
+    # pruning; probe = coarse prefix scan + key-filtered exact refine
+    from distributed_vector_database_spark.operators.quantization import (
+        mrl_read_search,
+        mrl_write,
+    )
+
+    t0 = time.time()
+    mrl_write(emb, f"{tmp}/mrl", prefix_dim=16)
+    out["ann_mrl_build"] = round(time.time() - t0, 3)
+    out["ann_mrl_probe"] = probe_best_of_2(
+        lambda: mrl_read_search(spark, f"{tmp}/mrl", qvec, k=10, rerank=10).count()
+    )
+
     # BM25 postings: term-bucketed index build; probe prunes to the
     # query terms' buckets
     t0 = time.time()

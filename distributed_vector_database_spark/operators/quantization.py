@@ -450,3 +450,137 @@ def ivf_bq_search(
     return bq_search(
         pruned, means, query_vec, k=k, key_col=key_col, rerank=rerank, vec_col=vec_col
     )
+
+
+# -- Matryoshka (prefix-dimension) search ------------------------------------
+
+
+def mrl_search(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension search (Kusupati et al.
+    2022, 'Matryoshka Representation Learning'): rank the corpus on
+    the FIRST `prefix_dim` coordinates only, then exactly re-score a
+    rerank*k candidate pool at full dimension — the adaptive-retrieval
+    shape MRL-trained embedders are built for, and the zero-training
+    member of the quantization family (SQ/PQ/BQ learn codes; MRL just
+    slices).
+
+    Fully declarative: the coarse distance is squared-L2 over a
+    codegen `slice()` of the vector column, the pool is one
+    TakeOrderedAndProject (≤ pool rows leave each partition), and the
+    refine touches pool rows only. `prefix_dim >= dim` makes coarse
+    ranking already exact, so the result must reproduce knn_exact
+    bit-for-bit (the hash-oracled anchor ann_mrl_topk_exact relies on
+    this, same contract as the SQ/PQ/BQ rerank anchors). For real I/O
+    truncation at scale, serve from the persisted layout
+    (mrl_write/mrl_read_search) where the prefix is its own parquet
+    column and the coarse scan's ReadSchema never touches the full
+    vectors."""
+    from distributed_vector_database_spark.functions.vector import squared_l2
+
+    q = [float(v) for v in query_vec]
+    p = min(int(prefix_dim), len(q))
+    coarse = squared_l2(
+        F.slice(F.col(vec_col).cast("array<double>"), 1, p), q[:p]
+    )
+    pool_n = max(int(rerank) * k, k)
+    pool = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(key_col, vec_col, coarse.alias("__coarse"))
+        .orderBy("__coarse", key_col)
+        .limit(pool_n)
+    )
+    return (
+        pool.select(
+            key_col,
+            F.round(squared_l2(vec_col, q), 6).alias("score"),
+        )
+        .orderBy("score", key_col)
+        .limit(k)
+    )
+
+
+def mrl_write(
+    df: DataFrame,
+    path: str,
+    prefix_dim: int = 16,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the Matryoshka serving layout: the dimension prefix is
+    materialized as its OWN parquet column next to the full vector, so
+    a coarse scan that selects only (key, prefix) reads prefix_dim/dim
+    of the vector bytes — parquet column pruning is what makes
+    truncation an I/O win rather than a compute trick. At 64->16 dims
+    the coarse pass reads 4x less; a 100 TB corpus serves its first
+    pass from 25 TB."""
+    (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            key_col,
+            F.slice(
+                F.col(vec_col).cast("array<double>"), 1, int(prefix_dim)
+            ).alias("mrl_prefix"),
+            vec_col,
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def mrl_read_search(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the persisted Matryoshka layout in two passes:
+
+    1. Coarse: scan (key, mrl_prefix) ONLY — the ReadSchema excludes
+       the full vector column entirely, so the pass reads
+       prefix_dim/dim of the corpus bytes — and take the rerank*k
+       pool by prefix distance (one TakeOrderedAndProject).
+    2. Refine: re-read ONLY the pool's rows (bounded key-literal
+       pushdown — pool is ≤ rerank*k keys, never corpus-sized) at
+       full dimension and score exactly.
+
+    rerank covering the corpus degenerates pass 1 to 'everything is
+    in the pool', making the result exactly knn_exact regardless of
+    prefix quality — the layout-path anchor parameterization."""
+    from distributed_vector_database_spark.functions.vector import squared_l2
+
+    q = [float(v) for v in query_vec]
+    layout = spark.read.parquet(path)
+    p = layout.select(F.size("mrl_prefix").alias("d")).first()["d"]
+    pool_keys = [
+        r[key_col]
+        for r in (
+            layout.select(
+                key_col,
+                squared_l2("mrl_prefix", q[: int(p)]).alias("__coarse"),
+            )
+            .orderBy("__coarse", key_col)
+            .limit(max(int(rerank) * k, k))
+            .collect()
+        )
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(key_col).isin(pool_keys))
+        .select(
+            key_col,
+            F.round(squared_l2(vec_col, q), 6).alias("score"),
+        )
+        .orderBy("score", key_col)
+        .limit(k)
+    )

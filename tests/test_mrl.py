@@ -1,0 +1,105 @@
+"""Matryoshka (prefix-dimension) search: exactness contracts, the
+ReadSchema column-pruning guarantee that makes truncation an I/O win,
+and recall on the front-loaded data MRL is designed for.
+
+Reference capability: the reference serves full-dimension vectors
+only (src/datanode/handler.py hnswlib index over raw vectors); prefix
+serving is a quantization-family extension, anchored to knn_exact the
+same way SQ/PQ/BQ are.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.knn import knn_exact
+from distributed_vector_database_spark.operators.quantization import (
+    mrl_read_search,
+    mrl_search,
+    mrl_write,
+)
+
+
+def _front_loaded(spark, n=400, dim=32, seed=7):
+    """Synthetic MRL-like corpus: per-dim scale decays geometrically,
+    so early coordinates carry most of the distance signal — the
+    property MRL training induces and iid fixtures lack."""
+    rng = np.random.default_rng(seed)
+    scales = 0.8 ** np.arange(dim)
+    mat = rng.normal(size=(n, dim)) * scales
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.normal(size=dim) * scales]
+    return df, q
+
+
+def test_mrl_full_prefix_reproduces_knn_exact(spark):
+    df, q = _front_loaded(spark)
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    got = [(r["vec_id"], r["score"])
+           for r in mrl_search(df, q, k=10, prefix_dim=32, rerank=1).collect()]
+    assert got == exact
+
+
+def test_mrl_truncated_recall_on_front_loaded_data(spark):
+    """prefix 8 of 32 with a small pool must recover (nearly) the
+    exact top-k when the signal is front-loaded — the operator's
+    actual job. A positional prefix on iid data would not pass this."""
+    df, q = _front_loaded(spark)
+    exact = {r["vec_id"] for r in knn_exact(df, q, k=10, extra_cols=()).collect()}
+    got = {r["vec_id"]
+           for r in mrl_search(df, q, k=10, prefix_dim=8, rerank=4).collect()}
+    assert len(got & exact) >= 9
+
+
+def test_mrl_layout_roundtrip_and_column_pruning(spark, tmp_path):
+    """The persisted layout serves identically to the in-plan path,
+    and the coarse pass's parquet ReadSchema contains the prefix
+    column but NOT the full vector column — the I/O claim, asserted
+    on the real physical plan (createDataFrame inputs would fold to
+    LocalRelation and show nothing)."""
+    df, q = _front_loaded(spark)
+    path = str(tmp_path / "mrl")
+    mrl_write(df, path, prefix_dim=8)
+
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    got = [(r["vec_id"], r["score"])
+           for r in mrl_read_search(spark, path, q, k=10, rerank=10**6).collect()]
+    assert got == exact
+
+    layout = spark.read.parquet(path)
+    coarse = layout.select(
+        "vec_id", F.col("mrl_prefix")
+    ).orderBy("vec_id").limit(5)
+    plan = coarse._sc._jvm.PythonSQLUtils.explainString(
+        coarse._jdf.queryExecution(), "formatted"
+    )
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("mrl_prefix" in l for l in scan_lines)
+    assert all("embedding" not in l for l in scan_lines)
+
+
+def test_mrl_write_drops_null_vectors_and_prefix_len(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "mrl")
+    mrl_write(df, path, prefix_dim=2)
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1
+    assert rows[0]["mrl_prefix"] == [1.0, 2.0]
+    assert rows[0]["embedding"] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_mrl_prefix_dim_longer_than_vector_is_clamped(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mrl_search(df, [0.0, 0.0], k=1, prefix_dim=99, rerank=1).collect()
+    assert rows[0]["vec_id"] == 2 and rows[0]["score"] == 0.0
