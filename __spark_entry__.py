@@ -104,6 +104,7 @@ SIMHASH_MAX_HAMMING = 3
 TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
 BM25_TERMS = ["spark", "filter", "join"]  # lexical query bag (bm25/hybrid)
 SPARSE_QW = {"spark": 1.5, "filter": 0.7, "join": 1.0}  # sparse_dot_topk
+PRF_FB_DOCS, PRF_FB_TERMS, PRF_ORIG_W = 10, 5, 0.6  # prf_expanded_topk
 BM25_K1, BM25_B = 1.2, 0.75
 HYBRID_POOL = 20          # per-leg top-n fed into reciprocal-rank fusion
 RRF_C = 60                # standard RRF constant (Cormack et al. 2009)
@@ -1186,6 +1187,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sparse_dot_search(spark, idx, SPARSE_QW, k=10)
 
     q["sparse_dot_topk"] = sparse_dot_topk_q
+
+    def prf_expanded_topk_q(spark, sf):
+        # RM3-shaped pseudo-relevance feedback: BM25 feedback docs ->
+        # RM1 expansion terms -> interpolated sparse re-serve, all
+        # through the one postings layout
+        from distributed_vector_database_spark.operators.lexical import (
+            prf_search,
+        )
+
+        idx = _postings_index(spark, sf)
+        return prf_search(
+            spark, idx, load_table(spark, sf, "documents"), BM25_TERMS,
+            k=10, fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS,
+            orig_weight=PRF_ORIG_W,
+        )
+
+    q["prf_expanded_topk"] = prf_expanded_topk_q
 
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
@@ -2530,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry() still smoke-checks it every round regardless) ----
         "important_part_values",
         "ann_mrl_topk_exact",
+        "prf_expanded_topk",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3333,6 +3352,46 @@ scored AS (
   FROM stf WHERE {_sparse_any} > 0
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    _prf_orig = sorted({t.lower() for t in BM25_TERMS})
+    _prf_orig_list = ", ".join(f"'{t}'" for t in _prf_orig)
+    _prf_orig_rows = ", ".join(
+        f"('{t}', {PRF_ORIG_W})" for t in _prf_orig
+    )
+    o["prf_expanded_topk"] = f"""
+WITH {_bm25_ctes(PRF_FB_DOCS)},
+fbocc AS (
+  SELECT unnest(d.t) AS term, d.dl
+  FROM d JOIN bm25 USING (doc_id)
+),
+rm AS (
+  SELECT term, round(sum(1.0 / dl), 9) AS w
+  FROM fbocc WHERE term NOT IN ({_prf_orig_list})
+  GROUP BY term
+),
+rmtop AS (
+  SELECT term, w FROM rm ORDER BY w DESC, term LIMIT {PRF_FB_TERMS}
+),
+qws AS (
+  SELECT term,
+    round({1.0 - PRF_ORIG_W} * w / (SELECT max(w) FROM rmtop), 9) AS qw
+  FROM rmtop
+  UNION ALL
+  SELECT * FROM (VALUES {_prf_orig_rows}) AS v(term, qw)
+),
+docterm AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+),
+dtf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM docterm GROUP BY 1, 2
+),
+prfscored AS (
+  SELECT doc_id, round(sum(qw * tf / (tf + 1)), 6) AS score
+  FROM dtf JOIN qws USING (term) GROUP BY doc_id
+)
+SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
 """
 
     o["hybrid_rrf_topk"] = f"""

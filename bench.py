@@ -108,6 +108,8 @@ HEADLINE = [
     "important_part_values",
     "supplier_part_counts",
     "excess_stock_suppliers",
+    # round-8: RM3-shaped pseudo-relevance-feedback expansion
+    "prf_expanded_topk",
 ]
 
 

@@ -756,3 +756,72 @@ def sparse_dot_search(
         .orderBy(F.desc("score"), doc_col)
         .limit(k)
     )
+
+
+def prf_search(
+    spark,
+    path: str,
+    documents: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    orig_weight: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3 shape, Lavrenko &
+    Croft 2001 relevance models): BM25 retrieves `fb_docs` feedback
+    documents, an RM1 relevance model over their text picks the
+    `fb_terms` strongest expansion terms, and the interpolated query
+    (original terms at `orig_weight`, expansion terms sharing
+    1 − orig_weight scaled by relative model weight) is served as a
+    sparse dot product — closing the loop through the SAME postings
+    layout both stages read from.
+
+    RM1 weight: w(t) = Σ_d tf(t, d)/|d| over the feedback docs — each
+    token occurrence contributes 1/dl, so one explode + one sum, no
+    per-doc regroup. Ties and float noise are pinned: weights round
+    9 dp, selection orders by (w DESC, term).
+
+    100 TB shape: stage 1 is the bucket-pruned postings probe
+    (bm25_postings_search); the feedback fetch is `fb_docs` POINT
+    LOOKUPS on the doc-keyed corpus (never a postings scan — postings
+    are term-bucketed, so fetching a doc's terms there would read
+    everything); the expansion model is fb_docs×|d| tokens of work;
+    stage 2 is sparse_dot_search's pruned probe with ≤ |q|+fb_terms
+    terms. Both driver collects are bounded: fb_docs keys, fb_terms
+    weight rows."""
+    from distributed_vector_database_spark.functions.text import tokenize
+
+    if fb_docs <= 0 or fb_terms < 0:
+        raise ValueError("fb_docs must be > 0 and fb_terms >= 0")
+    orig = sorted({t.lower() for t in query_terms})
+    fb = bm25_postings_search(
+        spark, path, query_terms, k=fb_docs, k1=k1, b=b, doc_col=doc_col
+    )
+    fb_keys = sorted(r[doc_col] for r in fb.collect())
+    rm = (
+        documents.filter(F.col(doc_col).isin(fb_keys))
+        .select(tokenize(text_col).alias("__t"))
+        .withColumn("__dl", F.size("__t"))
+        .select(F.explode("__t").alias("term"), "__dl")
+        .filter(~F.col("term").isin(orig))
+        .groupBy("term")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("__dl")), 9).alias("w"))
+        .orderBy(F.desc("w"), "term")
+        .limit(int(fb_terms))
+        .collect()
+    )
+    weights: dict[str, float] = {t: float(orig_weight) for t in orig}
+    if rm:
+        wmax = rm[0]["w"]
+        for r in rm:
+            weights[r["term"]] = round(
+                (1.0 - float(orig_weight)) * r["w"] / wmax, 9
+            )
+    return sparse_dot_search(
+        spark, path, weights, k=k, doc_col=doc_col
+    )

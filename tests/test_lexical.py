@@ -686,3 +686,63 @@ def test_sparse_dot_search_weights_and_saturation(spark, tmp_path):
     assert got[3] > got[2] > got[1]  # both > dog-only > saturated cat
     assert abs(got[2] - 2.0 * 0.5) < 1e-6
     assert abs(got[1] - 0.5 * (50 / 51)) < 1e-6
+
+
+def test_prf_search_expansion_promotes_cooccurring_term(spark, tmp_path):
+    """A document sharing NO original query term must surface once the
+    feedback docs promote a co-occurring expansion term; original
+    terms keep orig_weight, expansion weight scales by RM1 mass."""
+    from distributed_vector_database_spark.operators.lexical import (
+        postings_write,
+        prf_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat feline cat feline"),   # feedback doc: cat + feline
+            (2, "cat feline whiskers"),     # feedback doc
+            (3, "feline feline feline"),    # no 'cat' -> only via expansion
+            (4, "dog bone"),                # never matches
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    postings_write(docs, path, n_buckets=4)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in prf_search(
+            spark, path, docs, ["cat"],
+            k=10, fb_docs=2, fb_terms=1, orig_weight=0.6,
+        ).collect()
+    }
+    # doc 3 has no original term but must appear via 'feline'
+    assert 3 in got and 4 not in got
+    # expansion term got weight 0.4 (w/wmax = 1): doc3 score = 0.4*(3/4)
+    assert abs(got[3] - 0.4 * 0.75) < 1e-6
+    # doc1: cat tf=2 -> 0.6*(2/3) + feline tf=2 -> 0.4*(2/3)
+    assert abs(got[1] - (0.6 * 2 / 3 + 0.4 * 2 / 3)) < 1e-6
+
+
+def test_prf_search_no_expansion_candidates_falls_back_to_original(spark, tmp_path):
+    """Feedback docs containing ONLY query terms produce no expansion;
+    the serve degenerates to the weighted original query."""
+    from distributed_vector_database_spark.operators.lexical import (
+        postings_write,
+        prf_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat"), (2, "cat")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    postings_write(docs, path, n_buckets=4)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in prf_search(
+            spark, path, docs, ["cat"], k=10, fb_docs=2, fb_terms=3
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert abs(got[1] - 0.6 * (2 / 3)) < 1e-6
+    assert abs(got[2] - 0.6 * 0.5) < 1e-6
