@@ -1205,6 +1205,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prf_expanded_topk"] = prf_expanded_topk_q
 
+    def embedding_drift_q(spark, sf):
+        # drift monitor between two snapshots; deterministic stand-in
+        # snapshots = even/odd vec_id halves of the fixture corpus
+        from distributed_vector_database_spark.operators.evaluation import (
+            embedding_drift_report,
+        )
+
+        emb = _emb(spark, sf)
+        return embedding_drift_report(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+        )
+
+    q["embedding_drift"] = embedding_drift_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2549,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_part_values",
         "ann_mrl_topk_exact",
         "prf_expanded_topk",
+        "embedding_drift",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3392,6 +3408,30 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["embedding_drift"] = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+    unnest(embedding) AS x
+  FROM embeddings
+),
+r AS (
+  SELECT dim, count(*) AS ref_n, avg(x) AS rm, stddev_samp(x) AS rs
+  FROM ex WHERE vec_id % 2 = 0 GROUP BY dim
+),
+c AS (
+  SELECT dim, count(*) AS cur_n, avg(x) AS cm, stddev_samp(x) AS cs
+  FROM ex WHERE vec_id % 2 = 1 GROUP BY dim
+)
+SELECT r.dim AS dim,
+  round(rm, 6) AS ref_mean, round(cm, 6) AS cur_mean,
+  round(rs, 6) AS ref_std, round(cs, 6) AS cur_std,
+  round(abs(cm - rm) / (rs + 1e-12) * sqrt(cur_n), 4) AS shift_z,
+  round(cs / (rs + 1e-12), 4) AS std_ratio,
+  (abs(cm - rm) / (rs + 1e-12) * sqrt(cur_n)) > 3.0 AS drifted
+FROM r JOIN c ON r.dim = c.dim
+ORDER BY dim
 """
 
     o["hybrid_rrf_topk"] = f"""

@@ -110,6 +110,8 @@ HEADLINE = [
     "excess_stock_suppliers",
     # round-8: RM3-shaped pseudo-relevance-feedback expansion
     "prf_expanded_topk",
+    # round-8: per-dimension embedding drift monitor
+    "embedding_drift",
 ]
 
 

@@ -113,3 +113,68 @@ def retrieval_metrics(
         .orderBy(query_key)
     )
     return out
+
+
+def embedding_drift_report(
+    reference: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+    z_alert: float = 3.0,
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding corpus
+    snapshots — the monitoring gate an embedding pipeline needs before
+    an index rebuild or a model swap silently shifts the space (a
+    drifted dimension breaks every persisted IVF/HNSW/MRL layout that
+    was trained/ordered on the old distribution; the reference has no
+    monitoring surface at all).
+
+    Per dimension: reference vs current mean and sample stddev, the
+    mean shift in reference-stddev units
+    (shift_z = |Δmean| / (ref_std + eps) · sqrt(n_cur) — the two-sided
+    z statistic of the current mean under the reference distribution),
+    the spread ratio, and a drifted flag at `z_alert`.
+
+    100 TB shape: ONE posexplode + ONE dim-keyed partial-agg shuffle
+    per side — the shuffle carries dim × 4 doubles per map task, not
+    rows; the final join is dim-sized (64 rows). No Python, no
+    collect."""
+    eps = 1e-12
+
+    def stats(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "__x"
+                )
+            )
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias(f"{side}_n"),
+                F.avg("__x").alias(f"{side}_mean"),
+                F.stddev_samp("__x").alias(f"{side}_std"),
+            )
+        )
+
+    ref, cur = stats(reference, "ref"), stats(current, "cur")
+    shift_z = (
+        F.abs(F.col("cur_mean") - F.col("ref_mean"))
+        / (F.col("ref_std") + F.lit(eps))
+        * F.sqrt(F.col("cur_n"))
+    )
+    return (
+        ref.join(cur, "dim")
+        .select(
+            "dim",
+            F.round("ref_mean", 6).alias("ref_mean"),
+            F.round("cur_mean", 6).alias("cur_mean"),
+            F.round("ref_std", 6).alias("ref_std"),
+            F.round("cur_std", 6).alias("cur_std"),
+            F.round(shift_z, 4).alias("shift_z"),
+            F.round(
+                F.col("cur_std") / (F.col("ref_std") + F.lit(eps)), 4
+            ).alias("std_ratio"),
+            (shift_z > F.lit(float(z_alert))).alias("drifted"),
+        )
+        .orderBy("dim")
+    )
