@@ -1220,6 +1220,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_drift"] = embedding_drift_q
 
+    _bucketed_memo: dict[str, str] = {}
+
+    def bucketed_revenue_join_q(spark, sf):
+        # co-located fact join: orders/lineitem bucketed on the join
+        # key at write time, joined with no runtime exchange (plan
+        # pinned by tests/test_layout.py); revenue by order priority
+        from distributed_vector_database_spark.operators.layout import (
+            bucketed_join,
+            bucketed_write,
+        )
+
+        tag = "s" + sf.rsplit("sf", 1)[-1].replace(".", "_")
+        if sf not in _bucketed_memo:
+            bucketed_write(
+                load_table(spark, sf, "orders").select(
+                    "o_orderkey", "o_orderpriority"
+                ),
+                f"bkt_orders_{tag}", "o_orderkey", n_buckets=16,
+            )
+            bucketed_write(
+                load_table(spark, sf, "lineitem").select(
+                    "l_orderkey", "l_extendedprice", "l_discount"
+                ),
+                f"bkt_lineitem_{tag}", "l_orderkey", n_buckets=16,
+            )
+            _bucketed_memo[sf] = tag
+        j = bucketed_join(
+            spark, f"bkt_orders_{tag}", f"bkt_lineitem_{tag}",
+            "o_orderkey", "l_orderkey",
+        )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    q["bucketed_revenue_join"] = bucketed_revenue_join_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2565,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrl_topk_exact",
         "prf_expanded_topk",
         "embedding_drift",
+        "bucketed_revenue_join",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3408,6 +3452,13 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["bucketed_revenue_join"] = """
+SELECT o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
 """
 
     o["embedding_drift"] = """

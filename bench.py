@@ -112,6 +112,8 @@ HEADLINE = [
     "prf_expanded_topk",
     # round-8: per-dimension embedding drift monitor
     "embedding_drift",
+    # round-8: co-located fact join through the bucketed layout
+    "bucketed_revenue_join",
 ]
 
 

@@ -119,3 +119,63 @@ def rowgroup_prune_fraction(path: str, column: str, lo, hi) -> float:
             if st is not None and (st.max < lo or st.min > hi):
                 skipped += 1
     return skipped / total if total else 0.0
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-BUCKETED (and bucket-sorted) on the join
+    key — Spark's co-located-join layout. Two tables bucketed on the
+    same key with the same bucket count join WITHOUT shuffling either
+    side: the bucket file layout IS the exchange, paid once at write
+    time and amortized over every subsequent join, the single biggest
+    recurring-cost lever for a fact⋈fact join at 100 TB (a fresh
+    lineitem⋈orders exchange at that scale moves both tables across
+    the cluster per query; bucketed, it moves nothing).
+
+    With `sort=True` rows are bucket-locally sorted by the key, so the
+    sort-merge join also skips its per-task sort. Bucketing requires
+    the session catalog (`saveAsTable`); `spark.sql.sources.
+    bucketing.enabled` is on by default.
+
+    Rewrites are self-healing: a managed-table LOCATION left behind by
+    a previous process (the in-memory catalog forgets tables on exit,
+    the warehouse dir does not) is removed before the write instead of
+    failing LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(int(n_buckets), key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark,
+    table_a: str,
+    table_b: str,
+    key_a: str,
+    key_b: str | None = None,
+):
+    """Join two bucketed tables on their bucket keys. With matching
+    bucket layouts Catalyst plans a SortMergeJoin with ZERO Exchange
+    (pinned by tests/test_layout.py::test_bucketed_join_no_exchange) —
+    the physical proof that the shuffle was pre-paid at write time."""
+    a, b = spark.table(table_a), spark.table(table_b)
+    cond = (
+        a[key_a] == b[key_b if key_b is not None else key_a]
+    )
+    return a.join(b, cond)

@@ -48,3 +48,72 @@ def test_zorder_write_roundtrips_rows(grid, tmp_path, spark):
     assert back.count() == 100_000
     assert set(back.columns) == {"x", "y", "payload"}
     assert back.agg(F.sum("payload")).first()[0] == grid.agg(F.sum("payload")).first()[0]
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange on either side — the
+    write-time shuffle prepayment that makes repeated fact joins
+    affordable at scale. Also pins result parity vs the plain join."""
+    from distributed_vector_database_spark.operators.layout import (
+        bucketed_join,
+        bucketed_write,
+    )
+
+    orders = spark.range(2000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).cast("double").alias("o_total"),
+    )
+    lines = spark.range(6000).select(
+        (F.col("id") % 2000).alias("l_orderkey"),
+        (F.col("id") % 13).cast("double").alias("l_qty"),
+    )
+    bucketed_write(orders, "t_bkt_orders", "o_orderkey", n_buckets=8)
+    bucketed_write(lines, "t_bkt_lines", "l_orderkey", n_buckets=8)
+    # fixture tables are broadcast-sized, which would hide the bucket
+    # layout behind a BroadcastHashJoin; at fact×fact scale (the case
+    # bucketing exists for) broadcast is off the table, so pin that
+    # regime explicitly
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark, "t_bkt_orders", "t_bkt_lines", "o_orderkey", "l_orderkey"
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # parity vs the un-bucketed join
+        expect = orders.join(
+            lines, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert j.count() == expect == 6000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lines")
+
+
+def test_bucketed_group_by_no_exchange(spark):
+    """A groupBy on the bucket key over a bucketed table aggregates
+    with no Exchange — bucketing prepays aggregation shuffles too."""
+    from distributed_vector_database_spark.operators.layout import (
+        bucketed_write,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 500).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    bucketed_write(df, "t_bkt_agg", "k", n_buckets=8)
+    try:
+        g = spark.table("t_bkt_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = g._sc._jvm.PythonSQLUtils.explainString(
+            g._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert g.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
