@@ -1263,6 +1263,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bucketed_revenue_join"] = bucketed_revenue_join_q
 
+    def weighted_sample_q(spark, sf):
+        # weight-proportional without-replacement draw (A-ES keys),
+        # weighted by document length
+        from distributed_vector_database_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        return weighted_sample(
+            docs, "n_chars", n=200, seed=7
+        ).select("doc_id", "lang", "n_chars")
+
+    q["weighted_sample"] = weighted_sample_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2609,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expanded_topk",
         "embedding_drift",
         "bucketed_revenue_join",
+        "weighted_sample",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3452,6 +3467,16 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    _h32_ws = _H32.format(x="CAST(doc_id AS VARCHAR) || '|7'")
+    o["weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+    -ln(({_h32_ws} + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM keyed ORDER BY es, doc_id LIMIT 200
 """
 
     o["bucketed_revenue_join"] = """

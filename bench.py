@@ -114,6 +114,8 @@ HEADLINE = [
     "embedding_drift",
     # round-8: co-located fact join through the bucketed layout
     "bucketed_revenue_join",
+    # round-8: A-ES weighted without-replacement draw
+    "weighted_sample",
 ]
 
 

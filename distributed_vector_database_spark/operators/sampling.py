@@ -460,3 +460,41 @@ def epoch_mixture(
         id_col, source_col, (F.col("__full") + F.lit(1)).alias("epoch")
     )
     return whole.unionByName(extra)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, 2006): each row draws an exponential arrival key
+    -ln(u)/w from a content-stable uniform u = hash32(key‖seed), and
+    the n smallest keys win — provably a weight-proportional
+    without-replacement draw, the distributed form of the priority
+    sampling every curation pipeline needs ('take 1M docs favoring
+    high quality, no duplicates, reproducibly').
+
+    Zero-or-negative weights are excluded (they can never win a
+    weighted draw). A fresh `seed` is a fresh epoch draw over the same
+    corpus — same reproducibility contract as deterministic_shuffle /
+    sample_negatives.
+
+    100 TB shape: one map pass computes keys, ONE
+    TakeOrderedAndProject keeps n rows (per-partition top-n + driver
+    merge — no sort, no shuffle of the corpus); deterministic
+    tie-break on the key column."""
+    u = (
+        hash32(F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    es = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__es", es)
+        .orderBy("__es", key_col)
+        .limit(int(n))
+        .drop("__es")
+    )
