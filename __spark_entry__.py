@@ -1277,6 +1277,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample"] = weighted_sample_q
 
+    def length_batches_q(spark, sf):
+        # sorted batching: batches of similar token length, with the
+        # per-batch padding-waste accounting
+        from distributed_vector_database_spark.operators.textops import (
+            length_grouped_batches,
+        )
+
+        return length_grouped_batches(
+            load_table(spark, sf, "documents"), batch_size=32
+        )
+
+    q["length_batches"] = length_batches_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2624,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift",
         "bucketed_revenue_join",
         "weighted_sample",
+        "length_batches",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3467,6 +3481,23 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["length_batches"] = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+    CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32
+         AS BIGINT) AS batch_id
+  FROM sized
+)
+SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+  max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens,
+  list_sort(list(doc_id)) AS members,
+  CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens) AS pad_waste
+FROM ranked GROUP BY batch_id ORDER BY batch_id
 """
 
     _h32_ws = _H32.format(x="CAST(doc_id AS VARCHAR) || '|7'")

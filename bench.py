@@ -116,6 +116,8 @@ HEADLINE = [
     "bucketed_revenue_join",
     # round-8: A-ES weighted without-replacement draw
     "weighted_sample",
+    # round-8: padding-minimizing sorted batching
+    "length_batches",
 ]
 
 

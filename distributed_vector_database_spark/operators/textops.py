@@ -695,3 +695,92 @@ def build_training_examples(
         return out.localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
+
+
+def length_grouped_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped ('sorted') batching: order documents by token
+    length and cut consecutive groups of `batch_size` — the
+    padding-minimizing batch assignment every finetuning/inference
+    loader uses (HF's LengthGroupedSampler shape). A batch pads every
+    member to its max length, so grouping similar lengths shrinks
+    Σ(batch_max − len); random batching pads everything toward the
+    global max.
+
+    Per batch: members, max/sum token length, and pad_waste =
+    size·max − Σlen — the tokens a padded forward pass burns on
+    nothing. Deterministic: (n_tokens, id) ordering both for grouping
+    and the in-batch member list.
+
+    100 TB shape: global rank over (n_tokens, id) uses the same
+    distributed prefix-sum enumeration as deterministic_shuffle /
+    select_by_token_budget — range-repartition, O(P) driver offsets
+    from per-partition counts, partition-local row_number — NEVER a
+    single-partition global window; batch stats are one
+    floor(rank/size) groupBy with partial aggs."""
+    from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.functions.text import token_count
+
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    spark = docs.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    sized = docs.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens")
+    )
+    ranged = (
+        sized.repartitionByRange(p, F.asc("n_tokens"), F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("__c")
+        ).collect()
+        offset, live = 0, []
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            live.append((r["__pid"], offset))
+            offset += int(r["__c"])
+        if not live:
+            id_type = dict(docs.dtypes)[id_col]
+            return spark.createDataFrame(
+                [],
+                "batch_id long, n_docs long, max_tokens long, "
+                f"sum_tokens long, members array<{id_type}>, pad_waste long",
+            )
+        off_df = F.broadcast(spark.createDataFrame(live, ["__pid", "__offset"]))
+        w = Window.partitionBy("__pid").orderBy(
+            F.asc("n_tokens"), F.asc(id_col)
+        )
+        batched = (
+            ranged.join(off_df, "__pid")
+            .withColumn(
+                "batch_id",
+                (
+                    (F.col("__offset") + F.row_number().over(w) - 1)
+                    / F.lit(batch_size)
+                ).cast("long"),
+            )
+        )
+        return (
+            batched.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("n_tokens").alias("max_tokens"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.sort_array(F.collect_list(id_col)).alias("members"),
+            )
+            .withColumn(
+                "pad_waste",
+                F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
+            )
+            .orderBy("batch_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ranged.unpersist()
