@@ -91,3 +91,36 @@ def skew_report(
         .orderBy(F.desc("n"), F.asc(key_col))
         .limit(top_n)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_big: str,
+    key_small: str | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Composed skew-safe join: the big side takes a uniform salt from
+    its stable row id, the small side replicates once per salt, and
+    the join runs on (key, salt) — one hot key spreads over `n_salts`
+    reducers instead of melting one task. The manual fallback for the
+    gap AQE's skew splitting leaves: a replicated-but-not-broadcastable
+    small side, or a skewed key feeding a non-splittable downstream
+    exchange.
+
+    Cost model (why this is not free): the small side shuffles
+    n_salts× its size — worth it exactly when the hot key's single
+    task dominates the stage (skew_report's skew_ratio >> n_salts is
+    the trigger). Inner and left joins only: the salt replication
+    preserves their multiplicities exactly."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    kb, ks = key_big, key_small if key_small is not None else key_big
+    b = with_salt(big, n_salts)
+    s = explode_salt(small, n_salts)
+    cond = (b[kb] == s[ks]) & (b["__salt"] == s["__salt"])
+    out_cols = [b[c] for c in big.columns] + [
+        s[c] for c in small.columns if c not in (ks, "__salt")
+    ]
+    return b.join(s, cond, how).select(*out_cols)

@@ -94,3 +94,32 @@ def test_skew_report_flags_hot_keys(spark):
     # 51 distinct keys, hot holds half the mass -> ratio 25.5
     assert top[0]["skew_ratio"] == 25.5
     assert all(r["n"] == 1 for r in top[1:])
+
+
+def test_salted_join_operator_parity_and_left(spark):
+    """salted_join == plain join on a skewed corpus (inner and left,
+    including unmatched-left rows and a duplicated small-side key)."""
+    from distributed_vector_database_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 9)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (2, "cold2")], "k long, dim string"
+    )
+    inner = salted_join(big, small, "k", n_salts=8)
+    plain = big.join(small, "k").select("k", "payload", "dim")
+    assert sorted(map(tuple, inner.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    left = salted_join(big, small, "k", n_salts=8, how="left")
+    plain_l = big.join(small, "k", "left").select("k", "payload", "dim")
+    assert sorted(map(tuple, left.collect()), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        salted_join(big, small, "k", how="full")
