@@ -2087,6 +2087,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfbq_topk_exact"] = ann_ivfbq_topk_exact_q
 
+    def ann_ivfmrl_topk_exact_q(spark, sf):
+        # exact anchor for the composed IVF+MRL path: full probe +
+        # corpus pool must reproduce knn_exact bit-for-bit — the
+        # code-free member of the candidate-tier matrix (the prefix is
+        # a byte range of the vector column, no training)
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            ivf_mrl_search,
+        )
+
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=16)
+        return ivf_mrl_search(
+            centroids, assigned, _query_vec(spark, sf), k=10,
+            nprobe=len(centroids), prefix_dim=16, rerank=10**6,
+        )
+
+    q["ann_ivfmrl_topk_exact"] = ann_ivfmrl_topk_exact_q
+
     def ann_ivf_batch_exact_q(spark, sf):
         # batched serving anchor: Q queries, ONE pruned scan; full
         # probe degenerates every per-query mask to all-rows, so the
@@ -2638,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue_join",
         "weighted_sample",
         "length_batches",
+        "ann_ivfmrl_topk_exact",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3136,6 +3156,7 @@ ORDER BY id_a, id_b
     o["ann_bq_topk_exact"] = _knn_nolabel
     o["ann_mrl_topk_exact"] = _knn_nolabel
     o["ann_ivfbq_topk_exact"] = _knn_nolabel
+    o["ann_ivfmrl_topk_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
 

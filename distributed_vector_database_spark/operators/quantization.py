@@ -584,3 +584,76 @@ def mrl_read_search(
         .orderBy("score", key_col)
         .limit(k)
     )
+
+
+def mrl_append(
+    df: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) maintenance for the Matryoshka layout: slice the
+    batch's prefix at the layout's persisted width and append — no
+    touch of existing files, no stats to rebuild (the layout has no
+    trained state; its only invariant is the prefix width, read back
+    from the data so an appender can never drift from the writer).
+
+    Caller contract mirrors postings_append: batch keys must be new
+    (dedup/anti-join upstream); deletes ride the same key-filter the
+    reader applies."""
+    spark = df.sparkSession
+    p = spark.read.parquet(path).select(
+        F.size("mrl_prefix").alias("d")
+    ).first()["d"]
+    (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            key_col,
+            F.slice(F.col(vec_col).cast("array<double>"), 1, int(p)).alias(
+                "mrl_prefix"
+            ),
+            vec_col,
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def ivf_mrl_search(
+    centroids: list,
+    assigned: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    prefix_dim: int = 16,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×MRL — coarse-quantizer cell pruning composed with
+    prefix-dimension ranking INSIDE the probed cells, then exact
+    refine: the third member of the candidate-tier matrix next to
+    IVF×PQ and IVF×BQ, and the only one whose candidate stage needs no
+    training or codes at all (the prefix is a byte range of the vector
+    column). nprobe covering every cell + a corpus-sized pool
+    degenerates to knn_exact (hash-anchorable, same contract as the
+    sibling compositions).
+
+    100 TB: partition pruning cuts the scan to nprobe/n_centroids of
+    the layout; within probed cells the rank pass touches
+    prefix_dim/dim of the vector bytes (column-pruned when served from
+    an mrl_write layout partitioned by centroid)."""
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    order = ((cmat - q) ** 2).sum(axis=1).argsort()
+    probe_ids = [int(centroids[i][0]) for i in order[:nprobe]]
+    pruned = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return mrl_search(
+        pruned,
+        query_vec,
+        k=k,
+        prefix_dim=prefix_dim,
+        rerank=rerank,
+        key_col=key_col,
+        vec_col=vec_col,
+    )

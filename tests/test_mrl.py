@@ -103,3 +103,68 @@ def test_mrl_prefix_dim_longer_than_vector_is_clamped(spark):
     )
     rows = mrl_search(df, [0.0, 0.0], k=1, prefix_dim=99, rerank=1).collect()
     assert rows[0]["vec_id"] == 2 and rows[0]["score"] == 0.0
+
+
+def test_mrl_append_is_o_batch_and_serves(spark, tmp_path):
+    """Appending a batch adds only new files, inherits the layout's
+    prefix width, and the layout serves the union exactly."""
+    import glob
+
+    from distributed_vector_database_spark.operators.quantization import (
+        mrl_append,
+    )
+
+    df, q = _front_loaded(spark, n=200)
+    path = str(tmp_path / "mrl")
+    mrl_write(df, path, prefix_dim=8)
+    before = set(glob.glob(f"{path}/*.parquet"))
+
+    batch = spark.createDataFrame(
+        [(10_000 + i, [float(i)] * 32) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    mrl_append(batch, path)
+    after = set(glob.glob(f"{path}/*.parquet"))
+    assert before <= after and len(after) > len(before)
+
+    layout = spark.read.parquet(path)
+    assert layout.count() == 220
+    assert layout.select(F.size("mrl_prefix")).distinct().collect()[0][0] == 8
+    got = [r["vec_id"] for r in mrl_read_search(
+        spark, path, [5.0] * 32, k=1, rerank=10**6
+    ).collect()]
+    assert got == [10_005]
+
+
+def test_ivf_mrl_full_probe_reproduces_knn_exact(spark):
+    """nprobe = all cells + corpus pool ⟹ bit-for-bit knn_exact, the
+    same anchor contract as IVF x PQ / IVF x BQ."""
+    from distributed_vector_database_spark.operators.ann import ivf_build
+    from distributed_vector_database_spark.operators.quantization import (
+        ivf_mrl_search,
+    )
+
+    df, q = _front_loaded(spark, n=300)
+    centroids, assigned = ivf_build(df, n_centroids=8)
+    got = [(r["vec_id"], r["score"]) for r in ivf_mrl_search(
+        centroids, assigned, q, k=10, nprobe=8,
+        prefix_dim=32, rerank=10**6,
+    ).collect()]
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    assert got == exact
+
+
+def test_ivf_mrl_serving_recall_on_front_loaded(spark):
+    from distributed_vector_database_spark.operators.ann import ivf_build
+    from distributed_vector_database_spark.operators.quantization import (
+        ivf_mrl_search,
+    )
+
+    df, q = _front_loaded(spark, n=400)
+    centroids, assigned = ivf_build(df, n_centroids=8)
+    exact = {r["vec_id"] for r in knn_exact(df, q, k=10, extra_cols=()).collect()}
+    got = {r["vec_id"] for r in ivf_mrl_search(
+        centroids, assigned, q, k=10, nprobe=6, prefix_dim=8, rerank=4,
+    ).collect()}
+    assert len(got & exact) >= 8
