@@ -520,7 +520,20 @@ def mrl_write(
     of the vector bytes — parquet column pruning is what makes
     truncation an I/O win rather than a compute trick. At 64->16 dims
     the coarse pass reads 4x less; a 100 TB corpus serves its first
-    pass from 25 TB."""
+    pass from 25 TB.
+
+    Write-audit-publish (same contract as postings_write): rows carry
+    a write-attempt id and serve only once the attempt's marker exists
+    under {path}/applied — a crashed mrl_append leaves invisible
+    orphans, never partial results."""
+    import shutil
+
+    from distributed_vector_database_spark.operators.lexical import (
+        _applied_dir,
+        _publish,
+    )
+
+    shutil.rmtree(_applied_dir(path), ignore_errors=True)
     (
         df.filter(F.col(vec_col).isNotNull())
         .select(
@@ -529,10 +542,62 @@ def mrl_write(
                 F.col(vec_col).cast("array<double>"), 1, int(prefix_dim)
             ).alias("mrl_prefix"),
             vec_col,
+            F.lit("base").alias("aid"),
         )
         .write.mode("overwrite")
         .parquet(path)
     )
+    _publish(path, "base", None, 0, 0)
+
+
+def mrl_append(
+    df: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> bool:
+    """O(batch) maintenance for the Matryoshka layout: slice the
+    batch's prefix at the layout's persisted width and append — no
+    touch of existing files, no stats to rebuild (the layout has no
+    trained state; its only invariant is the prefix width, read back
+    from the data so an appender can never drift from the writer).
+
+    Replay-safe like postings_append: rows land under a fresh attempt
+    id and only become servable when the marker publishes; a batch_id
+    that already published is skipped (returns False); a crashed
+    attempt's rows are unpublished orphans, not duplicates. Caller
+    contract: batch keys must be new (dedup/anti-join upstream)."""
+    import uuid
+
+    from distributed_vector_database_spark.operators.lexical import (
+        _applied_markers,
+        _publish,
+    )
+
+    if batch_id is not None:
+        if any(m.get("batch_id") == batch_id for m in _applied_markers(path)):
+            return False
+    spark = df.sparkSession
+    p = spark.read.parquet(path).select(
+        F.size("mrl_prefix").alias("d")
+    ).first()["d"]
+    aid = uuid.uuid4().hex[:16]
+    (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            key_col,
+            F.slice(F.col(vec_col).cast("array<double>"), 1, int(p)).alias(
+                "mrl_prefix"
+            ),
+            vec_col,
+            F.lit(aid).alias("aid"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+    _publish(path, aid, batch_id, 0, 0)
+    return True
 
 
 def mrl_read_search(
@@ -559,8 +624,16 @@ def mrl_read_search(
     prefix quality — the layout-path anchor parameterization."""
     from distributed_vector_database_spark.functions.vector import squared_l2
 
+    from distributed_vector_database_spark.operators.lexical import (
+        _applied_markers,
+    )
+
     q = [float(v) for v in query_vec]
-    layout = spark.read.parquet(path)
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    aids = sorted(m["aid"] for m in markers)
+    layout = spark.read.parquet(path).filter(F.col("aid").isin(aids))
     p = layout.select(F.size("mrl_prefix").alias("d")).first()["d"]
     pool_keys = [
         r[key_col]
@@ -576,6 +649,7 @@ def mrl_read_search(
     ]
     return (
         spark.read.parquet(path)
+        .filter(F.col("aid").isin(aids))
         .filter(F.col(key_col).isin(pool_keys))
         .select(
             key_col,
@@ -583,39 +657,6 @@ def mrl_read_search(
         )
         .orderBy("score", key_col)
         .limit(k)
-    )
-
-
-def mrl_append(
-    df: DataFrame,
-    path: str,
-    key_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> None:
-    """O(batch) maintenance for the Matryoshka layout: slice the
-    batch's prefix at the layout's persisted width and append — no
-    touch of existing files, no stats to rebuild (the layout has no
-    trained state; its only invariant is the prefix width, read back
-    from the data so an appender can never drift from the writer).
-
-    Caller contract mirrors postings_append: batch keys must be new
-    (dedup/anti-join upstream); deletes ride the same key-filter the
-    reader applies."""
-    spark = df.sparkSession
-    p = spark.read.parquet(path).select(
-        F.size("mrl_prefix").alias("d")
-    ).first()["d"]
-    (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            key_col,
-            F.slice(F.col(vec_col).cast("array<double>"), 1, int(p)).alias(
-                "mrl_prefix"
-            ),
-            vec_col,
-        )
-        .write.mode("append")
-        .parquet(path)
     )
 
 

@@ -168,3 +168,33 @@ def test_ivf_mrl_serving_recall_on_front_loaded(spark):
         centroids, assigned, q, k=10, nprobe=6, prefix_dim=8, rerank=4,
     ).collect()}
     assert len(got & exact) >= 8
+
+
+def test_mrl_append_replay_safety(spark, tmp_path):
+    """A batch_id that already published is skipped; rows landed by a
+    crashed attempt (files present, marker missing) are never served."""
+    from distributed_vector_database_spark.operators.quantization import (
+        mrl_append,
+    )
+
+    df, _ = _front_loaded(spark, n=50)
+    path = str(tmp_path / "mrl")
+    mrl_write(df, path, prefix_dim=8)
+
+    batch = spark.createDataFrame(
+        [(1000, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    assert mrl_append(batch, path, batch_id=7) is True
+    assert mrl_append(batch, path, batch_id=7) is False  # replay skipped
+
+    # crash simulation: rows land under an unpublished attempt id
+    crashed = spark.createDataFrame(
+        [(2000, [0.0] * 8, [0.0] * 32, "deadbeef")],
+        "vec_id long, mrl_prefix array<double>, "
+        "embedding array<double>, aid string",
+    )
+    crashed.write.mode("append").parquet(path)
+    got = {r["vec_id"] for r in mrl_read_search(
+        spark, path, [0.0] * 32, k=100, rerank=10**6
+    ).collect()}
+    assert 1000 in got and 2000 not in got
