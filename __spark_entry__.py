@@ -1290,6 +1290,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_batches"] = length_batches_q
 
+    def event_percentiles_q(spark, sf):
+        from distributed_vector_database_spark.operators.relational import (
+            grouped_percentiles,
+        )
+
+        return grouped_percentiles(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+
+    q["event_percentiles"] = event_percentiles_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2658,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample",
         "length_batches",
         "ann_ivfmrl_topk_exact",
+        "event_percentiles",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3502,6 +3514,13 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["event_percentiles"] = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p5,
+  round(quantile_cont(value, 0.9), 6) AS p9,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1 ORDER BY 1
 """
 
     o["length_batches"] = f"""

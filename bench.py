@@ -118,6 +118,8 @@ HEADLINE = [
     "weighted_sample",
     # round-8: padding-minimizing sorted batching
     "length_batches",
+    # round-8: exact per-group percentile rollup
+    "event_percentiles",
 ]
 
 

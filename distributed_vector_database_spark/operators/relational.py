@@ -1530,3 +1530,29 @@ def excess_stock_suppliers(
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark's `percentile`,
+    the linear-interpolation definition shared with quantile_cont) —
+    the latency/value-distribution rollup every event pipeline serves.
+
+    Exact percentile requires the group's values co-located (one group
+    shuffle — same cost class as any per-key agg; Spark's
+    implementation buffers per-group, so a pathological single group
+    holding the whole corpus is the same hot-key problem every exact
+    quantile has). For sketch-sized state at extreme cardinality,
+    `percentile_approx` is the drop-in with the same plan shape — this
+    operator stays exact so the result is hash-oracle-able."""
+    aggs = [
+        F.round(
+            F.expr(f"percentile({value_col}, {q})"), 6
+        ).alias(f"p{str(q)[2:]}")
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(*aggs).orderBy(group_col)

@@ -526,3 +526,19 @@ def test_excess_stock_suppliers_share_and_window(spark):
         nations=("NATION_5",),
     ).collect()
     assert [(r["s_name"], r["s_acctbal"]) for r in rows] == [("S10", 7.0)]
+
+
+def test_grouped_percentiles_interpolation(spark):
+    """Exact linear interpolation: for values 1..5, p50 = 3 and
+    p90 = 4.6; a single-value group returns that value everywhere."""
+    from distributed_vector_database_spark.operators.relational import (
+        grouped_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)] + [("b", 7.0)],
+        "g string, v double",
+    )
+    rows = {r["g"]: r for r in grouped_percentiles(df, "g", "v").collect()}
+    assert rows["a"]["p5"] == 3.0 and rows["a"]["p9"] == 4.6
+    assert rows["b"]["p5"] == rows["b"]["p9"] == rows["b"]["p99"] == 7.0
