@@ -1301,6 +1301,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_percentiles"] = event_percentiles_q
 
+    def record_link_q(spark, sf):
+        # cross-catalog entity resolution: even/odd doc_id halves of
+        # the corpus stand in for two catalogs; LSH-blocked, exact-
+        # Jaccard-verified, best match per left record
+        from distributed_vector_database_spark.operators.dedup import (
+            record_link,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        return record_link(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            threshold=JACCARD_T,
+        )
+
+    q["record_link"] = record_link_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2670,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches",
         "ann_ivfmrl_topk_exact",
         "event_percentiles",
+        "record_link",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3514,6 +3532,33 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["record_link"] = f"""
+WITH {_minhash_ctes()},
+xcand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.id % 2 = 0 AND b.id % 2 = 1
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+    len(sa.shingles) AS sa_n, len(sb.shingles) AS sb_n
+  FROM xcand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+),
+linkscored AS (
+  SELECT id_a, id_b,
+    round(inter / CAST(sa_n + sb_n - inter AS DOUBLE), 6) AS jaccard
+  FROM ver
+  WHERE round(inter / CAST(sa_n + sb_n - inter AS DOUBLE), 6) >= {JACCARD_T}
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rn
+  FROM linkscored
+)
+SELECT id_a, id_b, jaccard FROM best WHERE rn = 1 ORDER BY id_a
 """
 
     o["event_percentiles"] = """

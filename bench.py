@@ -120,6 +120,8 @@ HEADLINE = [
     "length_batches",
     # round-8: exact per-group percentile rollup
     "event_percentiles",
+    # round-8: cross-catalog record linkage
+    "record_link",
 ]
 
 

@@ -1458,3 +1458,75 @@ def select_canonical(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def record_link(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    best_only: bool = True,
+) -> DataFrame:
+    """Cross-catalog record linkage (entity resolution): block with
+    MinHash-LSH bands ACROSS two tables, verify candidates with exact
+    n-gram Jaccard, and (by default) keep each left record's single
+    best right-side match — the Fellegi-Sunter block→compare→decide
+    pipeline, built from the same signature/banding machinery the
+    intra-corpus dedup persists.
+
+    Differences from dedup: candidates pair (left × right) with no
+    id ordering (the catalogs are different tables, same-id pairs are
+    legitimate matches), and the decision step is argmax-per-left
+    (jaccard DESC, right id ASC) rather than connected components.
+
+    100 TB shape: each side shuffles once into signatures (one
+    num_perm-long row per record), the band join is equi-keyed, and
+    the exact verify touches candidates only — two bounded hydration
+    joins, never a catalog cross join."""
+    rpb = num_perm // bands
+    b_l = _band_explode(
+        minhash_signatures(left, num_perm, id_col, text_col, shingle_n),
+        bands, rpb,
+    ).select(F.col("id").alias("id_a"), "band", "band_key")
+    b_r = _band_explode(
+        minhash_signatures(right, num_perm, id_col, text_col, shingle_n),
+        bands, rpb,
+    ).select(F.col("id").alias("id_b"), "band", "band_key")
+    cand = b_l.join(b_r, ["band", "band_key"]).select("id_a", "id_b").distinct()
+
+    def _sh(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return (
+            df.withColumn("__toks", tokenize(text_col))  # staged: no-CSE
+            .select(
+                F.col(id_col).alias(out_id),
+                F.array_distinct(
+                    shingles_from_tokens("__toks", shingle_n)
+                ).alias(out_sh),
+            )
+        )
+
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    scored = (
+        cand.join(_sh(left, "id_a", "__sh_a"), "id_a")
+        .join(_sh(right, "id_b", "__sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if not best_only:
+        return scored.orderBy("id_a", "id_b")
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("id_a")
+    )

@@ -572,3 +572,36 @@ def test_select_canonical_missing_score_sorts_last(spark):
     }
     # id 1 has no score -> nulls last -> 2 is canonical despite id order
     assert got == {1: 2, 2: 2}
+
+
+def test_record_link_best_match_and_same_id_pairs(spark):
+    """Cross-catalog linkage: same-id pairs are legitimate matches
+    (unlike intra-corpus dedup), each left record keeps only its best
+    right match, and non-candidates never surface."""
+    from distributed_vector_database_spark.operators.dedup import record_link
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    left = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about database engines"),
+         (3, base + " today")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(1, base + " again"),             # near-dup of left 1 AND left 3
+         (5, base),                        # exact text of left 1
+         (9, "nothing in common here at all with anything else")],
+        "doc_id long, text string",
+    )
+    rows = {r["id_a"]: r for r in record_link(
+        left, right, threshold=0.3
+    ).collect()}
+    # left 1 matches right 5 exactly (jaccard 1.0) — beats right 1
+    assert rows[1]["id_b"] == 5 and rows[1]["jaccard"] == 1.0
+    # left 3 links to its best near-dup
+    assert rows[3]["id_b"] in (1, 5) and rows[3]["jaccard"] >= 0.3
+    # unrelated left 2 has no row
+    assert 2 not in rows
+
+    # best_only=False returns every verified pair, not just argmax
+    all_pairs = record_link(left, right, threshold=0.3, best_only=False)
+    assert all_pairs.count() >= len(rows)
