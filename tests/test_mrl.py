@@ -198,3 +198,42 @@ def test_mrl_append_replay_safety(spark, tmp_path):
         spark, path, [0.0] * 32, k=100, rerank=10**6
     ).collect()}
     assert 1000 in got and 2000 not in got
+
+
+def test_streaming_mrl_maintenance(spark, tmp_path):
+    """Micro-batches folded through run_mrl_stream serve exactly the
+    union corpus; the layout path equals knn_exact over the union."""
+    import json
+
+    from distributed_vector_database_spark.streaming.mrl_maintenance import (
+        run_mrl_stream,
+    )
+
+    df, q = _front_loaded(spark, n=60)
+    base = df.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "mrl")
+    mrl_write(base, path, prefix_dim=8)
+
+    rest = {r["vec_id"]: r["embedding"]
+            for r in df.filter(F.col("vec_id") >= 20).collect()}
+    vecs_dir = tmp_path / "vecs_in"
+    vecs_dir.mkdir()
+    (vecs_dir / "b1.json").write_text(
+        "".join(json.dumps({"vec_id": k, "embedding": v}) + "\n"
+                for k, v in rest.items() if k < 40)
+    )
+    (vecs_dir / "b2.json").write_text(
+        "".join(json.dumps({"vec_id": k, "embedding": v}) + "\n"
+                for k, v in rest.items() if k >= 40)
+    )
+    sq = run_mrl_stream(
+        spark, str(vecs_dir), path, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(120)
+
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    served = [(r["vec_id"], r["score"])
+              for r in mrl_read_search(spark, path, q, k=10, rerank=10**6).collect()]
+    assert served == exact
