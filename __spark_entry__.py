@@ -1318,6 +1318,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["record_link"] = record_link_q
 
+    def hard_negatives_q(spark, sf):
+        # ANCE/DPR-style mining: per anchor, the nearest corpus rows
+        # with a DIFFERENT label — exclusion inside the kernel, exact
+        from distributed_vector_database_spark.operators.knn import (
+            hard_negatives,
+        )
+
+        emb = _emb(spark, sf)
+        return hard_negatives(
+            emb, emb.filter(F.col("vec_id") < 8), k=5
+        )
+
+    q["hard_negatives"] = hard_negatives_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2688,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfmrl_topk_exact",
         "event_percentiles",
         "record_link",
+        "hard_negatives",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3532,6 +3547,27 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["hard_negatives"] = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS al
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT a.anchor_id, c.vec_id,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2])
+      for p in list_zip(CAST(c.embedding AS DOUBLE[]), a.av)]), 6) AS score
+  FROM a JOIN embeddings c ON c.label <> a.al
+  WHERE c.label IS NOT NULL AND c.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY anchor_id ORDER BY score, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT anchor_id, vec_id, score, rank FROM ranked
+WHERE rank <= 5 ORDER BY anchor_id, rank
 """
 
     o["record_link"] = f"""

@@ -122,6 +122,8 @@ HEADLINE = [
     "event_percentiles",
     # round-8: cross-catalog record linkage
     "record_link",
+    # round-8: label-aware hard-negative mining
+    "hard_negatives",
 ]
 
 

@@ -577,3 +577,106 @@ def mmr_topk(
         cand.groupBy(F.lit(1).alias("__g"))
         .applyInPandas(lambda _, pdf: greedy(pdf), schema=out_schema)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    anchor_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchor_rows: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k embedding-nearest corpus rows whose label DIFFERS from the
+    anchor's — close in representation space but semantically wrong,
+    the negatives that actually move a contrastive loss (random
+    negatives — sample_negatives — are trivially separable; hard ones
+    come from the retriever itself, the ANCE/DPR mining loop).
+
+    Same kernel discipline as knn_join: the bounded anchor set
+    (fail-fast guard) broadcasts into a vectorized per-partition
+    top-k, with the label exclusion applied INSIDE the kernel per
+    anchor — exactness is structural, not an over-fetch heuristic
+    (the filtered-top-k widening problem doesn't exist when the
+    filter is evaluated before the truncation). The corpus is never
+    shuffled; ≤ n_anchors·k rows leave each partition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    arows = (
+        anchors.select(anchor_key, vec_col, label_col)
+        .limit(max_anchor_rows + 1)
+        .collect()
+    )
+    if len(arows) > max_anchor_rows:
+        raise ValueError(
+            f"hard_negatives anchor side exceeds max_anchor_rows="
+            f"{max_anchor_rows}; chunk the anchors (each chunk is an "
+            "independent mining pass)"
+        )
+    if not arows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{anchor_key} long, {corpus_key} long, score double, rank int",
+        )
+    aids = [r[anchor_key] for r in arows]
+    alabels = [r[label_col] for r in arows]
+    amat_list = [[float(x) for x in r[vec_col]] for r in arows]
+
+    key_type = dict(corpus.dtypes)[corpus_key]
+    akey_type = dict(anchors.dtypes)[anchor_key]
+    out_schema = f"anchor_id {akey_type}, {corpus_key} {key_type}, score double"
+    proj = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(corpus_key, vec_col, label_col)
+
+    def local_topk(batches):
+        qm = np.asarray(amat_list, dtype=np.float64)
+        best = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            labels = pdf[label_col].to_numpy()
+            keys = pdf[corpus_key].to_numpy()
+            parts = []
+            for j, aid in enumerate(aids):
+                mask = labels != alabels[j]
+                if not mask.any():
+                    continue
+                d = mat[mask] - qm[j]
+                scores = np.round(
+                    np.einsum("ij,ij->i", d, d), SCORE_DECIMALS
+                )
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "anchor_id": aid,
+                            corpus_key: keys[mask],
+                            "score": scores,
+                        }
+                    )
+                )
+            if not parts:
+                continue
+            cand = pd.concat(parts) if best is None else pd.concat([best, *parts])
+            best = (
+                cand.sort_values(["score", corpus_key])
+                .groupby("anchor_id", sort=False)
+                .head(k)
+            )
+        if best is not None:
+            yield best
+
+    local = proj.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("anchor_id").orderBy("score", corpus_key)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", corpus_key, "score", "rank")
+        .orderBy("anchor_id", "rank")
+    )

@@ -311,3 +311,34 @@ def test_mmr_topk_string_key_and_null_zero_norm_rows(spark):
     keys = {r["doc"] for r in res}
     assert "nullrow" not in keys and "zerorow" not in keys
     assert res[0]["doc"] == "a" and res[0]["rank"] == 1
+
+
+def test_hard_negatives_excludes_same_label_structurally(spark):
+    """The nearest same-label row must NEVER appear, even when it is
+    closer than every different-label row — exclusion inside the
+    kernel, not post-truncation filtering."""
+    from distributed_vector_database_spark.operators.knn import hard_negatives
+
+    rows = [
+        (0, [0.0, 0.0], "A"),     # anchor
+        (1, [0.1, 0.0], "A"),     # nearest overall but same label
+        (2, [1.0, 0.0], "B"),
+        (3, [2.0, 0.0], "B"),
+        (4, [3.0, 0.0], "C"),
+        (5, None, "B"),           # null vec: ignored
+        (6, [0.2, 0.0], None),    # null label: ignored
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = hard_negatives(
+        emb, emb.filter("vec_id = 0"), k=2
+    ).collect()
+    assert [(r["vec_id"], r["rank"]) for r in got] == [(2, 1), (3, 2)]
+    assert all(r["anchor_id"] == 0 for r in got)
+
+    # anchor guard fails fast
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hard_negatives(emb, emb, k=1, max_anchor_rows=2)
