@@ -2148,6 +2148,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfmrl_topk_exact"] = ann_ivfmrl_topk_exact_q
 
+    _ivfmrl_memo: dict[str, str] = {}
+
+    def ann_ivfmrl_layout_exact_q(spark, sf):
+        # the persisted composition (restart path): centroid partition
+        # pruning x prefix column pruning multiply; full probe + corpus
+        # pool must reproduce knn_exact bit-for-bit
+        import tempfile
+
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            ivf_mrl_read_search,
+            ivf_mrl_write,
+        )
+
+        if sf not in _ivfmrl_memo:
+            emb = _emb(spark, sf)
+            centroids, assigned = ivf_build(emb, n_centroids=16)
+            path = tempfile.mkdtemp(prefix="dvdb_ivfmrl_")
+            ivf_mrl_write(assigned, path, prefix_dim=16, centroids=centroids)
+            _ivfmrl_memo[sf] = path
+        return ivf_mrl_read_search(
+            spark, _ivfmrl_memo[sf], _query_vec(spark, sf), k=10,
+            nprobe=10**6, rerank=10**6,
+        )
+
+    q["ann_ivfmrl_layout_exact"] = ann_ivfmrl_layout_exact_q
+
     def ann_ivf_batch_exact_q(spark, sf):
         # batched serving anchor: Q queries, ONE pruned scan; full
         # probe degenerates every per-query mask to all-rows, so the
@@ -2703,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles",
         "record_link",
         "hard_negatives",
+        "ann_ivfmrl_layout_exact",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3202,6 +3230,7 @@ ORDER BY id_a, id_b
     o["ann_mrl_topk_exact"] = _knn_nolabel
     o["ann_ivfbq_topk_exact"] = _knn_nolabel
     o["ann_ivfmrl_topk_exact"] = _knn_nolabel
+    o["ann_ivfmrl_layout_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
 

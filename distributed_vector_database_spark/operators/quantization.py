@@ -698,3 +698,90 @@ def ivf_mrl_search(
         key_col=key_col,
         vec_col=vec_col,
     )
+
+
+def ivf_mrl_write(
+    assigned: DataFrame,
+    path: str,
+    prefix_dim: int = 16,
+    centroids: list | None = None,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF×MRL serving layout: centroid-partitioned (probe
+    = parquet partition pruning) with the dimension prefix as its own
+    column (coarse rank = parquet column pruning). A probe against
+    this layout reads (nprobe/n_centroids) × (prefix_dim/dim) of the
+    corpus vector bytes — the two pruning axes multiply, which is the
+    whole point of composing the layouts. Quantizer persisted alongside
+    for the restart path (ivf_write(centroids=))."""
+    from distributed_vector_database_spark.operators.ann import ivf_write
+
+    with_prefix = assigned.filter(F.col(vec_col).isNotNull()).withColumn(
+        "mrl_prefix",
+        F.slice(F.col(vec_col).cast("array<double>"), 1, int(prefix_dim)),
+    )
+    ivf_write(with_prefix, path, centroids=centroids)
+
+
+def ivf_mrl_read_search(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the persisted IVF×MRL layout — the restart path with
+    both prunings live:
+
+    1. Probe: nearest nprobe cells from the PERSISTED quantizer;
+       partition pruning opens only their files.
+    2. Coarse: scan (key, mrl_prefix) of the probed cells ONLY — the
+       ReadSchema never touches the full vector column (pinned by
+       tests/test_mrl.py) — and pool the rerank·k best by prefix
+       distance.
+    3. Refine: re-read the probed cells filtered to pool keys at full
+       dimension, exact scores, top-k.
+
+    nprobe ≥ n_centroids + a corpus pool ⟹ knn_exact bit-for-bit
+    (the layout-path anchor, same contract as every composition)."""
+    from distributed_vector_database_spark.functions.vector import squared_l2
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_read_quantizer,
+    )
+
+    q = [float(v) for v in query_vec]
+    centroids = ivf_read_quantizer(path)
+    qa = np.asarray(q, dtype=np.float64)
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    order = ((cmat - qa) ** 2).sum(axis=1).argsort()
+    probe_ids = [int(centroids[i][0]) for i in order[:nprobe]]
+
+    cells = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    p = cells.select(F.size("mrl_prefix").alias("d")).first()["d"]
+    pool_keys = [
+        r[key_col]
+        for r in (
+            cells.select(
+                key_col,
+                squared_l2("mrl_prefix", q[: int(p)]).alias("__coarse"),
+            )
+            .orderBy("__coarse", key_col)
+            .limit(max(int(rerank) * k, k))
+            .collect()
+        )
+    ]
+    return (
+        cells.filter(F.col(key_col).isin(pool_keys))
+        .select(
+            key_col,
+            F.round(squared_l2(vec_col, q), 6).alias("score"),
+        )
+        .orderBy("score", key_col)
+        .limit(k)
+    )

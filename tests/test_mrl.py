@@ -237,3 +237,42 @@ def test_streaming_mrl_maintenance(spark, tmp_path):
     served = [(r["vec_id"], r["score"])
               for r in mrl_read_search(spark, path, q, k=10, rerank=10**6).collect()]
     assert served == exact
+
+
+def test_ivf_mrl_layout_both_prunings_and_exactness(spark, tmp_path):
+    """The persisted IVF x MRL layout serves knn_exact at full
+    probe/pool, and the coarse pass's physical plan shows BOTH
+    prunings: PartitionFilters on centroid_id AND a ReadSchema without
+    the full vector column."""
+    from distributed_vector_database_spark.functions.vector import squared_l2
+    from distributed_vector_database_spark.operators.ann import ivf_build
+    from distributed_vector_database_spark.operators.quantization import (
+        ivf_mrl_read_search,
+        ivf_mrl_write,
+    )
+
+    df, q = _front_loaded(spark, n=300)
+    centroids, assigned = ivf_build(df, n_centroids=8)
+    path = str(tmp_path / "ivfmrl")
+    ivf_mrl_write(assigned, path, prefix_dim=8, centroids=centroids)
+
+    got = [(r["vec_id"], r["score"]) for r in ivf_mrl_read_search(
+        spark, path, q, k=10, nprobe=8, rerank=10**6
+    ).collect()]
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    assert got == exact
+
+    coarse = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin([0, 1]))
+        .select("vec_id", squared_l2("mrl_prefix", q[:8]).alias("c"))
+        .orderBy("c")
+        .limit(5)
+    )
+    plan = coarse._sc._jvm.PythonSQLUtils.explainString(
+        coarse._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("embedding" not in l for l in scan_lines)
