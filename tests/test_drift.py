@@ -55,3 +55,54 @@ def test_drift_null_vectors_ignored(spark):
     rows = embedding_drift_report(ref, cur).collect()
     assert {r["dim"] for r in rows} == {0, 1}
     assert all(r["cur_std"] is not None for r in rows)
+
+
+def test_streaming_drift_matches_batch_monitor(spark, tmp_path):
+    """Two micro-batches folded through run_drift_stream produce the
+    same statistics as the batch monitor over the union (moment-merge
+    ≡ direct aggregation, modulo float dust), and the planted shift is
+    flagged in the final versioned report."""
+    import json
+
+    from distributed_vector_database_spark.operators.evaluation import (
+        embedding_drift_report,
+    )
+    from distributed_vector_database_spark.streaming.drift import (
+        drift_state_init,
+        run_drift_stream,
+    )
+
+    ref = _corpus(spark, n=200, dim=4, seed=11)
+    cur = _corpus(spark, n=150, dim=4, seed=12, shift_dim=1, shift=1.5)
+    state = str(tmp_path / "state")
+    drift_state_init(ref, state)
+
+    rows = cur.collect()
+    vecs_dir = tmp_path / "vecs_in"
+    vecs_dir.mkdir()
+    for b, chunk in enumerate((rows[:70], rows[70:])):
+        (vecs_dir / f"b{b}.json").write_text(
+            "".join(
+                json.dumps({"vec_id": r["vec_id"], "embedding": r["embedding"]})
+                + "\n"
+                for r in chunk
+            )
+        )
+    q = run_drift_stream(
+        spark, str(vecs_dir), state, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    import glob
+
+    reports = sorted(glob.glob(f"{state}/reports/batch=*"))
+    assert len(reports) == 2
+    streamed = {r["dim"]: r for r in spark.read.parquet(reports[-1]).collect()}
+    batch = {r["dim"]: r for r in embedding_drift_report(ref, cur).collect()}
+    for d in range(4):
+        assert abs(streamed[d]["cur_mean"] - batch[d]["cur_mean"]) < 1e-5
+        assert abs(streamed[d]["cur_std"] - batch[d]["cur_std"]) < 1e-5
+        assert abs(streamed[d]["shift_z"] - batch[d]["shift_z"]) < 0.01
+        assert streamed[d]["drifted"] == batch[d]["drifted"]
+    assert streamed[1]["drifted"] and not streamed[0]["drifted"]
