@@ -1332,6 +1332,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hard_negatives"] = hard_negatives_q
 
+    def topic_keywords_q(spark, sf):
+        # c-TF-IDF labels for the nearest-centroid topics: doc_id and
+        # vec_id are aligned in the fixtures, so the embedding-space
+        # assignment labels the text corpus
+        from distributed_vector_database_spark.operators.ann import (
+            centroid_assign_expr,
+        )
+        from distributed_vector_database_spark.operators.textops import (
+            topic_keywords,
+        )
+
+        emb = _emb(spark, sf)
+        seeds = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < TOPIC_SEEDS)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        assign = centroid_assign_expr(emb, seeds).select(
+            F.col("vec_id").alias("doc_id"), "topic"
+        )
+        return topic_keywords(
+            load_table(spark, sf, "documents"), assign, n_terms=5
+        )
+
+    q["topic_keywords"] = topic_keywords_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2731,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_link",
         "hard_negatives",
         "ann_ivfmrl_layout_exact",
+        "topic_keywords",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3576,6 +3604,48 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    o["topic_keywords"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, {_DV} AS sv FROM embeddings
+  WHERE vec_id < {TOPIC_SEEDS}
+),
+dists AS (
+  SELECT e.vec_id, s.sid,
+    list_sum([(p[1]-p[2])*(p[1]-p[2])
+      for p in list_zip({_DV.replace('embedding', 'e.embedding')}, s.sv)])
+      AS dist
+  FROM embeddings e, seeds s
+),
+assign AS (
+  SELECT vec_id AS doc_id, CAST(sid AS INT) AS topic
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY round(dist, 6), sid) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+tt AS (
+  SELECT a.topic, u.term, CAST(count(*) AS BIGINT) AS tf
+  FROM documents d
+  JOIN assign a USING (doc_id),
+  LATERAL unnest({_TOKS}) AS u(term)
+  GROUP BY 1, 2
+),
+ntop AS (SELECT count(DISTINCT topic) AS nt FROM assign),
+kwscored AS (
+  SELECT topic, term,
+    round((tf / CAST(sum(tf) OVER (PARTITION BY topic) AS DOUBLE))
+      * ln(1.0 + (SELECT nt FROM ntop) / CAST(count(*) OVER (PARTITION BY term) AS DOUBLE)), 6) AS score
+  FROM tt
+),
+kwranked AS (
+  SELECT topic, term, score,
+    CAST(row_number() OVER (PARTITION BY topic ORDER BY score DESC, term) AS INT) AS rank
+  FROM kwscored
+)
+SELECT topic, term, score, rank FROM kwranked
+WHERE rank <= 5 ORDER BY topic, rank
 """
 
     o["hard_negatives"] = """

@@ -124,6 +124,8 @@ HEADLINE = [
     "record_link",
     # round-8: label-aware hard-negative mining
     "hard_negatives",
+    # round-8: c-TF-IDF topic labels
+    "topic_keywords",
 ]
 
 

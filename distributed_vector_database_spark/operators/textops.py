@@ -784,3 +784,64 @@ def length_grouped_batches(
         )
     finally:
         ranged.unpersist()
+
+
+def topic_keywords(
+    docs: DataFrame,
+    assignments: DataFrame,
+    n_terms: int = 5,
+    id_col: str = "doc_id",
+    topic_col: str = "topic",
+    text_col: str = "text",
+) -> DataFrame:
+    """Class-based TF-IDF topic labeling (the BERTopic c-TF-IDF shape):
+    given a doc→topic assignment (e.g. ann.centroid_assign_expr over
+    embeddings), score each term per topic by
+    (tf_topic / tokens_topic) · ln(1 + n_topics / topics_with_term)
+    and keep the n_terms best per topic — the human-readable label for
+    an embedding cluster, turning 'centroid 7' into 'spark, shuffle,
+    partition'.
+
+    Deterministic: score rounds 6 dp, ties break on the term.
+
+    100 TB shape: one tokenize+explode, ONE (topic, term) partial-agg
+    shuffle (vocab×topics-bounded, not corpus-bounded); topic totals
+    reaggregate that frame; document frequency across topics is a
+    window over the same frame; the global topic count broadcasts as
+    one row. The doc→topic join is id-keyed (broadcast when the
+    assignment side is dim-sized, shuffle otherwise — either way the
+    corpus shuffles at most once)."""
+    from pyspark.sql.window import Window
+
+    from distributed_vector_database_spark.functions.text import tokenize
+
+    tt = (
+        docs.join(assignments.select(id_col, topic_col), id_col)
+        .withColumn("__toks", tokenize(text_col))  # staged: no-CSE rule
+        .select(F.col(topic_col), F.explode("__toks").alias("term"))
+        .groupBy(topic_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    w_topic = Window.partitionBy(topic_col)
+    w_term = Window.partitionBy("term")
+    n_topics = assignments.select(topic_col).distinct().count()
+    scored = (
+        tt.withColumn("__total", F.sum("__tf").over(w_topic))
+        .withColumn("__df", F.count(F.lit(1)).over(w_term))
+        .select(
+            topic_col,
+            "term",
+            F.round(
+                (F.col("__tf") / F.col("__total"))
+                * F.log(1.0 + F.lit(float(n_topics)) / F.col("__df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy(topic_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= n_terms)
+        .select(topic_col, "term", "score", F.col("__rn").alias("rank"))
+        .orderBy(topic_col, "rank")
+    )
