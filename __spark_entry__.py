@@ -3632,7 +3632,7 @@ tt AS (
   LATERAL unnest({_TOKS}) AS u(term)
   GROUP BY 1, 2
 ),
-ntop AS (SELECT count(DISTINCT topic) AS nt FROM assign),
+ntop AS (SELECT count(DISTINCT topic) AS nt FROM tt),
 kwscored AS (
   SELECT topic, term,
     round((tf / CAST(sum(tf) OVER (PARTITION BY topic) AS DOUBLE))

@@ -824,16 +824,21 @@ def topic_keywords(
     )
     w_topic = Window.partitionBy(topic_col)
     w_term = Window.partitionBy("term")
-    n_topics = assignments.select(topic_col).distinct().count()
+    # topic count from the aggregated frame (topics that contributed
+    # tokens), NOT a .distinct() over assignments — that would
+    # re-evaluate the whole corpus-sized assignment a second time;
+    # this is one 1-row agg over the vocab-bounded frame, broadcast in
+    ntop = tt.agg(F.countDistinct(topic_col).alias("__nt"))
     scored = (
-        tt.withColumn("__total", F.sum("__tf").over(w_topic))
+        tt.crossJoin(F.broadcast(ntop))
+        .withColumn("__total", F.sum("__tf").over(w_topic))
         .withColumn("__df", F.count(F.lit(1)).over(w_term))
         .select(
             topic_col,
             "term",
             F.round(
                 (F.col("__tf") / F.col("__total"))
-                * F.log(1.0 + F.lit(float(n_topics)) / F.col("__df")),
+                * F.log(1.0 + F.col("__nt") / F.col("__df")),
                 6,
             ).alias("score"),
         )
