@@ -635,6 +635,12 @@ def mrl_read_search(
     aids = sorted(m["aid"] for m in markers)
     layout = spark.read.parquet(path).filter(F.col("aid").isin(aids))
     p = layout.select(F.size("mrl_prefix").alias("d")).first()["d"]
+    # clamp the pool to the served row count: an anchor-sized rerank
+    # (10**6) must not become a 10M-row TakeOrdered buffer — guava's
+    # TopKSelector allocates 2k slots up front PER TASK and OOMs the
+    # JVM long before any row materializes
+    n_rows = layout.count()
+    pool_n = min(max(int(rerank) * k, k), n_rows)
     pool_keys = [
         r[key_col]
         for r in (
@@ -643,7 +649,7 @@ def mrl_read_search(
                 squared_l2("mrl_prefix", q[: int(p)]).alias("__coarse"),
             )
             .orderBy("__coarse", key_col)
-            .limit(max(int(rerank) * k, k))
+            .limit(pool_n)
             .collect()
         )
     ]
@@ -764,6 +770,10 @@ def ivf_mrl_read_search(
         F.col("centroid_id").isin(probe_ids)
     )
     p = cells.select(F.size("mrl_prefix").alias("d")).first()["d"]
+    # same pool clamp as mrl_read_search: TakeOrdered buffers size 2k
+    # per task regardless of actual rows
+    n_rows = cells.count()
+    pool_n = min(max(int(rerank) * k, k), n_rows)
     pool_keys = [
         r[key_col]
         for r in (
@@ -772,7 +782,7 @@ def ivf_mrl_read_search(
                 squared_l2("mrl_prefix", q[: int(p)]).alias("__coarse"),
             )
             .orderBy("__coarse", key_col)
-            .limit(max(int(rerank) * k, k))
+            .limit(pool_n)
             .collect()
         )
     ]
