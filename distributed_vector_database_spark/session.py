@@ -63,6 +63,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # small dims (region/nation/...) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # orderBy().limit(N) plans TakeOrderedAndProject, whose per-task
+        # top-K selector PREALLOCATES 2N slots — an anchor-sized pool
+        # (rerank=10**6 → N=10^7) is ~160MB of pointer array per task
+        # before any row materializes, which OOMed a gate JVM (r8).
+        # Above this threshold Spark plans Sort + GlobalLimit instead,
+        # which spills; real top-k (N ≤ 100k) keeps the fast path.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
