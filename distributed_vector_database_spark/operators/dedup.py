@@ -1530,3 +1530,75 @@ def record_link(
         .drop("__rn")
         .orderBy("id_a")
     )
+
+
+def record_link_incremental(
+    new_left: DataFrame,
+    right_sigs: DataFrame,
+    right_docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    best_only: bool = True,
+) -> DataFrame:
+    """Continual-ingest record linkage: link a NEW batch of left-catalog
+    records against an already-signed right catalog — `right_sigs` is
+    the persisted minhash_signatures output, so the right catalog is
+    never re-shingled; each batch costs O(|batch| shingles + band
+    collisions + verified candidates), the minhash-incremental
+    economics applied to the Fellegi-Sunter pipeline. Decision and
+    verification semantics are identical to record_link (exact Jaccard
+    on candidates only; argmax-per-left with (jaccard DESC, right id)
+    ties).
+
+    The only right-side text touched is the candidates' (bounded
+    hydration join for verification) — at 100 TB the right catalog
+    contributes signature rows and candidate hydrations, never a
+    scan."""
+    rpb = num_perm // bands
+    b_l = _band_explode(
+        minhash_signatures(
+            new_left, num_perm, id_col, text_col, shingle_n
+        ),
+        bands, rpb,
+    ).select(F.col("id").alias("id_a"), "band", "band_key")
+    b_r = _band_explode(right_sigs, bands, rpb).select(
+        F.col("id").alias("id_b"), "band", "band_key"
+    )
+    cand = b_l.join(b_r, ["band", "band_key"]).select("id_a", "id_b").distinct()
+
+    def _sh(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return (
+            df.withColumn("__toks", tokenize(text_col))  # staged: no-CSE
+            .select(
+                F.col(id_col).alias(out_id),
+                F.array_distinct(
+                    shingles_from_tokens("__toks", shingle_n)
+                ).alias(out_sh),
+            )
+        )
+
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    scored = (
+        cand.join(_sh(new_left, "id_a", "__sh_a"), "id_a")
+        .join(_sh(right_docs, "id_b", "__sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if not best_only:
+        return scored.orderBy("id_a", "id_b")
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("id_a")
+    )

@@ -605,3 +605,37 @@ def test_record_link_best_match_and_same_id_pairs(spark):
     # best_only=False returns every verified pair, not just argmax
     all_pairs = record_link(left, right, threshold=0.3, best_only=False)
     assert all_pairs.count() >= len(rows)
+
+
+def test_record_link_incremental_matches_full_recompute(spark):
+    """Batch-vs-persisted-signatures linkage must agree with the full
+    record_link over (batch, right catalog) — the right side is never
+    re-shingled (it enters only as its persisted signature table plus
+    candidate hydrations)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        minhash_signatures,
+        record_link,
+        record_link_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    right = spark.createDataFrame(
+        [(100, base), (101, "unrelated database engine text entirely"),
+         (102, base + " delta")],
+        "doc_id long, text string",
+    )
+    right_sigs = minhash_signatures(right)
+    batch = spark.createDataFrame(
+        [(1, base + " tonight"), (2, "nothing shared with anything")],
+        "doc_id long, text string",
+    )
+    inc = sorted(
+        map(tuple, record_link_incremental(
+            batch, right_sigs, right, threshold=0.3
+        ).collect())
+    )
+    full = sorted(
+        map(tuple, record_link(batch, right, threshold=0.3).collect())
+    )
+    assert inc == full and len(inc) >= 1
+    assert all(r[0] == 1 for r in inc)  # only the near-dup batch row links
