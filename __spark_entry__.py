@@ -1359,6 +1359,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topic_keywords"] = topic_keywords_q
 
+    def snippet_extract_q(spark, sf):
+        # result-page highlights: best 10-token query-term window per
+        # matching doc, zero shuffles (map pass only)
+        from distributed_vector_database_spark.operators.lexical import (
+            snippet_extract,
+        )
+
+        return snippet_extract(
+            load_table(spark, sf, "documents"), BM25_TERMS, window=10
+        )
+
+    q["snippet_extract"] = snippet_extract_q
+
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
             bm25_search,
@@ -2759,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives",
         "ann_ivfmrl_layout_exact",
         "topic_keywords",
+        "snippet_extract",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3604,6 +3618,35 @@ prfscored AS (
   FROM dtf JOIN qws USING (term) GROUP BY doc_id
 )
 SELECT doc_id, score FROM prfscored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    _snip_terms = "[" + ", ".join(
+        f"'{t}'" for t in sorted({t.lower() for t in BM25_TERMS})
+    ) + "]"
+    o["snippet_extract"] = f"""
+WITH sniptoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sniphits AS (
+  SELECT doc_id, t,
+    [i for i in generate_series(1, len(t))
+     if list_contains({_snip_terms}, t[i])] AS hs
+  FROM sniptoks
+),
+snipcand AS (
+  SELECT doc_id, t, hs,
+    [len([q for q in hs if q >= p and q < p + 10]) for p in hs] AS cnts
+  FROM sniphits WHERE len(hs) > 0
+),
+snipbest AS (
+  SELECT doc_id, t,
+    list_max(cnts) AS n_hits,
+    list_min([CASE WHEN cnts[i] = list_max(cnts) THEN hs[i] END
+              for i in generate_series(1, len(hs))]) AS start_pos
+  FROM snipcand
+)
+SELECT doc_id, CAST(n_hits AS INT) AS n_hits,
+  CAST(start_pos AS INT) AS start_pos,
+  array_to_string(list_slice(t, start_pos, start_pos + 9), ' ') AS snippet
+FROM snipbest ORDER BY doc_id
 """
 
     o["topic_keywords"] = f"""

@@ -126,6 +126,8 @@ HEADLINE = [
     "hard_negatives",
     # round-8: c-TF-IDF topic labels
     "topic_keywords",
+    # round-8: result-page snippet extraction (zero-shuffle map pass)
+    "snippet_extract",
 ]
 
 

@@ -746,3 +746,39 @@ def test_prf_search_no_expansion_candidates_falls_back_to_original(spark, tmp_pa
     assert set(got) == {1, 2}
     assert abs(got[1] - 0.6 * (2 / 3)) < 1e-6
     assert abs(got[2] - 0.6 * 0.5) < 1e-6
+
+
+def test_snippet_extract_best_window_and_ties(spark):
+    """The densest query-term window wins; equal-count ties take the
+    earliest start; docs with no hit are absent; the plan is a pure
+    map pass (zero exchanges)."""
+    from distributed_vector_database_spark.operators.lexical import (
+        snippet_extract,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b cat c d cat dog e f g h i j k"),
+            (2, "nothing here"),
+            (3, "dog x x x x x x x x x x x cat dog cat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in snippet_extract(
+        docs, ["cat", "dog"], window=5
+    ).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_hits"] == 3 and rows[1]["snippet"] == "cat c d cat dog"
+    assert rows[3]["start_pos"] == 13 and rows[3]["snippet"] == "cat dog cat"
+
+    df = snippet_extract(docs, ["cat"], window=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # sort for output ordering is fine; no hash-partition exchange
+    assert "Exchange hashpartitioning" not in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snippet_extract(docs, [])
