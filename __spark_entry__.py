@@ -1332,6 +1332,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hard_negatives"] = hard_negatives_q
 
+    def contrastive_triplets_q(spark, sf):
+        # (anchor, nearest-same-label positive, k nearest
+        # different-label negatives) — the contrastive training export
+        from distributed_vector_database_spark.operators.knn import (
+            build_contrastive_triplets,
+        )
+
+        emb = _emb(spark, sf)
+        return build_contrastive_triplets(
+            emb, emb.filter(F.col("vec_id") < 8), n_negatives=3
+        )
+
+    q["contrastive_triplets"] = contrastive_triplets_q
+
     def topic_keywords_q(spark, sf):
         # c-TF-IDF labels for the nearest-centroid topics: doc_id and
         # vec_id are aligned in the fixtures, so the embedding-space
@@ -2773,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfmrl_layout_exact",
         "topic_keywords",
         "snippet_extract",
+        "contrastive_triplets",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3710,6 +3725,35 @@ ranked AS (
 )
 SELECT anchor_id, vec_id, score, rank FROM ranked
 WHERE rank <= 5 ORDER BY anchor_id, rank
+"""
+
+    o["contrastive_triplets"] = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS al
+  FROM embeddings WHERE vec_id < 8
+),
+allscored AS (
+  SELECT a.anchor_id, a.al, c.vec_id, c.label,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2])
+      for p in list_zip(CAST(c.embedding AS DOUBLE[]), a.av)]), 6) AS score
+  FROM a JOIN embeddings c ON c.label IS NOT NULL AND c.embedding IS NOT NULL
+),
+tp AS (
+  SELECT anchor_id, vec_id AS positive_id, score AS pos_score,
+    row_number() OVER (PARTITION BY anchor_id ORDER BY score, vec_id) AS rn
+  FROM allscored WHERE label = al AND vec_id <> anchor_id
+),
+tn AS (
+  SELECT anchor_id, vec_id AS negative_id, score AS neg_score,
+    CAST(row_number() OVER (
+      PARTITION BY anchor_id ORDER BY score, vec_id) AS INT) AS neg_rank
+  FROM allscored WHERE label <> al
+)
+SELECT tp.anchor_id, positive_id, negative_id,
+  pos_score, neg_score, neg_rank
+FROM tp JOIN tn ON tp.anchor_id = tn.anchor_id
+WHERE tp.rn = 1 AND neg_rank <= 3
+ORDER BY tp.anchor_id, neg_rank
 """
 
     o["record_link"] = f"""

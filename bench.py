@@ -128,6 +128,8 @@ HEADLINE = [
     "topic_keywords",
     # round-8: result-page snippet extraction (zero-shuffle map pass)
     "snippet_extract",
+    # round-8: contrastive (anchor, positive, negative) export
+    "contrastive_triplets",
 ]
 
 

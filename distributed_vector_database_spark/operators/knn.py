@@ -680,3 +680,128 @@ def hard_negatives(
         .select("anchor_id", corpus_key, "score", "rank")
         .orderBy("anchor_id", "rank")
     )
+
+
+def build_contrastive_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    n_negatives: int = 4,
+    anchor_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchor_rows: int = 10_000,
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets — the artifact a
+    contrastive fine-tune actually consumes: per anchor, the nearest
+    SAME-label row (excluding itself) as the positive and the
+    `n_negatives` nearest DIFFERENT-label rows as hard negatives, both
+    from one kernel pass discipline (bounded anchor broadcast, corpus
+    never shuffled). Anchors whose label has no other member emit
+    nothing — a triplet without a positive is not a triplet.
+
+    Output: (anchor_id, positive_id, negative_id, pos_score,
+    neg_score, neg_rank) — one row per (anchor, negative), positive
+    repeated across its anchor's rows, scores are squared L2."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    arows = (
+        anchors.select(anchor_key, vec_col, label_col)
+        .limit(max_anchor_rows + 1)
+        .collect()
+    )
+    if len(arows) > max_anchor_rows:
+        raise ValueError(
+            f"anchor side exceeds max_anchor_rows={max_anchor_rows}; "
+            "chunk the anchors"
+        )
+    if not arows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "anchor_id long, positive_id long, negative_id long, "
+            "pos_score double, neg_score double, neg_rank int",
+        )
+    aids = [r[anchor_key] for r in arows]
+    alabels = [r[label_col] for r in arows]
+    amat = [[float(x) for x in r[vec_col]] for r in arows]
+
+    key_type = dict(corpus.dtypes)[corpus_key]
+    akey_type = dict(anchors.dtypes)[anchor_key]
+    out_schema = (
+        f"anchor_id {akey_type}, side string, "
+        f"{corpus_key} {key_type}, score double"
+    )
+    proj = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(corpus_key, vec_col, label_col)
+    kneg = int(n_negatives)
+
+    def local_topk(batches):
+        qm = np.asarray(amat, dtype=np.float64)
+        best = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            labels = pdf[label_col].to_numpy()
+            keys = pdf[corpus_key].to_numpy()
+            parts = []
+            for j, aid in enumerate(aids):
+                same = (labels == alabels[j]) & (keys != aid)
+                diff = labels != alabels[j]
+                for side, mask, kk in (("pos", same, 1), ("neg", diff, kneg)):
+                    if not mask.any():
+                        continue
+                    d = mat[mask] - qm[j]
+                    s = np.round(
+                        np.einsum("ij,ij->i", d, d), SCORE_DECIMALS
+                    )
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "anchor_id": aid,
+                                "side": side,
+                                corpus_key: keys[mask],
+                                "score": s,
+                            }
+                        ).nsmallest(kk, ["score", corpus_key])
+                    )
+            if not parts:
+                continue
+            cand = pd.concat(parts) if best is None else pd.concat([best, *parts])
+            best = (
+                cand.sort_values(["score", corpus_key])
+                .groupby(["anchor_id", "side"], sort=False)
+                .head(kneg)
+            )
+        if best is not None:
+            yield best
+
+    local = proj.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("anchor_id", "side").orderBy("score", corpus_key)
+    ranked = local.withColumn("__rn", F.row_number().over(w))
+    pos = ranked.filter(
+        (F.col("side") == "pos") & (F.col("__rn") == 1)
+    ).select(
+        "anchor_id",
+        F.col(corpus_key).alias("positive_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = ranked.filter(
+        (F.col("side") == "neg") & (F.col("__rn") <= kneg)
+    ).select(
+        "anchor_id",
+        F.col(corpus_key).alias("negative_id"),
+        F.col("score").alias("neg_score"),
+        F.col("__rn").alias("neg_rank"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id", "positive_id", "negative_id",
+            "pos_score", "neg_score", "neg_rank",
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -342,3 +342,30 @@ def test_hard_negatives_excludes_same_label_structurally(spark):
 
     with _pt.raises(ValueError):
         hard_negatives(emb, emb, k=1, max_anchor_rows=2)
+
+
+def test_contrastive_triplets_positive_and_negatives(spark):
+    """Positive = nearest SAME-label row excluding the anchor;
+    negatives = ranked different-label rows; an anchor whose label has
+    no other member emits nothing."""
+    from distributed_vector_database_spark.operators.knn import (
+        build_contrastive_triplets,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], "A"),   # anchor
+            (1, [0.5, 0.0], "A"),   # the positive
+            (2, [0.1, 0.0], "B"),   # neg rank 1 (closer than positive!)
+            (3, [1.0, 0.0], "B"),   # neg rank 2
+            (9, [9.0, 9.0], "C"),   # anchor with a singleton label
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = build_contrastive_triplets(
+        emb, emb.filter(F.col("vec_id").isin(0, 9)), n_negatives=2
+    ).collect()
+    assert all(r["anchor_id"] == 0 for r in rows)  # anchor 9: no positive
+    assert all(r["positive_id"] == 1 for r in rows)
+    assert [(r["negative_id"], r["neg_rank"]) for r in rows] == [(2, 1), (3, 2)]
+    assert rows[0]["pos_score"] == 0.25 and rows[0]["neg_score"] == 0.01
