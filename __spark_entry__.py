@@ -105,6 +105,11 @@ TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
 BM25_TERMS = ["spark", "filter", "join"]  # lexical query bag (bm25/hybrid)
 SPARSE_QW = {"spark": 1.5, "filter": 0.7, "join": 1.0}  # sparse_dot_topk
 PRF_FB_DOCS, PRF_FB_TERMS, PRF_ORIG_W = 10, 5, 0.6  # prf_expanded_topk
+BM25_BATCH = {  # bm25_batch_topk: many queries, one pruned scan
+    "q1": ["spark", "filter", "join"],
+    "q2": ["data", "model"],
+    "q3": ["system"],
+}
 BM25_K1, BM25_B = 1.2, 0.75
 HYBRID_POOL = 20          # per-leg top-n fed into reciprocal-rank fusion
 RRF_C = 60                # standard RRF constant (Cormack et al. 2009)
@@ -1385,6 +1390,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["snippet_extract"] = snippet_extract_q
+
+    def bm25_batch_topk_q(spark, sf):
+        # many queries, ONE scan pruned to the union of their terms —
+        # the lexical analog of ann_ivf_batch
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_batch_search,
+        )
+
+        idx = _postings_index(spark, sf)
+        return bm25_batch_search(spark, idx, BM25_BATCH, k=10)
+
+    q["bm25_batch_topk"] = bm25_batch_topk_q
 
     def hybrid_rrf_topk_q(spark, sf):
         from distributed_vector_database_spark.operators.lexical import (
@@ -2788,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_keywords",
         "snippet_extract",
         "contrastive_triplets",
+        "bm25_batch_topk",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3593,6 +3611,40 @@ scored AS (
   FROM stf WHERE {_sparse_any} > 0
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    _batch_rows = ", ".join(
+        f"('{qid}', '{t.lower()}')"
+        for qid in sorted(BM25_BATCH)
+        for t in sorted({x.lower() for x in BM25_BATCH[qid]})
+    )
+    o["bm25_batch_topk"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+bstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+occ AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tfc AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ GROUP BY 1, 2, 3
+),
+dfd AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+qterms AS (SELECT * FROM (VALUES {_batch_rows}) AS v(query_id, term)),
+bscored AS (
+  SELECT q.query_id, c.doc_id,
+    round(sum(
+      ln(1 + (n - df + 0.5) / (df + 0.5)) * tf
+      / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))
+    ), 6) AS score
+  FROM tfc c JOIN dfd USING (term) JOIN qterms q USING (term), bstats
+  GROUP BY 1, 2
+),
+branked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM bscored
+)
+SELECT query_id, doc_id, score, rank FROM branked
+WHERE rank <= 10 ORDER BY query_id, rank
 """
 
     _prf_orig = sorted({t.lower() for t in BM25_TERMS})

@@ -130,6 +130,8 @@ HEADLINE = [
     "snippet_extract",
     # round-8: contrastive (anchor, positive, negative) export
     "contrastive_triplets",
+    # round-8: many BM25 queries through one pruned postings scan
+    "bm25_batch_topk",
 ]
 
 

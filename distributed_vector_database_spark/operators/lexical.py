@@ -898,3 +898,91 @@ def snippet_extract(
         )
         .orderBy(doc_col)
     )
+
+
+def bm25_batch_search(
+    spark,
+    path: str,
+    queries: dict[str, Sequence[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Batched BM25 serving: MANY queries through ONE postings scan
+    pruned to the union of their terms — the lexical analog of
+    ivf_batch_search (and the same amortization argument: per query,
+    a scan open + bucket prune costs more than the scoring; a batch
+    pays it once).
+
+    `queries` maps query_id → term list. Per-query membership is a
+    term→queries inverted literal map applied AFTER the shared slice,
+    so each query scores exactly the postings its own terms admit —
+    batch semantics ≡ looping bm25_postings_search (pinned by test).
+    df(t) comes from a window over the shared slice exactly as the
+    single-query path computes it.
+
+    100 TB: scan reads the union terms' posting rows once;
+    one (query, doc) aggregation; TakeOrdered per query via window."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    norm_q = {
+        str(qid): sorted({t.lower() for t in terms})
+        for qid, terms in queries.items()
+    }
+    if any(not v for v in norm_q.values()):
+        raise ValueError("every query needs at least one term")
+    all_terms = sorted({t for ts in norm_q.values() for t in ts})
+    n_buckets = int(
+        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
+    )
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    n_docs = sum(m["n_docs"] for m in markers)
+    total_tokens = sum(m["total_tokens"] for m in markers)
+    aids = sorted(m["aid"] for m in markers)
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in all_terms})
+
+    # term -> [query ids] as a literal map of arrays
+    term_qids: dict[str, list[str]] = {}
+    for qid, ts in norm_q.items():
+        for t in ts:
+            term_qids.setdefault(t, []).append(qid)
+    qmap = F.create_map(
+        *[
+            x
+            for t, qids in sorted(term_qids.items())
+            for x in (F.lit(t), F.array(*[F.lit(q) for q in sorted(qids)]))
+        ]
+    )
+
+    slice_ = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .filter(F.col("aid").isin(aids))
+    )
+    w = Window.partitionBy("term")
+    scored = slice_.withColumn("__df", F.count(F.lit(1)).over(w))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    per_query = (
+        scored.withColumn("__s", idf * tf / (tf + norm))
+        .withColumn("query_id", F.explode(qmap[F.col("term")]))
+        .groupBy("query_id", doc_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), doc_col)
+    return (
+        per_query.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", doc_col, "score", F.col("__rn").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

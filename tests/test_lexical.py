@@ -782,3 +782,41 @@ def test_snippet_extract_best_window_and_ties(spark):
 
     with _pt.raises(ValueError):
         snippet_extract(docs, [])
+
+
+def test_bm25_batch_search_equals_looped_single_queries(spark, tmp_path):
+    """Batch semantics ≡ looping bm25_postings_search per query, and
+    df(t) is unaffected by which other queries share the batch."""
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_batch_search,
+        bm25_postings_search,
+        postings_write,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    postings_write(docs, idx, n_buckets=8)
+    batch = {
+        "q1": ["spark", "join"],
+        "q2": ["filter"],
+        "q3": ["spark"],
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_batch_search(spark, idx, batch, k=5).collect()
+    }
+    for qid, terms in batch.items():
+        single = bm25_postings_search(spark, idx, terms, k=5).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, r["doc_id"])] == (r["score"], rank), (qid, r)
+    assert len(got) == sum(
+        bm25_postings_search(spark, idx, t, k=5).count()
+        for t in batch.values()
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bm25_batch_search(spark, idx, {})
+    with _pt.raises(ValueError):
+        bm25_batch_search(spark, idx, {"q": []})
