@@ -346,6 +346,22 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
             spark, f"{tmp}/postings", ["data", "model", "system"], k=10
         ).count()
     )
+    # batched serving: 16 queries through ONE pruned postings scan —
+    # the row to compare against 16x the single-query probe above
+    # (the lexical analog of ann_ivf_batch16_probe)
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_batch_search,
+    )
+
+    vocab16 = ["data", "model", "system", "learn", "train", "test",
+               "query", "index", "join", "filter", "sample", "token",
+               "spark", "search", "vector", "text"]
+    batch16 = {f"q{i}": [vocab16[i], vocab16[(i + 1) % 16]] for i in range(16)}
+    out["bm25_batch16_probe"] = probe_best_of_2(
+        lambda: bm25_batch_search(
+            spark, f"{tmp}/postings", batch16, k=10
+        ).count()
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
