@@ -1425,6 +1425,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf_topk"] = hybrid_rrf_topk_q
 
+    def tri_hybrid_topk_q(spark, sf):
+        # three-retriever fusion (BM25 + dense + learned-sparse)
+        # through ONE N-way RRF — pairwise fusion composes wrong
+        # (fusing a fusion re-ranks ranks)
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_search,
+            hybrid_rrf_multi,
+            sparse_dot_search,
+        )
+
+        lex = bm25_search(
+            load_table(spark, sf, "documents"), BM25_TERMS,
+            k=HYBRID_POOL, k1=BM25_K1, b=BM25_B,
+        )
+        vec = knn_exact(
+            _emb(spark, sf), _query_vec(spark, sf), k=HYBRID_POOL,
+            extra_cols=(),
+        ).withColumnRenamed("vec_id", "doc_id")
+        sp = sparse_dot_search(
+            spark, _postings_index(spark, sf), SPARSE_QW, k=HYBRID_POOL
+        )
+        return hybrid_rrf_multi(
+            [(lex, False), (vec, True), (sp, False)], k=10, c=RRF_C
+        )
+
+    q["tri_hybrid_topk"] = tri_hybrid_topk_q
+
     def hybrid_rrf_served_q(spark, sf):
         # the SERVING-shape hybrid: lexical leg answered from the
         # bucketed posting-list index (no corpus scan), vector leg
@@ -2806,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract",
         "contrastive_triplets",
         "bm25_batch_topk",
+        "tri_hybrid_topk",
         "flagship_knn",
         # --- round-7 first-timers with a green r7 driver row ---
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
@@ -3918,6 +3946,43 @@ ORDER BY rrf_score DESC, doc_id LIMIT 10
 
     # the posting-list-served hybrid must produce the identical fusion
     o["hybrid_rrf_served"] = o["hybrid_rrf_topk"]
+
+    _sp_leg_terms = sorted(SPARSE_QW)
+    _sp_tfs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_sp_leg_terms)
+    )
+    _sp_score = " + ".join(
+        f"{SPARSE_QW[t]} * tf{i} / (tf{i} + 1)"
+        for i, t in enumerate(_sp_leg_terms)
+    )
+    _sp_any = " + ".join(f"tf{i}" for i in range(len(_sp_leg_terms)))
+    o["tri_hybrid_topk"] = f"""
+WITH {_bm25_ctes(HYBRID_POOL)},
+{_QCTE},
+vecscored AS (SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q),
+vec AS (SELECT vec_id, score FROM vecscored ORDER BY score, vec_id LIMIT {HYBRID_POOL}),
+sptf AS (SELECT doc_id, {_sp_tfs} FROM toks),
+spscored AS (
+  SELECT doc_id, round({_sp_score}, 6) AS score
+  FROM sptf WHERE {_sp_any} > 0
+),
+sp AS (SELECT doc_id, score FROM spscored
+       ORDER BY score DESC, doc_id LIMIT {HYBRID_POOL}),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25),
+rb AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score, vec_id) AS r FROM vec),
+rc AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sp),
+trifused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id, rc.doc_id) AS doc_id,
+    coalesce(1.0/({RRF_C}+ra.r), 0) + coalesce(1.0/({RRF_C}+rb.r), 0)
+      + coalesce(1.0/({RRF_C}+rc.r), 0) AS s
+  FROM ra
+  FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+  FULL OUTER JOIN rc ON coalesce(ra.doc_id, rb.doc_id) = rc.doc_id
+)
+SELECT doc_id, round(s, 6) AS rrf_score FROM trifused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
 
     o["hybrid_linear_topk"] = f"""
 WITH {_bm25_ctes(HYBRID_POOL)},

@@ -132,6 +132,8 @@ HEADLINE = [
     "contrastive_triplets",
     # round-8: many BM25 queries through one pruned postings scan
     "bm25_batch_topk",
+    # round-8: three-retriever RRF fusion
+    "tri_hybrid_topk",
 ]
 
 

@@ -986,3 +986,53 @@ def bm25_batch_search(
         .select("query_id", doc_col, "score", F.col("__rn").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+def hybrid_rrf_multi(
+    results: Sequence[tuple[DataFrame, bool]],
+    k: int = 10,
+    c: int = 60,
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion over N retriever legs — the tri-hybrid
+    (BM25 + dense + learned-sparse) every modern stack serves, where
+    pairwise hybrid_rrf composes wrong (fusing a fusion re-ranks ranks).
+    Each element of `results` is (top-n DataFrame, ascending) with
+    ascending=True for distance-like scores.
+
+    Fused score = Σ_legs 1/(c + rank_leg), missing docs contribute 0
+    from that leg; ranks are (score, doc_id)-deterministic per leg.
+    Inputs are top-n truncated by contract — every window and join
+    here touches bounded rows; the corpus-sized work lives in the
+    legs."""
+    if len(results) < 2:
+        raise ValueError("need at least two result lists to fuse")
+
+    def ranked(df: DataFrame, ascending: bool, out: str) -> DataFrame:
+        order = (
+            [F.col(score_col).asc(), F.col(doc_col).asc()]
+            if ascending
+            else [F.col(score_col).desc(), F.col(doc_col).asc()]
+        )
+        w = Window.orderBy(*order)
+        return df.select(
+            F.col(doc_col),
+            (1.0 / (F.lit(float(c)) + F.row_number().over(w))).alias(out),
+        )
+
+    fused = None
+    cols = []
+    for i, (df, asc) in enumerate(results):
+        leg = ranked(df, asc, f"__r{i}")
+        cols.append(f"__r{i}")
+        fused = leg if fused is None else fused.join(leg, doc_col, "full_outer")
+    total = None
+    for name in cols:
+        term = F.coalesce(F.col(name), F.lit(0.0))
+        total = term if total is None else total + term
+    return (
+        fused.select(doc_col, F.round(total, 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), doc_col)
+        .limit(k)
+    )

@@ -820,3 +820,46 @@ def test_bm25_batch_search_equals_looped_single_queries(spark, tmp_path):
         bm25_batch_search(spark, idx, {})
     with _pt.raises(ValueError):
         bm25_batch_search(spark, idx, {"q": []})
+
+
+def test_hybrid_rrf_multi_three_legs_and_two_leg_parity(spark):
+    """Three-leg fusion sums all legs' reciprocal ranks (a doc on all
+    three beats a doc on one); with two legs the result equals
+    hybrid_rrf exactly."""
+    from distributed_vector_database_spark.operators.lexical import (
+        hybrid_rrf,
+        hybrid_rrf_multi,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(1, 0.1), (4, 0.2)], "doc_id long, score double"  # ascending
+    )
+    c = spark.createDataFrame(
+        [(1, 7.0), (2, 6.0)], "doc_id long, score double"
+    )
+    rows = hybrid_rrf_multi(
+        [(a, False), (b, True), (c, False)], k=10, c=60
+    ).collect()
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    assert rows[0]["doc_id"] == 1  # present rank-1 in all three legs
+    assert abs(got[1] - round(3 / 61, 6)) < 1e-9
+    assert abs(got[2] - round(1 / 62 + 1 / 62, 6)) < 1e-9
+    assert abs(got[4] - round(1 / 62, 6)) < 1e-9
+
+    two = sorted(
+        (r["doc_id"], r["rrf_score"])
+        for r in hybrid_rrf_multi([(a, False), (b, True)], k=10).collect()
+    )
+    ref = sorted(
+        (r["doc_id"], r["rrf_score"])
+        for r in hybrid_rrf(a, b, k=10, ascending_a=False, ascending_b=True).collect()
+    )
+    assert two == ref
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hybrid_rrf_multi([(a, False)])
