@@ -3864,8 +3864,8 @@ SELECT id_a, id_b, jaccard FROM best WHERE rn = 1 ORDER BY id_a
 """
 
     o["event_percentiles"] = """
-SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p5,
-  round(quantile_cont(value, 0.9), 6) AS p9,
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
   round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY 1 ORDER BY 1
 """

@@ -632,7 +632,13 @@ def ivf_append(
     ):
         for e in _os.listdir(path):
             fp = _os.path.join(path, e)
-            if _os.path.isfile(fp) and not e.startswith("_applied"):
+            # remove only the flat marker's DATA files (part-*.parquet
+            # + _SUCCESS); every other _-prefixed root entry is layout
+            # metadata (_quantizer.json, _cell_stats.json,
+            # _applied_batches/) that must survive a transient empty
+            if _os.path.isfile(fp) and (
+                not e.startswith("_") or e == "_SUCCESS"
+            ):
                 _os.remove(fp)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
     # layouts carrying range-search radii stay servable: widen the
@@ -733,8 +739,30 @@ def ivf_delete(
                 # Built lineage-free from the schema (a frame derived
                 # from `keep` would read the very path it overwrites);
                 # centroid_id is an ordinary column, so it round-trips
+                # The marker is written to a SIDE dir and only its
+                # data files move in — an overwrite of the layout root
+                # would delete _quantizer.json/_cell_stats.json/
+                # _applied_batches and permanently strand the restart
+                # path of a layout that merely transiently emptied
+                # (r8 ADVICE medium)
                 empty = spark.createDataFrame([], keep.schema)
-                empty.coalesce(1).write.mode("overwrite").parquet(path)
+                mside = f"{path}__empty_{_uuid.uuid4().hex[:12]}"
+                try:
+                    empty.coalesce(1).write.mode("overwrite").parquet(
+                        mside
+                    )
+                    for c in cells:
+                        shutil.rmtree(
+                            f"{path}/centroid_id={c}", ignore_errors=True
+                        )
+                    for e in _os.listdir(mside):
+                        if not e.startswith("_"):
+                            _os.rename(
+                                _os.path.join(mside, e),
+                                _os.path.join(path, e),
+                            )
+                finally:
+                    shutil.rmtree(mside, ignore_errors=True)
             else:
                 for c in cells:
                     shutil.rmtree(

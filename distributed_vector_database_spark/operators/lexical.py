@@ -25,6 +25,7 @@ both as first-class operators over the `documents` fixture:
 from __future__ import annotations
 
 import math
+import re as _re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -676,11 +677,17 @@ def phrase_search(
     lit_phrase = F.array(*[F.lit(w) for w in words])
     staged = (
         docs.filter(F.col(text_col).isNotNull())
-        # cheap substring pre-filter: every true phrase match contains
-        # this substring (token-split is whitespace, so the joined
-        # words appear verbatim); false candidates die in the exact
-        # positional check below
-        .filter(F.contains(F.lower(F.col(text_col)), F.lit(" ".join(words))))
+        # cheap regex pre-filter: tokenize splits on \s+, so a true
+        # phrase match has the words separated by ARBITRARY whitespace
+        # (newline, tab, runs of spaces) — a plain single-space
+        # contains() would silently drop 'new\nyork'. rlike with a
+        # \s+-joined pattern is a strict superset of true matches;
+        # false candidates die in the exact positional check below
+        .filter(
+            F.lower(F.col(text_col)).rlike(
+                r"\s+".join(_re.escape(w) for w in words)
+            )
+        )
         .select(doc_col, tokenize(text_col).alias("__toks"))
         .withColumn("__n", F.size("__toks"))
         .filter(F.col("__n") >= k)

@@ -1549,10 +1549,24 @@ def grouped_percentiles(
     quantile has). For sketch-sized state at extreme cardinality,
     `percentile_approx` is the drop-in with the same plan shape — this
     operator stays exact so the result is hash-oracle-able."""
+    def _label(q: float) -> str:
+        # label from the VALUE, not the decimal digits: 0.5 -> p50
+        # (the old str(q)[2:] emitted 'p5' — indistinguishable from a
+        # genuine 5th percentile and colliding with q=0.05, r8 ADVICE
+        # low). Non-integer percents keep their fraction: 0.999 ->
+        # p99_9, so p100 can only ever mean q=1.0
+        pct = q * 100.0
+        if abs(pct - round(pct)) < 1e-9:
+            return f"p{int(round(pct)):02d}"
+        return "p" + f"{pct:g}".replace(".", "_")
+
+    labels = [_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantiles produce colliding labels: {labels}")
     aggs = [
         F.round(
             F.expr(f"percentile({value_col}, {q})"), 6
-        ).alias(f"p{str(q)[2:]}")
-        for q in quantiles
+        ).alias(lbl)
+        for q, lbl in zip(quantiles, labels)
     ]
     return df.groupBy(group_col).agg(*aggs).orderBy(group_col)

@@ -394,7 +394,12 @@ def epoch_mixture(
 
     epochs_s = min(max_epochs, budget*w_s/sum(w) / token_mass_s);
     a doc appears floor(epochs_s) times (epoch = 1..floor), and one
-    more time iff hash32("id:source:epoch") % 1e6 < frac(epochs_s)*1e6
+    more time iff hash32(id || ":" || source || ":epoch") % 1e6 <
+    frac(epochs_s)*1e6 — the LITERAL suffix ":epoch", not the epoch
+    number: the fractional draw is made exactly once per (id, source)
+    regardless of how many full epochs precede it, so the hashed
+    string needs no epoch-varying part (and the driver oracle pins
+    this exact formula)
     — so growing the corpus or re-running never changes an existing
     doc's epoch list (the same content-stable discipline as
     hash_sample / deterministic_shuffle).

@@ -47,9 +47,22 @@ def drift_state_init(
     reference: DataFrame, state_dir: str, vec_col: str = "embedding"
 ) -> None:
     """Freeze the reference distribution's per-dim moments and start an
-    empty current-state ledger."""
-    _moments(reference, vec_col).write.mode("overwrite").parquet(
-        f"{state_dir}/reference"
+    empty current-state ledger.
+
+    The ledger seed is a real (dim, n, s1, s2) parquet dir under
+    {state_dir}/current — without it a standalone drift_report()
+    before the first non-empty micro-batch died on a path-not-found
+    read instead of returning an empty report (r8 ADVICE low). Seeded
+    as a batch=init partition dir so the fold's batch=N siblings keep
+    a consistent directory layout."""
+    ref = _moments(reference, vec_col)
+    ref.write.mode("overwrite").parquet(f"{state_dir}/reference")
+    spark = reference.sparkSession
+    (
+        spark.createDataFrame([], ref.schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/current/batch=init")
     )
 
 

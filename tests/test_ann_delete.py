@@ -404,6 +404,53 @@ def test_ivf_delete_all_rows_leaves_readable_layout(spark, tmp_path):
     )
 
 
+def test_ivf_transient_empty_preserves_layout_metadata(spark, tmp_path):
+    """A layout that transiently empties must KEEP its restart path:
+    _quantizer.json, _cell_stats.json and the _applied_batches replay
+    markers survive the delete-everything marker write and the next
+    ivf_append's flat-layout cleanup (r8 ADVICE medium — both used to
+    wipe _-prefixed metadata from the root)."""
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_cell_stats,
+        ivf_delete,
+        ivf_read_cell_stats,
+        ivf_read_quantizer,
+        ivf_read_search,
+        ivf_write,
+    )
+
+    emb = _emb(spark, n=40)
+    path = str(tmp_path / "ivf_meta")
+    centroids, assigned = ivf_build(emb, n_centroids=2)
+    ivf_write(assigned, path, centroids=centroids,
+              cell_stats=ivf_cell_stats(assigned, centroids))
+
+    # a replay marker from a prior fold batch
+    ivf_append(spark, path, _emb(spark, n=5, seed=7), centroids,
+               batch_id="seed-batch")
+
+    removed = ivf_delete(spark, path, list(range(40)))
+    assert removed == 40  # the seed-batch re-put overwrote ids 0-4
+
+    # metadata intact after the transient empty
+    assert ivf_read_quantizer(path)  # would raise FileNotFoundError
+    assert ivf_read_cell_stats(path)
+    assert os.path.exists(os.path.join(path, "_applied_batches/b=seed-batch"))
+
+    # replay of the already-applied batch is still a no-op
+    ivf_append(spark, path, _emb(spark, n=5, seed=7), centroids,
+               batch_id="seed-batch")
+    assert spark.read.parquet(path).count() == 0
+
+    # append + serve from the layout alone (the restart path)
+    ivf_append(spark, path, _emb(spark, n=10, seed=9), centroids)
+    assert ivf_read_quantizer(path)  # cleanup must not have eaten it
+    got = ivf_read_search(spark, path, [0.0] * 8, k=3, nprobe=2)
+    assert got.count() == 3
+
+
 def test_hnsw_layout_persists_build_seed(spark, tmp_path):
     """hnsw_compact / hnsw_append must reuse the persisted build seed,
     not their parameter default (ADVICE r7)."""

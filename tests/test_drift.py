@@ -57,6 +57,23 @@ def test_drift_null_vectors_ignored(spark):
     assert all(r["cur_std"] is not None for r in rows)
 
 
+def test_drift_report_before_first_batch_returns_empty(spark, tmp_path):
+    """drift_state_init seeds an empty current ledger, so a standalone
+    drift_report() before any micro-batch returns an EMPTY report
+    instead of dying on a missing {state_dir}/current path (r8 ADVICE
+    low); the first fold then accumulates into the same layout."""
+    from distributed_vector_database_spark.streaming.drift import (
+        drift_report,
+        drift_state_init,
+    )
+
+    state = str(tmp_path / "drift_state")
+    drift_state_init(_corpus(spark, n=60, dim=3, seed=8), state)
+    rep = drift_report(spark, state)
+    assert rep.count() == 0
+    assert "shift_z" in rep.columns and "drifted" in rep.columns
+
+
 def test_streaming_drift_matches_batch_monitor(spark, tmp_path):
     """Two micro-batches folded through run_drift_stream produce the
     same statistics as the batch monitor over the union (moment-merge

@@ -655,6 +655,41 @@ def test_phrase_search_positions_and_overlaps(spark):
         phrase_search(docs, "   ")
 
 
+def test_phrase_search_whitespace_variants_and_regex_metachars(spark):
+    """The pre-filter must be a strict SUPERSET of true positional
+    matches: tokenize splits on \\s+, so 'new\\nyork', 'new\\tyork',
+    and 'new   york' are all genuine phrase hits that a single-space
+    substring contains() would silently prune (r8 ADVICE high).
+    Regex metacharacters in the phrase must be escaped, not
+    interpreted."""
+    from distributed_vector_database_spark.operators.lexical import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see new\nyork at dawn"),    # newline between tokens
+            (2, "new\tyork"),                # tab
+            (3, "a new   york b"),           # multi-space run
+            (4, "new york"),                 # single space still works
+            (5, "newyork"),                  # no split: not a match
+            (6, "york new"),                 # reversed
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in phrase_search(docs, "new york").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["first_pos"] == 2 and got[1]["n_matches"] == 1
+
+    # phrase tokens containing regex metachars must match literally
+    meta = spark.createDataFrame(
+        [(1, "cost is $5.00 total"), (2, "cost is $5x00 total")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in phrase_search(meta, "$5.00 total").collect()}
+    assert set(got) == {1}  # '.' escaped: doc 2's '$5x00' must not match
+
+
 def test_sparse_dot_search_weights_and_saturation(spark, tmp_path):
     """Hand-built postings: weighted sparse dot with tf saturation —
     a doc repeating a low-weight term cannot outscore a doc matching

@@ -540,5 +540,14 @@ def test_grouped_percentiles_interpolation(spark):
         "g string, v double",
     )
     rows = {r["g"]: r for r in grouped_percentiles(df, "g", "v").collect()}
-    assert rows["a"]["p5"] == 3.0 and rows["a"]["p9"] == 4.6
-    assert rows["b"]["p5"] == rows["b"]["p9"] == rows["b"]["p99"] == 7.0
+    assert rows["a"]["p50"] == 3.0 and rows["a"]["p90"] == 4.6
+    assert rows["b"]["p50"] == rows["b"]["p90"] == rows["b"]["p99"] == 7.0
+
+    # labels derive from the VALUE: 0.05 and 0.5 no longer collide,
+    # fractional percents keep their digits, duplicates fail fast
+    import pytest
+
+    got = grouped_percentiles(df, "g", "v", quantiles=(0.05, 0.5, 0.999))
+    assert got.columns == ["g", "p05", "p50", "p99_9"]
+    with pytest.raises(ValueError, match="colliding"):
+        grouped_percentiles(df, "g", "v", quantiles=(0.5, 0.50))
