@@ -2757,136 +2757,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green one-shot queries — all hash-oracled and
     # full-gate-checked every round by tools/check_correctness.py.
     preferred = [
-        # --- never-driver-checked (0 rows through r7): TPC-H shapes ---
+        # --- r9 rotation (VERDICT r8 #1): the 23 queries with ZERO
+        # driver CORRECTNESS rows through round 8 — judge-run green in
+        # r8, promoted here so the hard driver record completes
+        # cumulative coverage at 187/187. Led by the last TPC-H shapes
+        # (Q6/Q12-flavored discount_revenue / priority_shipping_mix,
+        # Q22's idle_rich_customers — vacuous 0-row at sf0.01 by data,
+        # sf0.1 leg non-vacuous — and Q11's important_part_values),
+        # then the MRL/BQ/LSH-join exact anchors, the retrieval layer
+        # (PRF, batched BM25, tri-hybrid), and the curation ops. ---
+        "discount_revenue", "priority_shipping_mix", "idle_rich_customers",
+        "important_part_values", "ann_mrl_topk_exact",
+        "ann_ivfmrl_topk_exact", "ann_ivfmrl_layout_exact",
+        "ann_lsh_join_exact", "ann_bq_topk", "ann_ivfbq_topk",
+        "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
+        "embedding_drift", "bucketed_revenue_join", "weighted_sample",
+        "length_batches", "event_percentiles", "record_link",
+        "hard_negatives", "contrastive_triplets", "topic_keywords",
+        "snippet_extract",
+        # --- code changed in round 9: phrase pre-filter rewrite
+        # (whitespace-tolerant regex, r8 ADVICE high) ---
+        "phrase_search",
+        # --- exact-recall anchors (budget-pinned by contract tests;
+        # one hash-matched exact anchor per ANN index family) ---
+        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
+        "ann_pq_topk_exact", "ann_ivfpq_topk_exact", "ann_hnsw_topk_exact",
+        "ann_hnsw_knn_join_exact", "text_knn_expr", "ann_ivf_filtered_exact",
+        "ann_ivf_delete_exact", "ann_hnsw_delete_exact",
+        "ann_hnsw_compact_exact", "ann_hnsw_filtered_exact",
+        "ann_lsh_topk_exact", "ann_bq_topk_exact", "ann_ivfbq_topk_exact",
+        "ann_ivf_batch_exact",
+        # --- r8 first-timers earning a second green driver round ---
+        "canonical_selection", "epoch_mixture", "corpus_profile",
+        "knn_classify", "retrieval_eval", "semantic_decontam",
+        "training_examples", "ann_ivf_range", "ann_ivf_range_join",
+        # ---- tier 2 (below the 50-row budget; full-gate-checked every
+        # round by tools/check_correctness.py): r8 tier-1 veterans
+        # rotate down — every one hash-green in CORRECTNESS_r08 ----
         "volume_shipping", "returned_item_revenue",
         "customer_order_distribution", "type_share_revenue",
         "small_quantity_revenue", "large_volume_customers",
-        "disjunctive_revenue", "top_supplier",
-        # --- never-driver-checked (0 rows through r7): retrieval ops ---
-        "mmr_topk", "rerank_topk", "topic_assign",
-        "embedding_outliers", "leakage_safe_split",
-        # r8-new: quality-aware canonical pick per near-dup cluster
-        "canonical_selection",
-        # r8-new: epoch-budgeted pretraining mixture + corpus profiler
-        "epoch_mixture", "corpus_profile",
-        # r8-new: Q4/Q8/Q9/Q21 shapes (completes the TPC-H forms
-        # expressible over the fixture columns)
-        "late_shipment_priority", "market_share",
-        "product_profit", "waiting_suppliers",
-        # --- r8-new: the LSH family's first exact anchor ---
-        "ann_lsh_topk_exact",
-        # r8-new: exact radius search with triangle-inequality pruning
-        "ann_ivf_range",
-        # r8-new: k-NN label propagation (majority vote of labeled nbrs)
-        "knn_classify",
-        # r8-new: retrieval metric layer (recall@k / MRR / nDCG@k)
-        "retrieval_eval",
-        # r8-new: exact all-pairs radius join via cell-pair pruning
-        "ann_ivf_range_join",
-        # r8-new: binary quantization (1-bit Hamming + exact refine)
-        # and its IVF composition
-        "ann_bq_topk_exact", "ann_ivfbq_topk_exact",
-        # r8-new: embedding-space decontamination
-        "semantic_decontam",
-        # r8-new: batched IVF serving (Q queries, one pruned scan)
-        "ann_ivf_batch_exact",
-        # r8-new: GPT-style fixed-length example builder
-        "training_examples",
-        # r8-new: positional phrase query
-        "phrase_search",
-        # r8-new: filtered radius search
-        "ann_ivf_range_filtered",
-        # r8-new: learned-sparse serving from the postings layout
-        "sparse_dot_topk",
-        # r8-new: Q2/Q16/Q20 shapes (completes all 22 TPC-H forms;
-        # Q11's important_part_values heads tier 2 for the r9 rotation)
+        "disjunctive_revenue", "top_supplier", "mmr_topk", "rerank_topk",
+        "topic_assign", "embedding_outliers", "leakage_safe_split",
+        "late_shipment_priority", "market_share", "product_profit",
+        "waiting_suppliers", "ann_ivf_range_filtered", "sparse_dot_topk",
         "min_cost_supplier", "supplier_part_counts",
-        "excess_stock_suppliers",
-        # --- exact-recall anchors (budget-pinned by contract tests) ---
-        "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
-        "ann_pq_topk_exact", "ann_ivfpq_topk_exact",
-        "ann_hnsw_topk_exact", "ann_hnsw_knn_join_exact",
-        "text_knn_expr", "ann_ivf_filtered_exact",
-        "ann_ivf_delete_exact", "ann_hnsw_delete_exact",
-        "ann_hnsw_compact_exact",
-        # r8-new: filtered serving through the persisted HNSW layout
-        "ann_hnsw_filtered_exact",
-        # --- code changed in round 8 (perf fix: staged-token LM) ---
-        "lm_perplexity",
-        # ---- tier 2 (below the 50-row budget; full-gate-checked every
-        # round): important_part_values first for the r9 rotation, then
-        # multi-round-green veterans (flagship_knn has 7 green rounds;
-        # entry() still smoke-checks it every round regardless) ----
-        "important_part_values",
-        "ann_mrl_topk_exact",
-        "prf_expanded_topk",
-        "embedding_drift",
-        "bucketed_revenue_join",
-        "weighted_sample",
-        "length_batches",
-        "ann_ivfmrl_topk_exact",
-        "event_percentiles",
-        "record_link",
-        "hard_negatives",
-        "ann_ivfmrl_layout_exact",
-        "topic_keywords",
-        "snippet_extract",
-        "contrastive_triplets",
-        "bm25_batch_topk",
-        "tri_hybrid_topk",
-        "flagship_knn",
-        # --- round-7 first-timers with a green r7 driver row ---
+        "excess_stock_suppliers", "lm_perplexity", "flagship_knn",
         "funnel_served", "funnel_steps", "funnel_report", "maxsim_join",
         "user_rolling_7d", "quality_deciles", "skew_report",
         "orders_grouping_sets", "deterministic_shuffle",
-        "collapse_repetitions",
-        # --- round-6/7 two-round queries holding the last slots ---
-        "training_pipeline", "training_pipeline_spans",
-        "events_rollup_served", "hybrid_rrf_served",
-        # --- tier 2: hash-oracled, >=1 green driver round; semantics ---
-        # (bm25_postings_topk/snapshot_diff/scd2_history/decontam_report/
-        # decontam_filter/source_overlap rotate down for the six r8-new
-        # oracled queries above: all multi-round-green, full-gate-covered)
-        "bm25_postings_topk", "snapshot_diff", "scd2_history",
-        "decontam_report", "decontam_filter", "source_overlap",
-        # --- also pinned in pytest + full-gate re-runs every round   ---
-        # (the r7 rows-only ANN block rotates down: each has a driver
-        # rows row from r7 and a hash-green exact anchor in-budget)
-        "events_gapfill", "dup_span_report", "remove_dup_spans",
-        "ann_ivf_filtered", "embedding_near_dup_scale",
-        "ann_lsh_similarity_join",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_bq_topk", "ann_ivfbq_topk",
-        "ann_hnsw_topk", "ann_ivf_knn_join",
-        "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
-        "session_ids", "retention_cohorts", "token_budget_select",
-        "bm25_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
-        "ngram_jaccard_scale", "chunk_documents", "mixture_sample",
-        "pii_redaction", "top_terms", "winnow_fingerprints",
-        "orders_cube", "event_value_median_udaf", "salted_user_counts",
-        "events_dedup_first",
-        "temperature_sample", "jl_projection", "model_quality_scores",
-        "sample_negatives", "maxsim_topk", "maxsim_pruned_exact",
-        "packed_bins",
-        "hash_sample", "stratified_sample", "events_sessions",
-        "event_json_extract", "events_with_prev", "event_value_percentiles",
+        "collapse_repetitions", "training_pipeline",
+        "training_pipeline_spans", "events_rollup_served",
+        "hybrid_rrf_served", "bm25_postings_topk", "snapshot_diff",
+        "scd2_history", "decontam_report", "decontam_filter",
+        "source_overlap", "events_gapfill", "dup_span_report",
+        "remove_dup_spans", "ann_ivf_filtered", "embedding_near_dup_scale",
+        "ann_lsh_similarity_join", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_hnsw_topk",
+        "ann_ivf_knn_join", "text_to_doc_search", "multimodal_embed",
+        "bpe_token_counts", "session_ids", "retention_cohorts",
+        "token_budget_select", "bm25_topk", "hybrid_rrf_topk",
+        "hybrid_linear_topk", "ngram_jaccard_scale", "chunk_documents",
+        "mixture_sample", "pii_redaction", "top_terms",
+        "winnow_fingerprints", "orders_cube", "event_value_median_udaf",
+        "salted_user_counts", "events_dedup_first", "temperature_sample",
+        "jl_projection", "model_quality_scores", "sample_negatives",
+        "maxsim_topk", "maxsim_pruned_exact", "packed_bins", "hash_sample",
+        "stratified_sample", "events_sessions", "event_json_extract",
+        "events_with_prev", "event_value_percentiles",
         "distinct_user_counts", "monthly_revenue", "knn_topk_default",
         "get_all_vectors", "dim_check", "asof_join", "customers_with_orders",
         "changelog_incremental", "changelog_compact", "upsert_semantics",
         "orders_pivot", "repetition_scores", "customer_moving_avg",
         "metadata_map_filter", "doc_token_positions", "event_range_join",
-        "near_dup_clusters", "customers_above_avg_balance",
-        "knn_exact", "knn_filtered", "knn_threshold", "knn_sharded",
-        "knn_join", "point_lookup", "vector_normalize", "shard_routing",
-        "dedup_by_key", "events_sliding", "events_tumbling",
-        "scan_filter_project", "pricing_summary", "top_orders_by_segment",
-        "regional_revenue",
+        "near_dup_clusters", "customers_above_avg_balance", "knn_exact",
+        "knn_filtered", "knn_threshold", "knn_sharded", "knn_join",
+        "point_lookup", "vector_normalize", "shard_routing", "dedup_by_key",
+        "events_sliding", "events_tumbling", "scan_filter_project",
+        "pricing_summary", "top_orders_by_segment", "regional_revenue",
         "customer_order_ranks", "nations_set_ops",
         "orders_without_lineitems", "orders_rollup", "topk_orders",
         "doc_stats", "lang_profile", "quality_filter", "lang_id_ngram",
-        "pack_documents",
-        "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
-        "simhash_dedup", "embedding_near_dup",
+        "pack_documents", "exact_dedup", "ngram_jaccard_dedup",
+        "minhash_lsh_dedup", "simhash_dedup", "embedding_near_dup",
     ]
     # queries not yet in the list run after every ordered entry (never
     # silently dropped, never reordered ahead of hash-oracled ones)

@@ -2,12 +2,13 @@
 
 The correctness harness records rows for the first 50 insertion-order
 entries of queries() only. These tests fail fast if a future edit
-breaks the ordering contract: the round-7 rotation set (the 19
+breaks the ordering contract: the round-9 rotation set (the 23
 queries that had never produced a driver CORRECTNESS row through
-round 6) must stay inside the budget, the ANN exact-recall anchors
-must stay inside the budget, every budgeted query must be either
-hash-oracled or a member of the known rows-only-by-design set, and
-queries()/oracle_sql() must stay key-consistent.
+round 8, plus this round's code-changed queries) must stay inside
+the budget, the ANN exact-recall anchors must stay inside the
+budget, every budgeted query must be either hash-oracled or a member
+of the known rows-only-by-design set, and queries()/oracle_sql()
+must stay key-consistent.
 """
 
 from __future__ import annotations
@@ -33,6 +34,16 @@ ANCHORS = {
     "ann_lsh_topk_exact",
     # round-8: filtered serving through the persisted HNSW layout
     "ann_hnsw_filtered_exact",
+    # round-8-late: binary quantization + its IVF composition
+    "ann_bq_topk_exact",
+    "ann_ivfbq_topk_exact",
+    # round-8-late: batched IVF serving (one pruned scan, Q queries)
+    "ann_ivf_batch_exact",
+    # round-9 rotation: MRL truncation family + LSH coverage join
+    "ann_mrl_topk_exact",
+    "ann_ivfmrl_topk_exact",
+    "ann_ivfmrl_layout_exact",
+    "ann_lsh_join_exact",
 }
 
 # rows-only by design: ANN recall / multimodal / BPE queries with no
@@ -48,26 +59,23 @@ ROWS_ONLY = {
 }
 
 ROTATED_IN = {
-    # the 13 queries with zero driver CORRECTNESS rows through round 7
-    # (VERDICT r7 item #1) — promoted into the budget in round 8 to
-    # complete cumulative driver coverage at 141/141
-    "volume_shipping", "returned_item_revenue",
-    "customer_order_distribution", "type_share_revenue",
-    "small_quantity_revenue", "large_volume_customers",
-    "disjunctive_revenue", "top_supplier",
-    "mmr_topk", "rerank_topk", "topic_assign",
-    "embedding_outliers", "leakage_safe_split",
-    # round-8 code changes that must show a green driver row
-    "ann_lsh_topk_exact", "lm_perplexity", "canonical_selection",
-    "ann_hnsw_filtered_exact", "epoch_mixture", "corpus_profile",
-    "late_shipment_priority", "market_share",
-    "product_profit", "waiting_suppliers",
-    # round-8 third batch: Q2/Q16/Q20 shapes (Q11's
-    # important_part_values heads tier 2 for the round-9 rotation;
-    # displaced: flagship_knn / funnel_served / funnel_steps, all
-    # driver-green in r7 and still full-gate-checked every round)
-    "min_cost_supplier", "supplier_part_counts",
-    "excess_stock_suppliers",
+    # the 23 queries with zero driver CORRECTNESS rows through round 8
+    # (VERDICT r8 item #1) — promoted into the budget in round 9 to
+    # complete cumulative driver coverage at 187/187
+    "discount_revenue", "priority_shipping_mix", "idle_rich_customers",
+    "important_part_values",
+    "ann_mrl_topk_exact", "ann_ivfmrl_topk_exact",
+    "ann_ivfmrl_layout_exact", "ann_lsh_join_exact",
+    "ann_bq_topk", "ann_ivfbq_topk",
+    "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
+    "embedding_drift", "bucketed_revenue_join", "weighted_sample",
+    "length_batches", "event_percentiles", "record_link",
+    "hard_negatives", "contrastive_triplets", "topic_keywords",
+    "snippet_extract",
+    # round-9 code changes that must show a green driver row
+    # (phrase pre-filter rewrite; percentile relabel rides on
+    # event_percentiles above)
+    "phrase_search",
 }
 
 
