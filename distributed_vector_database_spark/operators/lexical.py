@@ -915,6 +915,7 @@ def bm25_batch_search(
     k1: float = 1.2,
     b: float = 0.75,
     doc_col: str = "doc_id",
+    membership: str = "auto",
 ) -> DataFrame:
     """Batched BM25 serving: MANY queries through ONE postings scan
     pruned to the union of their terms — the lexical analog of
@@ -923,16 +924,35 @@ def bm25_batch_search(
     pays it once).
 
     `queries` maps query_id → term list. Per-query membership is a
-    term→queries inverted literal map applied AFTER the shared slice,
-    so each query scores exactly the postings its own terms admit —
-    batch semantics ≡ looping bm25_postings_search (pinned by test).
-    df(t) comes from a window over the shared slice exactly as the
-    single-query path computes it.
+    term→queries inversion applied AFTER the shared slice, so each
+    query scores exactly the postings its own terms admit — batch
+    semantics ≡ looping bm25_postings_search (pinned by test).
+    df(t) comes from a window over the shared slice (computed BEFORE
+    membership fan-out, so a term shared by many queries is counted
+    once) exactly as the single-query path computes it.
+
+    `membership` picks how the inversion enters the plan:
+    - 'literal': a create_map of term→[query ids] literals plus an
+      isin(all_terms) prune. Zero extra joins — right for the
+      16–256-query serving batches — but the PLAN grows with
+      Σ|terms per query|, and Catalyst analysis cost follows plan
+      size, not data size.
+    - 'join': the inversion becomes a broadcast (term, query_id)
+      frame; term pruning is a broadcast semi join and membership an
+      inner join. Plan size is O(1) in the batch; the tiny frame
+      ships once per executor. Right above ~10³ memberships.
+    - 'auto' (default): 'join' when the membership count exceeds
+      512, else 'literal'. The r9 envelope smoke (SCALE.md) measured
+      the knee: literal-path wall time doubles from Q=256 to Q=1024
+      almost entirely in plan build, while the join path stays flat.
+    Both paths return identical rows (parity-pinned by test).
 
     100 TB: scan reads the union terms' posting rows once;
     one (query, doc) aggregation; TakeOrdered per query via window."""
     if not queries:
         raise ValueError("queries must be non-empty")
+    if membership not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown membership mode: {membership}")
     norm_q = {
         str(qid): sorted({t.lower() for t in terms})
         for qid, terms in queries.items()
@@ -952,25 +972,31 @@ def bm25_batch_search(
     avgdl = total_tokens / n_docs if n_docs else 1.0
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in all_terms})
 
-    # term -> [query ids] as a literal map of arrays
+    # term -> [query ids] inversion
     term_qids: dict[str, list[str]] = {}
     for qid, ts in norm_q.items():
         for t in ts:
             term_qids.setdefault(t, []).append(qid)
-    qmap = F.create_map(
-        *[
-            x
-            for t, qids in sorted(term_qids.items())
-            for x in (F.lit(t), F.array(*[F.lit(q) for q in sorted(qids)]))
-        ]
-    )
+    n_memberships = sum(len(v) for v in term_qids.values())
+    mode = membership
+    if mode == "auto":
+        mode = "join" if n_memberships > 512 else "literal"
 
-    slice_ = (
+    base = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(all_terms))
         .filter(F.col("aid").isin(aids))
     )
+    if mode == "literal":
+        slice_ = base.filter(F.col("term").isin(all_terms))
+    else:
+        memb = spark.createDataFrame(
+            [(t, q) for t, qs in sorted(term_qids.items()) for q in qs],
+            "term string, query_id string",
+        )
+        slice_ = base.join(
+            F.broadcast(memb.select("term").distinct()), "term", "left_semi"
+        )
     w = Window.partitionBy("term")
     scored = slice_.withColumn("__df", F.count(F.lit(1)).over(w))
     idf = F.log(
@@ -980,11 +1006,25 @@ def bm25_batch_search(
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     )
-    per_query = (
-        scored.withColumn("__s", idf * tf / (tf + norm))
-        .withColumn("query_id", F.explode(qmap[F.col("term")]))
-        .groupBy("query_id", doc_col)
-        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    scored = scored.withColumn("__s", idf * tf / (tf + norm))
+    if mode == "literal":
+        qmap = F.create_map(
+            *[
+                x
+                for t, qids in sorted(term_qids.items())
+                for x in (
+                    F.lit(t),
+                    F.array(*[F.lit(q) for q in sorted(qids)]),
+                )
+            ]
+        )
+        fanned = scored.withColumn(
+            "query_id", F.explode(qmap[F.col("term")])
+        )
+    else:
+        fanned = scored.join(F.broadcast(memb), "term")
+    per_query = fanned.groupBy("query_id", doc_col).agg(
+        F.round(F.sum("__s"), 6).alias("score")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score"), doc_col)
     return (

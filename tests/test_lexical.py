@@ -855,6 +855,43 @@ def test_bm25_batch_search_equals_looped_single_queries(spark, tmp_path):
         bm25_batch_search(spark, idx, {})
     with _pt.raises(ValueError):
         bm25_batch_search(spark, idx, {"q": []})
+    with _pt.raises(ValueError):
+        bm25_batch_search(spark, idx, batch, membership="nope")
+
+
+def test_bm25_batch_membership_join_parity(spark, tmp_path):
+    """The broadcast-join membership path (the plan-size-bounded form
+    for 10³+-query batches) returns bit-identical rows to the literal
+    create_map path, including df(t) — membership fan-out must not
+    inflate a shared term's document frequency."""
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_batch_search,
+        postings_write,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "idx_joinpath")
+    postings_write(docs, idx, n_buckets=8)
+    batch = {
+        "q1": ["spark", "join"],
+        "q2": ["filter"],
+        "q3": ["spark"],          # shares 'spark' with q1: df trap
+        "q4": ["spark", "filter", "join"],
+    }
+    lit = sorted(
+        map(tuple, bm25_batch_search(
+            spark, idx, batch, k=5, membership="literal").collect())
+    )
+    jn = sorted(
+        map(tuple, bm25_batch_search(
+            spark, idx, batch, k=5, membership="join").collect())
+    )
+    assert lit == jn and lit
+    # auto picks literal below the knee (12 memberships << 512)
+    auto = sorted(
+        map(tuple, bm25_batch_search(spark, idx, batch, k=5).collect())
+    )
+    assert auto == lit
 
 
 def test_hybrid_rrf_multi_three_legs_and_two_leg_parity(spark):
