@@ -111,6 +111,34 @@ def drift_report(spark: SparkSession, state_dir: str, z_alert: float = 3.0) -> D
     )
 
 
+def build_drift_fold(
+    state_dir: str, vec_col: str = "embedding", z_alert: float = 3.0
+):
+    """The foreachBatch body run_drift_stream uses, exposed like
+    build_ivf_changelog_fold / build_hnsw_changelog_fold so the
+    maintenance cost is directly benchable (one call = one
+    micro-batch's moments folded + one versioned report emitted)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        (
+            _moments(batch, vec_col)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/current/batch={batch_id}")
+        )
+        (
+            drift_report(spark, state_dir, z_alert=z_alert)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/reports/batch={batch_id}")
+        )
+
+    return fold
+
+
 def run_drift_stream(
     spark: SparkSession,
     vecs_dir: str,
@@ -126,23 +154,7 @@ def run_drift_stream(
     time is the merge) and emit a versioned report per batch under
     {state_dir}/reports/batch=N. Replayed batch_ids overwrite their
     own file and report idempotently (same data, same moments)."""
-
-    def fold(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        (
-            _moments(batch, vec_col)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/current/batch={batch_id}")
-        )
-        (
-            drift_report(spark, state_dir, z_alert=z_alert)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/reports/batch={batch_id}")
-        )
-
+    fold = build_drift_fold(state_dir, vec_col=vec_col, z_alert=z_alert)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
