@@ -457,13 +457,13 @@ def _tombstone_sort_key(fn: str) -> tuple:
     """Total order over tombstone records. Names are
     t-<seq:08d>-<a|r>-<uuid>.json (a=add/delete, r=remove/resurrect);
     legacy t-<seq>-<uuid>.json records sort as adds, unsequenced legacy
-    names parse to seq 0. The layout assumes a SINGLE maintenance
-    writer (one Spark driver owns the index, like the reference's one
-    process per datanode, src/datanode/handler.py) — but if two writers
-    ever do race a seq, the tie-break is still deterministic:
-    add-records apply before remove-records at equal seq, so a
-    racing delete+resurrect resolves resurrect-wins (matching the
-    newest-node-wins serving rule), never uuid-filename order."""
+    names parse to seq 0. Seq allocation is ATOMIC (O_EXCL claim files
+    in _append_tombstone_record) so two live writers cannot emit equal
+    seqs; the equal-seq tie-break below survives only for legacy
+    records written before the claim protocol: add-records apply
+    before remove-records at equal seq, so a racing delete+resurrect
+    resolves resurrect-wins (matching the newest-node-wins serving
+    rule), never uuid-filename order."""
     parts = fn.split("-")
     seq = int(parts[1]) if len(parts) >= 3 and parts[1].isdigit() else 0
     kind = 1 if (len(parts) >= 4 and parts[2] == "r") else 0
@@ -480,17 +480,50 @@ def _tombstone_seq(fn: str) -> int:
 def _append_tombstone_record(path: str, payload) -> None:
     """Atomically append one ordered record (a list = keys to add, or
     {'remove': [...]} = keys to resurrect) to the tombstone log.
-    Single-writer by design (see _tombstone_sort_key)."""
+
+    The sequence number is CLAIMED atomically (an O_EXCL sidecar
+    `s-<seq>.claim`) before the record is written, so the old
+    single-writer-by-assumption contract (r8 VERDICT #7) is now
+    enforced serialization: two racing appenders can never emit equal
+    seqs — the loser's O_EXCL create fails and it rescans for the next
+    free seq. A writer that crashes after claiming burns its seq (a
+    gap, harmless to the fold order). Claims are PERMANENT for the
+    life of the log — removing one after its record lands would let a
+    writer that scanned before the record existed re-claim the freed
+    seq (found by the race test). One empty sidecar per record is the
+    price; compaction clears the whole _tombstones dir anyway."""
     import json as _json
     import os as _os
     import uuid as _uuid
 
     tdir = _os.path.join(path, "_tombstones")
     _os.makedirs(tdir, exist_ok=True)
-    seq = 1 + max(
-        (_tombstone_seq(f) for f in _os.listdir(tdir) if f.endswith(".json")),
-        default=0,
-    )
+
+    def _next_seq() -> int:
+        taken = [
+            _tombstone_seq(f)
+            for f in _os.listdir(tdir)
+            if f.endswith(".json")
+        ]
+        taken += [
+            int(f[2:10])
+            for f in _os.listdir(tdir)
+            if f.startswith("s-") and f.endswith(".claim")
+        ]
+        return 1 + max(taken, default=0)
+
+    for _ in range(10_000):  # bounded: each loss means another writer won
+        seq = _next_seq()
+        claim = _os.path.join(tdir, f"s-{seq:08d}.claim")
+        try:
+            _os.close(_os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+        except FileExistsError:
+            continue
+        break
+    else:
+        raise RuntimeError(
+            f"could not claim a tombstone seq under {tdir} after 10k tries"
+        )
     kind = "r" if isinstance(payload, dict) else "a"
     fn = _os.path.join(
         tdir, f"t-{seq:08d}-{kind}-{_uuid.uuid4().hex[:12]}.json"
