@@ -1071,6 +1071,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_filter"] = decontam_filter_q
 
+    def decontam_spans_q(spark, sf):
+        # SPAN-level decontamination: excise eval-overlapping k-token
+        # windows from train docs instead of dropping whole documents
+        # (k=4 so the strip path is non-vacuous at gate scale; the
+        # operator default is 8)
+        from distributed_vector_database_spark.operators.decontam import (
+            decontaminate_spans,
+        )
+
+        corpus, evals = _decontam_split(spark, sf)
+        return decontaminate_spans(corpus, evals, k=4).orderBy("doc_id")
+
+    q["decontam_spans"] = decontam_spans_q
+
     def semantic_decontam_q(spark, sf):
         # embedding-space decontamination: corpus items within cosine
         # SEM_DECONTAM_T of any eval item (vec_id < 5 plays the eval
@@ -2778,6 +2792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- code changed in round 9: phrase pre-filter rewrite
         # (whitespace-tolerant regex, r8 ADVICE high) ---
         "phrase_search",
+        # --- r9-new: span-level decontamination (excise eval-
+        # overlapping windows, keep the document) ---
+        "decontam_spans",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -2790,7 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 first-timers earning a second green driver round ---
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "knn_classify", "retrieval_eval", "semantic_decontam",
-        "training_examples", "ann_ivf_range", "ann_ivf_range_join",
+        "training_examples", "ann_ivf_range",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
@@ -3448,6 +3465,43 @@ SELECT vec_id, eval_id, cosine FROM flagged WHERE rn = 1 ORDER BY vec_id
 WITH {_DECONTAM_CTES}
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id % 41 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+    o["decontam_spans"] = """
+WITH
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE doc_id % 41 != 0),
+etok AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id % 41 = 0),
+w AS (SELECT doc_id, unnest(generate_series(1, len(toks)-3)) AS pos, toks
+      FROM tok WHERE len(toks) >= 4),
+g AS (SELECT doc_id, pos,
+        md5(array_to_string(list_slice(toks, pos, pos+3), ' ')) AS gram
+      FROM w),
+ew AS (SELECT unnest(generate_series(1, len(toks)-3)) AS pos, toks
+       FROM etok WHERE len(toks) >= 4),
+eg AS (SELECT DISTINCT
+         md5(array_to_string(list_slice(toks, pos, pos+3), ' ')) AS gram
+       FROM ew),
+fl AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM eg)),
+tp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+       FROM tok),
+keep AS (
+  SELECT t.doc_id, t.i, t.toks[t.i] AS tk FROM tp t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fl f
+    WHERE f.doc_id = t.doc_id AND f.pos <= t.i AND t.i < f.pos + 4
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text,
+    count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
 """
 
     o["source_overlap"] = f"""

@@ -145,6 +145,63 @@ def decontaminate(
     return docs.join(bad, id_col, "left_anti")
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """SPAN-level decontamination: remove from each training document
+    exactly the k-token windows whose gram also occurs anywhere in the
+    eval corpus, keeping the rest of the document — the surgical
+    variant of `decontaminate`'s whole-doc drop (the procedure the
+    published pipelines apply when dropping whole documents would cost
+    too much data: excise the contaminated span, keep the document).
+
+    Mechanics are the ExactSubstr span machinery pointed across
+    corpora: strict k-token windows -> md5 grams (the ONE shared gram
+    expression, operators/dedup._window_grams, so this op can never
+    hash-drift from remove_duplicate_spans) -> flag train windows
+    whose gram hits the eval gram set -> drop every token covered by
+    a flagged window (dedup._strip_flagged). Returns
+    (id_col, clean_text, n_removed_tokens); clean_text is rebuilt
+    from the tokenizer's lowercased tokens, same contract as
+    remove_duplicate_spans.
+
+    100 TB: the eval side is small by construction — its distinct
+    gram set BROADCASTS, so the corpus-sized pass is one scan +
+    map-side semi join; the only shuffles are the per-doc flagged
+    aggregation (bounded by contaminated mass) and the final id join.
+    A corpus-sized eval side (broadcast_eval=False) degrades to one
+    gram-keyed shuffle, the remove_duplicate_spans cost shape."""
+    from distributed_vector_database_spark.operators.dedup import (
+        _strip_flagged,
+        _window_grams,
+    )
+
+    eval_grams = (
+        _window_grams(
+            eval_docs.select(F.col(eval_text_col).alias("text")),
+            k,
+            None,
+            "text",
+        )
+        .select("gram")
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    flagged = (
+        _window_grams(docs, k, id_col, text_col)
+        .join(eval_grams, "gram", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _strip_flagged(docs, flagged, k, id_col, text_col)
+
+
 def source_overlap_sketch(
     docs: DataFrame,
     n: int = 3,

@@ -76,6 +76,8 @@ ROTATED_IN = {
     # (phrase pre-filter rewrite; percentile relabel rides on
     # event_percentiles above)
     "phrase_search",
+    # round-9 new operators
+    "decontam_spans",
 }
 
 

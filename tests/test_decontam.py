@@ -243,3 +243,51 @@ def test_semantic_decontam_flags_paraphrase_shaped_neighbors(spark):
     }
     assert low[14] == 0  # equal cosine to both evals -> smaller id wins
     assert 13 not in low
+
+
+def test_decontaminate_spans_excises_only_contaminated_windows(spark):
+    """Span decontam removes exactly the tokens covered by eval-gram
+    windows and keeps everything else: a train doc quoting an eval
+    k-gram loses that span (not the doc), a doc with no eval overlap
+    is untouched, and a train-train duplicate span never triggers
+    (this is CROSS-corpus, unlike remove_duplicate_spans)."""
+    from distributed_vector_database_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes the 5-gram mid-doc: those 5 tokens go
+            (1, "intro words the quick brown fox jumps outro words"),
+            # shares 4 tokens only (sub-k): survives intact
+            (2, "the quick brown fox sleeps all day long"),
+            # no overlap at all
+            (3, "completely unrelated text about spark plans here"),
+            # train-train duplicate of doc 3: must NOT be stripped
+            (4, "completely unrelated text about spark plans here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(train, ev, k=5).collect()
+    }
+    assert got[1]["clean_text"] == "intro words outro words"
+    assert got[1]["n_removed_tokens"] == 5
+    for d in (2, 3, 4):
+        assert got[d]["n_removed_tokens"] == 0, d
+        assert got[d]["clean_text"] == train.collect()[d - 1]["text"]
+
+    # overlapping contaminated windows strip the union of their cover
+    ev2 = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string"
+    )
+    t2 = spark.createDataFrame(
+        [(9, "x a b c d e f y")], "doc_id long, text string"
+    )
+    r = decontaminate_spans(t2, ev2, k=5).collect()[0]
+    assert r["clean_text"] == "x y" and r["n_removed_tokens"] == 6

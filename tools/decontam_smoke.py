@@ -66,6 +66,28 @@ def main():
     t_rep = time.time() - t0
     print(f"contamination_report: {n_cont} contaminated docs in {t_rep:.1f}s")
 
+    # span-level variant: excise the contaminated windows, keep the
+    # docs — planted copies are fully covered by eval 8-grams, so each
+    # planted doc must lose ALL its tokens; everyone else is intact
+    # except natural collisions (printed, not asserted)
+    from distributed_vector_database_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    t0 = time.time()
+    spans = decontaminate_spans(corpus, evals, k=8).persist()
+    n_stripped, n_emptied = spans.agg(
+        F.count(F.when(F.col("n_removed_tokens") > 0, 1)),
+        F.count(F.when(F.col("clean_text") == "", 1)),
+    ).first()
+    t_spans = time.time() - t0
+    print(
+        f"decontaminate_spans: {n_stripped} docs lost spans, "
+        f"{n_emptied} fully emptied (>= {planted} planted) in {t_spans:.1f}s"
+    )
+    assert n_emptied >= planted
+    spans.unpersist()
+
     ann = corpus.select(
         "doc_id",
         quality_score("text").alias("quality"),
