@@ -118,6 +118,7 @@ UPSERT_SPLIT_TS = "2024-01-16 00:00:00"  # base/changes split for upsert
 Q1_SHIP_BEFORE = "1998-09-01"
 QUALITY_MIN = 0.5
 TOKEN_BUDGET = 8000       # budgeted-selection cutoff (~half the sf0.01 corpus)
+SOURCE_CAP = 400          # per-source domain cap (~half each source's mass)
 SPAN_K = 8                # duplicate-span window width (tokens)
 JL_D_OUT = 8              # JL projection output dimensionality
 MODEL_W = {               # linear quality-model weights (literal "model")
@@ -1109,6 +1110,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_overlap(load_table(spark, sf, "documents"), n=3)
 
     q["source_overlap"] = source_overlap_q
+
+    def source_token_caps_q(spark, sf):
+        # per-source domain cap (dataset-card curation: 'at most X
+        # tokens per source, best quality first') — grouped
+        # distributed prefix-sum, no per-group single-reducer window
+        from distributed_vector_database_spark.operators.sampling import (
+            select_by_token_budget_grouped,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        ann = (
+            doc_stats(docs)
+            .select("doc_id", "quality", "n_tokens")
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+        return select_by_token_budget_grouped(
+            ann, SOURCE_CAP, group_col="source", partitions=8
+        ).select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+
+    q["source_token_caps"] = source_token_caps_q
 
     def token_budget_select_q(spark, sf):
         # budgeted corpus selection: best-quality docs until the token
@@ -2793,8 +2814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whitespace-tolerant regex, r8 ADVICE high) ---
         "phrase_search",
         # --- r9-new: span-level decontamination (excise eval-
-        # overlapping windows, keep the document) ---
-        "decontam_spans",
+        # overlapping windows, keep the document) + per-source
+        # token-budget domain caps ---
+        "decontam_spans", "source_token_caps",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -2807,7 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 first-timers earning a second green driver round ---
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "knn_classify", "retrieval_eval", "semantic_decontam",
-        "training_examples", "ann_ivf_range",
+        "training_examples",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
@@ -3432,6 +3454,23 @@ c AS (
 )
 SELECT doc_id, quality, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+    o["source_token_caps"] = f"""
+WITH ds AS ({_doc_stats_sql()}),
+ann AS (
+  SELECT ds.doc_id, d.source, ds.quality, ds.n_tokens
+  FROM ds JOIN documents d ON ds.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id, source, quality, n_tokens,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT)
+      AS cum_tokens
+  FROM ann
+)
+SELECT doc_id, source, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {SOURCE_CAP}
 """.replace("{ds}", _doc_stats_sql())
 
     o["semantic_decontam"] = f"""

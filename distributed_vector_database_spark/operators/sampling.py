@@ -135,6 +135,97 @@ def select_by_token_budget(
         ranged.unpersist()
 
 
+def select_by_token_budget_grouped(
+    df: DataFrame,
+    budgets: "int | dict",
+    group_col: str = "source",
+    order_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP budgeted selection — the domain-cap step of dataset
+    curation ('at most X tokens of web, Y of code, best quality
+    first'): within each group_col value, take documents in descending
+    order_col order (ties to id_col) while that group's running token
+    total stays within its budget. `budgets` is one int (same cap per
+    group) or a {group: cap} dict (absent groups get 0 — an explicit
+    allowlist). Output keeps input columns plus `cum_tokens` (running
+    total WITHIN the group, boundary-auditable).
+
+    Same distributed prefix-sum as select_by_token_budget, generalized
+    to grouped offsets: range-repartition on (group, order desc, id)
+    so each partition holds a contiguous slice of ONE OR TWO groups'
+    orders; an O(P·G_boundary)-row driver pass turns per-(partition,
+    group) totals into exact per-group starting offsets; partitions
+    whose offset already exceeds their group's cap are dropped before
+    any window runs; local windows per (partition, group) add offset +
+    local cumsum. A giant group spreads across many range partitions —
+    no per-group single-reducer window, which is the naive
+    `Window.partitionBy(group)` cliff this exists to avoid."""
+    if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError("budget must be >= 0")
+    else:
+        if any(v < 0 for v in budgets.values()):
+            raise ValueError("budgets must be >= 0")
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        p, F.asc(group_col), F.desc(order_col), F.asc(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    try:
+        totals = (
+            ranged.groupBy("__pid", group_col)
+            .agg(F.sum(tokens_col).alias("__t"))
+            .collect()
+        )
+
+        def bud(g) -> int:
+            if isinstance(budgets, int):
+                return budgets
+            return int(budgets.get(g, 0))
+
+        acc: dict = {}
+        live = []
+        for r in sorted(totals, key=lambda r: (r[group_col], r["__pid"])):
+            g = r[group_col]
+            off = acc.get(g, 0)
+            if off < bud(g):
+                live.append((r["__pid"], g, off, bud(g)))
+            acc[g] = off + int(r["__t"] or 0)
+        if not live:
+            return ranged.limit(0).drop("__pid").withColumn(
+                "cum_tokens", F.lit(0).cast("long")
+            )
+        gtype = dict(df.dtypes)[group_col]
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                live,
+                f"__pid int, {group_col} {gtype}, "
+                "__offset long, __budget long",
+            )
+        )
+        w = Window.partitionBy("__pid", group_col).orderBy(
+            F.desc(order_col), F.asc(id_col)
+        )
+        out = (
+            ranged.join(off_df, ["__pid", group_col])
+            .withColumn(
+                "cum_tokens",
+                (F.col("__offset") + F.sum(tokens_col).over(w)).cast(
+                    "long"
+                ),
+            )
+            .filter(F.col("cum_tokens") <= F.col("__budget"))
+            .drop("__pid", "__offset", "__budget")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -78,6 +78,7 @@ ROTATED_IN = {
     "phrase_search",
     # round-9 new operators
     "decontam_spans",
+    "source_token_caps",
 }
 
 

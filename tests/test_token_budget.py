@@ -108,3 +108,75 @@ def test_matches_single_partition_window(spark, tables):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def _grouped(spark):
+    rows = [
+        # (doc_id, source, quality, n_tokens)
+        (0, "web", 0.9, 10),
+        (1, "web", 0.8, 20),
+        (2, "web", 0.8, 5),   # tie with 1 -> id order
+        (3, "web", 0.1, 100),
+        (4, "code", 0.95, 30),
+        (5, "code", 0.5, 30),
+        (6, "books", 0.99, 40),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "source", "quality", "n_tokens"]
+    )
+
+
+def test_grouped_budget_uniform_cap(spark):
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget_grouped,
+    )
+
+    got = select_by_token_budget_grouped(
+        _grouped(spark), 35, partitions=3
+    )
+    rows = {r["doc_id"]: r["cum_tokens"] for r in got.collect()}
+    # web: 0(10) 1(30) | 2 would hit 35 <= 35 -> included
+    # code: 4(30) | 5 would hit 60 > 35
+    # books: 6 is 40 > 35 -> nothing
+    assert rows == {0: 10, 1: 30, 2: 35, 4: 30}
+
+
+def test_grouped_budget_per_group_dict_is_an_allowlist(spark):
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget_grouped,
+    )
+
+    got = select_by_token_budget_grouped(
+        _grouped(spark), {"web": 15, "books": 40}, partitions=2
+    )
+    rows = {r["doc_id"]: r["cum_tokens"] for r in got.collect()}
+    # web capped at 15 -> only doc 0; books exactly 40 -> doc 6;
+    # code absent from the dict -> budget 0 -> dropped entirely
+    assert rows == {0: 10, 6: 40}
+
+    # cumsum restarts per group and respects (quality desc, id) order
+    import pytest
+
+    with pytest.raises(ValueError):
+        select_by_token_budget_grouped(_grouped(spark), -1)
+    with pytest.raises(ValueError):
+        select_by_token_budget_grouped(_grouped(spark), {"web": -5})
+
+
+def test_grouped_budget_matches_single_group_operator(spark):
+    """With one group the grouped operator reproduces
+    select_by_token_budget exactly (same rows, same cum_tokens)."""
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget_grouped,
+    )
+
+    one = _annotated(spark).withColumn("source", F.lit("all"))
+    a = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_by_token_budget(_annotated(spark), 36, partitions=3).collect()
+    }
+    b = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_by_token_budget_grouped(one, 36, partitions=3).collect()
+    }
+    assert a == b
