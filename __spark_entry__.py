@@ -1131,6 +1131,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_token_caps"] = source_token_caps_q
 
+    def curriculum_order_q(spark, sf):
+        # curriculum data prep: shortest-doc-first stages (n_tokens as
+        # the difficulty proxy), deterministic shuffle inside each
+        # stage, contiguous global training positions
+        from distributed_vector_database_spark.operators.sampling import (
+            curriculum_order,
+        )
+
+        ann = doc_stats(load_table(spark, sf, "documents")).select(
+            "doc_id", "n_tokens"
+        )
+        return (
+            curriculum_order(
+                ann, "n_tokens", n_stages=4, seed="0", partitions=8
+            )
+            .select("doc_id", "stage", "curriculum_pos")
+            .orderBy("curriculum_pos")
+        )
+
+    q["curriculum_order"] = curriculum_order_q
+
     def token_budget_select_q(spark, sf):
         # budgeted corpus selection: best-quality docs until the token
         # budget is spent (distributed prefix-sum, partition-pruned)
@@ -2816,7 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9-new: span-level decontamination (excise eval-
         # overlapping windows, keep the document) + per-source
         # token-budget domain caps ---
-        "decontam_spans", "source_token_caps",
+        "decontam_spans", "source_token_caps", "curriculum_order",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -2829,7 +2850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 first-timers earning a second green driver round ---
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "knn_classify", "retrieval_eval", "semantic_decontam",
-        "training_examples",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
@@ -3471,6 +3491,28 @@ c AS (
 )
 SELECT doc_id, source, quality, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {SOURCE_CAP}
+"""
+
+    o["curriculum_order"] = f"""
+WITH ds AS ({_doc_stats_sql()}),
+ann AS (SELECT doc_id, round(CAST(n_tokens AS DOUBLE), 6) AS s FROM ds),
+cut AS (SELECT round(quantile_cont(s, 0.25), 6) AS c1,
+               round(quantile_cont(s, 0.5), 6) AS c2,
+               round(quantile_cont(s, 0.75), 6) AS c3 FROM ann),
+st AS (
+  SELECT a.doc_id,
+    1 + CAST(a.s > c.c1 AS INT) + CAST(a.s > c.c2 AS INT)
+      + CAST(a.s > c.c3 AS INT) AS stage
+  FROM ann a, cut c
+),
+o AS (
+  SELECT doc_id, stage,
+    CAST(row_number() OVER (
+      ORDER BY stage, md5(CAST(doc_id AS VARCHAR) || '0'), doc_id
+    ) AS BIGINT) AS curriculum_pos
+  FROM st
+)
+SELECT doc_id, stage, curriculum_pos FROM o ORDER BY curriculum_pos
 """.replace("{ds}", _doc_stats_sql())
 
     o["semantic_decontam"] = f"""

@@ -281,6 +281,98 @@ def deterministic_shuffle(
         ranged.unpersist()
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str = "quality",
+    n_stages: int = 4,
+    key_col: str = "doc_id",
+    seed: str = "0",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum training order: stage documents easy->hard by score
+    percentile cutpoints, with a deterministic content-stable shuffle
+    WITHIN each stage — the curriculum-learning data-prep step ('feed
+    low-perplexity docs first, random order inside each difficulty
+    band'). Returns the input columns plus `stage` (1-based, stage 1 =
+    lowest scores) and `curriculum_pos` (global 1-based training
+    position; stages are contiguous).
+
+    Stages come from VALUE cutpoints (exact interpolated percentiles
+    at i/n_stages, computed over the 6dp-rounded score so the SQL
+    oracle's quantile_cont agrees bit-for-bit), not from a global
+    ntile — Spark's ntile is a single-partition window at corpus
+    scale, and value cutpoints keep stage membership stable when rows
+    are added elsewhere in the distribution. Intra-stage order is
+    md5(key||seed) — the deterministic_shuffle contract, re-seedable
+    per epoch.
+
+    Enumeration is the same distributed prefix-sum as
+    deterministic_shuffle, ordered by (stage, hash, key): range-
+    repartition, O(P) driver offsets from per-partition counts,
+    parallel local row_number + offset — never a global window."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    score6 = F.round(F.col(score_col).cast("double"), 6)
+    if n_stages == 1:
+        cuts: list[float] = []
+    else:
+        qs = [i / n_stages for i in range(1, n_stages)]
+        arr = ",".join(str(q) for q in qs)
+        cuts = [
+            round(float(c), 6)
+            for c in df.select(score6.alias("__s"))
+            .agg(F.expr(f"percentile(__s, array({arr}))"))
+            .first()[0]
+        ]
+    stage = F.lit(1)
+    for c in cuts:
+        stage = stage + F.when(score6 > F.lit(c), 1).otherwise(0)
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(seed))))
+    ranged = (
+        df.withColumn("stage", stage.cast("int"))
+        .withColumn("__h", h)
+        .repartitionByRange(
+            p, F.asc("stage"), F.asc("__h"), F.asc(key_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("__c")
+        ).collect()
+        offset = 0
+        live = []
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            live.append((r["__pid"], offset))
+            offset += int(r["__c"])
+        if not live:
+            return (
+                df.limit(0)
+                .withColumn("stage", F.lit(0).cast("int"))
+                .withColumn("curriculum_pos", F.lit(0).cast("long"))
+            )
+        off_df = F.broadcast(
+            spark.createDataFrame(live, ["__pid", "__offset"])
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.asc("stage"), F.asc("__h"), F.asc(key_col)
+        )
+        out = (
+            ranged.join(off_df, "__pid")
+            .withColumn(
+                "curriculum_pos",
+                (F.col("__offset") + F.row_number().over(w)).cast("long"),
+            )
+            .drop("__pid", "__offset", "__h")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

@@ -79,6 +79,7 @@ ROTATED_IN = {
     # round-9 new operators
     "decontam_spans",
     "source_token_caps",
+    "curriculum_order",
 }
 
 

@@ -229,3 +229,65 @@ def test_epoch_mixture_validates_inputs(spark):
         epoch_mixture(docs, {"a": 1.0}, budget_tokens=10, max_epochs=0)
     with pytest.raises(ValueError):
         epoch_mixture(docs, {"a": -1.0}, budget_tokens=10)
+
+
+def test_curriculum_order_stages_and_intra_stage_shuffle(spark):
+    """Stages partition by score cutpoints (stage 1 = lowest), the
+    global position is contiguous by stage, intra-stage order is the
+    md5(key||seed) shuffle (re-seedable), and n_stages=1 degenerates
+    to a pure deterministic shuffle."""
+    import hashlib
+
+    from distributed_vector_database_spark.operators.sampling import (
+        curriculum_order,
+        deterministic_shuffle,
+    )
+
+    rows = [(i, float(i)) for i in range(20)]  # scores 0..19
+    df = spark.createDataFrame(rows, ["doc_id", "difficulty"])
+
+    got = curriculum_order(
+        df, "difficulty", n_stages=4, seed="s1", partitions=3
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # quartile cutpoints of 0..19: 4.75 / 9.5 / 14.25
+    for i in range(20):
+        expect = 1 + (i > 4.75) + (i > 9.5) + (i > 14.25)
+        assert by_id[i]["stage"] == expect, (i, by_id[i]["stage"])
+    # positions are a bijection onto 1..20 and contiguous by stage
+    pos = sorted((r["curriculum_pos"], r["stage"]) for r in got)
+    assert [p for p, _ in pos] == list(range(1, 21))
+    stages_in_order = [s for _, s in pos]
+    assert stages_in_order == sorted(stages_in_order)
+    # intra-stage order matches the md5 shuffle contract
+    s1 = sorted(
+        (r for r in got if r["stage"] == 1),
+        key=lambda r: r["curriculum_pos"],
+    )
+    expect_order = sorted(
+        (r["doc_id"] for r in s1),
+        key=lambda d: (
+            hashlib.md5(f"{d}s1".encode()).hexdigest(), d
+        ),
+    )
+    assert [r["doc_id"] for r in s1] == expect_order
+
+    # different seed -> different intra-stage permutation, same stages
+    other = curriculum_order(
+        df, "difficulty", n_stages=4, seed="s2", partitions=3
+    ).collect()
+    assert {r["doc_id"]: r["stage"] for r in other} == {
+        r["doc_id"]: r["stage"] for r in got
+    }
+
+    # n_stages=1 == deterministic_shuffle positions
+    one = curriculum_order(df, "difficulty", n_stages=1, seed="z").collect()
+    ds = deterministic_shuffle(df, "doc_id", seed="z").collect()
+    assert {r["doc_id"]: r["curriculum_pos"] for r in one} == {
+        r["doc_id"]: r["shuffle_pos"] for r in ds
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curriculum_order(df, "difficulty", n_stages=0)
