@@ -3474,7 +3474,7 @@ c AS (
 )
 SELECT doc_id, quality, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
-"""
+""".replace("{ds}", _doc_stats_sql())
 
     o["source_token_caps"] = f"""
 WITH ds AS ({_doc_stats_sql()}),
@@ -3513,7 +3513,7 @@ o AS (
   FROM st
 )
 SELECT doc_id, stage, curriculum_pos FROM o ORDER BY curriculum_pos
-""".replace("{ds}", _doc_stats_sql())
+"""
 
     o["semantic_decontam"] = f"""
 WITH ev AS (
