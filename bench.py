@@ -134,6 +134,12 @@ HEADLINE = [
     "bm25_batch_topk",
     # round-8: three-retriever RRF fusion
     "tri_hybrid_topk",
+    # round-9: span-level decontamination (excise, don't drop)
+    "decontam_spans",
+    # round-9: per-source token caps (grouped distributed prefix-sum)
+    "source_token_caps",
+    # round-9: curriculum staging + intra-stage shuffle
+    "curriculum_order",
 ]
 
 
