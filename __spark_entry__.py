@@ -3548,11 +3548,11 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id % 41 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
-    o["decontam_spans"] = """
+    o["decontam_spans"] = f"""
 WITH
-tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+tok AS (SELECT doc_id, {_TOKS} AS toks
         FROM documents WHERE doc_id % 41 != 0),
-etok AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+etok AS (SELECT {_TOKS} AS toks
          FROM documents WHERE doc_id % 41 = 0),
 w AS (SELECT doc_id, unnest(generate_series(1, len(toks)-3)) AS pos, toks
       FROM tok WHERE len(toks) >= 4),

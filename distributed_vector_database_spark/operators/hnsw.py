@@ -505,10 +505,14 @@ def _append_tombstone_record(path: str, payload) -> None:
             for f in _os.listdir(tdir)
             if f.endswith(".json")
         ]
+        # split-based parse, not a fixed slice: {seq:08d} widens past
+        # 8 digits at 10^8 and a sliced parse would under-count a
+        # crashed writer's claim there, looping _next_seq forever
         taken += [
-            int(f[2:10])
+            int(f[2:-6])
             for f in _os.listdir(tdir)
             if f.startswith("s-") and f.endswith(".claim")
+            and f[2:-6].isdigit()
         ]
         return 1 + max(taken, default=0)
 

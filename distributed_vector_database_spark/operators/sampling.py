@@ -162,13 +162,20 @@ def select_by_token_budget_grouped(
     any window runs; local windows per (partition, group) add offset +
     local cumsum. A giant group spreads across many range partitions —
     no per-group single-reducer window, which is the naive
-    `Window.partitionBy(group)` cliff this exists to avoid."""
+    `Window.partitionBy(group)` cliff this exists to avoid.
+
+    NULL groups are dropped up front: a null can never match the
+    equi-join that applies its offset (so it would silently bypass
+    every cap), and the driver-side offset sort would die comparing
+    None with real group values — budgets are an allowlist, and NULL
+    is never on it."""
     if isinstance(budgets, int):
         if budgets < 0:
             raise ValueError("budget must be >= 0")
     else:
         if any(v < 0 for v in budgets.values()):
             raise ValueError("budgets must be >= 0")
+    df = df.filter(F.col(group_col).isNotNull())
     spark = df.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(
@@ -226,6 +233,60 @@ def select_by_token_budget_grouped(
         ranged.unpersist()
 
 
+def _enumerate_positions(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str,
+    partitions: int | None,
+) -> DataFrame:
+    """Distributed prefix-sum enumeration: 1-based `out_col` positions
+    in the total order of `order_cols` (column NAMES already on df —
+    callers stage any derived sort keys first). Range-repartition on
+    the order, O(P) driver offsets from per-partition counts, parallel
+    partition-local row_number + offset — never a single-partition
+    global window. Empty input returns an empty frame with out_col
+    attached. The one shared enumeration body behind
+    deterministic_shuffle and curriculum_order (they previously
+    carried verbatim copies; parity pinned by
+    test_curriculum_order_stages_and_intra_stage_shuffle)."""
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    order = [F.asc(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("__c")
+        ).collect()
+        offset = 0
+        live = []
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            live.append((r["__pid"], offset))
+            offset += int(r["__c"])
+        if not live:
+            return df.limit(0).withColumn(
+                out_col, F.lit(0).cast("long")
+            )
+        off_df = F.broadcast(
+            spark.createDataFrame(live, ["__pid", "__offset"])
+        )
+        w = Window.partitionBy("__pid").orderBy(*order)
+        out = (
+            ranged.join(off_df, "__pid")
+            .withColumn(
+                out_col,
+                (F.col("__offset") + F.row_number().over(w)).cast("long"),
+            )
+            .drop("__pid", "__offset")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -242,43 +303,10 @@ def deterministic_shuffle(
     select_by_token_budget: range-repartition on the hash, O(P) driver
     offsets from per-partition counts, parallel partition-local
     row_number + offset — never a single-partition global window."""
-    spark = df.sparkSession
-    p = partitions or spark.sparkContext.defaultParallelism
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(seed))))
-    ranged = (
-        df.withColumn("__h", h)
-        .repartitionByRange(p, F.asc("__h"), F.asc(key_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    try:
-        counts = ranged.groupBy("__pid").agg(
-            F.count(F.lit(1)).alias("__c")
-        ).collect()
-        offset = 0
-        live = []
-        for r in sorted(counts, key=lambda r: r["__pid"]):
-            live.append((r["__pid"], offset))
-            offset += int(r["__c"])
-        if not live:
-            return df.limit(0).withColumn(
-                "shuffle_pos", F.lit(0).cast("long")
-            )
-        off_df = F.broadcast(
-            spark.createDataFrame(live, ["__pid", "__offset"])
-        )
-        w = Window.partitionBy("__pid").orderBy(F.asc("__h"), F.asc(key_col))
-        out = (
-            ranged.join(off_df, "__pid")
-            .withColumn(
-                "shuffle_pos",
-                (F.col("__offset") + F.row_number().over(w)).cast("long"),
-            )
-            .drop("__pid", "__offset", "__h")
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        ranged.unpersist()
+    return _enumerate_positions(
+        df.withColumn("__h", h), ["__h", key_col], "shuffle_pos", partitions
+    ).drop("__h")
 
 
 def curriculum_order(
@@ -312,65 +340,28 @@ def curriculum_order(
     parallel local row_number + offset — never a global window."""
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
-    spark = df.sparkSession
-    p = partitions or spark.sparkContext.defaultParallelism
     score6 = F.round(F.col(score_col).cast("double"), 6)
     if n_stages == 1:
         cuts: list[float] = []
     else:
         qs = [i / n_stages for i in range(1, n_stages)]
         arr = ",".join(str(q) for q in qs)
-        cuts = [
-            round(float(c), 6)
-            for c in df.select(score6.alias("__s"))
+        res = (
+            df.select(score6.alias("__s"))
             .agg(F.expr(f"percentile(__s, array({arr}))"))
             .first()[0]
-        ]
+        )
+        # percentile over zero rows is NULL: an empty corpus has no
+        # cutpoints (the enumeration below returns the empty frame)
+        cuts = [] if res is None else [round(float(c), 6) for c in res]
     stage = F.lit(1)
     for c in cuts:
         stage = stage + F.when(score6 > F.lit(c), 1).otherwise(0)
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(seed))))
-    ranged = (
-        df.withColumn("stage", stage.cast("int"))
-        .withColumn("__h", h)
-        .repartitionByRange(
-            p, F.asc("stage"), F.asc("__h"), F.asc(key_col)
-        )
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    try:
-        counts = ranged.groupBy("__pid").agg(
-            F.count(F.lit(1)).alias("__c")
-        ).collect()
-        offset = 0
-        live = []
-        for r in sorted(counts, key=lambda r: r["__pid"]):
-            live.append((r["__pid"], offset))
-            offset += int(r["__c"])
-        if not live:
-            return (
-                df.limit(0)
-                .withColumn("stage", F.lit(0).cast("int"))
-                .withColumn("curriculum_pos", F.lit(0).cast("long"))
-            )
-        off_df = F.broadcast(
-            spark.createDataFrame(live, ["__pid", "__offset"])
-        )
-        w = Window.partitionBy("__pid").orderBy(
-            F.asc("stage"), F.asc("__h"), F.asc(key_col)
-        )
-        out = (
-            ranged.join(off_df, "__pid")
-            .withColumn(
-                "curriculum_pos",
-                (F.col("__offset") + F.row_number().over(w)).cast("long"),
-            )
-            .drop("__pid", "__offset", "__h")
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        ranged.unpersist()
+    staged = df.withColumn("stage", stage.cast("int")).withColumn("__h", h)
+    return _enumerate_positions(
+        staged, ["stage", "__h", key_col], "curriculum_pos", partitions
+    ).drop("__h")
 
 
 def mixture_sample(

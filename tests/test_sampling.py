@@ -291,3 +291,16 @@ def test_curriculum_order_stages_and_intra_stage_shuffle(spark):
 
     with pytest.raises(ValueError):
         curriculum_order(df, "difficulty", n_stages=0)
+
+
+def test_curriculum_order_empty_input(spark):
+    """An empty corpus yields an empty ordered frame (percentile over
+    zero rows is NULL; previously this crashed building cutpoints)."""
+    from distributed_vector_database_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, difficulty double")
+    got = curriculum_order(df, "difficulty", n_stages=4)
+    assert got.count() == 0
+    assert "curriculum_pos" in got.columns and "stage" in got.columns

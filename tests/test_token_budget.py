@@ -180,3 +180,21 @@ def test_grouped_budget_matches_single_group_operator(spark):
         for r in select_by_token_budget_grouped(one, 36, partitions=3).collect()
     }
     assert a == b
+
+
+def test_grouped_budget_null_groups_dropped(spark):
+    """NULL groups are dropped up front (budgets are an allowlist;
+    NULL is never on it) — previously the driver offset sort died
+    comparing None with real group values."""
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget_grouped,
+    )
+
+    rows = [
+        (0, "web", 0.9, 10),
+        (1, None, 0.9, 10),
+        (2, "web", 0.5, 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality", "n_tokens"])
+    got = select_by_token_budget_grouped(df, 100, partitions=2)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 2]

@@ -54,7 +54,8 @@ def incremental() -> None:
     t_sign = time.time() - t0
 
     # new-left batch: fresh docs, except every twin_every-th reuses a
-    # right text (the planted true match at right id b = (a-2M))
+    # right text — the planted twin of batch id a sits at right id
+    # b = a - 5_000_000 (twins offset right ids by +5M)
     fresh = synth_docs(spark, n_batch, start=2_000_000 + n_right)
     twins = (
         right.filter(F.col("doc_id") % twin_every == 0)
