@@ -2853,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
+        "training_examples", "ann_ivf_range", "ann_ivf_range_join",
         "volume_shipping", "returned_item_revenue",
         "customer_order_distribution", "type_share_revenue",
         "small_quantity_revenue", "large_volume_customers",
