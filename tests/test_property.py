@@ -283,3 +283,101 @@ def test_token_budget_monotone_and_exact(spark, rows, budget):
         ).collect()
     }
     assert got <= bigger
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),            # group id
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+            st.integers(min_value=1, max_value=40),           # tokens
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(min_value=0, max_value=200),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_budget_equals_per_group_python_greedy(spark, rows, cap):
+    """The grouped cap == running the Python greedy prefix per group
+    independently; each group's running total never exceeds its cap,
+    and other groups' contents never affect a group's selection."""
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"g{g}", float(q), int(t))
+            for i, (g, q, t) in enumerate(rows)
+        ],
+        "doc_id long, source string, quality double, n_tokens int",
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_token_budget_grouped(
+            df, cap, partitions=3
+        ).collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        order = sorted(
+            ((i, q, t) for i, (gg, q, t) in enumerate(rows) if gg == g),
+            key=lambda x: (-x[1], x[0]),
+        )
+        cum = 0
+        for i, _, t in order:
+            if cum + t > cap:
+                break
+            cum += t
+            want[i] = cum
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=0,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_curriculum_positions_bijective_and_stage_monotone(
+    spark, scores, n_stages
+):
+    """curriculum_order is a bijection onto 1..n, stage never
+    decreases along positions, and stage respects the score order
+    (a lower-staged doc never has a strictly higher 6dp score)."""
+    from distributed_vector_database_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)],
+        "doc_id long, difficulty double",
+    )
+    got = sorted(
+        curriculum_order(
+            df, "difficulty", n_stages=n_stages, seed="p", partitions=3
+        ).collect(),
+        key=lambda r: r["curriculum_pos"],
+    )
+    assert [r["curriculum_pos"] for r in got] == list(
+        range(1, len(scores) + 1)
+    )
+    stages = [r["stage"] for r in got]
+    assert stages == sorted(stages)
+    by_id = {r["doc_id"]: r["stage"] for r in got}
+    for i, si in enumerate(scores):
+        for j, sj in enumerate(scores):
+            if round(si, 6) < round(sj, 6):
+                assert by_id[i] <= by_id[j], (i, j, si, sj)
