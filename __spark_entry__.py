@@ -104,6 +104,11 @@ SIMHASH_MAX_HAMMING = 3
 TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
 BM25_TERMS = ["spark", "filter", "join"]  # lexical query bag (bm25/hybrid)
 SPARSE_QW = {"spark": 1.5, "filter": 0.7, "join": 1.0}  # sparse_dot_topk
+SPARSE_BATCH = {  # sparse_batch_topk: shared term, distinct weights
+    "s1": {"spark": 1.5, "join": 1.0},
+    "s2": {"filter": 0.7, "data": 1.2},
+    "s3": {"spark": 0.2, "model": 0.9},
+}
 PRF_FB_DOCS, PRF_FB_TERMS, PRF_ORIG_W = 10, 5, 0.6  # prf_expanded_topk
 BM25_BATCH = {  # bm25_batch_topk: many queries, one pruned scan
     "q1": ["spark", "filter", "join"],
@@ -1248,6 +1253,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sparse_dot_search(spark, idx, SPARSE_QW, k=10)
 
     q["sparse_dot_topk"] = sparse_dot_topk_q
+
+    def sparse_batch_topk_q(spark, sf):
+        # batched learned-sparse serving: three sparse queries, one
+        # pruned postings scan, per-query weights on a shared term
+        from distributed_vector_database_spark.operators.lexical import (
+            sparse_dot_batch_search,
+        )
+
+        idx = _postings_index(spark, sf)
+        return sparse_dot_batch_search(spark, idx, SPARSE_BATCH, k=10)
+
+    q["sparse_batch_topk"] = sparse_batch_topk_q
 
     def prf_expanded_topk_q(spark, sf):
         # RM3-shaped pseudo-relevance feedback: BM25 feedback docs ->
@@ -2838,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlapping windows, keep the document) + per-source
         # token-budget domain caps ---
         "decontam_spans", "source_token_caps", "curriculum_order",
+        "sparse_batch_topk",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -2849,11 +2867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_exact",
         # --- r8 first-timers earning a second green driver round ---
         "canonical_selection", "epoch_mixture", "corpus_profile",
-        "knn_classify", "retrieval_eval", "semantic_decontam",
+        "knn_classify", "retrieval_eval",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
         "training_examples", "ann_ivf_range", "ann_ivf_range_join",
+        "semantic_decontam",
         "volume_shipping", "returned_item_revenue",
         "customer_order_distribution", "type_share_revenue",
         "small_quantity_revenue", "large_volume_customers",
@@ -3729,6 +3748,42 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
+
+    def _sparse_batch_oracle(batch: dict, k: int) -> str:
+        """Per-query sparse-dot SQL mirroring sparse_dot_batch_search:
+        one UNION ALL leg per query, each the sparse_dot_topk shape
+        with that query's own term weights; rank = row_number per
+        query (score DESC, doc_id)."""
+        legs = []
+        for qid in sorted(batch):
+            qw = {t.lower(): float(w) for t, w in batch[qid].items()}
+            terms = sorted(qw)
+            tfs = ", ".join(
+                f"CAST(len(list_filter(t, x -> x = '{tm}')) AS DOUBLE)"
+                f" AS tf{i}"
+                for i, tm in enumerate(terms)
+            )
+            score = " + ".join(
+                f"{qw[tm]} * tf{i} / (tf{i} + 1)"
+                for i, tm in enumerate(terms)
+            )
+            nonzero = " + ".join(f"tf{i}" for i in range(len(terms)))
+            legs.append(f"""
+SELECT '{qid}' AS query_id, doc_id, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM (
+  SELECT doc_id, round({score}, 6) AS score
+  FROM (SELECT doc_id, {tfs}
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+  WHERE {nonzero} > 0
+) QUALIFY rank <= {k}""")
+        legs_sql = " UNION ALL ".join(legs)
+        return (
+            f"SELECT query_id, doc_id, score, rank FROM ({legs_sql}) "
+            "ORDER BY query_id, rank"
+        )
+
+    o["sparse_batch_topk"] = _sparse_batch_oracle(SPARSE_BATCH, 10)
 
     _batch_rows = ", ".join(
         f"('{qid}', '{t.lower()}')"

@@ -140,6 +140,8 @@ HEADLINE = [
     "source_token_caps",
     # round-9: curriculum staging + intra-stage shuffle
     "curriculum_order",
+    # round-9: batched learned-sparse serving (one pruned scan)
+    "sparse_batch_topk",
 ]
 
 

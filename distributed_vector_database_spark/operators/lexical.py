@@ -765,6 +765,80 @@ def sparse_dot_search(
     )
 
 
+def sparse_dot_batch_search(
+    spark,
+    path: str,
+    queries: dict,
+    k: int = 10,
+    doc_col: str = "doc_id",
+    doc_weight=None,
+) -> DataFrame:
+    """Batched learned-sparse serving: MANY sparse queries through ONE
+    postings scan pruned to the union of their terms — completes the
+    batch-serving family (ivf_batch_search / bm25_batch_search) for
+    the SPLADE/uniCOIL leg. `queries` maps query_id → {term: weight}.
+
+    Membership is ALWAYS a broadcast (term, query_id, weight) join:
+    unlike bm25_batch_search there is no cheaper literal form — a
+    weighted membership literal is a map of struct arrays with the
+    same plan-growth problem the BM25 literal path has, so the
+    plan-size-bounded join is strictly better at every batch size.
+    Per-(query, doc) score = Σ matched terms of weight · doc_weight
+    (default saturated tf/(tf+1), computed on the pruned slice), 6dp;
+    batch ≡ looping sparse_dot_search (parity-pinned).
+
+    100 TB: one partition-pruned scan of the union terms' buckets,
+    one (query, doc) aggregation, per-query window top-k."""
+    from pyspark.sql.window import Window as _W
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    norm_q = {
+        str(qid): {t.lower(): float(w) for t, w in qw.items()}
+        for qid, qw in queries.items()
+    }
+    if any(not v for v in norm_q.values()):
+        raise ValueError("every query needs at least one weighted term")
+    all_terms = sorted({t for qw in norm_q.values() for t in qw})
+    n_buckets = int(
+        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
+    )
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    aids = sorted(m["aid"] for m in markers)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in all_terms})
+    if doc_weight is None:
+        tf = F.col("tf").cast("double")
+        doc_weight = tf / (tf + F.lit(1.0))
+    memb = spark.createDataFrame(
+        [
+            (t, qid, w)
+            for qid, qw in sorted(norm_q.items())
+            for t, w in sorted(qw.items())
+        ],
+        "term string, query_id string, __qw double",
+    )
+    slice_ = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("aid").isin(aids))
+        .join(F.broadcast(memb), "term")
+    )
+    per_query = (
+        slice_.withColumn("__s", F.col("__qw") * doc_weight)
+        .groupBy("query_id", doc_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    wq = _W.partitionBy("query_id").orderBy(F.desc("score"), doc_col)
+    return (
+        per_query.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", doc_col, "score", F.col("__rn").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def prf_search(
     spark,
     path: str,

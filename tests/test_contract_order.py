@@ -80,6 +80,7 @@ ROTATED_IN = {
     "decontam_spans",
     "source_token_caps",
     "curriculum_order",
+    "sparse_batch_topk",
 }
 
 

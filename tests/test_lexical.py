@@ -935,3 +935,40 @@ def test_hybrid_rrf_multi_three_legs_and_two_leg_parity(spark):
 
     with _pt.raises(ValueError):
         hybrid_rrf_multi([(a, False)])
+
+
+def test_sparse_dot_batch_equals_looped_single_queries(spark, tmp_path):
+    """Batched learned-sparse ≡ looping sparse_dot_search per query,
+    including per-query WEIGHTS for a shared term and rank ties."""
+    from distributed_vector_database_spark.operators.lexical import (
+        postings_write,
+        sparse_dot_batch_search,
+        sparse_dot_search,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "idx_sparse_batch")
+    postings_write(docs, idx, n_buckets=8)
+    batch = {
+        "q1": {"spark": 1.5, "join": 1.0},
+        "q2": {"filter": 0.7},
+        "q3": {"spark": 0.2},          # same term as q1, other weight
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in sparse_dot_batch_search(spark, idx, batch, k=5).collect()
+    }
+    n = 0
+    for qid, qw in batch.items():
+        single = sparse_dot_search(spark, idx, qw, k=5).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, r["doc_id"])] == (r["score"], rank), (qid, r)
+            n += 1
+    assert len(got) == n
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sparse_dot_batch_search(spark, idx, {})
+    with _pt.raises(ValueError):
+        sparse_dot_batch_search(spark, idx, {"q": {}})
