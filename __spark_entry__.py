@@ -104,6 +104,13 @@ SIMHASH_MAX_HAMMING = 3
 TEXT_KNN_QUERY = "spark query engine"  # literal query for text_knn_expr
 BM25_TERMS = ["spark", "filter", "join"]  # lexical query bag (bm25/hybrid)
 SPARSE_QW = {"spark": 1.5, "filter": 0.7, "join": 1.0}  # sparse_dot_topk
+FUSE_BATCH = {  # tri_hybrid_batch_topk: per-query terms/weights/vector
+    "t1": {"terms": ["spark", "filter", "join"],
+           "sparse": {"spark": 1.5, "filter": 0.7, "join": 1.0}, "vec": 0},
+    "t2": {"terms": ["data", "model"],
+           "sparse": {"data": 1.2, "model": 0.9}, "vec": 3},
+    "t3": {"terms": ["system"], "sparse": {"system": 1.0}, "vec": 7},
+}
 SPARSE_BATCH = {  # sparse_batch_topk: shared term, distinct weights
     "s1": {"spark": 1.5, "join": 1.0},
     "s2": {"filter": 0.7, "data": 1.2},
@@ -1265,6 +1272,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sparse_dot_batch_search(spark, idx, SPARSE_BATCH, k=10)
 
     q["sparse_batch_topk"] = sparse_batch_topk_q
+
+    def tri_hybrid_batch_topk_q(spark, sf):
+        # the WHOLE tri-hybrid stack batched: three queries through
+        # three batch servers (BM25 + learned-sparse from one postings
+        # layout, exact dense via full-probe ivf_batch) fused with one
+        # rank-faithful per-query RRF
+        from distributed_vector_database_spark.operators.ann import (
+            ivf_batch_search,
+            ivf_build,
+        )
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_batch_search,
+            hybrid_rrf_batch,
+            sparse_dot_batch_search,
+        )
+
+        idx = _postings_index(spark, sf)
+        lex = bm25_batch_search(
+            spark, idx,
+            {qid: cfg["terms"] for qid, cfg in FUSE_BATCH.items()},
+            k=HYBRID_POOL,
+        )
+        sp = sparse_dot_batch_search(
+            spark, idx,
+            {qid: cfg["sparse"] for qid, cfg in FUSE_BATCH.items()},
+            k=HYBRID_POOL,
+        )
+        emb = _emb(spark, sf)
+        centroids, assigned = ivf_build(emb, n_centroids=8)
+        vmap = F.create_map(
+            *[
+                F.lit(x)
+                for qid, cfg in sorted(FUSE_BATCH.items())
+                for x in (cfg["vec"], qid)
+            ]
+        )
+        qdf = emb.filter(
+            F.col("vec_id").isin([c["vec"] for c in FUSE_BATCH.values()])
+        ).select(
+            vmap[F.col("vec_id")].alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        dense = ivf_batch_search(
+            spark, centroids, assigned, qdf, k=HYBRID_POOL, nprobe=10**9
+        ).withColumnRenamed("vec_id", "doc_id")
+        return hybrid_rrf_batch([lex, dense, sp], k=10, c=RRF_C)
+
+    q["tri_hybrid_batch_topk"] = tri_hybrid_batch_topk_q
 
     def prf_expanded_topk_q(spark, sf):
         # RM3-shaped pseudo-relevance feedback: BM25 feedback docs ->
@@ -2855,7 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlapping windows, keep the document) + per-source
         # token-budget domain caps ---
         "decontam_spans", "source_token_caps", "curriculum_order",
-        "sparse_batch_topk",
+        "sparse_batch_topk", "tri_hybrid_batch_topk",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -2867,12 +2922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_exact",
         # --- r8 first-timers earning a second green driver round ---
         "canonical_selection", "epoch_mixture", "corpus_profile",
-        "knn_classify", "retrieval_eval",
+        "knn_classify",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
         "training_examples", "ann_ivf_range", "ann_ivf_range_join",
-        "semantic_decontam",
+        "semantic_decontam", "retrieval_eval",
         "volume_shipping", "returned_item_revenue",
         "customer_order_distribution", "type_share_revenue",
         "small_quantity_revenue", "large_volume_customers",
@@ -3784,6 +3839,104 @@ FROM (
         )
 
     o["sparse_batch_topk"] = _sparse_batch_oracle(SPARSE_BATCH, 10)
+
+    def _tri_hybrid_batch_oracle(batch: dict, pool: int, k: int) -> str:
+        """Fused three-leg SQL mirroring tri_hybrid_batch_topk_q: BM25
+        and weighted-sparse legs share the (doc, term, tf) fold; the
+        dense leg is the exact L2 join; each leg ranks per query and
+        truncates at `pool`; fusion sums 1/(c+rank) per (query, doc)."""
+        qterms = ", ".join(
+            f"('{qid}', '{t}')"
+            for qid in sorted(batch)
+            for t in sorted(batch[qid]["terms"])
+        )
+        sweights = ", ".join(
+            f"('{qid}', '{t}', {float(w)})"
+            for qid in sorted(batch)
+            for t, w in sorted(batch[qid]["sparse"].items())
+        )
+        dmap = ", ".join(
+            f"('{qid}', {batch[qid]['vec']})" for qid in sorted(batch)
+        )
+        return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+bstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+occ AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tfc AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ GROUP BY 1, 2, 3
+),
+dfd AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+qterms AS (SELECT * FROM (VALUES {qterms}) AS v(query_id, term)),
+bscored AS (
+  SELECT q.query_id, c.doc_id,
+    round(sum(
+      ln(1 + (n - df + 0.5) / (df + 0.5)) * tf
+      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    ), 6) AS score
+  FROM tfc c JOIN dfd USING (term) JOIN qterms q USING (term), bstats
+  GROUP BY 1, 2
+),
+branked AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM bscored
+),
+sw AS (SELECT * FROM (VALUES {sweights}) AS v(query_id, term, w)),
+sscored AS (
+  SELECT q.query_id, c.doc_id,
+    round(sum(q.w * tf / (tf + 1)), 6) AS score
+  FROM tfc c JOIN sw q USING (term)
+  GROUP BY 1, 2
+),
+sranked AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM sscored
+),
+dmapt AS (SELECT * FROM (VALUES {dmap}) AS v(query_id, vid)),
+dqs AS (
+  SELECT m.query_id, CAST(e.embedding AS DOUBLE[]) AS qv
+  FROM embeddings e JOIN dmapt m ON e.vec_id = m.vid
+),
+dscored AS (
+  SELECT dqs.query_id, e.vec_id AS doc_id,
+    round(list_sum([(p[1]-p[2])*(p[1]-p[2])
+      for p in list_zip(CAST(e.embedding AS DOUBLE[]), dqs.qv)]), 6)
+      AS score
+  FROM embeddings e, dqs
+),
+dranked AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score, doc_id) AS INT) AS rank
+  FROM dscored
+),
+legs AS (
+  SELECT query_id, doc_id, rank FROM branked WHERE rank <= {pool}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM sranked WHERE rank <= {pool}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM dranked WHERE rank <= {pool}
+),
+fused AS (
+  SELECT query_id, doc_id,
+    round(sum(1.0 / ({RRF_C} + rank)), 6) AS rrf_score
+  FROM legs GROUP BY 1, 2
+),
+fout AS (
+  SELECT query_id, doc_id, rrf_score, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT)
+    AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank FROM fout
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+    o["tri_hybrid_batch_topk"] = _tri_hybrid_batch_oracle(
+        FUSE_BATCH, HYBRID_POOL, 10
+    )
 
     _batch_rows = ", ".join(
         f"('{qid}', '{t.lower()}')"

@@ -142,6 +142,8 @@ HEADLINE = [
     "curriculum_order",
     # round-9: batched learned-sparse serving (one pruned scan)
     "sparse_batch_topk",
+    # round-9: the whole tri-hybrid stack batched + rank-faithful RRF
+    "tri_hybrid_batch_topk",
 ]
 
 

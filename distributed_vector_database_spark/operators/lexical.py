@@ -765,6 +765,54 @@ def sparse_dot_search(
     )
 
 
+def hybrid_rrf_batch(
+    results: Sequence[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Batched N-way reciprocal-rank fusion: every leg is a BATCH
+    server result carrying (query_col, doc_col, rank_col) — the
+    output contract of bm25_batch_search / sparse_dot_batch_search /
+    ivf_batch_search — and the fusion happens per query in one pass:
+    fused(q, d) = Σ legs 1/(c + rank_leg(q, d)), missing docs
+    contribute 0 from that leg. Returns (query_col, doc_col,
+    rrf_score, rank <= k).
+
+    Consuming the legs' OWN rank columns (instead of re-ranking
+    scores like hybrid_rrf_multi) keeps fusion rank-faithful per
+    query and makes the whole tri-hybrid batch stack one plan: three
+    pruned scans, one union, one (query, doc) aggregation, one
+    per-query window — every row here is leg-top-n bounded, so the
+    fusion cost scales with Q·n·legs, never the corpus."""
+    from functools import reduce as _reduce
+
+    if len(results) < 2:
+        raise ValueError("need at least two result lists to fuse")
+    legs = [
+        df.select(
+            query_col, doc_col, F.col(rank_col).cast("int").alias("__r")
+        )
+        for df in results
+    ]
+    allr = _reduce(lambda a, b: a.unionByName(b), legs)
+    fused = allr.groupBy(query_col, doc_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("__r"))), 6
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(doc_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_col, "rank")
+    )
+
+
 def sparse_dot_batch_search(
     spark,
     path: str,

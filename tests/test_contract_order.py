@@ -81,6 +81,7 @@ ROTATED_IN = {
     "source_token_caps",
     "curriculum_order",
     "sparse_batch_topk",
+    "tri_hybrid_batch_topk",
 }
 
 

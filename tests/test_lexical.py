@@ -972,3 +972,35 @@ def test_sparse_dot_batch_equals_looped_single_queries(spark, tmp_path):
         sparse_dot_batch_search(spark, idx, {})
     with _pt.raises(ValueError):
         sparse_dot_batch_search(spark, idx, {"q": {}})
+
+
+def test_hybrid_rrf_batch_math_and_query_isolation(spark):
+    """Fusion consumes the legs' own rank columns per query: missing
+    docs contribute 0 from that leg, queries never cross-talk, and a
+    doc ranked in two legs fuses above single-leg docs."""
+    from distributed_vector_database_spark.operators.lexical import (
+        hybrid_rrf_batch,
+    )
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q2", 20, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q2", 21, 1), ("q2", 20, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["rrf_score"]
+        for r in hybrid_rrf_batch([a, b], k=10, c=60).collect()
+    }
+    import pytest as _pt
+
+    assert got[("q1", 10)] == _pt.approx(round(1 / 61, 6), abs=1e-6)
+    assert got[("q1", 11)] == _pt.approx(round(1 / 62 + 1 / 61, 6), abs=1e-6)
+    assert got[("q2", 20)] == _pt.approx(round(1 / 61 + 1 / 62, 6), abs=1e-6)
+    assert got[("q2", 21)] == _pt.approx(round(1 / 61, 6), abs=1e-6)
+    assert set(got) == {("q1", 10), ("q1", 11), ("q2", 20), ("q2", 21)}
+
+    with _pt.raises(ValueError):
+        hybrid_rrf_batch([a])
