@@ -1301,18 +1301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         emb = _emb(spark, sf)
         centroids, assigned = ivf_build(emb, n_centroids=8)
-        vmap = F.create_map(
-            *[
-                F.lit(x)
-                for qid, cfg in sorted(FUSE_BATCH.items())
-                for x in (cfg["vec"], qid)
-            ]
+        # (vec_id, query_id) as a tiny joined frame, not create_map:
+        # a duplicated vec across queries must fan out to BOTH dense
+        # legs, where a map literal throws on the duplicate key (or
+        # silently drops one leg under a lenient dedup policy)
+        vmap = spark.createDataFrame(
+            [(cfg["vec"], qid) for qid, cfg in sorted(FUSE_BATCH.items())],
+            "vec_id long, query_id string",
         )
-        qdf = emb.filter(
-            F.col("vec_id").isin([c["vec"] for c in FUSE_BATCH.values()])
-        ).select(
-            vmap[F.col("vec_id")].alias("query_id"),
-            F.col("embedding").alias("query_vec"),
+        qdf = emb.join(F.broadcast(vmap), "vec_id").select(
+            "query_id", F.col("embedding").alias("query_vec")
         )
         dense = ivf_batch_search(
             spark, centroids, assigned, qdf, k=HYBRID_POOL, nprobe=10**9
@@ -3845,15 +3843,22 @@ FROM (
         and weighted-sparse legs share the (doc, term, tf) fold; the
         dense leg is the exact L2 join; each leg ranks per query and
         truncates at `pool`; fusion sums 1/(c+rank) per (query, doc)."""
+        # mirror the servers' normalization exactly: terms lowercase +
+        # deduped, sparse keys lowercased — an uppercase or duplicated
+        # FUSE_BATCH entry must score identically on both sides, not
+        # silently diverge the hash (r9 self-review)
         qterms = ", ".join(
             f"('{qid}', '{t}')"
             for qid in sorted(batch)
-            for t in sorted(batch[qid]["terms"])
+            for t in sorted({x.lower() for x in batch[qid]["terms"]})
         )
         sweights = ", ".join(
             f"('{qid}', '{t}', {float(w)})"
             for qid in sorted(batch)
-            for t, w in sorted(batch[qid]["sparse"].items())
+            for t, w in sorted(
+                {x.lower(): float(v)
+                 for x, v in batch[qid]["sparse"].items()}.items()
+            )
         )
         dmap = ", ".join(
             f"('{qid}', {batch[qid]['vec']})" for qid in sorted(batch)

@@ -331,6 +331,35 @@ def _applied_markers(path: str) -> list[dict]:
     return out
 
 
+def _postings_meta(spark, path: str, terms) -> tuple:
+    """Shared serving preamble for every postings reader: layout
+    bucket count, published attempt markers, their aid list, and the
+    query terms' bucket set. One definition so marker/bucket handling
+    cannot drift between the single-query and batched servers.
+    Returns (n_buckets, markers, aids, buckets)."""
+    n_buckets = int(
+        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
+    )
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    aids = sorted(m["aid"] for m in markers)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    return n_buckets, markers, aids, buckets
+
+
+def _rank_per_query(per_query: DataFrame, k: int, doc_col: str) -> DataFrame:
+    """Shared batched-serving tail: per-query (score DESC, doc) rank,
+    truncated at k — the output contract every *_batch_search emits."""
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), doc_col)
+    return (
+        per_query.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", doc_col, "score", F.col("__rn").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def postings_write(
     docs: DataFrame,
     path: str,
@@ -736,14 +765,7 @@ def sparse_dot_search(
         raise ValueError("query_weights must be non-empty")
     qw = {t.lower(): float(w) for t, w in query_weights.items()}
     terms = sorted(qw)
-    n_buckets = int(
-        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
-    )
-    markers = _applied_markers(path)
-    if not markers:
-        raise FileNotFoundError(f"no published attempts under {path}/applied")
-    aids = sorted(m["aid"] for m in markers)
-    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    _, _, aids, buckets = _postings_meta(spark, path, terms)
     if doc_weight is None:
         tf = F.col("tf").cast("double")
         doc_weight = tf / (tf + F.lit(1.0))
@@ -837,25 +859,20 @@ def sparse_dot_batch_search(
 
     100 TB: one partition-pruned scan of the union terms' buckets,
     one (query, doc) aggregation, per-query window top-k."""
-    from pyspark.sql.window import Window as _W
-
     if not queries:
         raise ValueError("queries must be non-empty")
     norm_q = {
         str(qid): {t.lower(): float(w) for t, w in qw.items()}
         for qid, qw in queries.items()
     }
+    if len(norm_q) != len(queries):
+        raise ValueError(
+            "query ids collide after str() normalization"
+        )
     if any(not v for v in norm_q.values()):
         raise ValueError("every query needs at least one weighted term")
     all_terms = sorted({t for qw in norm_q.values() for t in qw})
-    n_buckets = int(
-        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
-    )
-    markers = _applied_markers(path)
-    if not markers:
-        raise FileNotFoundError(f"no published attempts under {path}/applied")
-    aids = sorted(m["aid"] for m in markers)
-    buckets = sorted({_term_bucket_py(t, n_buckets) for t in all_terms})
+    _, _, aids, buckets = _postings_meta(spark, path, all_terms)
     if doc_weight is None:
         tf = F.col("tf").cast("double")
         doc_weight = tf / (tf + F.lit(1.0))
@@ -871,20 +888,22 @@ def sparse_dot_batch_search(
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("aid").isin(aids))
-        .join(F.broadcast(memb), "term")
     )
+    # the join carries weights, but a pushed term predicate is an
+    # INDEPENDENT win: it prunes non-query terms sharing the admitted
+    # buckets at the parquet reader (dictionary/row-group level),
+    # where the join can only discard post-scan. Same literal-growth
+    # envelope as bm25_batch_search's membership map, so it caps at
+    # the same 512-membership knee
+    if len(all_terms) <= 512:
+        slice_ = slice_.filter(F.col("term").isin(all_terms))
     per_query = (
-        slice_.withColumn("__s", F.col("__qw") * doc_weight)
+        slice_.join(F.broadcast(memb), "term")
+        .withColumn("__s", F.col("__qw") * doc_weight)
         .groupBy("query_id", doc_col)
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
-    wq = _W.partitionBy("query_id").orderBy(F.desc("score"), doc_col)
-    return (
-        per_query.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", doc_col, "score", F.col("__rn").alias("rank"))
-        .orderBy("query_id", "rank")
-    )
+    return _rank_per_query(per_query, k, doc_col)
 
 
 def prf_search(
@@ -1079,20 +1098,17 @@ def bm25_batch_search(
         str(qid): sorted({t.lower() for t in terms})
         for qid, terms in queries.items()
     }
+    if len(norm_q) != len(queries):
+        raise ValueError(
+            "query ids collide after str() normalization"
+        )
     if any(not v for v in norm_q.values()):
         raise ValueError("every query needs at least one term")
     all_terms = sorted({t for ts in norm_q.values() for t in ts})
-    n_buckets = int(
-        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
-    )
-    markers = _applied_markers(path)
-    if not markers:
-        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    _, markers, aids, buckets = _postings_meta(spark, path, all_terms)
     n_docs = sum(m["n_docs"] for m in markers)
     total_tokens = sum(m["total_tokens"] for m in markers)
-    aids = sorted(m["aid"] for m in markers)
     avgdl = total_tokens / n_docs if n_docs else 1.0
-    buckets = sorted({_term_bucket_py(t, n_buckets) for t in all_terms})
 
     # term -> [query ids] inversion
     term_qids: dict[str, list[str]] = {}
@@ -1148,13 +1164,7 @@ def bm25_batch_search(
     per_query = fanned.groupBy("query_id", doc_col).agg(
         F.round(F.sum("__s"), 6).alias("score")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), doc_col)
-    return (
-        per_query.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", doc_col, "score", F.col("__rn").alias("rank"))
-        .orderBy("query_id", "rank")
-    )
+    return _rank_per_query(per_query, k, doc_col)
 
 
 def hybrid_rrf_multi(

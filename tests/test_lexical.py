@@ -1004,3 +1004,32 @@ def test_hybrid_rrf_batch_math_and_query_isolation(spark):
 
     with _pt.raises(ValueError):
         hybrid_rrf_batch([a])
+
+
+def test_hybrid_rrf_batch_truncates_and_ranks_per_query(spark):
+    """k-truncation and the emitted rank column are PER QUERY: with 3
+    fused docs per query and k=2, each query keeps exactly its own
+    top 2 with ranks [1, 2] (a global window would give one query
+    ranks 4..6)."""
+    from distributed_vector_database_spark.operators.lexical import (
+        hybrid_rrf_batch,
+    )
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2), ("q2", 22, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q2", 22, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    rows = hybrid_rrf_batch([a, b], k=2, c=60).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert set(by_q) == {"q1", "q2"}
+    # q1: doc 11 fused from both legs wins, then doc 10; doc 12 cut
+    assert sorted(by_q["q1"]) == [(1, 11), (2, 10)]
+    # q2: doc 22 (both legs) wins, then doc 20; doc 21 cut
+    assert sorted(by_q["q2"]) == [(1, 22), (2, 20)]
