@@ -525,17 +525,10 @@ def bm25_postings_search(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
-    n_buckets = int(
-        spark.read.parquet(f"{path}/corpus").collect()[0]["n_buckets"]
-    )
-    markers = _applied_markers(path)
-    if not markers:
-        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    _, markers, aids, buckets = _postings_meta(spark, path, terms)
     n_docs = sum(m["n_docs"] for m in markers)
     total_tokens = sum(m["total_tokens"] for m in markers)
-    aids = sorted(m["aid"] for m in markers)
     avgdl = total_tokens / n_docs if n_docs else 1.0
-    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
 
     slice_ = (
         spark.read.parquet(f"{path}/postings")
