@@ -1982,6 +1982,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_clusters"] = near_dup_clusters_q
 
+    def near_dup_clusters_incremental_q(spark, sf):
+        # continual-ingest clustering: the SAME candidate pairs split
+        # into two deterministic batches; batch 1 is clustered, batch 2
+        # folds into the persisted labeling via star-graph hydration —
+        # final labels must equal the one-shot recompute, so this
+        # hash-matches near_dup_clusters' recursive-CTE oracle
+        from distributed_vector_database_spark.operators.dedup import (
+            dedup_clusters_incremental,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(docs).localCheckpoint()
+        split = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2)) == 0
+        ids = docs.select(F.col("doc_id").alias("id"))
+        labels = dedup_clusters(ids, pairs.filter(split))
+        return dedup_clusters_incremental(
+            labels, pairs.filter(~split)
+        ).orderBy("id")
+
+    q["near_dup_clusters_incremental"] = near_dup_clusters_incremental_q
+
     def embedding_near_dup_scale_q(spark, sf):
         # the 100 TB near-dup path (coarse k-means -> within-cluster
         # exact GEMM, SemDeDup shape) forced onto its multi-cluster
@@ -2909,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget domain caps ---
         "decontam_spans", "source_token_caps", "curriculum_order",
         "sparse_batch_topk", "tri_hybrid_batch_topk",
+        "near_dup_clusters_incremental",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -2920,12 +2942,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_exact",
         # --- r8 first-timers earning a second green driver round ---
         "canonical_selection", "epoch_mixture", "corpus_profile",
-        "knn_classify",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r8 tier-1 veterans
         # rotate down — every one hash-green in CORRECTNESS_r08 ----
         "training_examples", "ann_ivf_range", "ann_ivf_range_join",
-        "semantic_decontam", "retrieval_eval",
+        "semantic_decontam", "retrieval_eval", "knn_classify",
         "volume_shipping", "returned_item_revenue",
         "customer_order_distribution", "type_share_revenue",
         "small_quantity_revenue", "large_volume_customers",
@@ -5429,6 +5450,8 @@ reach(id, r) AS (
 )
 SELECT id, CAST(min(r) AS BIGINT) AS rep_id FROM reach GROUP BY id
 """
+    # incremental fold ends at the same labels as the one-shot CC
+    o["near_dup_clusters_incremental"] = o["near_dup_clusters"]
 
     # cluster-level split rides on the identical clustering oracle, so
     # the two stay in lock-step by construction

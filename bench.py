@@ -144,6 +144,8 @@ HEADLINE = [
     "sparse_batch_topk",
     # round-9: the whole tri-hybrid stack batched + rank-faithful RRF
     "tri_hybrid_batch_topk",
+    # round-9: continual-ingest clustering (star-graph fold)
+    "near_dup_clusters_incremental",
 ]
 
 

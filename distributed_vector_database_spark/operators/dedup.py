@@ -637,6 +637,81 @@ def dedup_clusters(
     return labels.unionByName(singletons)
 
 
+def dedup_clusters_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    new_ids: DataFrame | None = None,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Continual-ingest clustering: fold a NEW batch of duplicate
+    pairs (and optionally new singleton ids) into a persisted
+    (id, rep_id) labeling — the output of dedup_clusters — WITHOUT
+    re-running connected components over the full pair history.
+
+    Correctness rests on star-graph equivalence: a labeling is
+    connectivity-equivalent to its star edges (id — rep_id), so CC
+    over (stars ∪ batch pairs) equals CC over (all historical pairs ∪
+    batch pairs). Cost rests on component hydration: only the
+    components the batch TOUCHES are re-resolved — batch endpoints →
+    their reps (broadcast semi join) → every member of those
+    components; untouched labels pass through verbatim. Per-batch
+    cost is O(|batch| + Σ touched component sizes), never the corpus
+    — the same incremental economics as minhash_incremental /
+    record_link_incremental. A new edge can merge two old components
+    (both hydrate; the global min id wins) or attach a brand-new id
+    (its own id may become the new rep if smaller).
+
+    Parity is pinned by test: fold(labels(P1), P2) ==
+    dedup_clusters(all, P1 ∪ P2) for chains that cross batches."""
+    pairs = new_pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    ends = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # reps of every touched OLD component (batch-bounded)
+    touched_reps = (
+        labels.join(F.broadcast(ends), "id", "left_semi")
+        .select("rep_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    # hydrate those components in full: their stars must re-resolve
+    # together (a merge can relabel every member)
+    touched = labels.join(
+        F.broadcast(touched_reps), "rep_id", "left_semi"
+    ).localCheckpoint()
+    star_pairs = touched.filter(F.col("id") != F.col("rep_id")).select(
+        F.col("id").alias("id_a"), F.col("rep_id").alias("id_b")
+    )
+    # batch endpoints with no old label are NEW ids (or old singletons
+    # — labelings store those as rep=self, so they arrive via touched)
+    fresh = ends.join(labels.select("id"), "id", "left_anti")
+    scope_ids = (
+        touched.select("id")
+        .unionByName(fresh)
+        .unionByName(
+            new_ids.select(F.col(id_col).alias("id"))
+            if new_ids is not None
+            else fresh.limit(0)
+        )
+        .distinct()
+    )
+    resolved = dedup_clusters(
+        scope_ids,
+        star_pairs.unionByName(pairs),
+        max_iterations=max_iterations,
+    )
+    untouched = labels.join(
+        F.broadcast(touched_reps), "rep_id", "left_anti"
+    ).select("id", "rep_id")
+    return untouched.unionByName(resolved.select("id", "rep_id"))
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -131,3 +131,58 @@ def test_build_training_examples_slices_exactly(spark):
             1 for s, t in bounds if s < (e + 1) * L and t > e * L
         )
         assert rows[e]["n_docs"] == want_docs
+
+
+def test_dedup_clusters_incremental_equals_batch_recompute(spark):
+    """fold(labels(P1), P2) == dedup_clusters(all, P1 ∪ P2) across the
+    hard cases: a new edge MERGING two old components, a brand-new id
+    that becomes its component's rep (smaller than the old min), a
+    chain extended across the batch boundary, and untouched
+    components / singletons passing through verbatim."""
+    from distributed_vector_database_spark.operators.dedup import (
+        dedup_clusters_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(2, 13)], ["id"])
+    p1 = spark.createDataFrame(
+        [(4, 5), (5, 6),        # component A: {4,5,6} rep 4
+         (8, 9),                # component B: {8,9} rep 8
+         (11, 12)],             # component C (never touched again)
+        ["id_a", "id_b"],
+    )  # 2, 3, 7, 10 singletons
+    labels = dedup_clusters(ids, p1).localCheckpoint()
+
+    p2 = spark.createDataFrame(
+        [(6, 8),                # merges A and B -> rep 4
+         (2, 9),                # chains singleton 2 in -> rep becomes 2
+         (3, 14)],              # old singleton 3 + NEW id 14
+        ["id_a", "id_b"],
+    )
+    all_ids = ids.unionByName(spark.createDataFrame([(14,)], ["id"]))
+    want = {
+        r["id"]: r["rep_id"]
+        for r in dedup_clusters(all_ids, p1.unionByName(p2)).collect()
+    }
+    got = {
+        r["id"]: r["rep_id"]
+        for r in dedup_clusters_incremental(labels, p2).collect()
+    }
+    assert got == want
+    assert got[8] == 2 and got[4] == 2      # merged through the chain
+    assert got[14] == 3 and got[3] == 3     # new id joins old singleton
+    assert got[11] == 11 and got[12] == 11  # untouched component intact
+    assert got[7] == 7 and got[10] == 10    # singletons verbatim
+
+    # an EMPTY batch with declared new ids just appends singletons
+    extra = spark.createDataFrame([(99,)], ["id"])
+    got2 = {
+        r["id"]: r["rep_id"]
+        for r in dedup_clusters_incremental(
+            labels, p2.limit(0), new_ids=extra
+        ).collect()
+    }
+    assert got2[99] == 99
+    assert {k: v for k, v in got2.items() if k != 99} == {
+        r["id"]: r["rep_id"] for r in labels.collect()
+    }

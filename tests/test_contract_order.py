@@ -82,6 +82,7 @@ ROTATED_IN = {
     "curriculum_order",
     "sparse_batch_topk",
     "tri_hybrid_batch_topk",
+    "near_dup_clusters_incremental",
 }
 
 
