@@ -1415,8 +1415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             length_grouped_batches,
         )
 
-        return length_grouped_batches(
+        out = length_grouped_batches(
             load_table(spark, sf, "documents"), batch_size=32
+        )
+        # The operator returns members as array<long>; the driver's
+        # canonicalizer pandas-sorts columns and cannot hash a list
+        # cell, so the CONTRACT projection (not the operator)
+        # serializes the sorted member list to a canonical
+        # comma-joined string.
+        return out.withColumn(
+            "members",
+            F.concat_ws(",", F.col("members").cast("array<string>")),
         )
 
     q["length_batches"] = length_batches_q
@@ -4205,7 +4214,7 @@ ranked AS (
 )
 SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
   max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens,
-  list_sort(list(doc_id)) AS members,
+  array_to_string(list_sort(list(doc_id)), ',') AS members,
   CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens) AS pad_waste
 FROM ranked GROUP BY batch_id ORDER BY batch_id
 """

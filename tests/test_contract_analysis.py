@@ -22,5 +22,22 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.mark.parametrize("name", list(em.queries().keys()))
 def test_contract_query_analyzes(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = em.queries()[name](spark, SF_DIR)
     assert len(df.schema.fields) > 0
+    # Driver-canonicalizer compatibility lint (r9 incident: the
+    # length_batches row ERR'd because the driver pandas-sorts result
+    # columns and a list cell is unhashable). No contract query may
+    # emit a nested-typed column — serialize arrays to a canonical
+    # string in the CONTRACT projection, keep the operator typed.
+    nested = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name} emits nested-typed column(s) {nested}; the driver's "
+        "canonicalizer cannot hash list/dict cells — serialize to a "
+        "string in the contract wiring (see length_batches)"
+    )
