@@ -691,11 +691,19 @@ def dedup_clusters_incremental(
     # batch endpoints with no old label are NEW ids (or old singletons
     # — labelings store those as rep=self, so they arrive via touched)
     fresh = ends.join(labels.select("id"), "id", "left_anti")
+    # new_ids already present in the persisted labeling must NOT enter
+    # the resolve scope: an already-labeled id whose component the
+    # batch does not touch would otherwise be emitted twice — once via
+    # `untouched` with its old rep and once from `resolved` as
+    # rep=self (its component's star edges are never hydrated). Same
+    # anti-join discipline as `fresh`.
     scope_ids = (
         touched.select("id")
         .unionByName(fresh)
         .unionByName(
-            new_ids.select(F.col(id_col).alias("id"))
+            new_ids.select(F.col(id_col).alias("id")).join(
+                labels.select("id"), "id", "left_anti"
+            )
             if new_ids is not None
             else fresh.limit(0)
         )

@@ -199,7 +199,12 @@ def select_by_token_budget_grouped(
         for r in sorted(totals, key=lambda r: (r[group_col], r["__pid"])):
             g = r[group_col]
             off = acc.get(g, 0)
-            if off < bud(g):
+            # keep partitions at off == budget too: the window filter
+            # (cum_tokens <= budget) still rejects every token-bearing
+            # row, but a ZERO-token row landing exactly at the
+            # boundary has cum_tokens == budget and must survive,
+            # matching the SQL-oracle semantics (r9 ADVICE)
+            if off <= bud(g):
                 live.append((r["__pid"], g, off, bud(g)))
             acc[g] = off + int(r["__t"] or 0)
         if not live:

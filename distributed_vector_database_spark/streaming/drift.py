@@ -53,8 +53,11 @@ def drift_state_init(
     {state_dir}/current — without it a standalone drift_report()
     before the first non-empty micro-batch died on a path-not-found
     read instead of returning an empty report (r8 ADVICE low). Seeded
-    as a batch=init partition dir so the fold's batch=N siblings keep
-    a consistent directory layout."""
+    as a batch=-1 partition dir: a NUMERIC sentinel, so the
+    discovered `batch` partition column stays integer-typed once the
+    fold writes batch=N siblings (a `batch=init` string seed
+    permanently pinned the column to string, breaking any external
+    reader filtering batch numerically — r9 ADVICE low)."""
     ref = _moments(reference, vec_col)
     ref.write.mode("overwrite").parquet(f"{state_dir}/reference")
     spark = reference.sparkSession
@@ -62,7 +65,7 @@ def drift_state_init(
         spark.createDataFrame([], ref.schema)
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{state_dir}/current/batch=init")
+        .parquet(f"{state_dir}/current/batch=-1")
     )
 
 

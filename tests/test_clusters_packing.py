@@ -186,3 +186,26 @@ def test_dedup_clusters_incremental_equals_batch_recompute(spark):
     assert {k: v for k, v in got2.items() if k != 99} == {
         r["id"]: r["rep_id"] for r in labels.collect()
     }
+
+    # new_ids OVERLAPPING the persisted labeling (r9 ADVICE): an
+    # already-labeled id in an UNTOUCHED component must keep its old
+    # rep and appear exactly once — not also re-emitted as rep=self
+    # from the resolve scope (whose hydration never sees its stars)
+    overlap = spark.createDataFrame([(12,), (99,)], ["id"])  # 12 ∈ C
+    out3 = dedup_clusters_incremental(
+        labels, p2.limit(0), new_ids=overlap
+    ).collect()
+    rows12 = [r for r in out3 if r["id"] == 12]
+    assert rows12 == [(12, 11)] or (
+        len(rows12) == 1 and rows12[0]["rep_id"] == 11
+    )
+    assert len(out3) == len({r["id"] for r in out3})  # no dup ids at all
+    got3 = {r["id"]: r["rep_id"] for r in out3}
+    assert got3[99] == 99
+
+    # same overlap but with a non-empty batch touching OTHER
+    # components: 12's old label still passes through exactly once
+    out4 = dedup_clusters_incremental(labels, p2, new_ids=overlap).collect()
+    assert len(out4) == len({r["id"] for r in out4})
+    got4 = {r["id"]: r["rep_id"] for r in out4}
+    assert got4[12] == 11 and got4[99] == 99

@@ -73,6 +73,22 @@ def test_drift_report_before_first_batch_returns_empty(spark, tmp_path):
     assert rep.count() == 0
     assert "shift_z" in rep.columns and "drifted" in rep.columns
 
+    # the seed partition is a NUMERIC sentinel (batch=-1): once a fold
+    # writes batch=N siblings, the discovered `batch` partition column
+    # must stay integer-typed for external readers that filter or cast
+    # it numerically (r9 ADVICE — a batch=init string seed pinned the
+    # column to string forever)
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.streaming.drift import (
+        build_drift_fold,
+    )
+
+    build_drift_fold(state)(_corpus(spark, n=30, dim=3, seed=9), 0)
+    cur = spark.read.parquet(f"{state}/current")
+    assert dict(cur.dtypes)["batch"] in ("int", "bigint")
+    assert cur.filter(F.col("batch") >= 0).count() > 0  # numeric filter works
+
 
 def test_streaming_drift_matches_batch_monitor(spark, tmp_path):
     """Two micro-batches folded through run_drift_stream produce the

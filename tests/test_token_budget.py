@@ -182,6 +182,38 @@ def test_grouped_budget_matches_single_group_operator(spark):
     assert a == b
 
 
+def test_grouped_budget_zero_token_row_at_boundary_survives(spark):
+    """A zero-token row whose running total lands EXACTLY on the
+    budget must be kept (cum_tokens == budget passes the
+    `cum_tokens <= budget` filter and the SQL oracle keeps it) —
+    previously the partition-prune used a strict `<` on the group
+    offset and silently dropped it when it fell at a partition
+    boundary (r9 ADVICE). Forcing one partition per row makes every
+    row a boundary case."""
+    from distributed_vector_database_spark.operators.sampling import (
+        select_by_token_budget_grouped,
+    )
+
+    rows = [
+        # quality desc order within "web": 10, 20, then a 0-token row
+        (0, "web", 0.9, 10),
+        (1, "web", 0.8, 20),
+        (2, "web", 0.7, 0),   # cum 30 == budget -> must survive
+        (3, "web", 0.6, 5),   # cum 35 > budget -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "source", "quality", "n_tokens"]
+    )
+    for p in (1, 4):  # p=4 puts the 0-token row alone past the cutoff
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in select_by_token_budget_grouped(
+                df, 30, partitions=p
+            ).collect()
+        }
+        assert got == {0: 10, 1: 30, 2: 30}, (p, got)
+
+
 def test_grouped_budget_null_groups_dropped(spark):
     """NULL groups are dropped up front (budgets are an allowlist;
     NULL is never on it) — previously the driver offset sort died
