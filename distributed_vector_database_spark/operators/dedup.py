@@ -662,6 +662,17 @@ def dedup_clusters_incremental(
     (both hydrate; the global min id wins) or attach a brand-new id
     (its own id may become the new rep if smaller).
 
+    Giant-component caveat: ONE batch edge into a mega-component
+    hydrates that component in full — correct, but the fold's cost is
+    then that component's mass, not the batch's. The fold logs the
+    touched mass per call (cheap counts on already-materialized
+    checkpoints) so ingest loops can watch for it; the real
+    mitigation is UPSTREAM: the `bucket_cap` star-edge hatch in
+    minhash_lsh_dedup bounds how large any near-dup component can
+    grow in the first place, and a 500k-member worst case measures
+    ~linear in the mass, not the corpus (tools/giant_component_smoke
+    .py, SCALE.md).
+
     Parity is pinned by test: fold(labels(P1), P2) ==
     dedup_clusters(all, P1 ∪ P2) for chains that cross batches."""
     pairs = new_pairs.select(
@@ -685,6 +696,20 @@ def dedup_clusters_incremental(
     touched = labels.join(
         F.broadcast(touched_reps), "rep_id", "left_semi"
     ).localCheckpoint()
+    # giant-component watch: both frames are eager checkpoints, so
+    # these counts are metadata-cheap; a touched mass far above the
+    # batch size means an edge landed in a mega-component and this
+    # fold pays that component's mass (see docstring caveat)
+    import logging as _logging
+
+    _log = _logging.getLogger(__name__)
+    if _log.isEnabledFor(_logging.INFO):
+        _log.info(
+            "dedup_clusters_incremental: %d touched components, "
+            "touched mass %d",
+            touched_reps.count(),
+            touched.count(),
+        )
     star_pairs = touched.filter(F.col("id") != F.col("rep_id")).select(
         F.col("id").alias("id_a"), F.col("rep_id").alias("id_b")
     )

@@ -50,20 +50,16 @@ def zorder_value(a: Column, b: Column) -> Column:
     return z
 
 
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    col_a: str,
-    col_b: str,
-    partitions: int = 32,
-) -> None:
-    """Write df as parquet Z-ordered on (col_a, col_b): one min/max
-    agg (broadcast back as literals via a 1-row cross join), the bit
-    interleave, a range repartition + within-partition sort on the
-    Z value, then a plain parquet write. Row-group min/max for BOTH
-    columns come out narrow, so a selective predicate on either one
-    prunes most of the file bytes — the scan-side win needs no query
-    changes at all (parquet footer pruning is automatic)."""
+def with_zorder_key(
+    df: DataFrame, col_a: str, col_b: str, out_col: str = "__z"
+) -> DataFrame:
+    """Attach the Z-curve key for (col_a, col_b) as `out_col`: one
+    min/max agg over both columns (a 1-row broadcast cross join, not
+    a second scan per bound), 16-bit fixed-point scaling, then the
+    pure-expression bit interleave. The reusable front half of
+    zorder_write — also the hash-oracle surface for the layout
+    family, since every step (floor arithmetic on doubles, shifts,
+    ors) mirrors exactly in ANSI SQL."""
     bounds = df.agg(
         F.min(F.col(col_a).cast("double")).alias("__alo"),
         F.max(F.col(col_a).cast("double")).alias("__ahi"),
@@ -74,12 +70,32 @@ def zorder_write(
         _scaled(F.col(col_a), F.col("__alo"), F.col("__ahi")),
         _scaled(F.col(col_b), F.col("__blo"), F.col("__bhi")),
     )
-    (
+    return (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn("__z", z)
+        .withColumn(out_col, z)
+        .drop("__alo", "__ahi", "__blo", "__bhi")
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    partitions: int = 32,
+) -> None:
+    """Write df as parquet Z-ordered on (col_a, col_b): the
+    with_zorder_key column, a range repartition + within-partition
+    sort on the Z value, then a plain parquet write. Row-group
+    min/max for BOTH columns come out narrow, so a selective
+    predicate on either one prunes most of the file bytes — the
+    scan-side win needs no query changes at all (parquet footer
+    pruning is automatic)."""
+    (
+        with_zorder_key(df, col_a, col_b, "__z")
         .repartitionByRange(partitions, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -682,3 +682,56 @@ def weighted_sample(
         .limit(int(n))
         .drop("__es")
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    weight_col: str,
+    n_per_group: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-GROUP weighted sampling without replacement — 'k docs per
+    language, weight-proportional, reproducible': the grouped form of
+    weighted_sample, same Efraimidis–Spirakis arrival keys
+    (-ln(hash-uniform)/weight, content-stable under `seed`), the
+    n_per_group smallest keys winning WITHIN each group_col value.
+
+    100 TB shape: the naive Window.partitionBy(group) serializes each
+    group into one reducer — a giant group melts a task. Two stages
+    instead: stage 1 takes each group's local top-n inside every
+    input partition (window over (partition_id, group) — a giant
+    group spreads over all P tasks), leaving <= P·n survivors per
+    group; stage 2's global per-group window runs over that bounded
+    set only. Same answer, because a group's global top-n is a subset
+    of the union of its per-partition top-n's. Zero/negative weights
+    are excluded, as in weighted_sample."""
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    u = (
+        hash32(F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    es = -F.log(u) / F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__es", es)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("__pid", group_col).orderBy(
+        F.asc("__es"), F.asc(key_col)
+    )
+    survivors = (
+        keyed.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= n_per_group)
+        .drop("__lr", "__pid")
+    )
+    final = Window.partitionBy(group_col).orderBy(
+        F.asc("__es"), F.asc(key_col)
+    )
+    return (
+        survivors.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= n_per_group)
+        .drop("__r", "__es")
+    )

@@ -124,3 +124,69 @@ def salted_join(
         s[c] for c in small.columns if c not in (ks, "__salt")
     ]
     return b.join(s, cond, how).select(*out_cols)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+) -> DataFrame:
+    """All keys with global count >= min_count, found with the
+    two-pass candidate/verify discipline instead of a full
+    distinct-key shuffle.
+
+    Pass 1 (candidates, one scan, NO shuffle): each partition runs a
+    vectorized local frequency count (pandas value_counts inside
+    mapInPandas) and emits only keys whose LOCAL count reaches
+    ceil(min_count / n_partitions). Any global heavy hitter must
+    clear that bar in at least one partition — if every partition
+    held fewer copies, the global total could not reach min_count —
+    so the candidate set is a GUARANTEED superset (never probabilistic:
+    the verify pass depends on it). Per-partition emission is bounded
+    by partition_rows / local_bar, i.e. at most rows·P/min_count
+    candidates globally — small whenever min_count is a meaningful
+    heavy-hitter threshold.
+
+    Pass 2 (exact verify, candidate-sized): the corpus semi-joins the
+    broadcast candidate set — map-side pruned, no shuffle of
+    non-candidate rows — and one groupBy over surviving rows computes
+    EXACT counts, filtered to >= min_count. Output is exact (the
+    candidate pass only prunes), so it hash-matches the plain
+    GROUP BY / HAVING oracle.
+
+    100 TB shape: a power-law key column has billions of distinct
+    keys but few heavy ones; the full groupBy (skew_report) shuffles
+    one row per DISTINCT key, while this shuffles one row per
+    candidate OCCURRENCE — candidates are the rare keys that are
+    locally dense somewhere. Degenerate uniform data emits many
+    candidates; correctness never depends on the distribution."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    n_parts = df.rdd.getNumPartitions() or 1
+    local_bar = max(1, -(-min_count // n_parts))  # ceil division
+    key_type = dict(df.dtypes)[key_col]
+
+    def _local_candidates(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            for k, c in vc.items():
+                acc[k] = acc.get(k, 0) + int(c)
+        yield pd.DataFrame(
+            {key_col: [k for k, c in acc.items() if c >= local_bar]}
+        )
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(_local_candidates, schema=f"{key_col} {key_type}")
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc(key_col))
+    )

@@ -59,30 +59,22 @@ ROWS_ONLY = {
 }
 
 ROTATED_IN = {
-    # the 23 queries with zero driver CORRECTNESS rows through round 8
-    # (VERDICT r8 item #1) — promoted into the budget in round 9 to
-    # complete cumulative driver coverage at 187/187
-    "discount_revenue", "priority_shipping_mix", "idle_rich_customers",
-    "important_part_values",
-    "ann_mrl_topk_exact", "ann_ivfmrl_topk_exact",
-    "ann_ivfmrl_layout_exact", "ann_lsh_join_exact",
-    "ann_bq_topk", "ann_ivfbq_topk",
-    "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
-    "embedding_drift", "bucketed_revenue_join", "weighted_sample",
-    "length_batches", "event_percentiles", "record_link",
-    "hard_negatives", "contrastive_triplets", "topic_keywords",
-    "snippet_extract",
-    # round-9 code changes that must show a green driver row
-    # (phrase pre-filter rewrite; percentile relabel rides on
-    # event_percentiles above)
-    "phrase_search",
-    # round-9 new operators
-    "decontam_spans",
-    "source_token_caps",
-    "curriculum_order",
-    "sparse_batch_topk",
-    "tri_hybrid_batch_topk",
-    "near_dup_clusters_incremental",
+    # r10 rotation, policy "new + code-changed + never-green first"
+    # (VERDICT r9 #3):
+    # round-10 new operators
+    "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
+    # code-changed paths owed a fresh driver row: the length_batches
+    # contract projection (r9's only ERR), the r9 lexical.py rewrite
+    # veterans whose last driver rows predate it, and the r10
+    # edge-case fixes (incremental clustering new_ids anti-join,
+    # grouped-budget boundary)
+    "length_batches", "bm25_postings_topk", "hybrid_rrf_served",
+    "sparse_dot_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
+    "near_dup_clusters_incremental", "source_token_caps",
+    "weighted_sample",
+    # round-9 first-timers earning a second green driver round
+    "phrase_search", "decontam_spans", "curriculum_order",
+    "sparse_batch_topk", "tri_hybrid_batch_topk",
 }
 
 

@@ -117,3 +117,40 @@ def test_bucketed_group_by_no_exchange(spark):
         assert g.count() == 500
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
+
+
+def test_with_zorder_key_matches_local_interleave(grid, spark):
+    """with_zorder_key == a local numpy replication of the fixed-point
+    scale + bit interleave, row for row — the oracle surface the
+    zorder_curve contract query rests on."""
+    from distributed_vector_database_spark.operators.layout import (
+        with_zorder_key,
+    )
+
+    rows = grid.select("x", "y").collect()
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    alo, ahi = float(min(xs)), float(max(xs))
+    blo, bhi = float(min(ys)), float(max(ys))
+
+    def scale(v, lo, hi):
+        span = hi - lo if hi > lo else 1.0
+        return min(int((float(v) - lo) / span * 65535), 65535)
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = {
+        (r["x"], r["y"]): interleave(
+            scale(r["x"], alo, ahi), scale(r["y"], blo, bhi)
+        )
+        for r in rows
+    }
+    got = with_zorder_key(grid, "x", "y", "zval").collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["zval"] == want[(r["x"], r["y"])], (r["x"], r["y"])

@@ -123,3 +123,51 @@ def test_salted_join_operator_parity_and_left(spark):
 
     with _pt.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """Two-pass heavy hitters must equal the plain GROUP BY/HAVING
+    answer exactly — the candidate pass is a guaranteed superset, so
+    no distribution (uniform, power-law, keys split across many
+    partitions) may change the result."""
+    from distributed_vector_database_spark.operators.skew import heavy_hitters
+
+    rows = (
+        [(i, "hot") for i in range(300)]
+        + [(i, "warm") for i in range(40)]
+        + [(i, f"cold{i}") for i in range(200)]
+        + [(i, "split") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "i long, k string").repartition(16)
+
+    for s in (1, 2, 25, 41, 300, 301):
+        got = [(r["k"], r["n"]) for r in heavy_hitters(df, "k", s).collect()]
+        want = sorted(
+            (
+                (r["k"], r["n"])
+                for r in df.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= s)
+                .collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == want, (s, got, want)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "k", 0)
+
+
+def test_heavy_hitters_superset_bar_survives_partition_spread(spark):
+    """A key exactly at min_count spread 1-per-partition must still be
+    found: the local bar is ceil(s/P), and with s <= P the bar is 1 —
+    complete by construction."""
+    from distributed_vector_database_spark.operators.skew import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i, "edge") for i in range(16)], "i long, k string"
+    ).repartition(16, "i")
+    got = heavy_hitters(df, "k", 16).collect()
+    assert [(r["k"], r["n"]) for r in got] == [("edge", 16)]

@@ -63,3 +63,57 @@ def test_es_key_formula_is_weight_proportional():
         for s in range(2000)
     )
     assert abs(wins / 2000 - 10 / 11) < 0.03
+
+
+def test_weighted_sample_grouped_matches_local_replication(spark):
+    """Per-group A-ES draw == a local per-group sort by the replicated
+    exponential keys, for every group — and the two-stage top-n must
+    be invariant to the physical partitioning (the stage-1 prune is a
+    superset of each group's global winners by construction)."""
+    from distributed_vector_database_spark.operators.sampling import (
+        weighted_sample_grouped,
+    )
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], float(1 + (i % 7)))
+        for i in range(120)
+    ] + [(200, "zz", 0.0), (201, "zz", -1.0)]  # non-positive: excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    def local_expect(k):
+        by_group: dict = {}
+        for i, g, w in rows:
+            if w > 0:
+                by_group.setdefault(g, []).append(
+                    (_es_key(i, w, 5), i)
+                )
+        out = set()
+        for g, ks in by_group.items():
+            for _, i in sorted(ks)[:k]:
+                out.add((i, g))
+        return out
+
+    for parts in (1, 13):
+        got = {
+            (r["doc_id"], r["lang"])
+            for r in weighted_sample_grouped(
+                df.repartition(parts),
+                "w",
+                n_per_group=8,
+                group_col="lang",
+                key_col="doc_id",
+                seed=5,
+            ).collect()
+        }
+        assert got == local_expect(8), parts
+
+    # n larger than any group returns every positive-weight row
+    all_got = weighted_sample_grouped(
+        df, "w", n_per_group=1000, group_col="lang", key_col="doc_id", seed=5
+    ).count()
+    assert all_got == 120
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample_grouped(df, "w", 0)
