@@ -74,6 +74,9 @@ def main() -> None:
             )
         return b
 
+    # warm the JVM/codegen on a tiny fold so measurement 1 isn't cold
+    dedup_clusters_incremental(labels.limit(1000), batch(False).limit(5)).count()
+
     for name, touch in (("untouched-giant", False), ("one-edge-into-giant", True)):
         t0 = time.time()
         out = dedup_clusters_incremental(labels, batch(touch))
