@@ -2935,6 +2935,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample_by_lang"] = weighted_sample_by_lang_q
 
+    def bm25_filtered_topk_q(spark, sf):
+        # FILTERED lexical serving: the metadata-filtered candidate
+        # set (lang = 'en') restricts which docs may rank — top-k over
+        # the filtered set, corpus-level idf/avgdl (pre-filter
+        # semantics, the lexical mirror of knn_filtered /
+        # ann_ivf_filtered)
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_postings_search,
+        )
+
+        idx = _postings_index(spark, sf)
+        allowed = (
+            load_table(spark, sf, "documents")
+            .filter(F.col("lang") == "en")
+            .select("doc_id")
+        )
+        return bm25_postings_search(
+            spark, idx, BM25_TERMS, k=10, k1=BM25_K1, b=BM25_B,
+            allowed=allowed,
+        )
+
+    q["bm25_filtered_topk"] = bm25_filtered_topk_q
+
+    def state_as_of_q(spark, sf):
+        # time-travel read: table state AS OF the checkpoint ts,
+        # reconstructed from one log scan (compact with an inclusive
+        # upper cutoff — the single-cutoff form of snapshot_diff)
+        state = compact(
+            _event_log(spark, sf),
+            key_col="key",
+            ts_col="ts",
+            seq_col="seq",
+            until_ts=F.lit(CHECKPOINT_TS).cast("timestamp"),
+        )
+        return state.select(
+            F.col("key").alias("user_id"),
+            "value",
+            F.col("seq").alias("last_event_id"),
+        )
+
+    q["state_as_of"] = state_as_of_q
+
     # -----------------------------------------------------------------------
     # Enumeration order: harnesses that enumerate this dict under a
     # query-count or time budget (each round records rows for exactly the
@@ -2960,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 rotation, policy "new + code-changed + never-green
         # first" (VERDICT r9 #3). Head: this round's new operators. ---
         "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
+        "bm25_filtered_topk", "state_as_of",
         # --- code-changed paths owed a fresh driver row: the
         # length_batches contract projection (r9's only ERR row, now a
         # canonical string); the r9 lexical.py rewrite's veterans
@@ -2990,11 +3033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers", "important_part_values",
         "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
         "bucketed_revenue_join", "event_percentiles", "record_link",
-        "hard_negatives", "contrastive_triplets",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): two-round-green r9
         # veterans rotate down — every one hash- or rows-green in
         # CORRECTNESS_r09 ----
+        "hard_negatives", "contrastive_triplets",
         "topic_keywords", "snippet_extract", "embedding_drift",
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "ann_bq_topk", "ann_ivfbq_topk",
@@ -3126,10 +3169,13 @@ _SHINGLES = (
 )
 
 
-def _bm25_ctes(k: int) -> str:
+def _bm25_ctes(k: int, doc_filter: str = "") -> str:
     """CTE chain `bm25` = top-k docs by Okapi BM25 for BM25_TERMS, with
     the identical idf/tf/length-normalization arithmetic and the same
-    (round(score,6) DESC, doc_id) ordering as operators/lexical.py."""
+    (round(score,6) DESC, doc_id) ordering as operators/lexical.py.
+    `doc_filter` (a WHERE clause on bmscored) mirrors filtered serving:
+    it restricts which docs may RANK while idf/avgdl stay corpus-level
+    — pre-filter semantics, applied before the LIMIT."""
     terms = [t.lower() for t in BM25_TERMS]
     dfs = ", ".join(
         f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df{i}"
@@ -3155,7 +3201,8 @@ bmscored AS (
   SELECT doc_id, round({score}, 6) AS score
   FROM bmtf, bmstats WHERE {any_tf} > 0
 ),
-bm25 AS (SELECT doc_id, score FROM bmscored ORDER BY score DESC, doc_id LIMIT {k})
+bm25 AS (SELECT doc_id, score FROM bmscored {doc_filter}
+         ORDER BY score DESC, doc_id LIMIT {k})
 """
 
 
@@ -3856,6 +3903,13 @@ WHERE rn = 1 AND (norm2 < 1e-12 OR dist > {OUTLIER_MAX_DIST})
     # ranking as the corpus-scan path
     o["bm25_postings_topk"] = o["bm25_topk"]
 
+    o["bm25_filtered_topk"] = f"""
+WITH {_bm25_ctes(10, doc_filter=(
+        "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    ))}
+SELECT doc_id, score FROM bm25
+"""
+
     _sparse_terms = sorted(SPARSE_QW)
     _sparse_tfs = ", ".join(
         f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
@@ -4514,6 +4568,14 @@ FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id
     o["changelog_incremental"] = f"""
 WITH {_log_cte},
 f AS (SELECT * FROM log WHERE ts > TIMESTAMP '{CHECKPOINT_TS}'),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+SELECT user_id, value, event_id AS last_event_id
+FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id
+"""
+
+    o["state_as_of"] = f"""
+WITH {_log_cte},
+f AS (SELECT * FROM log WHERE ts <= TIMESTAMP '{CHECKPOINT_TS}'),
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
 SELECT user_id, value, event_id AS last_event_id
 FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id

@@ -61,13 +61,20 @@ def compact(
     op_col: str = "op",
     seq_col: str | None = None,
     since_ts=None,
+    until_ts=None,
 ) -> DataFrame:
     """Fold a change-log into current state: last-op-per-key, then drop
     keys whose last op is a DELETE (O11). `since_ts` restricts to
     entries strictly after a checkpoint timestamp (O12,
-    src/utils/wal_manager.py:213-215)."""
+    src/utils/wal_manager.py:213-215). `until_ts` (inclusive) is the
+    time-travel read: compact(until_ts=T) reconstructs the table state
+    AS OF T from the same log scan — the single-cutoff form of
+    snapshot_diff's two-cutoff replay, and the query a WAL-backed
+    store answers by replaying entries up to a timestamp."""
     if since_ts is not None:
         log = log.filter(F.col(ts_col) > since_ts)
+    if until_ts is not None:
+        log = log.filter(F.col(ts_col) <= until_ts)
     last = latest_per_key(log, key_col, ts_col, seq_col)
     return last.filter(F.col(op_col) != OP_DELETE).drop(op_col)
 

@@ -509,6 +509,7 @@ def bm25_postings_search(
     k1: float = 1.2,
     b: float = 0.75,
     doc_col: str = "doc_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve BM25 top-k from a postings_write index: reads the pruned
     posting buckets for the query terms plus the 1-row corpus summary —
@@ -521,7 +522,18 @@ def bm25_postings_search(
     PUBLISHED attempt ids); df comes from a window count over that same
     slice; one groupBy(doc) sums term contributions;
     TakeOrderedAndProject emits the top-k. Corpus totals are the sum of
-    the publish markers — exact under crashed/replayed appends."""
+    the publish markers — exact under crashed/replayed appends.
+
+    `allowed` (a frame with a `doc_col` column) turns this into
+    FILTERED serving: the metadata-filtered candidate set restricts
+    which docs may rank, so top-k is over the filtered set (never a
+    post-filter that can return < k). Pre-filter semantics keep
+    CORPUS-level statistics — idf/avgdl are properties of the
+    collection, not of the filter, so a doc scores identically
+    however it was admitted (the Lucene filtered-query convention,
+    and the lexical mirror of knn/ann's filtered variants). The semi
+    join lands AFTER the per-term df window (df is corpus df) and
+    BEFORE scoring aggregation; AQE broadcasts a small allowed set."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
@@ -539,6 +551,10 @@ def bm25_postings_search(
     # df(t) = number of postings rows for t within the pruned slice
     w = Window.partitionBy("term")
     scored = slice_.withColumn("__df", F.count(F.lit(1)).over(w))
+    if allowed is not None:
+        scored = scored.join(
+            allowed.select(doc_col).distinct(), doc_col, "left_semi"
+        )
     idf = F.log(
         1.0 + (F.lit(n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
     )

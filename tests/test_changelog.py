@@ -163,3 +163,33 @@ def test_snapshot_diff_classifies_changes(spark):
     }
     # 'tie' resolves to seq 9's value at BOTH cutoffs -> unchanged
     assert "tie" not in out and "stay" not in out and "ghost" not in out
+
+
+def test_compact_until_ts_is_time_travel(spark):
+    """compact(until_ts=T) == the state a full replay reaches at T:
+    a later PUT is invisible, a later DELETE hasn't happened yet, and
+    the cutoff is inclusive."""
+    log = _log(
+        spark,
+        [
+            (OP_PUT, "a", 1.0, 10, 1),
+            (OP_PUT, "a", 2.0, 30, 2),      # after the cutoff
+            (OP_PUT, "b", 3.0, 20, 3),      # exactly at the cutoff
+            (OP_DELETE, "b", None, 40, 4),  # future delete: not yet
+            (OP_PUT, "c", 5.0, 50, 5),      # created after the cutoff
+        ],
+    )
+    asof = {
+        r["key"]: r["value"]
+        for r in compact(log, until_ts=20).collect()
+    }
+    assert asof == {"a": 1.0, "b": 3.0}
+    # and the present-time state differs on every count
+    now = {r["key"]: r["value"] for r in compact(log).collect()}
+    assert now == {"a": 2.0, "c": 5.0}
+    # since+until compose to a half-open window replay
+    window = {
+        r["key"]: r["value"]
+        for r in compact(log, since_ts=10, until_ts=30).collect()
+    }
+    assert window == {"a": 2.0, "b": 3.0}

@@ -1033,3 +1033,39 @@ def test_hybrid_rrf_batch_truncates_and_ranks_per_query(spark):
     assert sorted(by_q["q1"]) == [(1, 11), (2, 10)]
     # q2: doc 22 (both legs) wins, then doc 20; doc 21 cut
     assert sorted(by_q["q2"]) == [(1, 22), (2, 20)]
+
+
+def test_bm25_postings_search_filtered(spark, tmp_path):
+    """Filtered serving: top-k over the allowed set only, with
+    CORPUS-level idf/avgdl — each admitted doc keeps the exact score
+    it has in unfiltered serving (pre-filter semantics), and docs
+    outside the allowed set never appear even when they dominate the
+    unfiltered ranking."""
+    from distributed_vector_database_spark.operators.lexical import (
+        bm25_postings_search,
+        postings_write,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "filt_idx")
+    postings_write(docs, idx, n_buckets=8)
+
+    q = ["spark", "join"]
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in bm25_postings_search(spark, idx, q, k=10).collect()
+    }
+    allowed_ids = sorted(unfiltered)[1:]  # drop one scoring doc
+    allowed = spark.createDataFrame(
+        [(i,) for i in allowed_ids], ["doc_id"]
+    )
+    got = bm25_postings_search(
+        spark, idx, q, k=10, allowed=allowed
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(allowed_ids)
+    for r in got:  # scores unchanged by the filter
+        assert r["score"] == unfiltered[r["doc_id"]]
+
+    # an empty allowed set returns an empty (not erroring) result
+    empty = spark.createDataFrame([], "doc_id long")
+    assert bm25_postings_search(spark, idx, q, k=10, allowed=empty).count() == 0
