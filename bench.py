@@ -146,6 +146,16 @@ HEADLINE = [
     "tri_hybrid_batch_topk",
     # round-9: continual-ingest clustering (star-graph fold)
     "near_dup_clusters_incremental",
+    # round-10: two-pass exact heavy hitters (candidate bar + verify)
+    "heavy_hitters",
+    # round-10: Z-curve key computation (layout family, hash-oracled)
+    "zorder_curve",
+    # round-10: per-group A-ES draw (two-stage top-n)
+    "weighted_sample_by_lang",
+    # round-10: filtered lexical serving (pre-filter semantics)
+    "bm25_filtered_topk",
+    # round-10: time-travel state read (compact with until_ts)
+    "state_as_of",
 ]
 
 
@@ -448,6 +458,47 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
         ).count()
 
     out["tri_hybrid_served_probe"] = probe_best_of_2(_tri_served)
+
+    # tri-hybrid BATCH probe (VERDICT r9 #7): 16 queries through the
+    # fused batch stack — three pruned scans + one fusion plan total,
+    # the row to compare against 16x tri_hybrid_served_probe (its 2M
+    # smoke is tools/tri_hybrid_batch_smoke.py: 213 ms/query at Q=64)
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_batch_search,
+    )
+    from distributed_vector_database_spark.operators.lexical import (
+        hybrid_rrf_batch,
+        sparse_dot_batch_search,
+    )
+
+    tri16_terms = batch16  # the bm25_batch16 query set, reused
+    tri16_sparse = {
+        qid: {t: w for t, w in zip(ts, (1.0, 0.7))}
+        for qid, ts in tri16_terms.items()
+    }
+    emb16 = load_table(spark, sf_dir, "embeddings")
+    q16 = (
+        emb16.filter(F.col("vec_id") < 16)
+        .select(
+            F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias(
+                "query_id"
+            ),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _tri_batch():
+        lex = bm25_batch_search(spark, f"{tmp}/postings", tri16_terms, k=30)
+        sp = sparse_dot_batch_search(
+            spark, f"{tmp}/postings", tri16_sparse, k=30
+        )
+        dense = ivf_batch_search(
+            spark, centroids, served, q16, k=30, nprobe=nprobe
+        ).withColumnRenamed("vec_id", "doc_id")
+        return hybrid_rrf_batch([lex, dense, sp], k=10).count()
+
+    out["tri_hybrid_batch16_probe"] = probe_best_of_2(_tri_batch)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
