@@ -2977,6 +2977,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["state_as_of"] = state_as_of_q
 
+    def gopher_rules_q(spark, sf):
+        # the Gopher/MassiveText rule-based quality gate, one row per
+        # doc with per-rule booleans + the composite keep flag
+        from distributed_vector_database_spark.operators.textops import (
+            gopher_rules,
+        )
+
+        return gopher_rules(load_table(spark, sf, "documents")).orderBy(
+            "doc_id"
+        )
+
+    q["gopher_rules"] = gopher_rules_q
+
     # -----------------------------------------------------------------------
     # Enumeration order: harnesses that enumerate this dict under a
     # query-count or time budget (each round records rows for exactly the
@@ -3002,7 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 rotation, policy "new + code-changed + never-green
         # first" (VERDICT r9 #3). Head: this round's new operators. ---
         "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
-        "bm25_filtered_topk", "state_as_of",
+        "bm25_filtered_topk", "state_as_of", "gopher_rules",
         # --- code-changed paths owed a fresh driver row: the
         # length_batches contract projection (r9's only ERR row, now a
         # canonical string); the r9 lexical.py rewrite's veterans
@@ -3032,12 +3045,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue", "priority_shipping_mix",
         "idle_rich_customers", "important_part_values",
         "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
-        "bucketed_revenue_join", "event_percentiles", "record_link",
+        "bucketed_revenue_join", "event_percentiles",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): two-round-green r9
         # veterans rotate down — every one hash- or rows-green in
         # CORRECTNESS_r09 ----
-        "hard_negatives", "contrastive_triplets",
+        "record_link", "hard_negatives", "contrastive_triplets",
         "topic_keywords", "snippet_extract", "embedding_drift",
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "ann_bq_topk", "ann_ivfbq_topk",
@@ -3902,6 +3915,42 @@ WHERE rn = 1 AND (norm2 < 1e-12 OR dist > {OUTLIER_MAX_DIST})
     # identical oracle: the postings index must serve the exact same
     # ranking as the corpus-scan path
     o["bm25_postings_topk"] = o["bm25_topk"]
+
+    o["gopher_rules"] = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS t FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS n,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+              / len(t) END AS mwl,
+    CAST(length(text)
+         - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+      AS symbols,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+      AS DOUBLE) AS alpha,
+    CAST(len(list_filter(t, x -> list_contains(
+      ['the','be','to','of','and','that','have','with'], x)))
+      AS DOUBLE) AS hits
+  FROM toks
+),
+r AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+    round(mwl, 6) AS mean_wordlen,
+    (n >= 50 AND n <= 100000) AS rule_word_count,
+    (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_wordlen,
+    CASE WHEN n = 0 THEN FALSE ELSE symbols / n <= 0.1 END
+      AS rule_symbol_ratio,
+    CASE WHEN n = 0 THEN FALSE ELSE alpha / n >= 0.8 END
+      AS rule_alpha_words,
+    (hits >= 2) AS rule_stopwords
+  FROM s
+)
+SELECT *, (rule_word_count AND rule_mean_wordlen AND rule_symbol_ratio
+           AND rule_alpha_words AND rule_stopwords) AS keep
+FROM r ORDER BY doc_id
+"""
 
     o["bm25_filtered_topk"] = f"""
 WITH {_bm25_ctes(10, doc_filter=(

@@ -156,6 +156,8 @@ HEADLINE = [
     "bm25_filtered_topk",
     # round-10: time-travel state read (compact with until_ts)
     "state_as_of",
+    # round-10: Gopher rule-based quality gate (per-rule audit)
+    "gopher_rules",
 ]
 
 

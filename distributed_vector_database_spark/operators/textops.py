@@ -850,3 +850,84 @@ def topic_keywords(
         .select(topic_col, "term", "score", F.col("__rn").alias("rank"))
         .orderBy(topic_col, "rank")
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText RULE-BASED quality gate (Rae et al.
+    2021, §A1.1) as individual auditable rule columns plus the
+    composite keep flag — the standard pre-filter every LLM curation
+    pipeline applies before model-based scoring. Distinct from
+    quality_score (a weighted heuristic): these are hard pass/fail
+    rules, and pipelines need the per-rule breakdown to audit WHY a
+    document fell.
+
+    Rules (each a boolean column):
+    - rule_word_count:   word count in [min_words, max_words]
+    - rule_mean_wordlen: mean word length in [3, 10]
+    - rule_symbol_ratio: '#'/'…'-to-word ratio <= max_symbol_ratio
+    - rule_alpha_words:  >= min_alpha_word_frac of words contain an
+                         alphabetic character
+    - rule_stopwords:    >= min_stopword_hits hits on a tiny English
+                         stopword list (the 'natural language, not a
+                         listing' test)
+    keep = every rule passes.
+
+    One zero-shuffle codegen'd map pass: tokens staged once (Catalyst
+    does not CSE into higher-order-function lambdas), every rule a
+    pure expression over the staged array; no UDFs, no aggregation.
+    At 100 TB this is scan-bound and embarrassingly parallel."""
+    from distributed_vector_database_spark.functions.text import tokenize
+
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    staged = docs.withColumn("__toks", tokenize(text_col)).withColumn(
+        "__n", F.size("__toks").cast("double")
+    )
+    n = F.col("__n")
+    mean_wl = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.col("__toks"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).cast("double")
+        / n
+    )
+    symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[#…]", ""))
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]"))
+    ).cast("double")
+    stop_hits = F.size(
+        F.filter(F.col("__toks"), lambda t: t.isin(stop))
+    ).cast("double")
+    rules = {
+        "rule_word_count": (n >= min_words) & (n <= max_words),
+        "rule_mean_wordlen": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "rule_symbol_ratio": F.when(n == 0, F.lit(False)).otherwise(
+            symbols / n <= max_symbol_ratio
+        ),
+        "rule_alpha_words": F.when(n == 0, F.lit(False)).otherwise(
+            alpha_words / n >= min_alpha_word_frac
+        ),
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = staged.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_wordlen"),
+        *[expr.alias(name) for name, expr in rules.items()],
+    )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -57,3 +57,44 @@ def test_topic_keywords_discriminative_terms_win(spark):
     assert by_topic[1][0] in ("court", "tennis")
     assert "tennis" not in by_topic[0] and "spark" not in by_topic[1]
     assert [r["rank"] for r in rows if r["topic"] == 0] == [1, 2, 3]
+
+
+def test_gopher_rules_per_rule_outcomes(spark):
+    """Each Gopher rule fires independently on a crafted corpus, the
+    composite keep is their conjunction, and degenerate inputs (empty
+    text) fail closed."""
+    from distributed_vector_database_spark.operators.textops import (
+        gopher_rules,
+    )
+
+    good = "the quick brown fox jumps over and over with energy " * 6
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "the and with that have be of to"),     # too short
+        (2, ("a b c d " * 20) + "the and"),         # mean wordlen < 3
+        (3, ("####" + " word" * 60) + " the and"),  # high symbol ratio?
+        (4, " ".join(["123"] * 60) + " the and"),   # non-alpha words
+        (5, "word " * 60),                          # no stopwords
+        (6, ""),                                    # empty: fail closed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        df, min_words=20
+    ).collect()}
+
+    assert got[0]["keep"] is True
+    assert got[1]["rule_word_count"] is False and got[1]["keep"] is False
+    assert got[2]["rule_mean_wordlen"] is False
+    assert got[4]["rule_alpha_words"] is False
+    assert got[5]["rule_stopwords"] is False and got[5]["keep"] is False
+    assert got[6]["keep"] is False
+    # symbol ratio: 4 '#' chars over 62 words ≈ 0.065 <= 0.1 passes;
+    # tighten the threshold and it fails
+    from distributed_vector_database_spark.operators.textops import (
+        gopher_rules as gr,
+    )
+
+    strict = {r["doc_id"]: r["rule_symbol_ratio"] for r in gr(
+        df, min_words=20, max_symbol_ratio=0.01
+    ).collect()}
+    assert strict[3] is False and strict[0] is True
