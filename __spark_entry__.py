@@ -2429,6 +2429,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfmrl_layout_exact"] = ann_ivfmrl_layout_exact_q
 
+    _pq_layout_memo: dict[str, str] = {}
+
+    def ann_pq_layout_exact_q(spark, sf):
+        # the persisted PQ layout (restart path): frozen codebooks +
+        # ADC scan + exact refine; a corpus-covering rerank pool must
+        # reproduce knn_exact bit-for-bit (r10 — completes the
+        # maintained-layout anchor matrix: IVF/HNSW/MRL/PQ)
+        import tempfile
+
+        from distributed_vector_database_spark.operators.quantization import (
+            pq_read_search,
+            pq_write,
+        )
+
+        if sf not in _pq_layout_memo:
+            path = tempfile.mkdtemp(prefix="dvdb_pqlayout_")
+            pq_write(_emb(spark, sf), path, m=8, k_codebook=32)
+            _pq_layout_memo[sf] = path
+        return pq_read_search(
+            spark, _pq_layout_memo[sf], _query_vec(spark, sf), k=10,
+            rerank=10**6,
+        )
+
+    q["ann_pq_layout_exact"] = ann_pq_layout_exact_q
+
     def ann_ivf_batch_exact_q(spark, sf):
         # batched serving anchor: Q queries, ONE pruned scan; full
         # probe degenerates every per-query mask to all-rows, so the
@@ -3037,7 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_exact", "ann_bq_topk_exact", "ann_ivfbq_topk_exact",
         "ann_ivf_batch_exact", "ann_mrl_topk_exact",
         "ann_ivfmrl_topk_exact", "ann_ivfmrl_layout_exact",
-        "ann_lsh_join_exact",
+        "ann_lsh_join_exact", "ann_pq_layout_exact",
         # --- r9 first-timers earning a second green driver round
         # (phrase_search's r9 pre-filter rewrite re-pinned here) ---
         "phrase_search", "decontam_spans", "curriculum_order",
@@ -3045,12 +3070,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue", "priority_shipping_mix",
         "idle_rich_customers", "important_part_values",
         "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
-        "bucketed_revenue_join", "event_percentiles",
+        "bucketed_revenue_join",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): two-round-green r9
         # veterans rotate down — every one hash- or rows-green in
         # CORRECTNESS_r09 ----
-        "record_link", "hard_negatives", "contrastive_triplets",
+        "event_percentiles", "record_link", "hard_negatives",
+        "contrastive_triplets",
         "topic_keywords", "snippet_extract", "embedding_drift",
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "ann_bq_topk", "ann_ivfbq_topk",
@@ -3553,6 +3579,7 @@ ORDER BY id_a, id_b
     o["ann_ivfbq_topk_exact"] = _knn_nolabel
     o["ann_ivfmrl_topk_exact"] = _knn_nolabel
     o["ann_ivfmrl_layout_exact"] = _knn_nolabel
+    o["ann_pq_layout_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
 

@@ -379,6 +379,29 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
         ).count()
     )
 
+    # PQ layout (r10): train+encode+persist build; probe = ADC code
+    # scan + exact refine of the rerank*k pool; fold = frozen-codebook
+    # encode of the batch + append (FAISS `add` semantics — the
+    # codebooks NEVER retrain on append)
+    from distributed_vector_database_spark.operators.quantization import (
+        pq_append,
+        pq_read_search,
+        pq_write,
+    )
+
+    t0 = time.time()
+    pq_write(emb, f"{tmp}/pq", m=8, k_codebook=32)
+    out["ann_pq_build"] = round(time.time() - t0, 3)
+    out["ann_pq_probe"] = probe_best_of_2(
+        lambda: pq_read_search(spark, f"{tmp}/pq", qvec, k=10, rerank=4).count()
+    )
+    t0 = time.time()
+    pq_append(news.select("vec_id", "embedding"), f"{tmp}/pq", batch_id=1)
+    out["ann_pq_fold"] = round(time.time() - t0, 3)
+    out["ann_pq_served_probe"] = probe_best_of_2(
+        lambda: pq_read_search(spark, f"{tmp}/pq", qvec, k=10, rerank=4).count()
+    )
+
     # drift-monitor fold (run_drift_stream's body): one micro-batch's
     # moments folded + a versioned report emitted against the frozen
     # reference — dim-sized state, so this row should stay flat

@@ -795,3 +795,144 @@ def ivf_mrl_read_search(
         .orderBy("score", key_col)
         .limit(k)
     )
+
+
+def _write_codebooks(path: str, codebooks: list[np.ndarray]) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, "_codebooks.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump([b.tolist() for b in codebooks], fh)
+    _os.replace(tmp, _os.path.join(path, "_codebooks.json"))
+
+
+def pq_read_codebooks(path: str) -> list[np.ndarray]:
+    """The layout's FROZEN codebooks — appenders and servers read them
+    back from the layout itself (the same self-describing discipline
+    as ivf_read_quantizer / mrl's persisted prefix width), so no
+    caller can drift from the writer's training run."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_codebooks.json")) as fh:
+        return [np.asarray(b, dtype=np.float64) for b in _json.load(fh)]
+
+
+def pq_write(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    k_codebook: int = 32,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the product-quantization serving layout: train the M
+    per-subspace codebooks once (bounded driver-side sample,
+    pq_train), encode the corpus distributed (pq_encode), write
+    (key, pq_codes, vector) parquet with the codebooks saved beside
+    the data (_codebooks.json, atomic replace) — the FAISS index-file
+    lifecycle, Spark-shaped. Scans that read only (key, pq_codes)
+    touch M bytes of code per row; the float column exists solely for
+    the refine pass.
+
+    Write-audit-publish (same contract as postings_write/mrl_write):
+    rows carry a write-attempt id and serve only once the attempt's
+    marker exists under {path}/applied."""
+    import shutil
+
+    from distributed_vector_database_spark.operators.lexical import (
+        _applied_dir,
+        _publish,
+    )
+
+    codebooks = pq_train(
+        df, m=m, k_codebook=k_codebook, vec_col=vec_col, seed=seed
+    )
+    shutil.rmtree(_applied_dir(path), ignore_errors=True)
+    (
+        pq_encode(df.filter(F.col(vec_col).isNotNull()), codebooks,
+                  vec_col=vec_col)
+        .select(key_col, "pq_codes", vec_col, F.lit("base").alias("aid"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _write_codebooks(path, codebooks)
+    _publish(path, "base", None, 0, 0)
+
+
+def pq_append(
+    df: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> bool:
+    """O(batch) maintenance for the PQ layout: encode the batch with
+    the layout's FROZEN codebooks (the standard PQ practice — FAISS
+    `add` never retrains; codebook statistics converge on the
+    training sample and re-training would silently invalidate every
+    previously stored code) and append. No touch of existing files.
+
+    Replay-safe like postings_append/mrl_append: a batch_id that
+    already published is skipped (returns False); a crashed attempt's
+    rows are unpublished orphans, not duplicates. Caller contract:
+    batch keys must be new (dedup/anti-join upstream)."""
+    import uuid
+
+    from distributed_vector_database_spark.operators.lexical import (
+        _applied_markers,
+        _publish,
+    )
+
+    if batch_id is not None:
+        if any(m.get("batch_id") == batch_id for m in _applied_markers(path)):
+            return False
+    codebooks = pq_read_codebooks(path)
+    aid = uuid.uuid4().hex[:16]
+    (
+        pq_encode(df.filter(F.col(vec_col).isNotNull()), codebooks,
+                  vec_col=vec_col)
+        .select(key_col, "pq_codes", vec_col, F.lit(aid).alias("aid"))
+        .write.mode("append")
+        .parquet(path)
+    )
+    _publish(path, aid, batch_id, 0, 0)
+    return True
+
+
+def pq_read_search(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve asymmetric-distance top-k from the persisted PQ layout:
+    published attempts only, codes scanned via the ADC lookup table
+    (pq_search kernel — per-partition candidate pools, exact refine
+    over rerank*k true vectors). rerank covering the corpus
+    degenerates to exact knn (the layout-path anchor
+    parameterization, same as mrl_read_search's)."""
+    from distributed_vector_database_spark.operators.lexical import (
+        _applied_markers,
+    )
+
+    markers = _applied_markers(path)
+    if not markers:
+        raise FileNotFoundError(f"no published attempts under {path}/applied")
+    aids = sorted(m["aid"] for m in markers)
+    codebooks = pq_read_codebooks(path)
+    layout = spark.read.parquet(path).filter(F.col("aid").isin(aids))
+    # clamp the refine pool to the served row count (the TakeOrdered
+    # 2k-slot-per-task guard, same as mrl_read_search)
+    if rerank:
+        n_rows = layout.count()
+        rerank = max(1, min(int(rerank), -(-n_rows // max(k, 1))))
+    return pq_search(
+        layout, codebooks, query_vec, k=k, key_col=key_col,
+        rerank=rerank, vec_col=vec_col,
+    )

@@ -201,3 +201,58 @@ def test_ivf_bq_full_probe_full_pool_equals_exact(tables, qvec):
         ).collect()
     ]
     assert got == exact
+
+
+def test_pq_layout_roundtrip_append_and_exact_anchor(tables, qvec, tmp_path):
+    """The persisted PQ layout: (1) pq_write then pq_read_search with a
+    corpus-covering rerank reproduces knn_exact bit-for-bit; (2)
+    pq_append encodes with the FROZEN codebooks, so write(half) +
+    append(half) serves identically to write(all); (3) a replayed
+    batch_id is skipped; (4) reading an unpublished path fails fast."""
+    from distributed_vector_database_spark.operators.quantization import (
+        pq_append,
+        pq_read_codebooks,
+        pq_read_search,
+        pq_write,
+    )
+
+    emb = tables["embeddings"]
+    path_all = str(tmp_path / "pq_all")
+    pq_write(emb, path_all, m=8, k_codebook=32)
+
+    # exact anchor: rerank covering the corpus == knn_exact
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in knn_exact(emb, qvec, k=10).collect()
+    ]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in pq_read_search(
+            tables["embeddings"].sparkSession, path_all, qvec,
+            k=10, rerank=10**6,
+        ).collect()
+    ]
+    assert got == exact
+
+    # frozen-codebook append == one-shot write (identical codebooks
+    # guaranteed: append reads them from the layout, never retrains)
+    spark = emb.sparkSession
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    path_inc = str(tmp_path / "pq_inc")
+    pq_write(half_a, path_inc, m=8, k_codebook=32)
+    books_before = pq_read_codebooks(path_inc)
+    assert pq_append(half_b, path_inc, batch_id=1) is True
+    assert pq_append(half_b, path_inc, batch_id=1) is False  # replay
+    books_after = pq_read_codebooks(path_inc)
+    for a, b in zip(books_before, books_after):
+        assert np.array_equal(a, b)
+    inc = [
+        (r["vec_id"], r["score"])
+        for r in pq_read_search(spark, path_inc, qvec, k=10,
+                                rerank=10**6).collect()
+    ]
+    assert inc == exact  # same corpus content -> same exact refine
+
+    with pytest.raises(FileNotFoundError):
+        pq_read_search(spark, str(tmp_path / "nope"), qvec, k=5)
