@@ -3015,6 +3015,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_rules"] = gopher_rules_q
 
+    def tri_hybrid_filtered_topk_q(spark, sf):
+        # FILTERED tri-hybrid serving: the same metadata candidate set
+        # (lang = 'en') pushed into ALL THREE legs before their top-k
+        # pools — filtered RAG never comes back short, and fusion sees
+        # only admissible docs. Pre-filter semantics leg-by-leg:
+        # bm25/sparse keep corpus-level stats, dense restricts the
+        # exact scan (the ivf_search(predicate=...) path at scale)
+        from distributed_vector_database_spark.operators.lexical import (
+            bm25_postings_search,
+            hybrid_rrf_multi,
+            sparse_dot_search,
+        )
+
+        allowed = (
+            load_table(spark, sf, "documents")
+            .filter(F.col("lang") == "en")
+            .select("doc_id")
+        )
+        idx = _postings_index(spark, sf)
+        lex = bm25_postings_search(
+            spark, idx, BM25_TERMS, k=HYBRID_POOL, k1=BM25_K1, b=BM25_B,
+            allowed=allowed,
+        )
+        vec = knn_exact(
+            _emb(spark, sf).join(
+                F.broadcast(allowed.withColumnRenamed("doc_id", "vec_id")),
+                "vec_id",
+                "left_semi",
+            ),
+            _query_vec(spark, sf),
+            k=HYBRID_POOL,
+            extra_cols=(),
+        ).withColumnRenamed("vec_id", "doc_id")
+        sp = sparse_dot_search(
+            spark, idx, SPARSE_QW, k=HYBRID_POOL, allowed=allowed
+        )
+        return hybrid_rrf_multi(
+            [(lex, False), (vec, True), (sp, False)], k=10, c=RRF_C
+        )
+
+    q["tri_hybrid_filtered_topk"] = tri_hybrid_filtered_topk_q
+
     # -----------------------------------------------------------------------
     # Enumeration order: harnesses that enumerate this dict under a
     # query-count or time budget (each round records rows for exactly the
@@ -3041,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first" (VERDICT r9 #3). Head: this round's new operators. ---
         "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
         "bm25_filtered_topk", "state_as_of", "gopher_rules",
+        "tri_hybrid_filtered_topk",
         # --- code-changed paths owed a fresh driver row: the
         # length_batches contract projection (r9's only ERR row, now a
         # canonical string); the r9 lexical.py rewrite's veterans
@@ -3070,13 +3113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue", "priority_shipping_mix",
         "idle_rich_customers", "important_part_values",
         "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
-        "bucketed_revenue_join",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): two-round-green r9
         # veterans rotate down — every one hash- or rows-green in
         # CORRECTNESS_r09 ----
-        "event_percentiles", "record_link", "hard_negatives",
-        "contrastive_triplets",
+        "bucketed_revenue_join", "event_percentiles", "record_link",
+        "hard_negatives", "contrastive_triplets",
         "topic_keywords", "snippet_extract", "embedding_drift",
         "canonical_selection", "epoch_mixture", "corpus_profile",
         "ann_bq_topk", "ann_ivfbq_topk",
@@ -4519,6 +4561,35 @@ sptf AS (SELECT doc_id, {_sp_tfs} FROM toks),
 spscored AS (
   SELECT doc_id, round({_sp_score}, 6) AS score
   FROM sptf WHERE {_sp_any} > 0
+),
+sp AS (SELECT doc_id, score FROM spscored
+       ORDER BY score DESC, doc_id LIMIT {HYBRID_POOL}),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25),
+rb AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score, vec_id) AS r FROM vec),
+rc AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sp),
+trifused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id, rc.doc_id) AS doc_id,
+    coalesce(1.0/({RRF_C}+ra.r), 0) + coalesce(1.0/({RRF_C}+rb.r), 0)
+      + coalesce(1.0/({RRF_C}+rc.r), 0) AS s
+  FROM ra
+  FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+  FULL OUTER JOIN rc ON coalesce(ra.doc_id, rb.doc_id) = rc.doc_id
+)
+SELECT doc_id, round(s, 6) AS rrf_score FROM trifused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+    _en_set = "(SELECT doc_id FROM documents WHERE lang = 'en')"
+    o["tri_hybrid_filtered_topk"] = f"""
+WITH {_bm25_ctes(HYBRID_POOL, doc_filter=f"WHERE doc_id IN {_en_set}")},
+{_QCTE},
+vecscored AS (SELECT vec_id, round({_SQL_SQ_L2}, 6) AS score FROM embeddings, q
+              WHERE vec_id IN {_en_set}),
+vec AS (SELECT vec_id, score FROM vecscored ORDER BY score, vec_id LIMIT {HYBRID_POOL}),
+sptf AS (SELECT doc_id, {_sp_tfs} FROM toks),
+spscored AS (
+  SELECT doc_id, round({_sp_score}, 6) AS score
+  FROM sptf WHERE {_sp_any} > 0 AND doc_id IN {_en_set}
 ),
 sp AS (SELECT doc_id, score FROM spscored
        ORDER BY score DESC, doc_id LIMIT {HYBRID_POOL}),

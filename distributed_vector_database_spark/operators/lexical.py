@@ -751,6 +751,7 @@ def sparse_dot_search(
     k: int = 10,
     doc_col: str = "doc_id",
     doc_weight=None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Learned-sparse retrieval over the SAME postings layout BM25
     serves from — the SPLADE/uniCOIL serving shape: the query is a
@@ -769,7 +770,10 @@ def sparse_dot_search(
     100 TB shape: identical to bm25_postings_search — bucket partition
     pruning + term predicate pushdown mean the scan reads ONLY the
     query terms' posting rows; one groupBy(doc) sums contributions;
-    TakeOrderedAndProject emits k rows."""
+    TakeOrderedAndProject emits k rows. `allowed` applies the same
+    pre-filter semantics as bm25_postings_search: the candidate set
+    restricts which docs may rank BEFORE the top-k, so filtered
+    serving never comes back short."""
     if not query_weights:
         raise ValueError("query_weights must be non-empty")
     qw = {t.lower(): float(w) for t, w in query_weights.items()}
@@ -787,6 +791,10 @@ def sparse_dot_search(
         .filter(F.col("term").isin(terms))
         .filter(F.col("aid").isin(aids))
     )
+    if allowed is not None:
+        slice_ = slice_.join(
+            allowed.select(doc_col).distinct(), doc_col, "left_semi"
+        )
     return (
         slice_.withColumn("__s", qmap[F.col("term")] * doc_weight)
         .groupBy(doc_col)

@@ -66,6 +66,7 @@ ROTATED_IN = {
     # round-10 new operators
     "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
     "bm25_filtered_topk", "state_as_of", "gopher_rules",
+    "tri_hybrid_filtered_topk",
     # code-changed paths owed a fresh driver row: the length_batches
     # contract projection (r9's only ERR), the r9 lexical.py rewrite
     # veterans whose last driver rows predate it, and the r10

@@ -1069,3 +1069,27 @@ def test_bm25_postings_search_filtered(spark, tmp_path):
     # an empty allowed set returns an empty (not erroring) result
     empty = spark.createDataFrame([], "doc_id long")
     assert bm25_postings_search(spark, idx, q, k=10, allowed=empty).count() == 0
+
+
+def test_sparse_dot_search_filtered(spark, tmp_path):
+    """sparse_dot_search's allowed set: same pre-filter semantics as
+    the BM25 leg — scores invariant, excluded docs never rank."""
+    from distributed_vector_database_spark.operators.lexical import (
+        postings_write,
+        sparse_dot_search,
+    )
+
+    docs = spark.createDataFrame(list(CORPUS.items()), ["doc_id", "text"])
+    idx = str(tmp_path / "sp_idx")
+    postings_write(docs, idx, n_buckets=8)
+    qw = {"spark": 1.0, "join": 0.5}
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in sparse_dot_search(spark, idx, qw, k=10).collect()
+    }
+    keep = sorted(unfiltered)[:-1]
+    allowed = spark.createDataFrame([(i,) for i in keep], ["doc_id"])
+    got = sparse_dot_search(spark, idx, qw, k=10, allowed=allowed).collect()
+    assert {r["doc_id"] for r in got} == set(keep)
+    for r in got:
+        assert r["score"] == unfiltered[r["doc_id"]]
