@@ -256,3 +256,55 @@ def test_pq_layout_roundtrip_append_and_exact_anchor(tables, qvec, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         pq_read_search(spark, str(tmp_path / "nope"), qvec, k=5)
+
+
+def test_streaming_pq_maintenance(spark, tmp_path):
+    """Micro-batches folded through run_pq_stream encode with the
+    FROZEN codebooks and serve exactly the union corpus: the layout
+    path with a corpus-covering refine pool equals knn_exact over the
+    union."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.quantization import (
+        pq_read_search,
+        pq_write,
+    )
+    from distributed_vector_database_spark.streaming.pq_maintenance import (
+        run_pq_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    base = df.filter(F.col("vec_id") < 30)
+    path = str(tmp_path / "pq_stream")
+    pq_write(base, path, m=4, k_codebook=8)
+
+    rest = {i: v for i, v in rows if i >= 30}
+    vecs_dir = tmp_path / "vecs_in"
+    vecs_dir.mkdir()
+    (vecs_dir / "b1.json").write_text(
+        "".join(json.dumps({"vec_id": i, "embedding": v}) + "\n"
+                for i, v in rest.items() if i < 45)
+    )
+    (vecs_dir / "b2.json").write_text(
+        "".join(json.dumps({"vec_id": i, "embedding": v}) + "\n"
+                for i, v in rest.items() if i >= 45)
+    )
+    sq = run_pq_stream(
+        spark, str(vecs_dir), path, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(120)
+
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    served = [(r["vec_id"], r["score"])
+              for r in pq_read_search(spark, path, q, k=10,
+                                      rerank=10**6).collect()]
+    assert served == exact
