@@ -162,7 +162,12 @@ def heavy_hitters(
     candidates; correctness never depends on the distribution."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    n_parts = df.rdd.getNumPartitions() or 1
+    keys = df.select(key_col)
+    # the superset guarantee needs bar <= ceil(s / P_actual): take the
+    # partition count from the EXACT frame the kernel will map over
+    # (a map-only stage — no exchange, so AQE cannot re-split it, and
+    # an overestimate of P only lowers the bar, which stays safe)
+    n_parts = keys.rdd.getNumPartitions() or 1
     local_bar = max(1, -(-min_count // n_parts))  # ceil division
     key_type = dict(df.dtypes)[key_col]
 
@@ -179,8 +184,7 @@ def heavy_hitters(
         )
 
     candidates = (
-        df.select(key_col)
-        .mapInPandas(_local_candidates, schema=f"{key_col} {key_type}")
+        keys.mapInPandas(_local_candidates, schema=f"{key_col} {key_type}")
         .distinct()
     )
     return (
