@@ -2454,6 +2454,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_layout_exact"] = ann_pq_layout_exact_q
 
+    _ivfpq_layout_memo: dict[str, str] = {}
+
+    def ann_ivfpq_layout_exact_q(spark, sf):
+        # the persisted IVF×PQ composition (FAISS IndexIVFPQ restart
+        # path): centroid partition pruning × code column pruning;
+        # full probe + corpus pool must reproduce knn_exact
+        import tempfile
+
+        from distributed_vector_database_spark.operators.ann import ivf_build
+        from distributed_vector_database_spark.operators.quantization import (
+            ivf_pq_read_search,
+            ivf_pq_write,
+        )
+
+        if sf not in _ivfpq_layout_memo:
+            emb = _emb(spark, sf)
+            centroids, assigned = ivf_build(emb, n_centroids=16)
+            path = tempfile.mkdtemp(prefix="dvdb_ivfpqlayout_")
+            ivf_pq_write(assigned, path, centroids=centroids, m=8,
+                         k_codebook=32)
+            _ivfpq_layout_memo[sf] = path
+        return ivf_pq_read_search(
+            spark, _ivfpq_layout_memo[sf], _query_vec(spark, sf), k=10,
+            nprobe=10**6, rerank=10**6,
+        )
+
+    q["ann_ivfpq_layout_exact"] = ann_ivfpq_layout_exact_q
+
     def ann_ivf_batch_exact_q(spark, sf):
         # batched serving anchor: Q queries, ONE pruned scan; full
         # probe degenerates every per-query mask to all-rows, so the
@@ -3106,17 +3134,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_exact", "ann_mrl_topk_exact",
         "ann_ivfmrl_topk_exact", "ann_ivfmrl_layout_exact",
         "ann_lsh_join_exact", "ann_pq_layout_exact",
+        "ann_ivfpq_layout_exact",
         # --- r9 first-timers earning a second green driver round
         # (phrase_search's r9 pre-filter rewrite re-pinned here) ---
         "phrase_search", "decontam_spans", "curriculum_order",
         "sparse_batch_topk", "tri_hybrid_batch_topk",
         "discount_revenue", "priority_shipping_mix",
         "idle_rich_customers", "important_part_values",
-        "prf_expanded_topk", "bm25_batch_topk", "tri_hybrid_topk",
+        "bm25_batch_topk", "tri_hybrid_topk",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): two-round-green r9
         # veterans rotate down — every one hash- or rows-green in
         # CORRECTNESS_r09 ----
+        "prf_expanded_topk",
         "bucketed_revenue_join", "event_percentiles", "record_link",
         "hard_negatives", "contrastive_triplets",
         "topic_keywords", "snippet_extract", "embedding_drift",
@@ -3622,6 +3652,7 @@ ORDER BY id_a, id_b
     o["ann_ivfmrl_topk_exact"] = _knn_nolabel
     o["ann_ivfmrl_layout_exact"] = _knn_nolabel
     o["ann_pq_layout_exact"] = _knn_nolabel
+    o["ann_ivfpq_layout_exact"] = _knn_nolabel
     o["ann_pq_topk_exact"] = _knn_nolabel
     o["ann_ivfpq_topk_exact"] = _knn_nolabel
 

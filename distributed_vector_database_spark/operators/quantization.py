@@ -936,3 +936,80 @@ def pq_read_search(
         layout, codebooks, query_vec, k=k, key_col=key_col,
         rerank=rerank, vec_col=vec_col,
     )
+
+
+def ivf_pq_write(
+    assigned: DataFrame,
+    path: str,
+    centroids: list | None = None,
+    m: int = 8,
+    k_codebook: int = 32,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF×PQ serving layout — the FAISS IndexIVFPQ
+    lifecycle: centroid-partitioned parquet (probe = partition
+    pruning) whose rows carry the PQ codes as their own column (ADC =
+    column pruning: the scan of the probed cells reads M bytes of
+    code per row, not the vector), with BOTH trained artifacts saved
+    beside the data (_quantizer.json via ivf_write, _codebooks.json).
+    The two pruning axes multiply exactly as in ivf_mrl_write —
+    (nprobe/n_centroids) × (M·1B / dim·8B) of the corpus bytes per
+    probe — but with trained codes instead of a dimension prefix."""
+    from distributed_vector_database_spark.operators.ann import ivf_write
+
+    codebooks = pq_train(
+        assigned, m=m, k_codebook=k_codebook, vec_col=vec_col, seed=seed
+    )
+    encoded = pq_encode(
+        assigned.filter(F.col(vec_col).isNotNull()), codebooks,
+        vec_col=vec_col,
+    )
+    ivf_write(encoded, path, centroids=centroids)
+    _write_codebooks(path, codebooks)
+
+
+def ivf_pq_read_search(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the persisted IVF×PQ layout — the restart path:
+
+    1. Probe: nearest nprobe cells from the PERSISTED quantizer;
+       partition pruning opens only their files.
+    2. ADC: the pq_search kernel over the probed cells' code column
+       (per-partition pools via the query's (M, K) lookup table).
+    3. Refine: exact re-score of the rerank·k pool's true vectors.
+
+    nprobe ≥ n_centroids + a corpus-covering pool ⟹ knn_exact
+    bit-for-bit (the layout-path anchor, same contract as the MRL and
+    flat-PQ compositions)."""
+    from distributed_vector_database_spark.operators.ann import (
+        ivf_read_quantizer,
+    )
+
+    q = [float(v) for v in query_vec]
+    centroids = ivf_read_quantizer(path)
+    qa = np.asarray(q, dtype=np.float64)
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    order = ((cmat - qa) ** 2).sum(axis=1).argsort()
+    probe_ids = [int(centroids[i][0]) for i in order[:nprobe]]
+
+    codebooks = pq_read_codebooks(path)
+    cells = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    if rerank:
+        n_rows = cells.count()
+        rerank = max(1, min(int(rerank), -(-n_rows // max(k, 1))))
+    return pq_search(
+        cells, codebooks, q, k=k, key_col=key_col, rerank=rerank,
+        vec_col=vec_col,
+    )

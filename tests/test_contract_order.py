@@ -37,8 +37,9 @@ ANCHORS = {
     # round-8-late: binary quantization + its IVF composition
     "ann_bq_topk_exact",
     "ann_ivfbq_topk_exact",
-    # round-10: the persisted PQ layout's exact anchor
+    # round-10: the persisted PQ and IVF×PQ layouts' exact anchors
     "ann_pq_layout_exact",
+    "ann_ivfpq_layout_exact",
     # round-8-late: batched IVF serving (one pruned scan, Q queries)
     "ann_ivf_batch_exact",
     # round-9 rotation: MRL truncation family + LSH coverage join

@@ -308,3 +308,45 @@ def test_streaming_pq_maintenance(spark, tmp_path):
               for r in pq_read_search(spark, path, q, k=10,
                                       rerank=10**6).collect()]
     assert served == exact
+
+
+def test_ivf_pq_layout_exactness_and_partition_pruning(spark, tmp_path):
+    """The persisted IVF×PQ layout: full probe + corpus-covering pool
+    reproduces knn_exact bit-for-bit, and a partial probe's physical
+    plan shows PartitionFilters on centroid_id (the probe IS partition
+    pruning)."""
+    from distributed_vector_database_spark.operators.ann import ivf_build
+    from distributed_vector_database_spark.operators.quantization import (
+        ivf_pq_read_search,
+        ivf_pq_write,
+    )
+    from distributed_vector_database_spark.plans.explain import formatted_plan
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[11][1]
+    centroids, assigned = ivf_build(df, n_centroids=8)
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write(assigned, path, centroids=centroids, m=4, k_codebook=16)
+
+    exact = [(r["vec_id"], r["score"])
+             for r in knn_exact(df, q, k=10, extra_cols=()).collect()]
+    got = [(r["vec_id"], r["score"]) for r in ivf_pq_read_search(
+        spark, path, q, k=10, nprobe=10**6, rerank=10**6
+    ).collect()]
+    assert got == exact
+
+    # partial probe: the scan must be partition-pruned to probed cells
+    layout = spark.read.parquet(path)
+    pruned = layout.filter(layout["centroid_id"].isin([0, 1]))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    # and a sane partial-probe recall (the serving trade, not exact)
+    part = {r["vec_id"] for r in ivf_pq_read_search(
+        spark, path, q, k=10, nprobe=4, rerank=4
+    ).collect()}
+    assert len(part & {v for v, _ in exact}) >= 5
