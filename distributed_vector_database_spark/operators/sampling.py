@@ -698,15 +698,21 @@ def weighted_sample_grouped(
     (-ln(hash-uniform)/weight, content-stable under `seed`), the
     n_per_group smallest keys winning WITHIN each group_col value.
 
-    100 TB shape: the naive Window.partitionBy(group) serializes each
-    group into one reducer — a giant group melts a task. Two stages
-    instead: stage 1 takes each group's local top-n inside every
-    input partition (window over (partition_id, group) — a giant
-    group spreads over all P tasks), leaving <= P·n survivors per
-    group; stage 2's global per-group window runs over that bounded
-    set only. Same answer, because a group's global top-n is a subset
-    of the union of its per-partition top-n's. Zero/negative weights
-    are excluded, as in weighted_sample."""
+    100 TB shape, three bounds at once: (1) the naive
+    Window.partitionBy(group) serializes each group into one reducer
+    — a giant group melts a task — so selection is TWO-STAGE: each
+    group's local top-n inside every input partition first (a window
+    over (partition_id, group): a giant group spreads over all P
+    tasks), then the global per-group window over the <= P·n
+    survivors. Same answer, because a group's global top-n is a
+    subset of the union of its per-partition top-n's. (2) Both
+    windows run over a THREE-column projection (key, group, arrival
+    key) — the selection shuffle never carries payload columns; the
+    winners' full rows come back via one bounded semi join (the same
+    candidates-then-hydrate discipline as heavy_hitters /
+    record_link_incremental). (3) Zero/negative weights are excluded
+    up front, as in weighted_sample. `key_col` must be unique (it is
+    the A-ES identity and the hydration key)."""
     if n_per_group <= 0:
         raise ValueError("n_per_group must be positive")
     u = (
@@ -716,7 +722,7 @@ def weighted_sample_grouped(
     es = -F.log(u) / F.col(weight_col).cast("double")
     keyed = (
         df.filter(F.col(weight_col).cast("double") > 0)
-        .withColumn("__es", es)
+        .select(key_col, group_col, es.alias("__es"))
         .withColumn("__pid", F.spark_partition_id())
     )
     local = Window.partitionBy("__pid", group_col).orderBy(
@@ -730,8 +736,9 @@ def weighted_sample_grouped(
     final = Window.partitionBy(group_col).orderBy(
         F.asc("__es"), F.asc(key_col)
     )
-    return (
+    winners = (
         survivors.withColumn("__r", F.row_number().over(final))
         .filter(F.col("__r") <= n_per_group)
-        .drop("__r", "__es")
+        .select(key_col)
     )
+    return df.join(winners, key_col, "left_semi")
