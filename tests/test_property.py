@@ -381,3 +381,41 @@ def test_curriculum_positions_bijective_and_stage_monotone(
         for j, sj in enumerate(scores):
             if round(si, 6) < round(sj, 6):
                 assert by_id[i] <= by_id[j], (i, j, si, sj)
+
+
+keysets = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(keysets, st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=16))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_heavy_hitters_equals_plain_counter(spark, keys, s, parts):
+    """heavy_hitters == collections.Counter thresholding for ANY
+    multiset, threshold, and physical partitioning — the candidate
+    bar is a guaranteed superset, so no layout may change the
+    answer."""
+    from collections import Counter
+
+    from distributed_vector_database_spark.operators.skew import (
+        heavy_hitters,
+    )
+
+    if not keys:
+        return
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, k string"
+    ).repartition(parts)
+    got = [(r["k"], r["n"]) for r in heavy_hitters(df, "k", s).collect()]
+    want = sorted(
+        ((k, c) for k, c in Counter(keys).items() if c >= s),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
