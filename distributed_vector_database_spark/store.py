@@ -343,6 +343,48 @@ class VectorStore:
             base, log.select("op", *STATE_COLS, "seq"), seq_col="seq"
         ).select(*STATE_COLS)
 
+    def state_as_of(self, ts: int) -> DataFrame:
+        """Time-travel read — the store form of
+        changelog.compact(until_ts): the table state AS OF `ts`
+        (inclusive, same clock as the log's ts column).
+
+        Exactness contract: EXACT for any cutoff at-or-after the last
+        compact (the latest snapshot already predates the cutoff, so
+        replaying the log tail filtered to ts <= cutoff reconstructs
+        the state op-for-op). Cutoffs BEFORE the last compact resolve
+        to the newest RETAINED snapshot version whose max ts fits —
+        compact() folds and truncates the log, so intra-snapshot
+        history is gone by design; granularity there is the snapshot
+        boundary, the same retention contract vacuum(keep_last) /
+        diff_versions already expose."""
+        self.flush()
+        base = self._base()
+        row = base.agg(F.max("ts").alias("m")).first()
+        base_max = row["m"] if row else None
+        if base_max is None or base_max <= ts:
+            log = self._log().filter(F.col("ts") <= ts)
+            if log.isEmpty():
+                return base.select(*STATE_COLS)
+            return apply_changelog(
+                base, log.select("op", *STATE_COLS, "seq"), seq_col="seq"
+            ).select(*STATE_COLS)
+        v = latest_version(self._snap_dir) - 1
+        while v >= 0:
+            try:
+                cand = self.spark.read.parquet(f"{self._snap_dir}/v={v}")
+            except Exception:  # vacuumed version — keep walking back
+                v -= 1
+                continue
+            mx = cand.agg(F.max("ts").alias("m")).first()["m"]
+            if mx is None or mx <= ts:
+                return cand.select(*STATE_COLS)
+            v -= 1
+        return self.spark.createDataFrame(
+            [],
+            "key string, vector array<double>, "
+            "metadata map<string,string>, ts long",
+        )
+
     # -- read path ----------------------------------------------------------
 
     def get(self, key: str) -> dict | None:

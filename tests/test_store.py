@@ -512,3 +512,52 @@ def test_vacuum_trims_hnsw_index_versions(store):
     assert sorted(os.listdir(hnsw_dir)) == ["v=2"]
     got = [r["key"] for r in store.hnsw_search([4.0, 1.0, 0.0, 0.0], top_k=1, ef=1000).collect()]
     assert got == ["k4"]
+
+
+def test_state_as_of_time_travel(store):
+    """state_as_of: exact replay up to any cutoff in the live tail,
+    inclusive boundary, pre-delete visibility; cutoffs before the last
+    compact resolve to the newest retained snapshot that fits."""
+    import time as _t
+
+    store.put("a", [1.0, 0.0, 0.0, 0.0])
+    _t.sleep(0.002)
+    store.put("b", [0.0, 1.0, 0.0, 0.0])
+    store.flush()
+    ts_by_seq = {
+        r["seq"]: r["ts"] for r in store._log().select("seq", "ts").collect()
+    }
+    _t.sleep(0.002)
+    store.put("a", [9.0, 0.0, 0.0, 0.0])
+    store.delete("b")
+    store.flush()
+    all_ts = {
+        r["seq"]: r["ts"] for r in store._log().select("seq", "ts").collect()
+    }
+
+    cut = ts_by_seq[2]  # after b's first put, before a's update
+    asof = {
+        r["key"]: list(r["vector"])
+        for r in store.state_as_of(cut).collect()
+    }
+    assert asof == {"a": [1.0, 0.0, 0.0, 0.0], "b": [0.0, 1.0, 0.0, 0.0]}
+
+    now = {r["key"]: list(r["vector"]) for r in store.state_as_of(
+        max(all_ts.values())
+    ).collect()}
+    assert now == {"a": [9.0, 0.0, 0.0, 0.0]}  # b deleted
+
+    # cutoff before everything -> empty state
+    assert store.state_as_of(min(all_ts.values()) - 1).count() == 0
+
+    # after compact, a cutoff >= the fold is exact over the new tail;
+    # a cutoff BEFORE the earliest retained snapshot yields empty
+    store.compact()
+    store.put("c", [0.0, 0.0, 1.0, 0.0])
+    store.flush()
+    tail_ts = max(
+        r["ts"] for r in store._log().select("ts").collect()
+    )
+    with_c = {r["key"] for r in store.state_as_of(tail_ts).collect()}
+    assert with_c == {"a", "c"}
+    assert {r["key"] for r in store.state_as_of(min(all_ts.values()) - 1).collect()} == set()
