@@ -248,3 +248,66 @@ def snapshot_diff(
         F.when(present_b, F.col(f"__b.{c}")).alias(f"new_{c}") for c in value_cols
     ]
     return out.select(key_col, "change_type", *olds, *news)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_col: str,
+    when_matched_update: dict | None = None,
+    when_matched_delete=None,
+    when_not_matched_insert: dict | None = None,
+) -> DataFrame:
+    """Multi-arm MERGE (ANSI MERGE INTO semantics) over immutable
+    frames — the batch-CDC superset of `upsert`/`delete_keys`:
+
+    - matched + when_matched_delete true  -> row dropped
+    - matched otherwise                   -> when_matched_update
+      expressions applied (columns not listed pass through from the
+      target); expressions may reference both sides via the `t` / `s`
+      aliases (e.g. F.col("t.balance") + F.col("s.delta"))
+    - source-only key                     -> when_not_matched_insert
+      expressions build the new row (missing target columns default to
+      the same-named source column when present, else NULL)
+    - target-only key                     -> unchanged pass-through
+
+    Duplicate source keys are the caller's contract to resolve first
+    (latest_per_key) — ANSI MERGE raises on them; here each duplicate
+    would emit a row, so we document rather than shuffle-check.
+
+    100 TB shape: the big (target) side is touched by exactly one
+    anti join for pass-through and one inner join for the matched arms
+    — both on the same key, so one co-partitioning serves both under
+    AQE; the source (batch) side is typically broadcast-sized. No
+    window over the target, no full-outer join materializing both
+    sides wide.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = F.col(f"t.{key_col}") == F.col(f"s.{key_col}")
+
+    untouched = t.join(s, cond, "left_anti").select(
+        *[F.col(f"t.{c}").alias(c) for c in target.columns]
+    )
+
+    matched = t.join(s, cond, "inner")
+    if when_matched_delete is not None:
+        matched = matched.filter(~when_matched_delete)
+    upd = when_matched_update or {}
+    updated = matched.select(
+        *[(upd[c] if c in upd else F.col(f"t.{c}")).alias(c) for c in target.columns]
+    )
+
+    ins = when_not_matched_insert or {}
+    source_only = s.join(t, cond, "left_anti")
+    ins_cols = []
+    for c in target.columns:
+        if c in ins:
+            ins_cols.append(ins[c].alias(c))
+        elif c in source.columns:
+            ins_cols.append(F.col(f"s.{c}").alias(c))
+        else:
+            ins_cols.append(F.lit(None).alias(c))
+    inserted = source_only.select(*ins_cols)
+
+    return untouched.unionByName(updated).unionByName(inserted)

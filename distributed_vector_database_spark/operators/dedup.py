@@ -1739,3 +1739,57 @@ def record_link_incremental(
         .drop("__rn")
         .orderBy("id_a")
     )
+
+
+def edit_distance_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    length_col: str = "n_chars",
+    band_width: int = 32,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked edit-distance (Levenshtein) near-duplicate pairs.
+
+    Contract (blocking is PART of the semantics, as in classic record
+    linkage): candidate pairs share every block_cols value and the
+    same floor(length/band_width) length band; pairs additionally
+    passing |len_a - len_b| <= max_dist (a free exact lower bound on
+    edit distance) are scored with full Levenshtein and kept when
+    <= max_dist. Emits (id_a, id_b, dist) with id_a < id_b.
+
+    100 TB shape: the self-join is keyed by the block (one shuffle on
+    (block_cols, band)); all-pairs work happens only WITHIN a block,
+    which the blocking key bounds — same discipline as the MinHash
+    band join above. The length-delta pre-filter is evaluated before
+    the O(len^2) levenshtein, and levenshtein itself runs JVM-side
+    with the max_dist threshold argument (Spark >= 3.5 banded
+    algorithm: O(len*max_dist), early-exit past the bound).
+    """
+    band = F.floor(F.col(length_col) / band_width).alias("__band")
+    slim = docs.select(id_col, text_col, length_col, *block_cols, band)
+    keys = [*block_cols, "__band"]
+    a = slim.select(
+        *keys,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__ta"),
+        F.col(length_col).alias("__la"),
+    )
+    b = slim.select(
+        *keys,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__tb"),
+        F.col(length_col).alias("__lb"),
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

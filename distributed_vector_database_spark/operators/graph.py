@@ -1,0 +1,119 @@
+"""Graph operators over derived entity graphs: co-occurrence edge
+extraction and fixed-iteration PageRank.
+
+The reference engine has no graph surface; these cover the iterative-
+algorithm rubric (SURVEY §2.2 "custom operators") the Spark way: each
+PageRank iteration is ONE shuffle (edges ⋈ ranks keyed by src, then a
+groupBy dst), the loop lives on the driver, and the iteration count is
+fixed so the whole computation stays a deterministic DAG — checkpoint/
+AQE-friendly, and oracle-expressible as unrolled CTEs.
+
+Plan-shape notes (100 TB discipline):
+- co-occurrence edges reuse the apriori discipline from
+  operators/mining.py: infrequent items are pruned BEFORE the basket
+  self-join and pathological baskets are capped, so the edge builder
+  never emits |basket|² rows for a skewed basket.
+- pagerank pre-partitions edges and ranks on the join key once;
+  every iteration then reuses that partitioning (no re-shuffle of the
+  static edge relation — only the small rank relation moves).
+- ranks are node-sized, edges are edge-sized; nothing is collected to
+  the driver and nothing grows with iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.mining import (
+    _frequent_basket_items,
+)
+
+
+def cooccurrence_edges(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 256,
+) -> DataFrame:
+    """Undirected co-occurrence graph as a symmetric directed edge
+    list (src, dst): items co-appearing in >= min_support baskets,
+    apriori-pruned and basket-capped exactly like
+    mining.frequent_pairs (same `_frequent_basket_items` input so the
+    two cannot drift)."""
+    bi = _frequent_basket_items(
+        baskets, basket_col, item_col, min_support, max_basket
+    )
+    a = bi.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("src"))
+    b = bi.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("dst"))
+    und = (
+        a.join(b, "__b")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= min_support)
+        .select("src", "dst")
+    )
+    return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a symmetric edge list.
+
+    Contract: nodes = distinct src of `edges` (symmetric edges → every
+    node has out- and in-degree >= 1, so there is no dangling-mass
+    term); rank_0 = 1/N; rank_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)}
+    rank_t(u)/deg(u). Returns (node, rank_rel) with rank_rel =
+    rank_T * N rounded to 6 — scaling by N keeps the value O(1) so a
+    fixed decimal rounding is oracle-stable at any graph size.
+
+    Each iteration is exactly one shuffle: edges ⋈ ranks on src
+    (both sides pre-partitioned on the key once, reused every round),
+    then groupBy dst with map-side partial sums.
+    """
+    nparts = partitions or edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    nparts = int(nparts)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static relation: partition once on the iteration join key, cache
+    adj = (
+        edges.join(deg, "src")
+        .repartition(nparts, "src")
+        .persist()
+    )
+    n = adj.select("src").distinct().count()
+    ranks = (
+        adj.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
+        .repartition(nparts, "node")
+    )
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("in_mass")).alias(
+                "rank"
+            ),
+        ).repartition(nparts, "node")
+    # adj stays persisted until the session drops it: the returned plan
+    # references it once per iteration, so unpersisting here would
+    # discard the cache before the caller ever executes the result.
+    return ranks.select(
+        "node", F.round(F.col("rank") * n, 6).alias("rank_rel")
+    )

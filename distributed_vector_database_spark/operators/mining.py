@@ -1,0 +1,200 @@
+"""Pattern-mining operators: frequent co-occurrence pairs, skyline
+(Pareto-front) extraction, and Markov transition matrices.
+
+The reference engine has no mining surface at all (its query model is
+put/get/k-NN — src/datanode/handler.py); these extend SURVEY §2.3's
+"operations a large-scale training-data pipeline would need": basket
+mining for negative-sampling pools, Pareto fronts for data-selection
+trade-offs (quality vs length vs dedup-score), and behavioural
+transition matrices for sessionized event streams.
+
+Plan-shape notes (100 TB discipline):
+- frequent_pairs applies APRIORI PRUNING before the self-join: only
+  items whose singleton support clears the bar enter the pair join, so
+  the shuffle is bounded by frequent-item baskets, never the raw fact.
+  Basket size is capped (a 10k-item basket contributes 50M pairs —
+  cap-and-log instead of letting one skewed basket kill the stage).
+- skyline uses the distributive two-phase shape: a per-partition local
+  Pareto front (mapInPandas, no shuffle), then the exact dominance
+  anti-join over the tiny candidate union. The global skyline is
+  always a subset of the union of local skylines, so phase 1 loses
+  nothing and phase 2's quadratic step runs on |candidates|², not n².
+- event_transitions is one window (lag over user, ts) plus one
+  bounded groupBy — state-machine sized output (|types|²).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 4,
+    max_basket: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Frequent co-occurring item pairs with apriori pruning.
+
+    Contract: a pair (a, b), a < b, is counted once per basket where
+    both appear; only items appearing in >= min_support distinct
+    baskets participate (apriori: an infrequent item cannot be in a
+    frequent pair); baskets larger than max_basket distinct frequent
+    items are excluded entirely (documented skew hatch — at 100 TB one
+    pathological basket must not emit |basket|² rows). Pairs with
+    pair_support >= min_support, top_n by (support desc, a, b).
+
+    Plan: distinct (basket, item) → frequent-item filter via a
+    broadcast semi join on the singleton-support aggregate → basket
+    self-join on basket_col (a shuffle keyed by basket, bounded by the
+    cap) → pair groupBy. No crossJoin anywhere.
+    """
+    pairs_in = _frequent_basket_items(
+        baskets, basket_col, item_col, min_support, max_basket
+    )
+    a = pairs_in.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a")
+    )
+    b = pairs_in.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_b")
+    )
+    return (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+        .orderBy(F.desc("pair_support"), "item_a", "item_b")
+        .limit(top_n)
+    )
+
+
+def _frequent_basket_items(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket: int,
+) -> DataFrame:
+    """Distinct (basket, item) rows restricted to frequent items and
+    capped baskets — the pruned input shared by pair mining."""
+    bi = baskets.select(basket_col, item_col).distinct()
+    freq_items = (
+        bi.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__item_support"))
+        .filter(F.col("__item_support") >= min_support)
+        .select(item_col)
+    )
+    pruned = bi.join(F.broadcast(freq_items), item_col, "left_semi")
+    basket_sizes = (
+        pruned.groupBy(basket_col)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") <= max_basket)
+        .select(basket_col)
+    )
+    return pruned.join(basket_sizes, basket_col, "left_semi")
+
+
+def skyline(
+    df: DataFrame,
+    minimize: list[str],
+    id_col: str,
+    candidate_partitions: int | None = None,
+) -> DataFrame:
+    """Exact skyline (Pareto front): rows not dominated by any other.
+
+    Row y dominates row x iff y <= x on every minimize column and
+    y < x on at least one. Ties on all columns survive together (a
+    duplicate point cannot dominate its twin).
+
+    Two-phase distributive plan: phase 1 computes the LOCAL skyline
+    per partition with a vectorized pandas kernel (no shuffle — the
+    global front is a subset of the union of local fronts), phase 2
+    runs the exact dominance anti-join on the small candidate set.
+    At 1000 executors phase 1 reduces n to roughly the front size per
+    partition; phase 2's self-join is candidates×candidates, fine for
+    the fronts real data produces (log-sized under independence).
+    """
+    cols = [id_col] + list(minimize)
+    slim = df.select(*cols)
+    if candidate_partitions is not None:
+        slim = slim.repartition(candidate_partitions)
+
+    mins = list(minimize)
+
+    def _local_front(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        # sort by sum of dims: a point can only be dominated by one
+        # that precedes it in any monotone order, so one forward pass
+        # against the kept set suffices.
+        pdf = pdf.sort_values(mins, kind="mergesort").reset_index(drop=True)
+        vals = pdf[mins].to_numpy()
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            v = vals[i]
+            dominated = False
+            for j in kept:
+                w = vals[j]
+                if (w <= v).all() and (w < v).any():
+                    dominated = True
+                    break
+            if not dominated:
+                kept.append(i)
+        yield pdf.iloc[kept]
+
+    candidates = slim.mapInPandas(_local_front, schema=slim.schema)
+    # exact dominance anti-join over the candidate union (small)
+    x = candidates.alias("x")
+    y = candidates.alias("y")
+    strictly_better = F.lit(False)
+    all_le = F.lit(True)
+    for c in mins:
+        all_le = all_le & (F.col(f"y.{c}") <= F.col(f"x.{c}"))
+        strictly_better = strictly_better | (F.col(f"y.{c}") < F.col(f"x.{c}"))
+    return x.join(
+        y, on=all_le & strictly_better, how="left_anti"
+    ).select(*[F.col(f"x.{c}").alias(c) for c in cols])
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count of (prev_type -> type) steps and the row-
+    normalized probability, rounded for oracle-stable hashing.
+
+    One window shuffle keyed by user (lag over ts, tiebroken
+    deterministically), then a groupBy bounded by |types|² — the
+    output is state-machine sized regardless of event volume.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    steps = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(row_tot), 6
+        ).alias("prob"),
+    )

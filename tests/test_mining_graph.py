@@ -1,0 +1,265 @@
+"""Tests for the round-10 mining/graph/bloom/merge/edit-distance batch."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.bloom import (
+    bloom_bitset,
+    bloom_might_contain,
+    bloom_semi_join,
+)
+from distributed_vector_database_spark.operators.changelog import merge_into
+from distributed_vector_database_spark.operators.dedup import edit_distance_dedup
+from distributed_vector_database_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+)
+from distributed_vector_database_spark.operators.mining import (
+    event_transitions,
+    frequent_pairs,
+    skyline,
+)
+
+
+# ---------------------------------------------------------------- mining
+def _baskets(spark):
+    rows = [
+        # pair (1,2) in baskets 10,11,12 ; item 3 with 1 in 10,12 ;
+        # item 9 appears once (infrequent -> apriori-pruned)
+        (10, 1), (10, 2), (10, 3), (10, 9),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 3),
+        (13, 3), (13, 4),
+        (14, 3), (14, 4),
+    ]
+    return spark.createDataFrame(rows, "basket long, item long")
+
+
+def test_frequent_pairs_counts_and_pruning(spark):
+    out = frequent_pairs(
+        _baskets(spark), "basket", "item", min_support=2, top_n=10
+    ).collect()
+    got = {(r.item_a, r.item_b): r.pair_support for r in out}
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2, (3, 4): 2}
+
+
+def test_frequent_pairs_basket_cap_drops_skewed_basket(spark):
+    rows = [(1, i) for i in range(10)] + [(2, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    # cap below the basket size -> no pairs at all
+    out = frequent_pairs(df, "basket", "item", min_support=2, max_basket=5)
+    assert out.count() == 0
+
+
+def test_skyline_exact_small(spark):
+    rows = [
+        Row(id=1, x=1.0, y=5.0),
+        Row(id=2, x=2.0, y=2.0),
+        Row(id=3, x=5.0, y=1.0),
+        Row(id=4, x=3.0, y=3.0),   # dominated by 2
+        Row(id=5, x=2.0, y=2.0),   # duplicate of 2 — both survive
+        Row(id=6, x=1.0, y=6.0),   # dominated by 1
+    ]
+    out = skyline(spark.createDataFrame(rows), ["x", "y"], "id")
+    assert {r.id for r in out.collect()} == {1, 2, 3, 5}
+
+
+def test_skyline_matches_bruteforce(spark, tables):
+    part = tables["part"].select("p_partkey", "p_retailprice", "p_size")
+    got = {
+        r.p_partkey
+        for r in skyline(part, ["p_retailprice", "p_size"], "p_partkey").collect()
+    }
+    rows = part.collect()
+    expect = set()
+    for a in rows:
+        dom = any(
+            b.p_retailprice <= a.p_retailprice
+            and b.p_size <= a.p_size
+            and (b.p_retailprice < a.p_retailprice or b.p_size < a.p_size)
+            for b in rows
+        )
+        if not dom:
+            expect.add(a.p_partkey)
+    assert got == expect
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    # user 100: a->b->a->c ; user 200: a->b
+    # counts: (a,b)=2 (a,c)=1 (b,a)=1 ; a-row total=3, b-row total=1
+    rows = [
+        (1, 100, "a"), (2, 100, "b"), (3, 100, "a"), (4, 100, "c"),
+        (5, 200, "a"), (6, 200, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = event_transitions(df).collect()
+    got = {(r.prev_type, r.next_type): (r.transitions, r.prob) for r in out}
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_event_transitions_no_cross_user_step(spark):
+    # boundary between users must not create a transition
+    rows = [(1, 1, "a"), (2, 2, "b")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    assert event_transitions(df).count() == 0
+
+
+# ---------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives_and_exact_semi_join(spark, tables):
+    dim = tables["customer"].filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    fact = tables["orders"]
+    got = bloom_semi_join(fact, dim, "o_custkey", "c_custkey")
+    expect = fact.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_bloom_bitset_membership(spark):
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    words = bloom_bitset(dim, "k")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    hits = probe.filter(bloom_might_contain(F.col("k"), words)).collect()
+    got = {r.k for r in hits}
+    # no false negatives; false positives possible but bounded
+    assert set(range(50)) <= got
+    assert len(got) < 120
+
+
+def test_bloom_unconfirmed_is_superset(spark, tables):
+    dim = tables["customer"].filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    fact = tables["orders"]
+    approx = bloom_semi_join(fact, dim, "o_custkey", "c_custkey", confirm=False)
+    exact = bloom_semi_join(fact, dim, "o_custkey", "c_custkey")
+    assert exact.exceptAll(approx.select(*exact.columns)).count() == 0
+
+
+# ---------------------------------------------------------------- merge
+def test_merge_into_all_four_arms(spark):
+    target = spark.createDataFrame(
+        [(1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del")],
+        "k long, bal double, tag string",
+    )
+    source = spark.createDataFrame(
+        [(2, 5.0, False), (3, 0.0, True), (4, 40.0, False)],
+        "k long, delta double, is_del boolean",
+    )
+    out = merge_into(
+        target,
+        source,
+        "k",
+        when_matched_update={"bal": F.col("t.bal") + F.col("s.delta")},
+        when_matched_delete=F.col("s.is_del"),
+        when_not_matched_insert={
+            "bal": F.col("s.delta"),
+            "tag": F.lit("new"),
+        },
+    )
+    got = {r.k: (r.bal, r.tag) for r in out.collect()}
+    assert got == {
+        1: (10.0, "keep"),   # target-only pass-through
+        2: (25.0, "upd"),    # matched update
+        4: (40.0, "new"),    # insert
+    }                        # 3 deleted
+
+
+def test_merge_into_default_insert_uses_source_columns(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    source = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    out = merge_into(target, source, "k").collect()
+    got = {r.k: r.v for r in out}
+    assert got == {1: 1.0, 2: 2.0}
+
+
+# --------------------------------------------------------- edit distance
+def test_edit_distance_dedup_finds_planted_pair(spark):
+    rows = [
+        (1, "the quick brown fox", "en", "web", 19),
+        (2, "the quick brown fax", "en", "web", 19),   # dist 1
+        (3, "completely different text!", "en", "web", 26),
+        (4, "the quick brown fox", "fr", "web", 19),   # other block
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = edit_distance_dedup(df, band_width=32, max_dist=3).collect()
+    assert {(r.id_a, r.id_b, r.dist) for r in out} == {(1, 2, 1)}
+
+
+def test_edit_distance_respects_length_prefilter(spark):
+    rows = [
+        (1, "aaaa", "en", "web", 4),
+        (2, "aaaabbbbbbbbbb", "en", "web", 14),  # same band (32) but |Δlen|>3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert edit_distance_dedup(df, band_width=32, max_dist=3).count() == 0
+
+
+# ---------------------------------------------------------------- graph
+def test_cooccurrence_edges_symmetric(spark):
+    edges = cooccurrence_edges(
+        _baskets(spark), "basket", "item", min_support=2
+    ).collect()
+    got = {(r.src, r.dst) for r in edges}
+    assert got == {
+        (1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (3, 4), (4, 3)
+    }
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # a 4-cycle is 2-regular: PageRank must stay uniform -> rank_rel=1
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = pagerank(edges, iterations=3).collect()
+    assert {r.node for r in out} == {1, 2, 3, 4}
+    assert all(abs(r.rank_rel - 1.0) < 1e-9 for r in out)
+
+
+def test_pagerank_mass_conserved_and_hub_ranked_highest(spark):
+    # star with center 0 and leaves 1..4 (symmetric edges)
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    rows = pagerank(edges, iterations=5).collect()
+    ranks = {r.node: r.rank_rel for r in rows}
+    assert max(ranks, key=ranks.get) == 0
+    # rank_rel sums to N (mass conservation, scaled)
+    assert abs(sum(ranks.values()) - 5.0) < 1e-4
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = sorted({a for a, _ in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in pairs:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in pairs:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    got = {row.node: row.rank_rel for row in pagerank(edges, 5).collect()}
+    for node, i in idx.items():
+        assert got[node] == pytest.approx(r[i] * n, abs=2e-6)
