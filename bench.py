@@ -158,6 +158,20 @@ HEADLINE = [
     "state_as_of",
     # round-10: Gopher rule-based quality gate (per-rule audit)
     "gopher_rules",
+    # round-10 second batch: apriori-pruned basket mining
+    "frequent_pairs",
+    # round-10: two-phase distributed skyline (Pareto front)
+    "skyline_parts",
+    # round-10: Markov transition matrix over event sequences
+    "event_transitions",
+    # round-10: broadcast bloom pre-filter + exact confirm semi join
+    "bloom_join_revenue",
+    # round-10: multi-arm MERGE INTO (update/delete/insert arms)
+    "merge_customers",
+    # round-10: fixed-iteration PageRank over the co-purchase graph
+    "pagerank_parts",
+    # round-10: blocked Levenshtein near-dup (two-bucket banding)
+    "edit_distance_pairs",
 ]
 
 

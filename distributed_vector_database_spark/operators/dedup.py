@@ -1752,39 +1752,62 @@ def edit_distance_dedup(
 ) -> DataFrame:
     """Blocked edit-distance (Levenshtein) near-duplicate pairs.
 
-    Contract (blocking is PART of the semantics, as in classic record
-    linkage): candidate pairs share every block_cols value and the
-    same floor(length/band_width) length band; pairs additionally
-    passing |len_a - len_b| <= max_dist (a free exact lower bound on
-    edit distance) are scored with full Levenshtein and kept when
-    <= max_dist. Emits (id_a, id_b, dist) with id_a < id_b.
+    Contract: ALL pairs sharing every block_cols value with
+    |len_a - len_b| <= max_dist (a free exact lower bound on edit
+    distance) and levenshtein <= max_dist. Emits (id_a, id_b, dist)
+    with id_a < id_b. Length BANDING is pure implementation, not
+    semantics: each doc replicates to buckets floor(len/band_width)
+    and +1, so any pair within max_dist of length (<= band_width)
+    lands in a common bucket — boundary-straddling pairs are NOT
+    missed, unlike single-band blocking. A pair with equal bands
+    would meet in two buckets; keeping only the bucket equal to the
+    greater band emits each pair exactly once.
 
-    100 TB shape: the self-join is keyed by the block (one shuffle on
-    (block_cols, band)); all-pairs work happens only WITHIN a block,
-    which the blocking key bounds — same discipline as the MinHash
-    band join above. The length-delta pre-filter is evaluated before
-    the O(len^2) levenshtein, and levenshtein itself runs JVM-side
-    with the max_dist threshold argument (Spark >= 3.5 banded
-    algorithm: O(len*max_dist), early-exit past the bound).
+    100 TB shape: the self-join is keyed by (block_cols, bucket) —
+    one shuffle; all-pairs work happens only within a block+bucket,
+    bounded by the blocking keys (same discipline as the MinHash band
+    join). The length-delta pre-filter runs before the O(len*d)
+    levenshtein, and levenshtein runs JVM-side with the max_dist
+    threshold argument (Spark >= 3.5 banded algorithm, early exit).
+    Caveat: block size is the cost driver — a uniform-length corpus
+    under a low-cardinality block key degrades to in-block all-pairs
+    (inherent to blocked edit-distance); choose block_cols with
+    domain-level cardinality (source/domain/shard) there, or run the
+    MinHash tier first and feed only its candidate clusters here.
+
+    Requires band_width >= max_dist (asserted) for the two-bucket
+    completeness argument.
     """
-    band = F.floor(F.col(length_col) / band_width).alias("__band")
-    slim = docs.select(id_col, text_col, length_col, *block_cols, band)
-    keys = [*block_cols, "__band"]
+    if band_width < max_dist:
+        raise ValueError("band_width must be >= max_dist for completeness")
+    band = F.floor(F.col(length_col) / band_width)
+    slim = docs.select(
+        id_col,
+        text_col,
+        length_col,
+        *block_cols,
+        band.alias("__band"),
+        F.explode(F.array(band, band + 1)).alias("__bucket"),
+    )
+    keys = [*block_cols, "__bucket"]
     a = slim.select(
         *keys,
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("__ta"),
         F.col(length_col).alias("__la"),
+        F.col("__band").alias("__ba"),
     )
     b = slim.select(
         *keys,
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("__tb"),
         F.col(length_col).alias("__lb"),
+        F.col("__band").alias("__bb"),
     )
     return (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("__bucket") == F.greatest("__ba", "__bb"))
         .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         .select(
             "id_a",

@@ -198,3 +198,69 @@ def event_transitions(
             F.col("transitions") / F.sum("transitions").over(row_tot), 6
         ).alias("prob"),
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 4,
+    max_basket: int = 256,
+    min_confidence: float = 0.0,
+    top_n: int = 50,
+) -> DataFrame:
+    """Association rules over the frequent pairs: for each directed
+    rule a -> b, support (co-occurrence count), confidence
+    (support / baskets containing a) and lift
+    (confidence / P(b)) — the classic market-basket triple, computed
+    from the SAME pruned input as frequent_pairs so the two cannot
+    drift. Ratios rounded to 6 for oracle-stable hashing.
+
+    Plan: the pair aggregate (bounded by frequent-item baskets) joins
+    the broadcast-sized singleton-support aggregate twice (antecedent
+    and consequent legs) plus one 1-row basket-count literal — no
+    extra pass over the raw fact.
+    """
+    pruned = _frequent_basket_items(
+        baskets, basket_col, item_col, min_support, max_basket
+    )
+    n_baskets = baskets.select(basket_col).distinct().count()
+    item_support = pruned.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("item_support")
+    )
+    a = pruned.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("ant"))
+    b = pruned.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("cons"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    ant_sup = F.broadcast(
+        item_support.select(
+            F.col(item_col).alias("ant"), F.col("item_support").alias("__sa")
+        )
+    )
+    cons_sup = F.broadcast(
+        item_support.select(
+            F.col(item_col).alias("cons"), F.col("item_support").alias("__sc")
+        )
+    )
+    conf = F.col("support") / F.col("__sa")
+    return (
+        pairs.join(ant_sup, "ant")
+        .join(cons_sup, "cons")
+        .select(
+            "ant",
+            "cons",
+            "support",
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("__sc") / F.lit(float(n_baskets))), 6).alias(
+                "lift"
+            ),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+        .orderBy(F.desc("support"), F.desc("confidence"), "ant", "cons")
+        .limit(top_n)
+    )

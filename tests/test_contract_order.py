@@ -64,10 +64,15 @@ ROWS_ONLY = {
 ROTATED_IN = {
     # r10 rotation, policy "new + code-changed + never-green first"
     # (VERDICT r9 #3):
-    # round-10 new operators
+    # round-10 new operators (first batch)
     "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
     "bm25_filtered_topk", "state_as_of", "gopher_rules",
     "tri_hybrid_filtered_topk",
+    # round-10 new operators (second batch: mining/graph/bloom/merge —
+    # never produced a driver row; displaced nine r9-green queries)
+    "frequent_pairs", "skyline_parts", "event_transitions",
+    "bloom_join_revenue", "merge_customers", "pagerank_parts",
+    "edit_distance_pairs", "association_rules", "transitions_served",
     # code-changed paths owed a fresh driver row: the length_batches
     # contract projection (r9's only ERR), the r9 lexical.py rewrite
     # veterans whose last driver rows predate it, and the r10
@@ -78,8 +83,10 @@ ROTATED_IN = {
     "near_dup_clusters_incremental", "source_token_caps",
     "weighted_sample",
     # round-9 first-timers earning a second green driver round
-    "phrase_search", "decontam_spans", "curriculum_order",
-    "sparse_batch_topk", "tri_hybrid_batch_topk",
+    # (decontam_spans, curriculum_order, sparse_batch_topk rotated
+    # down to tier 2 — all r9-green — to make room for the second
+    # new-operator batch)
+    "phrase_search", "tri_hybrid_batch_topk",
 }
 
 

@@ -196,6 +196,31 @@ def test_edit_distance_dedup_finds_planted_pair(spark):
     assert {(r.id_a, r.id_b, r.dist) for r in out} == {(1, 2, 1)}
 
 
+def test_edit_distance_finds_band_straddling_pair(spark):
+    # lengths 31 and 33 land in bands 0 and 1 — the two-bucket
+    # replication must still pair them (single-band blocking misses it)
+    t1 = "a" * 31
+    t2 = "a" * 33
+    rows = [(1, t1, "en", "web", 31), (2, t2, "en", "web", 33)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = edit_distance_dedup(df, band_width=32, max_dist=3).collect()
+    assert {(r.id_a, r.id_b, r.dist) for r in out} == {(1, 2, 2)}
+
+
+def test_edit_distance_equal_band_pair_emitted_once(spark):
+    rows = [
+        (1, "same text here", "en", "web", 14),
+        (2, "same text hera", "en", "web", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = edit_distance_dedup(df, band_width=32, max_dist=3).collect()
+    assert len(out) == 1 and (out[0].id_a, out[0].id_b, out[0].dist) == (1, 2, 1)
+
+
 def test_edit_distance_respects_length_prefilter(spark):
     rows = [
         (1, "aaaa", "en", "web", 4),
@@ -263,3 +288,22 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     got = {row.node: row.rank_rel for row in pagerank(edges, 5).collect()}
     for node, i in idx.items():
         assert got[node] == pytest.approx(r[i] * n, abs=2e-6)
+
+
+def test_association_rules_confidence_and_lift(spark):
+    from distributed_vector_database_spark.operators.mining import (
+        association_rules,
+    )
+
+    out = association_rules(
+        _baskets(spark), "basket", "item", min_support=2
+    ).collect()
+    got = {(r.ant, r.cons): (r.support, r.confidence, r.lift) for r in out}
+    # item 1 in baskets {10,11,12}; item 2 in {10,11,12}; pair in 3
+    # baskets; 5 baskets total: conf(1->2)=1.0, lift=1/(3/5)
+    assert got[(1, 2)] == (3, 1.0, round(1.0 / (3 / 5), 6))
+    # 1->3: pair {10,12} support 2, conf 2/3, P(3)=4/5 (item 3 in
+    # baskets 10,12,13,14), lift=(2/3)/(4/5)
+    assert got[(1, 3)] == (2, round(2 / 3, 6), round((2 / 3) / (4 / 5), 6))
+    # rules are directed: 3->1 has conf 2/4
+    assert got[(3, 1)] == (2, 0.5, round(0.5 / (3 / 5), 6))
