@@ -3222,6 +3222,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["association_rules"] = association_rules_q
 
+    def session_paths_q(spark, sf):
+        # clickstream path analysis: top event-type paths over
+        # gap-sessionized per-user sequences (first 8 events/session)
+        from distributed_vector_database_spark.operators.mining import (
+            session_paths,
+        )
+
+        return session_paths(
+            load_table(spark, sf, "events"), gap_minutes=30, max_len=8, top_n=20
+        )
+
+    q["session_paths"] = session_paths_q
+
+    def part_triangles_q(spark, sf):
+        # exact triangle count over the part co-purchase graph via
+        # degree-ordered orientation (hub-safe wedge join)
+        from distributed_vector_database_spark.operators.graph import (
+            cooccurrence_edges,
+            triangle_count,
+        )
+
+        edges = cooccurrence_edges(
+            load_table(spark, sf, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            min_support=FREQ_PAIR_SUPPORT,
+            max_basket=256,
+        )
+        return triangle_count(edges)
+
+    q["part_triangles"] = part_triangles_q
+
     def _transitions_state(spark, sf):
         # maintained transition matrix for a fixture dir: built once
         # per process by folding the events in THREE TIME-SPLIT
@@ -3341,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs", "skyline_parts", "event_transitions",
         "bloom_join_revenue", "merge_customers", "pagerank_parts",
         "edit_distance_pairs", "association_rules", "transitions_served",
+        "session_paths", "part_triangles",
         # --- code-changed paths owed a fresh driver row: the
         # length_batches contract projection (r9's only ERR row, now a
         # canonical string); the r9 lexical.py rewrite's veterans
@@ -3364,16 +3397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfmrl_topk_exact", "ann_ivfmrl_layout_exact",
         "ann_lsh_join_exact", "ann_pq_layout_exact",
         "ann_ivfpq_layout_exact",
-        # --- r9 first-timers earning a second green driver round
-        # (phrase_search's r9 pre-filter rewrite re-pinned here) ---
-        "phrase_search", "tri_hybrid_batch_topk",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
         # round by tools/check_correctness.py): r9-green queries rotate
         # down to make room for the second new-operator batch — every
-        # displaced query is hash-green in CORRECTNESS_r09
-        # (decontam_spans, curriculum_order, sparse_batch_topk,
+        # displaced query is hash-green in CORRECTNESS_r09 on code
+        # unchanged since (phrase_search, tri_hybrid_batch_topk,
+        # decontam_spans, curriculum_order, sparse_batch_topk,
         # discount_revenue, priority_shipping_mix, idle_rich_customers,
         # important_part_values, bm25_batch_topk, tri_hybrid_topk) ----
+        "phrase_search", "tri_hybrid_batch_topk",
         "decontam_spans", "curriculum_order", "sparse_batch_topk",
         "discount_revenue", "priority_shipping_mix",
         "idle_rich_customers", "important_part_values",
@@ -4389,6 +4421,78 @@ WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
     # fold-built snapshot must hash-equal the one-shot window (the
     # ledger bridges the two batch boundaries)
     o["transitions_served"] = o["event_transitions"]
+
+    o["session_paths"] = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT *, CAST(sum(CASE WHEN prev IS NULL
+                          OR date_diff('second', prev, ts) > 1800
+                     THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) AS session_id
+  FROM o
+),
+r AS (
+  SELECT *, row_number()
+    OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY 1, 2
+)
+SELECT path, count(*) AS sessions FROM p GROUP BY path
+ORDER BY sessions DESC, path LIMIT 20
+"""
+
+    o["part_triangles"] = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {FREQ_PAIR_SUPPORT}),
+pr AS (SELECT bi.b, bi.i FROM bi JOIN fi USING (i)),
+ok AS (SELECT b FROM pr GROUP BY b HAVING count(*) <= 256),
+pp AS (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
+und AS (
+  SELECT x.i AS u, y.i AS v
+  FROM pp x JOIN pp y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_SUPPORT}
+),
+deg AS (
+  SELECT n, count(*) AS dg FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY n
+),
+ed AS (
+  SELECT und.u, und.v, da.dg AS du, db.dg AS dv,
+         (da.dg < db.dg OR (da.dg = db.dg AND und.u < und.v)) AS afirst
+  FROM und
+  JOIN deg da ON da.n = und.u
+  JOIN deg db ON db.n = und.v
+),
+o2 AS (
+  SELECT CASE WHEN afirst THEN u ELSE v END AS s,
+         CASE WHEN afirst THEN v ELSE u END AS d,
+         CASE WHEN afirst THEN dv ELSE du END AS dd
+  FROM ed
+),
+w AS (
+  SELECT e1.d AS v, e2.d AS w2
+  FROM o2 e1 JOIN o2 e2 ON e1.s = e2.s
+  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.d < e2.d)
+),
+t AS (
+  SELECT count(*) AS triangles FROM w
+  WHERE EXISTS (SELECT 1 FROM o2 WHERE o2.s = w.v AND o2.d = w.w2)
+)
+SELECT (SELECT count(*) FROM deg) AS nodes,
+       (SELECT count(*) FROM und) AS edges,
+       t.triangles
+FROM t
+"""
 
     o["association_rules"] = f"""
 WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

@@ -172,6 +172,14 @@ HEADLINE = [
     "pagerank_parts",
     # round-10: blocked Levenshtein near-dup (two-bucket banding)
     "edit_distance_pairs",
+    # round-10: directed market-basket rules (confidence/lift)
+    "association_rules",
+    # round-10: streaming transition-matrix snapshot serving
+    "transitions_served",
+    # round-10: clickstream path analysis (gap sessions, top paths)
+    "session_paths",
+    # round-10: hub-safe triangle counting (degree-ordered wedges)
+    "part_triangles",
 ]
 
 

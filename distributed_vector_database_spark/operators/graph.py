@@ -89,6 +89,8 @@ def pagerank(
         .persist()
     )
     n = adj.select("src").distinct().count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     ranks = (
         adj.select("src")
         .distinct()
@@ -116,4 +118,55 @@ def pagerank(
     # discard the cache before the caller ever executes the result.
     return ranks.select(
         "node", F.round(F.col("rank") * n, 6).alias("rank_rel")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over a symmetric edge list, via
+    degree-ordered edge orientation — the shape that survives hubs.
+
+    Every undirected edge is oriented from its (degree, id)-smaller
+    endpoint to the larger; each triangle then has exactly ONE node
+    with out-edges to the other two, so counting wedges (u->v, u->w)
+    whose closing edge (v->w) is also oriented counts each triangle
+    exactly once. Orientation bounds out-degree by O(sqrt(m)) on any
+    graph, so the wedge self-join never explodes on a hub the way a
+    naive adjacency join does. Returns one row (nodes, edges,
+    triangles).
+    """
+    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a_deg = deg.select(F.col("src").alias("__a"), F.col("deg").alias("__da"))
+    b_deg = deg.select(F.col("src").alias("__b"), F.col("deg").alias("__db"))
+    ranked = (
+        und.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
+        .join(a_deg, "__a")
+        .join(b_deg, "__b")
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("s"),
+        F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("d"),
+        F.when(a_first, F.col("__da")).otherwise(F.col("__db")).alias("ds"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dd"),
+    )
+    e1 = oriented.select(
+        F.col("s"), F.col("d").alias("v"), F.col("dd").alias("dv")
+    )
+    e2 = oriented.select(
+        F.col("s"), F.col("d").alias("w"), F.col("dd").alias("dw")
+    )
+    v_first = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = e1.join(e2, "s").filter(v_first).select("v", "w")
+    closing = oriented.select(F.col("s").alias("v"), F.col("d").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi").count()
+    n_nodes = deg.count()
+    n_edges = und.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, tri)], "nodes long, edges long, triangles long"
     )

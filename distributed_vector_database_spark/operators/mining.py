@@ -264,3 +264,57 @@ def association_rules(
         .orderBy(F.desc("support"), F.desc("confidence"), "ant", "cons")
         .limit(top_n)
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_len: int = 8,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top event-type paths per session: gap-sessionize, take each
+    session's first max_len events in (ts, tiebreak) order, join the
+    types with '>' and count sessions per path — the clickstream
+    path-analysis query.
+
+    Shape: sessionization and the per-session rank share the same
+    user-keyed window partitioning (one exchange reused); events past
+    max_len are dropped BEFORE collect_list so a monster session never
+    materializes an unbounded array; the path groupBy is bounded by
+    |types|^max_len in theory but by observed path diversity in
+    practice.
+    """
+    from distributed_vector_database_spark.operators.relational import (
+        assign_sessions,
+    )
+
+    s = assign_sessions(events, gap_minutes, user_col, ts_col, tiebreak_col)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, tiebreak_col)
+    first = s.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_len
+    )
+    paths = first.groupBy(user_col, "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col), F.col(tiebreak_col), F.col(type_col)
+                        )
+                    )
+                ),
+                lambda x: x[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("sessions"))
+        .orderBy(F.desc("sessions"), "path")
+        .limit(top_n)
+    )

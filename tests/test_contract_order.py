@@ -73,6 +73,7 @@ ROTATED_IN = {
     "frequent_pairs", "skyline_parts", "event_transitions",
     "bloom_join_revenue", "merge_customers", "pagerank_parts",
     "edit_distance_pairs", "association_rules", "transitions_served",
+    "session_paths", "part_triangles",
     # code-changed paths owed a fresh driver row: the length_batches
     # contract projection (r9's only ERR), the r9 lexical.py rewrite
     # veterans whose last driver rows predate it, and the r10
@@ -82,11 +83,9 @@ ROTATED_IN = {
     "sparse_dot_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
     "near_dup_clusters_incremental", "source_token_caps",
     "weighted_sample",
-    # round-9 first-timers earning a second green driver round
-    # (decontam_spans, curriculum_order, sparse_batch_topk rotated
-    # down to tier 2 — all r9-green — to make room for the second
-    # new-operator batch)
-    "phrase_search", "tri_hybrid_batch_topk",
+    # (the r9 first-timers' second-green-round slots all rotated down
+    # to tier 2 — every one r9-green on unchanged code — to fit the
+    # 11-query second new-operator batch)
 }
 
 

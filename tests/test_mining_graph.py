@@ -307,3 +307,70 @@ def test_association_rules_confidence_and_lift(spark):
     assert got[(1, 3)] == (2, round(2 / 3, 6), round((2 / 3) / (4 / 5), 6))
     # rules are directed: 3->1 has conf 2/4
     assert got[(3, 1)] == (2, 0.5, round(0.5 / (3 / 5), 6))
+
+
+def test_session_paths_counts_and_gap_split(spark):
+    import datetime
+
+    from distributed_vector_database_spark.operators.mining import session_paths
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, t):
+        return (i, base + datetime.timedelta(minutes=minutes), user, t, 0.0)
+
+    rows = [
+        ev(1, 1, 0, "a"), ev(2, 1, 5, "b"), ev(3, 1, 10, "c"),
+        ev(4, 1, 100, "d"), ev(5, 1, 105, "e"),   # gap > 30 min: new session
+        ev(6, 2, 0, "a"), ev(7, 2, 5, "b"), ev(8, 2, 10, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.path: r.sessions for r in session_paths(df).collect()}
+    assert got == {"a>b>c": 2, "d>e": 1}
+
+
+def test_session_paths_truncates_to_max_len(spark):
+    import datetime
+
+    from distributed_vector_database_spark.operators.mining import session_paths
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, t, 0.0)
+        for i, t in enumerate(["a", "b", "c", "d", "e"])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.path for r in session_paths(df, max_len=3).collect()}
+    assert got == {"a>b>c"}
+
+
+def _sym(spark, und):
+    return spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+
+
+def test_triangle_count_triangle_plus_tail(spark):
+    from distributed_vector_database_spark.operators.graph import triangle_count
+
+    row = triangle_count(_sym(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])).collect()[0]
+    assert (row.nodes, row.edges, row.triangles) == (4, 4, 1)
+
+
+def test_triangle_count_star_has_none(spark):
+    from distributed_vector_database_spark.operators.graph import triangle_count
+
+    row = triangle_count(_sym(spark, [(0, i) for i in range(1, 6)])).collect()[0]
+    assert (row.nodes, row.edges, row.triangles) == (6, 5, 0)
+
+
+def test_triangle_count_4_clique(spark):
+    from distributed_vector_database_spark.operators.graph import triangle_count
+
+    und = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = triangle_count(_sym(spark, und)).collect()[0]
+    assert (row.nodes, row.edges, row.triangles) == (4, 6, 4)

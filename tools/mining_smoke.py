@@ -48,34 +48,61 @@ def main() -> None:
         skyline,
     )
 
-    # --- frequent_pairs: 5M basket-item rows, zipf-ish item head
+    # --- frequent_pairs: 5M basket-item rows over 500k baskets. Rows
+    # 10b..10b+9 form basket b; slots 0-2 carry the basket's THEME
+    # triple (3 items shared by the ~500 baskets with the same
+    # basket%1000), the rest are hash background — so the planted
+    # signal is 1000 themes x 3 pairwise-frequent item pairs on top of
+    # a 100k-item long tail the apriori prune must discard.
+    basket = (F.col("id") / 10).cast("long")
+    slot = F.pmod(F.col("id"), 10)
+    theme = F.pmod(basket, 1_000)
     bi = spark.range(5_000_000).select(
-        (F.col("id") % 500_000).alias("basket"),
-        F.when(F.pmod(F.col("id"), 7) == 0, F.pmod(F.col("id"), 50))
-        .otherwise(F.pmod(F.xxhash64("id"), 10_000))
+        basket.alias("basket"),
+        F.when(slot < 3, theme * 3 + slot)
+        .otherwise(F.pmod(F.xxhash64("id"), 100_000) + 1_000_000)
         .alias("item"),
     )
     bi.cache().count()
-    timed(
-        "frequent_pairs 5M rows/500k baskets",
-        lambda: frequent_pairs(
-            bi, "basket", "item", min_support=50, max_basket=64, top_n=20
-        ).count(),
-    )
 
-    # --- pagerank over the graph derived from 2M basket rows
+    def _pairs():
+        got = frequent_pairs(
+            bi, "basket", "item", min_support=100, max_basket=64, top_n=5000
+        ).count()
+        assert got == 3_000, got  # 3 pairs per theme
+        return f"pairs={got} (== 3 per theme)"
+
+    timed("frequent_pairs 5M rows/500k baskets", _pairs)
+
+    # --- pagerank over the derived theme graph (1000 disjoint
+    # triangles — 2-regular, so ranks must stay uniform)
     from distributed_vector_database_spark.operators.graph import (
         cooccurrence_edges,
         pagerank,
     )
 
-    bi2 = bi.limit(2_000_000)
-    edges = cooccurrence_edges(bi2, "basket", "item", min_support=20)
+    edges = cooccurrence_edges(bi, "basket", "item", min_support=100)
     ecnt = edges.cache().count()
-    timed(
-        f"pagerank 5 iters over {ecnt} edges",
-        lambda: pagerank(edges, iterations=5).count(),
+
+    def _pr():
+        rows = pagerank(edges, iterations=5).collect()
+        assert len(rows) == 3_000
+        assert all(abs(r.rank_rel - 1.0) < 1e-6 for r in rows)
+        return f"nodes={len(rows)} uniform"
+
+    timed(f"pagerank 5 iters over {ecnt} edges", _pr)
+
+    # --- triangle_count over the same graph: exactly the 1000 themes
+    from distributed_vector_database_spark.operators.graph import (
+        triangle_count,
     )
+
+    def _tri():
+        row = triangle_count(edges).collect()[0]
+        assert row.triangles == 1_000, row
+        return f"nodes={row.nodes} edges={row.edges} triangles={row.triangles}"
+
+    timed("triangle_count on theme graph", _tri)
     edges.unpersist()
     bi.unpersist()
 
