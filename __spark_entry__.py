@@ -3254,6 +3254,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_triangles"] = part_triangles_q
 
+    def dq_report_q(spark, sf):
+        # one-pass column expectations + uniqueness + referential
+        # integrity, unioned into a single audit table
+        from distributed_vector_database_spark.operators.evaluation import (
+            data_quality_report,
+            expect_columns,
+            expect_foreign_key,
+            expect_unique,
+        )
+
+        orders = load_table(spark, sf, "orders")
+        customer = load_table(spark, sf, "customer")
+        lineitem = load_table(spark, sf, "lineitem")
+        rules = {
+            "orders_totalprice_positive": F.col("o_totalprice") > 0,
+            "orders_orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "orders_priority_in_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        }
+        return data_quality_report(
+            [
+                expect_columns(orders, rules),
+                expect_unique(orders, ["o_orderkey"], "orders_orderkey_unique"),
+                expect_foreign_key(
+                    orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk"
+                ),
+                expect_foreign_key(
+                    lineitem,
+                    "l_orderkey",
+                    orders,
+                    "o_orderkey",
+                    "lineitem_orderkey_fk",
+                ),
+            ]
+        )
+
+    q["dq_report"] = dq_report_q
+
+    def volume_anomalies_q(spark, sf):
+        # hourly per-type volume z-scores vs the trailing 24h window
+        # (current hour excluded from its own baseline)
+        from distributed_vector_database_spark.operators.evaluation import (
+            volume_anomalies,
+        )
+
+        return volume_anomalies(load_table(spark, sf, "events"))
+
+    q["volume_anomalies"] = volume_anomalies_q
+
     def _transitions_state(spark, sf):
         # maintained transition matrix for a fixture dir: built once
         # per process by folding the events in THREE TIME-SPLIT
@@ -3398,13 +3448,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_join_exact", "ann_pq_layout_exact",
         "ann_ivfpq_layout_exact",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
-        # round by tools/check_correctness.py): r9-green queries rotate
-        # down to make room for the second new-operator batch — every
-        # displaced query is hash-green in CORRECTNESS_r09 on code
-        # unchanged since (phrase_search, tri_hybrid_batch_topk,
-        # decontam_spans, curriculum_order, sparse_batch_topk,
-        # discount_revenue, priority_shipping_mix, idle_rich_customers,
-        # important_part_values, bm25_batch_topk, tri_hybrid_topk) ----
+        # round by tools/check_correctness.py). Head of tier 2: the
+        # two r10-new monitoring queries that did not fit the budget —
+        # FIRST IN LINE for the r11 rotation (never-green policy) ----
+        "dq_report", "volume_anomalies",
+        # r9-green queries rotated down to make room for the second
+        # new-operator batch — every displaced query is hash-green in
+        # CORRECTNESS_r09 on code unchanged since (phrase_search,
+        # tri_hybrid_batch_topk, decontam_spans, curriculum_order,
+        # sparse_batch_topk, discount_revenue, priority_shipping_mix,
+        # idle_rich_customers, important_part_values, bm25_batch_topk,
+        # tri_hybrid_topk) ----
         "phrase_search", "tri_hybrid_batch_topk",
         "decontam_spans", "curriculum_order", "sparse_batch_topk",
         "discount_revenue", "priority_shipping_mix",
@@ -4448,6 +4502,68 @@ p AS (
 )
 SELECT path, count(*) AS sessions FROM p GROUP BY path
 ORDER BY sessions DESC, path LIMIT 20
+"""
+
+    o["dq_report"] = """
+SELECT 'orders_totalprice_positive' AS rule,
+  CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+  sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders_orderdate_not_null',
+  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+  sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_priority_in_domain',
+  CAST(sum(CASE WHEN coalesce(o_orderpriority IN
+    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+    THEN 0 ELSE 1 END) AS BIGINT),
+  sum(CASE WHEN coalesce(o_orderpriority IN
+    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+    THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_orderkey_unique',
+  CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+  coalesce(sum(n - 1), 0) = 0
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'orders_custkey_fk',
+  CAST(count(*) AS BIGINT), count(*) = 0
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+  CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+"""
+
+    o["volume_anomalies"] = """
+WITH h AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT bucket, etype, n,
+    avg(n) OVER w AS m, stddev_samp(n) OVER w AS sd
+  FROM h
+  WINDOW w AS (PARTITION BY etype ORDER BY epoch(bucket)
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+)
+SELECT bucket, etype, n,
+  round(m, 6) AS trailing_mean,
+  round(CASE WHEN sd IS NULL OR sd = 0 THEN NULL ELSE (n - m) / sd END, 6) AS z,
+  CASE WHEN sd IS NULL THEN FALSE
+       WHEN sd = 0 THEN n <> m
+       ELSE abs((n - m) / sd) > 2.0 END AS anomaly
+FROM s
 """
 
     o["part_triangles"] = f"""

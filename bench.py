@@ -180,6 +180,10 @@ HEADLINE = [
     "session_paths",
     # round-10: hub-safe triangle counting (degree-ordered wedges)
     "part_triangles",
+    # round-10: one-pass expectations + uniqueness + FK audit
+    "dq_report",
+    # round-10: trailing-window volume z-score monitor
+    "volume_anomalies",
 ]
 
 

@@ -17,7 +17,7 @@ the ideal ordering. The expensive part of evaluation is producing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -177,4 +177,133 @@ def embedding_drift_report(
             (shift_z > F.lit(float(z_alert))).alias("drifted"),
         )
         .orderBy("dim")
+    )
+
+
+def expect_columns(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One-pass column expectations (Great-Expectations shape): each
+    rule is a boolean Column that every row must satisfy; returns
+    (rule, violations, passed) per rule from a SINGLE aggregation scan
+    — at 100 TB you get the whole audit for the price of one pass,
+    never one job per rule. NULL rule results count as violations
+    (a row that cannot prove the expectation fails it).
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, rule in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) as (rule, violations)"
+    ).select(
+        "rule",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def expect_unique(df: DataFrame, cols: list[str], rule_name: str) -> DataFrame:
+    """Uniqueness expectation: violations = rows participating in a
+    duplicated key (total rows minus distinct keys would hide WHICH
+    multiplicity; this counts every row beyond the first per key —
+    the number of rows you would drop to make the key unique).
+    One hash shuffle on the key."""
+    dup_rows = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("violations")
+        )
+    )
+    return dup_rows.select(
+        F.lit(rule_name).alias("rule"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def expect_foreign_key(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    rule_name: str,
+) -> DataFrame:
+    """Referential-integrity expectation: violations = child rows whose
+    key has no parent (NULL child keys violate — declare them with a
+    separate not-null rule if NULLs are legal). One anti join; the
+    parent key set is broadcast when small."""
+    orphans = child.join(
+        parent.select(F.col(parent_col).alias(child_col)).distinct(),
+        child_col,
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit(rule_name).alias("rule"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def data_quality_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the expectation frames into one (rule, violations,
+    passed) audit table."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def volume_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    trailing: int = 24,
+    z_flag: float = 2.0,
+) -> DataFrame:
+    """Event-volume anomaly monitor: hourly counts per type, z-score
+    against the TRAILING `trailing`-hour window (excluding the current
+    hour — the score must not see the point it judges), rows with
+    |z| > z_flag flagged. Returns every scored hour (bucket, type, n,
+    mean, z, anomaly) so dashboards can plot the band, not just the
+    alerts.
+
+    Shape: one groupBy to the |hours x types|-sized rollup, then
+    windows over that tiny frame — the raw event volume is touched
+    exactly once. Hours with <2 trailing buckets emit NULL z and never
+    flag (no sample stddev to judge by); a ZERO-variance baseline
+    emits NULL z but flags iff n deviates from the flat mean at all
+    (the infinite-z spike a steady stream's first burst produces —
+    exact comparison is safe because the mean of identical integer
+    counts is exact in IEEE double).
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.col(type_col).alias("etype"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("etype")
+        .orderBy(F.col("bucket").cast("long"))
+        .rangeBetween(-trailing * 3600, -3600)
+    )
+    mean = F.avg("n").over(w)
+    std = F.stddev_samp("n").over(w)
+    # try_divide: zero-variance trailing windows yield NULL z (never
+    # flag), not an ANSI divide-by-zero error
+    z = F.try_divide(F.col("n") - mean, std)
+    anomaly = (
+        F.when(std.isNull(), F.lit(False))
+        .when(std == 0, F.col("n") != mean)
+        .otherwise(F.abs(z) > z_flag)
+    )
+    return hourly.select(
+        "bucket",
+        "etype",
+        "n",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(z, 6).alias("z"),
+        anomaly.alias("anomaly"),
     )
