@@ -3304,6 +3304,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["volume_anomalies"] = volume_anomalies_q
 
+    def volume_anomalies_served_q(spark, sf):
+        # the same monitor served from the MAINTAINED hourly rollup
+        # snapshot (streaming/rollup.py fold) — monitoring reads the
+        # continuous aggregate, never the event history
+        from distributed_vector_database_spark.operators.evaluation import (
+            score_hourly_volumes,
+        )
+        from distributed_vector_database_spark.streaming.rollup import (
+            read_latest_rollup,
+        )
+
+        r = read_latest_rollup(spark, _rollup_table(spark, sf))
+        hourly = r.select(
+            F.col("window_start").alias("bucket"),
+            F.col("event_type").alias("etype"),
+            F.col("n").cast("long").alias("n"),
+        )
+        return score_hourly_volumes(hourly)
+
+    q["volume_anomalies_served"] = volume_anomalies_served_q
+
+    def event_trends_q(spark, sf):
+        # per-type least-squares trend of event value over time
+        # (x = days since 2024-01-01), closed-form from one agg pass
+        from distributed_vector_database_spark.operators.evaluation import (
+            grouped_trend,
+        )
+
+        ev = load_table(spark, sf, "events")
+        x_days = (
+            F.col("ts").cast("double")
+            - F.lit(1704067200.0)  # epoch of 2024-01-01 00:00:00 UTC
+        ) / 86400.0
+        return grouped_trend(ev, "event_type", x_days, "value")
+
+    q["event_trends"] = event_trends_q
+
     def _transitions_state(spark, sf):
         # maintained transition matrix for a fixture dir: built once
         # per process by folding the events in THREE TIME-SPLIT
@@ -3451,7 +3488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round by tools/check_correctness.py). Head of tier 2: the
         # two r10-new monitoring queries that did not fit the budget —
         # FIRST IN LINE for the r11 rotation (never-green policy) ----
-        "dq_report", "volume_anomalies",
+        "dq_report", "volume_anomalies", "volume_anomalies_served",
+        "event_trends",
         # r9-green queries rotated down to make room for the second
         # new-operator batch — every displaced query is hash-green in
         # CORRECTNESS_r09 on code unchanged since (phrase_search,
@@ -4564,6 +4602,29 @@ SELECT bucket, etype, n,
        WHEN sd = 0 THEN n <> m
        ELSE abs((n - m) / sd) > 2.0 END AS anomaly
 FROM s
+"""
+
+    # fold-built hourly rollup must serve the identical monitor output
+    o["volume_anomalies_served"] = o["volume_anomalies"]
+
+    o["event_trends"] = """
+WITH e AS (
+  SELECT event_type,
+         (epoch(CAST(ts AS TIMESTAMP)) - 1704067200.0) / 86400.0 AS x,
+         value AS y
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  round(CASE WHEN var_pop(x) IS NULL OR var_pop(x) = 0 THEN NULL
+             ELSE covar_pop(x, y) / var_pop(x) END, 6) AS slope,
+  round(avg(y) - (CASE WHEN var_pop(x) IS NULL OR var_pop(x) = 0 THEN NULL
+                       ELSE covar_pop(x, y) / var_pop(x) END) * avg(x), 6)
+    AS intercept,
+  round(CASE WHEN var_pop(x) * var_pop(y) = 0
+             OR var_pop(x) IS NULL OR var_pop(y) IS NULL THEN NULL
+             ELSE covar_pop(x, y) * covar_pop(x, y)
+                  / (var_pop(x) * var_pop(y)) END, 6) AS r2
+FROM e GROUP BY event_type
 """
 
     o["part_triangles"] = f"""

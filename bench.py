@@ -184,6 +184,10 @@ HEADLINE = [
     "dq_report",
     # round-10: trailing-window volume z-score monitor
     "volume_anomalies",
+    # round-10: the monitor served from the maintained hourly rollup
+    "volume_anomalies_served",
+    # round-10: closed-form per-group trend lines (one agg pass)
+    "event_trends",
 ]
 
 

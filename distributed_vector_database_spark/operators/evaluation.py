@@ -284,6 +284,16 @@ def volume_anomalies(
         F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
         F.col(type_col).alias("etype"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    return score_hourly_volumes(hourly, trailing, z_flag)
+
+
+def score_hourly_volumes(
+    hourly: DataFrame, trailing: int = 24, z_flag: float = 2.0
+) -> DataFrame:
+    """The scoring stage of volume_anomalies over a pre-aggregated
+    (bucket, etype, n) frame — serve it directly from a MAINTAINED
+    rollup snapshot (streaming/rollup.py) so monitoring at 100 TB
+    reads the tiny continuous aggregate, never the event history."""
     w = (
         Window.partitionBy("etype")
         .orderBy(F.col("bucket").cast("long"))
@@ -306,4 +316,45 @@ def volume_anomalies(
         F.round(mean, 6).alias("trailing_mean"),
         F.round(z, 6).alias("z"),
         anomaly.alias("anomaly"),
+    )
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: Column,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares trend line (the monitoring question
+    "is this metric drifting?" answered in closed form): slope,
+    intercept and r² of y over x per group, from ONE aggregation pass
+    using the covariance/variance identities — slope = cov(x,y)/var(x),
+    intercept = ȳ - slope·x̄, r² = corr(x,y)². Values rounded for
+    oracle-stable hashing; groups with zero x-variance or fewer than
+    2 rows emit NULL slope (try_divide).
+
+    One map-side-combinable groupBy — never a per-group fit loop; the
+    output is |groups|-sized regardless of row volume.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop(x_col, F.col(y_col)).alias("__cov"),
+        F.var_pop(x_col).alias("__varx"),
+        F.var_pop(y_col).alias("__vary"),
+        F.avg(x_col).alias("__mx"),
+        F.avg(y_col).alias("__my"),
+    )
+    slope = F.try_divide(F.col("__cov"), F.col("__varx"))
+    # r² = cov² / (var_x · var_y) via try_divide — Spark's corr()
+    # raises ANSI divide-by-zero on a flat group; DuckDB's returns
+    # NULL, and NULL is the contract here
+    r2 = F.try_divide(
+        F.col("__cov") * F.col("__cov"), F.col("__varx") * F.col("__vary")
+    )
+    return agg.select(
+        group_col,
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
     )

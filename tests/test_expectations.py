@@ -109,3 +109,27 @@ def test_volume_anomalies_excludes_current_hour_from_baseline(spark):
     got = {r.bucket.hour: r for r in volume_anomalies(df).collect()}
     assert got[1].trailing_mean == 10.0
     assert got[1].z is None  # single-point baseline has no sample stddev
+
+
+def test_grouped_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.evaluation import (
+        grouped_trend,
+    )
+
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys_a = [1.0, 3.1, 4.9, 7.2, 8.8]      # ~ 2x + 1
+    ys_b = [5.0, 5.0, 5.0, 5.0, 5.0]      # flat: slope 0, r2 NULL (corr NULL)
+    rows = [("a", x, y) for x, y in zip(xs, ys_a)]
+    rows += [("b", x, y) for x, y in zip(xs, ys_b)]
+    rows += [("c", 1.0, 9.0)]              # single point: NULL slope
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_trend(df, "g", F.col("x"), "y").collect()}
+    slope, intercept = np.polyfit(xs, ys_a, 1)
+    assert got["a"].slope == round(float(slope), 6)
+    assert got["a"].intercept == round(float(intercept), 6)
+    r = np.corrcoef(xs, ys_a)[0, 1]
+    assert got["a"].r2 == round(float(r * r), 6)
+    assert got["b"].slope == 0.0 and got["b"].r2 is None
+    assert got["c"].slope is None and got["c"].n == 1
