@@ -1662,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     _rollup_memo: dict[tuple, str] = {}
     _transitions_memo: dict[tuple, str] = {}
+    _pca_memo: dict[tuple, dict] = {}
 
     def _rollup_table(spark, sf):
         # maintained continuous aggregate for a fixture dir: built once
@@ -3341,6 +3342,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_trends"] = event_trends_q
 
+    def pca_whiten_q(spark, sf):
+        # PCA whitening of the embedding corpus (rows-only: the d×d
+        # eigendecomposition is not SQL-expressible; numpy parity and
+        # identity-covariance are pinned by tests/test_pca.py).
+        # Distributed moments -> driver eigh -> codegen projection;
+        # per-row output is scalar pc columns (contract lint: no
+        # array-typed result columns)
+        from distributed_vector_database_spark.operators.pca import (
+            pca_fit,
+            pca_project,
+        )
+
+        import os as _os
+
+        src = _os.path.join(sf, "embeddings.parquet")
+        try:
+            st = _os.stat(src)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        model = _pca_memo.get(key)
+        emb = _emb(spark, sf)
+        if model is None:
+            model = pca_fit(emb, k=4)
+            _pca_memo[key] = model
+        proj = pca_project(emb, model, whiten=True)
+        return proj.select(
+            "vec_id",
+            *[
+                F.round(F.element_at("proj", i + 1), 4).alias(f"pc{i + 1}")
+                for i in range(4)
+            ],
+        )
+
+    q["pca_whiten"] = pca_whiten_q
+
     def _transitions_state(spark, sf):
         # maintained transition matrix for a fixture dir: built once
         # per process by folding the events in THREE TIME-SPLIT
@@ -3489,7 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two r10-new monitoring queries that did not fit the budget —
         # FIRST IN LINE for the r11 rotation (never-green policy) ----
         "dq_report", "volume_anomalies", "volume_anomalies_served",
-        "event_trends",
+        "event_trends", "pca_whiten",
         # r9-green queries rotated down to make room for the second
         # new-operator batch — every displaced query is hash-green in
         # CORRECTNESS_r09 on code unchanged since (phrase_search,

@@ -188,6 +188,8 @@ HEADLINE = [
     "volume_anomalies_served",
     # round-10: closed-form per-group trend lines (one agg pass)
     "event_trends",
+    # round-10: PCA whitening (distributed moments -> codegen project)
+    "pca_whiten",
 ]
 
 

@@ -120,7 +120,11 @@ def rademacher_matrix(
     ]
 
 
-def project(vec: Column | str, matrix: Sequence[Sequence[float]]) -> Column:
+def project(
+    vec: Column | str,
+    matrix: Sequence[Sequence[float]],
+    scale: float | None = None,
+) -> Column:
     """Project a vector column through a literal matrix (rows =
     output dims), scaled by 1/sqrt(d_out) — the JL dimension-reduction
     map. Pure Catalyst expression: per row O(d_in * d_out) codegen'd
@@ -131,7 +135,9 @@ def project(vec: Column | str, matrix: Sequence[Sequence[float]]) -> Column:
     d_out << d_in << thousands); `vec` should be a staged column when
     reused across several expressions (the no-CSE rule)."""
     v = _as_double(vec)
-    scale = F.lit(float(len(matrix)) ** 0.5)
+    # scale=None keeps the JL 1/sqrt(d_out) convention; pass 1.0 for a
+    # plain (unscaled) linear map, e.g. PCA projection
+    scale = F.lit(float(len(matrix)) ** 0.5 if scale is None else scale)
     rows = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in matrix]
     )

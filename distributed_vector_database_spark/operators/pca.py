@@ -1,0 +1,117 @@
+"""PCA / whitening over embedding columns — the space-conditioning
+step retrieval pipelines run before indexing (whitening flattens the
+anisotropy that makes IVF cells and HNSW beams degenerate; truncated
+PCA is the classical cousin of the MRL truncation family in
+quantization.py).
+
+Spark-first split of the computation:
+- pca_fit: the d-dimensional second-moment statistics are computed
+  DISTRIBUTED in one mapInPandas pass (each partition emits n, Σx,
+  ΣxᵀX — d + d² doubles, independent of row count), combined on the
+  driver (partitions × (d²+d) floats, bounded), and the tiny d×d
+  eigendecomposition runs in numpy where it belongs. Nothing
+  corpus-sized ever reaches the driver.
+- pca_project: mean subtraction + matrix projection as pure JVM
+  expressions (zip_with / aggregate via functions.vector.project) —
+  codegen end to end, no Python in the per-row path.
+
+Eigenvector sign is fixed deterministically (largest-|component|
+entry made positive) so refits on identical data reproduce the model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.vector import project, vector_lit
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> dict:
+    """Fit a PCA model: returns {"mean": [d], "components": [k][d]
+    (rows = top-k eigenvectors), "eigenvalues": [k], "explained": [k]
+    (variance ratio)}. One distributed pass + an O(d³) driver eigh."""
+
+    def _moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        xtx = None
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.asarray(list(b.iloc[:, 0]), dtype=np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            xtx = g if xtx is None else xtx + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]}
+            )
+
+    parts = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            _moments, schema="n long, s array<double>, xtx array<double>"
+        )
+        .collect()
+    )
+    if not parts:
+        raise ValueError("pca_fit: no vectors")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = s.shape[0]
+    xtx = np.sum([np.asarray(p["xtx"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T  # k x d
+    # deterministic sign: the largest-|entry| of each component positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = max(float(np.trace(cov)), 1e-300)
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigenvalues": evals_k.tolist(),
+        "explained": (evals_k / total_var).tolist(),
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    whiten: bool = False,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Project vectors onto the fitted components (JVM expressions
+    only): out = C · (x - mean), optionally whitened by 1/sqrt(λᵢ)
+    so the projected covariance is the identity."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        vector_lit(model["mean"]),
+        lambda x, m: x - m,
+    )
+    comps = model["components"]
+    if whiten:
+        comps = [
+            [c / float(np.sqrt(ev + eps)) for c in row]
+            for row, ev in zip(comps, model["eigenvalues"])
+        ]
+    return df.withColumn(out_col, project(centered, comps, scale=1.0))

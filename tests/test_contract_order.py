@@ -59,6 +59,10 @@ ROWS_ONLY = {
     "ann_ivfpq_topk", "ann_bq_topk", "ann_ivfbq_topk",
     "ann_hnsw_topk", "ann_ivf_knn_join",
     "text_to_doc_search", "multimodal_embed", "bpe_token_counts",
+    # r10: PCA whitening — the dxd eigendecomposition is not
+    # SQL-expressible; numpy parity + identity-covariance pinned by
+    # tests/test_pca.py
+    "pca_whiten",
 }
 
 ROTATED_IN = {
