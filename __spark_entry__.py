@@ -1663,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _rollup_memo: dict[tuple, str] = {}
     _transitions_memo: dict[tuple, str] = {}
     _pca_memo: dict[tuple, dict] = {}
+    _dq_memo: dict[tuple, str] = {}
 
     def _rollup_table(spark, sf):
         # maintained continuous aggregate for a fixture dir: built once
@@ -3268,13 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = load_table(spark, sf, "orders")
         customer = load_table(spark, sf, "customer")
         lineitem = load_table(spark, sf, "lineitem")
-        rules = {
-            "orders_totalprice_positive": F.col("o_totalprice") > 0,
-            "orders_orderdate_not_null": F.col("o_orderdate").isNotNull(),
-            "orders_priority_in_domain": F.col("o_orderpriority").isin(
-                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
-            ),
-        }
+        rules = _dq_rules()  # shared with the streaming fold (dq_served)
         return data_quality_report(
             [
                 expect_columns(orders, rules),
@@ -3377,6 +3372,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pca_whiten"] = pca_whiten_q
+
+    def _dq_rules():
+        return {
+            "orders_totalprice_positive": F.col("o_totalprice") > 0,
+            "orders_orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "orders_priority_in_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        }
+
+    def _dq_state(spark, sf):
+        # maintained data-quality report over the orders stream: three
+        # orderkey-split micro-batches through the replay-safe fold —
+        # column rules + FK orphans fold additively, uniqueness via
+        # the per-key count state (a cross-batch duplicate is only
+        # visible to the stateful fold)
+        import os as _os
+        import tempfile
+
+        from distributed_vector_database_spark.streaming.expectations import (
+            build_dq_fold,
+        )
+
+        src = _os.path.join(sf, "orders.parquet")
+        try:
+            st = _os.stat(src)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        path = _dq_memo.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="dvdb_dq_")
+            orders = load_table(spark, sf, "orders")
+            customer = load_table(spark, sf, "customer")
+            fold = build_dq_fold(
+                path,
+                _dq_rules(),
+                unique_cols=["o_orderkey"],
+                fk=("o_custkey", customer, "c_custkey", "orders_custkey_fk"),
+            )
+            for i in range(3):
+                fold(orders.filter(F.col("o_orderkey") % 3 == i), i)
+            _dq_memo[key] = path
+        return path
+
+    def dq_served_q(spark, sf):
+        from distributed_vector_database_spark.streaming.expectations import (
+            read_dq_report,
+        )
+
+        return read_dq_report(
+            spark,
+            _dq_state(spark, sf),
+            unique_cols=["o_orderkey"],
+            unique_rule="orders_orderkey_unique",
+        )
+
+    q["dq_served"] = dq_served_q
 
     def _transitions_state(spark, sf):
         # maintained transition matrix for a fixture dir: built once
@@ -3526,7 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two r10-new monitoring queries that did not fit the budget —
         # FIRST IN LINE for the r11 rotation (never-green policy) ----
         "dq_report", "volume_anomalies", "volume_anomalies_served",
-        "event_trends", "pca_whiten",
+        "event_trends", "pca_whiten", "dq_served",
         # r9-green queries rotated down to make room for the second
         # new-operator batch — every displaced query is hash-green in
         # CORRECTNESS_r09 on code unchanged since (phrase_search,
@@ -4643,6 +4696,42 @@ FROM s
 
     # fold-built hourly rollup must serve the identical monitor output
     o["volume_anomalies_served"] = o["volume_anomalies"]
+
+    # maintained dq state must serve the one-shot audit (orders rules
+    # only — the stream is the orders table; lineitem FK stays in the
+    # batch dq_report)
+    o["dq_served"] = """
+SELECT 'orders_totalprice_positive' AS rule,
+  CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+  sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders_orderdate_not_null',
+  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+  sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_priority_in_domain',
+  CAST(sum(CASE WHEN coalesce(o_orderpriority IN
+    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+    THEN 0 ELSE 1 END) AS BIGINT),
+  sum(CASE WHEN coalesce(o_orderpriority IN
+    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+    THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk',
+  CAST(count(*) AS BIGINT), count(*) = 0
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'orders_orderkey_unique',
+  CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+  coalesce(sum(n - 1), 0) = 0
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+"""
 
     o["event_trends"] = """
 WITH e AS (

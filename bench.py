@@ -190,6 +190,8 @@ HEADLINE = [
     "event_trends",
     # round-10: PCA whitening (distributed moments -> codegen project)
     "pca_whiten",
+    # round-10: maintained data-quality report (stateful uniqueness)
+    "dq_served",
 ]
 
 
