@@ -134,8 +134,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     naive adjacency join does. Returns one row (nodes, edges,
     triangles).
     """
-    und = edges.filter(F.col("src") < F.col("dst"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the undirected edge list is read by THREE actions (triangle,
+    # node and edge counts) and is tiny next to whatever pipeline
+    # derived it (e.g. the basket self-join) — persist it so the
+    # upstream is computed once, not three times
+    und = edges.filter(F.col("src") < F.col("dst")).persist()
+    deg = (
+        und.select(F.col("src").alias("n"))
+        .unionAll(und.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("n", "src")
+    )
     a_deg = deg.select(F.col("src").alias("__a"), F.col("deg").alias("__da"))
     b_deg = deg.select(F.col("src").alias("__b"), F.col("deg").alias("__db"))
     ranked = (
