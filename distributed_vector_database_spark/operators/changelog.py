@@ -292,7 +292,11 @@ def merge_into(
 
     matched = t.join(s, cond, "inner")
     if when_matched_delete is not None:
-        matched = matched.filter(~when_matched_delete)
+        # null-safe: a NULL delete predicate means NOT deleted (ANSI
+        # MERGE semantics) — filter(~NULL) would silently drop the row
+        matched = matched.filter(
+            ~F.coalesce(when_matched_delete, F.lit(False))
+        )
     upd = when_matched_update or {}
     updated = matched.select(
         *[(upd[c] if c in upd else F.col(f"t.{c}")).alias(c) for c in target.columns]

@@ -374,3 +374,19 @@ def test_triangle_count_4_clique(spark):
     und = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     row = triangle_count(_sym(spark, und)).collect()[0]
     assert (row.nodes, row.edges, row.triangles) == (4, 6, 4)
+
+
+def test_merge_into_null_delete_predicate_means_not_deleted(spark):
+    target = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    source = spark.createDataFrame(
+        [(1, 2.0, None)], "k long, delta double, is_del boolean"
+    )
+    out = merge_into(
+        target,
+        source,
+        "k",
+        when_matched_update={"bal": F.col("t.bal") + F.col("s.delta")},
+        when_matched_delete=F.col("s.is_del"),
+    ).collect()
+    # NULL is_del = NOT deleted (ANSI MERGE): the row must survive, updated
+    assert [(r.k, r.bal) for r in out] == [(1, 12.0)]
