@@ -3151,9 +3151,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             agg.unionByName(synth),
             "k",
             when_matched_update={
-                "c_acctbal": F.round(
-                    F.col("t.c_acctbal") + F.col("s.total") * 0.001, 2
+                # floor(x*100+0.5)/100 instead of round(x, 2): the
+                # updated balance lands on EXACT half-cent boundaries
+                # (2dp + 3dp addend), where Spark's BigDecimal HALF_UP
+                # and DuckDB's round() split on the double's true
+                # decimal (observed at sf0.1: 6234.265 -> .26 vs .27);
+                # floor on the identical IEEE double is engine-proof
+                "c_acctbal": F.floor(
+                    (F.col("t.c_acctbal") + F.col("s.total") * 0.001) * 100
+                    + 0.5
                 )
+                / 100
             },
             when_matched_delete=F.col("s.cnt") >= MERGE_DELETE_CNT,
             when_not_matched_insert={
@@ -4567,7 +4575,8 @@ synth AS (
 src AS (SELECT * FROM agg UNION ALL SELECT * FROM synth),
 matched AS (
   SELECT c.c_custkey,
-         round(c.c_acctbal + s.total * CAST(0.001 AS DOUBLE), 2) AS acctbal,
+         floor((c.c_acctbal + s.total * CAST(0.001 AS DOUBLE)) * 100 + 0.5)
+           / 100 AS acctbal,
          c.c_mktsegment, s.cnt
   FROM customer c JOIN src s ON c.c_custkey = s.k
 ),
