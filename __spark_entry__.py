@@ -5911,7 +5911,9 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     o["volume_shipping"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   CAST(year(l_shipdate) AS INT) AS l_year,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+    AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -777,9 +777,21 @@ def volume_shipping(
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
+            # EXACT decimal arithmetic: the double sum for one sf0.1
+            # group lands within 1 ulp of a half-cent boundary, so
+            # engine-dependent summation order flips the 2dp rounding
+            # (observed NATION_19/2000: .37 vs .38). Decimal sums are
+            # order-insensitive and bit-identical across engines; the
+            # final cast back to double is exact on both sides.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
