@@ -84,3 +84,22 @@ def test_user_absent_from_middle_batch_bridges_gap(spark, tmp_path):
     got = _snap(read_transition_matrix(spark, d))
     assert got == _snap(event_transitions(spark_df))
     assert ("a", "c", 1, 1.0) in got  # user 1's bridged transition
+
+
+def test_crash_between_ledger_and_counts_write_recovers(spark, tmp_path):
+    # simulate a fold that died AFTER writing ledger v=2 but BEFORE
+    # counts v=2 + marker: the orphan ledger version must be
+    # overwritten by the retried batch, not consumed
+    ev = _events(spark, 60)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    fold = build_transitions_fold(d)
+    fold(ev.filter("event_id < 30"), 0)
+    # orphan ledger v=2 with garbage (the crash artifact)
+    spark.createDataFrame(
+        [(99, None, 99, "zz")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    ).write.mode("overwrite").parquet(f"{d}/ledger/v=2")
+    fold(ev.filter("event_id >= 30"), 1)  # retry of the crashed batch
+    got = _snap(read_transition_matrix(spark, d))
+    assert got == _snap(event_transitions(ev))
