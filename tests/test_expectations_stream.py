@@ -72,3 +72,23 @@ def test_fold_replay_safe(spark, tmp_path):
     fold(b1, 1)  # at-least-once redelivery must be a no-op
     assert _snap(read_dq_report(spark, d, unique_cols=["k"])) == got
     assert ("v_positive", 1, False) in got
+
+
+def test_crash_between_keys_and_counts_write_recovers(spark, tmp_path):
+    # a fold that died after writing keys v=2 but before counts v=2 +
+    # marker leaves an orphan keys version; the retried batch must
+    # overwrite it and the served report must equal the one-shot
+    parent = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    b0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], RULES_SQL)
+    b1 = spark.createDataFrame([(2, -3.0), (3, 4.0)], RULES_SQL)
+    d = str(tmp_path / "dq")
+    os.makedirs(d)
+    fold = build_dq_fold(d, _rules(), unique_cols=["k"], fk=("k", parent, "k", "fk"))
+    fold(b0, 0)
+    spark.createDataFrame([(777, 999)], "k long, kn long").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/keys/v=2")  # crash artifact
+    fold(b1, 1)  # retry
+    got = {r.rule: r.violations for r in
+           read_dq_report(spark, d, unique_cols=["k"], unique_rule="u").collect()}
+    assert got == {"v_positive": 1, "fk": 0, "u": 1}
