@@ -103,3 +103,42 @@ def test_crash_between_ledger_and_counts_write_recovers(spark, tmp_path):
     fold(ev.filter("event_id >= 30"), 1)  # retry of the crashed batch
     got = _snap(read_transition_matrix(spark, d))
     assert got == _snap(event_transitions(ev))
+
+
+def test_live_transitions_stream(spark, tmp_path):
+    import json
+
+    from distributed_vector_database_spark.streaming.transitions import (
+        run_transitions_stream,
+    )
+
+    ev = _events(spark, 90)
+    rows = sorted(ev.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    ev_dir = str(tmp_path / "ev")
+    os.makedirs(ev_dir)
+    # time-ordered files: the fold's per-user ordering contract
+    for name, chunk in (("a.json", rows[:45]), ("b.json", rows[45:])):
+        with open(os.path.join(ev_dir, name), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+    q = run_transitions_stream(
+        spark,
+        ev_dir,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = _snap(read_transition_matrix(spark, str(tmp_path / "state")))
+    assert got == _snap(event_transitions(ev))
