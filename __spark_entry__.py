@@ -5274,9 +5274,11 @@ ranked AS (
   FROM sized
 )
 SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
-  max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens,
+  max(n_tokens) AS max_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
   array_to_string(list_sort(list(doc_id)), ',') AS members,
-  CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens) AS pad_waste
+  CAST(CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens)
+       AS BIGINT) AS pad_waste
 FROM ranked GROUP BY batch_id ORDER BY batch_id
 """
 
