@@ -3074,14 +3074,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frequent_pairs"] = frequent_pairs_q
 
     def skyline_parts_q(spark, sf):
-        # exact Pareto front (minimize price AND size): the two-phase
-        # local-front + dominance-anti-join distributed skyline
+        # exact PER-BRAND Pareto front (minimize price AND size): the
+        # two-phase local-front + dominance-anti-join distributed
+        # skyline, grouped so dominance never crosses a brand — 25
+        # brand fronts keep the result non-vacuous at every scale
         from distributed_vector_database_spark.operators.mining import skyline
 
         return skyline(
             load_table(spark, sf, "part"),
             ["p_retailprice", "p_size"],
             "p_partkey",
+            group_by=["p_brand"],
         )
 
     q["skyline_parts"] = skyline_parts_q
@@ -4525,11 +4528,12 @@ ORDER BY pair_support DESC, item_a, item_b LIMIT 25
 """
 
     o["skyline_parts"] = """
-SELECT a.p_partkey, a.p_retailprice, a.p_size
+SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
 FROM part a
 WHERE NOT EXISTS (
   SELECT 1 FROM part b
-  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+  WHERE b.p_brand = a.p_brand
+    AND b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
     AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
 )
 """

@@ -656,16 +656,42 @@ def main() -> None:
             if name in pinned and pinned[name]["sec"] > 0
         }
         if ratios:
-            worst = max(ratios, key=ratios.get)
             out["ratio_vs_pinned"] = ratios
-            out["max_ratio"] = ratios[worst]
+            # the headline max_ratio considers only substantial pins:
+            # a 1.5x ratio on a 0.2 s pin is tens of milliseconds of
+            # co-tenant noise, not a regression (VERDICT r10 #6) —
+            # sub-0.5 s pins stay in the full dict above
+            substantial = {
+                n: r
+                for n, r in ratios.items()
+                if pinned[n]["sec"] >= 0.5
+            }
+            headline = substantial or ratios
+            worst = max(headline, key=headline.get)
+            out["max_ratio"] = headline[worst]
             out["max_ratio_query"] = worst
+            out["max_ratio_min_pin_sec"] = 0.5 if substantial else 0.0
+            worst_any = max(ratios, key=ratios.get)
+            out["max_ratio_any"] = ratios[worst_any]
+            out["max_ratio_any_query"] = worst_any
             out["unpinned_queries"] = sorted(
                 n for n in measured if n not in pinned
             )
 
     if failures:
         out["failures"] = failures
+    # the driver artifact truncates stdout; persist the complete JSON
+    # beside the script so every per-query ratio stays auditable
+    # (VERDICT r10 #7)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

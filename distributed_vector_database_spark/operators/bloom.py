@@ -46,9 +46,16 @@ def bloom_bitset(
     Collects only the distinct bit positions (<= m_bits rows), never
     the keys themselves.
     """
+    # NULL dim keys never match a semi join, so they contribute no bits
+    # (xxhash64 of a NULL cast-to-string would otherwise hash just the
+    # seed, giving every NULL the same k positions)
     pos_col = F.explode(F.array(*_bit_positions(F.col(key_col), m_bits, k)))
     positions = [
-        r[0] for r in dim.select(pos_col.alias("pos")).distinct().collect()
+        r[0]
+        for r in dim.filter(F.col(key_col).isNotNull())
+        .select(pos_col.alias("pos"))
+        .distinct()
+        .collect()
     ]
     words = [0] * ((m_bits + 63) // 64)
     for p in positions:
@@ -91,8 +98,11 @@ def bloom_semi_join(
     still prunes the fact side of that shuffle, which is the point).
     """
     words = bloom_bitset(dim, dim_key, m_bits, k)
+    # NULL fact keys can never semi-join-match: drop them in the probe
+    # so the confirm=False superset honors semi-join NULL semantics
     pruned = fact.filter(
-        bloom_might_contain(F.col(fact_key), words, m_bits, k)
+        F.col(fact_key).isNotNull()
+        & bloom_might_contain(F.col(fact_key), words, m_bits, k)
     )
     if not confirm:
         return pruned

@@ -188,20 +188,31 @@ def expect_columns(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     never one job per rule. NULL rule results count as violations
     (a row that cannot prove the expectation fails it).
     """
+    if not rules:
+        raise ValueError("expect_columns: rules must be non-empty")
+    # positional aliases + typed-Column unpivot: rule names are
+    # user-supplied strings and must only ever appear as F.lit values,
+    # never interpolated into SQL or resolved as column identifiers
     aggs = [
         F.sum(
             F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)
-        ).alias(name)
-        for name, rule in rules.items()
+        ).alias(f"__r{i}")
+        for i, rule in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{n}', `{n}`" for n in rules)
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stack}) as (rule, violations)"
-    ).select(
-        "rule",
-        F.col("violations").cast("long").alias("violations"),
-        (F.col("violations") == 0).alias("passed"),
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__r{i}").cast("long").alias("violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("kv")).select(
+        F.col("kv.rule").alias("rule"),
+        F.col("kv.violations").alias("violations"),
+        (F.col("kv.violations") == 0).alias("passed"),
     )
 
 

@@ -113,12 +113,16 @@ def pagerank(
                 "rank"
             ),
         ).repartition(nparts, "node")
-    # adj stays persisted until the session drops it: the returned plan
-    # references it once per iteration, so unpersisting here would
-    # discard the cache before the caller ever executes the result.
-    return ranks.select(
+    # The returned plan references adj once per iteration, so the cache
+    # must outlive plan execution — but leaving it persisted leaks a
+    # MEMORY_AND_DISK relation per call for the life of the session.
+    # Materialize the node-sized result eagerly (severing the lineage),
+    # then release the edge cache before returning.
+    out = ranks.select(
         "node", F.round(F.col("rank") * n, 6).alias("rank_rel")
-    )
+    ).localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -176,6 +180,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     tri = wedges.join(closing, ["v", "w"], "left_semi").count()
     n_nodes = deg.count()
     n_edges = und.count()
+    und.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(n_nodes, n_edges, tri)], "nodes long, edges long, triangles long"

@@ -76,15 +76,26 @@ def frequent_pairs(
     )
 
 
+MAX_BROADCAST_ITEMS = 1_000_000  # frequent-item sets above this shuffle
+
+
 def _frequent_basket_items(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
     min_support: int,
     max_basket: int,
+    max_broadcast_items: int = MAX_BROADCAST_ITEMS,
 ) -> DataFrame:
     """Distinct (basket, item) rows restricted to frequent items and
-    capped baskets — the pruned input shared by pair mining."""
+    capped baskets — the pruned input shared by pair mining.
+
+    The frequent-item semi join is broadcast only while the set is
+    provably small: a bounded limit(N+1).count() probe checks the
+    cardinality first, and above the threshold the hint is dropped so
+    a low min_support over a huge vocabulary at 100x degrades to a
+    shuffle semi join instead of OOMing the driver (same bounded-
+    broadcast discipline as knn.knn_join's max_query_rows guard)."""
     bi = baskets.select(basket_col, item_col).distinct()
     freq_items = (
         bi.groupBy(item_col)
@@ -92,7 +103,10 @@ def _frequent_basket_items(
         .filter(F.col("__item_support") >= min_support)
         .select(item_col)
     )
-    pruned = bi.join(F.broadcast(freq_items), item_col, "left_semi")
+    probe = freq_items.limit(max_broadcast_items + 1).count()
+    if probe <= max_broadcast_items:
+        freq_items = F.broadcast(freq_items)
+    pruned = bi.join(freq_items, item_col, "left_semi")
     basket_sizes = (
         pruned.groupBy(basket_col)
         .agg(F.count(F.lit(1)).alias("__bsz"))
@@ -107,50 +121,86 @@ def skyline(
     minimize: list[str],
     id_col: str,
     candidate_partitions: int | None = None,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Exact skyline (Pareto front): rows not dominated by any other.
 
     Row y dominates row x iff y <= x on every minimize column and
     y < x on at least one. Ties on all columns survive together (a
-    duplicate point cannot dominate its twin).
+    duplicate point cannot dominate its twin). With `group_by`, the
+    front is computed WITHIN each group (dominance never crosses a
+    group boundary) — e.g. the per-brand price/size Pareto front.
 
     Two-phase distributive plan: phase 1 computes the LOCAL skyline
     per partition with a vectorized pandas kernel (no shuffle — the
-    global front is a subset of the union of local fronts), phase 2
-    runs the exact dominance anti-join on the small candidate set.
-    At 1000 executors phase 1 reduces n to roughly the front size per
-    partition; phase 2's self-join is candidates×candidates, fine for
-    the fronts real data produces (log-sized under independence).
+    global front is a subset of the union of local fronts, and that
+    containment holds per group under ANY partitioning, so grouping
+    adds no shuffle either), phase 2 runs the exact dominance
+    anti-join on the small candidate set, group-equality added to the
+    join predicate when grouped. At 1000 executors phase 1 reduces n
+    to roughly the front size per partition; phase 2's self-join is
+    candidates×candidates, fine for the fronts real data produces
+    (log-sized under independence).
     """
-    cols = [id_col] + list(minimize)
+    gb = list(group_by or [])
+    cols = gb + [id_col] + list(minimize)
     slim = df.select(*cols)
     if candidate_partitions is not None:
         slim = slim.repartition(candidate_partitions)
 
     mins = list(minimize)
 
-    def _local_front(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [b for b in batches if len(b)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        # sort by sum of dims: a point can only be dominated by one
-        # that precedes it in any monotone order, so one forward pass
-        # against the kept set suffices.
-        pdf = pdf.sort_values(mins, kind="mergesort").reset_index(drop=True)
+    def _one_pass_front(pdf: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic sort (stable) over group + minimize columns:
+        # if y dominates x (same group) then y <= x componentwise with
+        # one strict inequality, so y precedes x lexicographically —
+        # one forward pass against the kept set of ITS group is
+        # therefore exact, and a later point can never dominate an
+        # earlier kept one (it is lexicographically >= and unequal).
+        pdf = pdf.sort_values(gb + mins, kind="mergesort").reset_index(
+            drop=True
+        )
         vals = pdf[mins].to_numpy()
+        gvals = pdf[gb].to_numpy() if gb else None
         kept: list[int] = []
+        kept_in_group: list[int] = []
+        prev_g = None
         for i in range(len(pdf)):
             v = vals[i]
+            if gb:
+                g = tuple(gvals[i])
+                if g != prev_g:
+                    kept_in_group = []
+                    prev_g = g
+            else:
+                kept_in_group = kept
             dominated = False
-            for j in kept:
+            for j in kept_in_group:
                 w = vals[j]
                 if (w <= v).all() and (w < v).any():
                     dominated = True
                     break
             if not dominated:
                 kept.append(i)
-        yield pdf.iloc[kept]
+                if gb:
+                    kept_in_group.append(i)
+        return pdf.iloc[kept].reset_index(drop=True)
+
+    def _local_front(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fold Arrow batches incrementally against the running front:
+        # memory stays O(|front| + batch), never the whole partition
+        front: pd.DataFrame | None = None
+        for b in batches:
+            if not len(b):
+                continue
+            cand = (
+                b
+                if front is None
+                else pd.concat([front, b], ignore_index=True)
+            )
+            front = _one_pass_front(cand)
+        if front is not None and len(front):
+            yield front
 
     candidates = slim.mapInPandas(_local_front, schema=slim.schema)
     # exact dominance anti-join over the candidate union (small)
@@ -158,6 +208,8 @@ def skyline(
     y = candidates.alias("y")
     strictly_better = F.lit(False)
     all_le = F.lit(True)
+    for g in gb:
+        all_le = all_le & F.col(f"y.{g}").eqNullSafe(F.col(f"x.{g}"))
     for c in mins:
         all_le = all_le & (F.col(f"y.{c}") <= F.col(f"x.{c}"))
         strictly_better = strictly_better | (F.col(f"y.{c}") < F.col(f"x.{c}"))

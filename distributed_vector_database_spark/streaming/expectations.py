@@ -38,15 +38,30 @@ def _batch_rule_counts(
 ) -> DataFrame:
     """(rule, violations) for the row-additive expectations of one
     batch: column rules in ONE agg pass + the FK orphan count."""
+    if not rules:
+        raise ValueError("_batch_rule_counts: rules must be non-empty")
+    # positional aliases + typed-Column unpivot — rule names only ever
+    # appear as F.lit values (see operators/evaluation.expect_columns)
     aggs = [
-        F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)).alias(name)
-        for name, rule in rules.items()
+        F.sum(
+            F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)
+        ).alias(f"__r{i}")
+        for i, rule in enumerate(rules.values())
     ]
     wide = batch.agg(*aggs)
-    stack = ", ".join(f"'{n}', `{n}`" for n in rules)
-    out = wide.selectExpr(
-        f"stack({len(rules)}, {stack}) as (rule, violations)"
-    ).select("rule", F.col("violations").cast("long").alias("violations"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__r{i}").cast("long").alias("violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
+    )
+    out = wide.select(F.explode(pairs).alias("kv")).select(
+        F.col("kv.rule").alias("rule"),
+        F.col("kv.violations").alias("violations"),
+    )
     if fk is not None:
         child_col, parent, parent_col, fk_name = fk
         orphans = batch.join(

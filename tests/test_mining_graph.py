@@ -390,3 +390,103 @@ def test_merge_into_null_delete_predicate_means_not_deleted(spark):
     ).collect()
     # NULL is_del = NOT deleted (ANSI MERGE): the row must survive, updated
     assert [(r.k, r.bal) for r in out] == [(1, 12.0)]
+
+
+def test_frequent_pairs_shuffle_fallback_above_broadcast_bound(spark):
+    # force the bounded-broadcast probe over its threshold: the hint is
+    # dropped and the shuffle semi join must produce identical pairs
+    from distributed_vector_database_spark.operators.mining import (
+        _frequent_basket_items,
+    )
+
+    df = _baskets(spark)
+    via_broadcast = _frequent_basket_items(
+        df, "basket", "item", 2, 256
+    ).collect()
+    via_shuffle = _frequent_basket_items(
+        df, "basket", "item", 2, 256, max_broadcast_items=1
+    ).collect()
+    key = lambda r: (r.basket, r.item)  # noqa: E731
+    assert sorted(via_broadcast, key=key) == sorted(via_shuffle, key=key)
+    out = frequent_pairs(df, "basket", "item", min_support=2, top_n=10)
+    got = {(r.item_a, r.item_b): r.pair_support for r in out.collect()}
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2, (3, 4): 2}
+
+
+def test_skyline_incremental_front_matches_concat(spark):
+    # many tiny Arrow batches through one partition: the incremental
+    # fold must equal the brute-force front
+    import random
+
+    rnd = random.Random(5)
+    rows = [
+        (i, float(rnd.randint(0, 20)), float(rnd.randint(0, 20)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double").coalesce(1)
+    got = {r.id for r in skyline(df, ["x", "y"], "id").collect()}
+    brute = {
+        i
+        for (i, x, y) in rows
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for (_, x2, y2) in rows
+        )
+    }
+    assert got == brute
+
+
+def test_bloom_null_keys_never_pass_probe(spark):
+    from distributed_vector_database_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c"), (None, "d")], "k int, v string"
+    )
+    dim = spark.createDataFrame([(1,), (None,)], "k int")
+    # NULL fact keys must not survive even the unconfirmed superset,
+    # and NULL dim keys must not set bits
+    sup = bloom_semi_join(fact, dim, "k", "k", confirm=False).collect()
+    assert all(r.k is not None for r in sup)
+    exact = {r.v for r in bloom_semi_join(fact, dim, "k", "k").collect()}
+    assert exact == {"a"}
+
+
+def test_pagerank_releases_edge_cache(spark):
+    # the edge-sized adj cache must be unpersisted before return; the
+    # only storage a call may leave behind is the node-sized
+    # localCheckpoint of the returned result (ContextCleaner-collected
+    # once the caller drops the DataFrame)
+    edges = cooccurrence_edges(_baskets(spark), "basket", "item", 2)
+    sc = spark.sparkContext._jsc.sc()
+    before = len(sc.getRDDStorageInfo())
+    out = pagerank(edges, iterations=2)
+    out.collect()
+    after = len(sc.getRDDStorageInfo())
+    assert after <= before + 1
+
+
+def test_grouped_skyline_matches_per_group_bruteforce(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, f"g{rnd.randint(0, 3)}", float(rnd.randint(0, 12)),
+         float(rnd.randint(0, 12)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, x double, y double")
+    got = {
+        r.id
+        for r in skyline(df, ["x", "y"], "id", group_by=["g"]).collect()
+    }
+    brute = {
+        i
+        for (i, g, x, y) in rows
+        if not any(
+            g2 == g and x2 <= x and y2 <= y and (x2 < x or y2 < y)
+            for (_, g2, x2, y2) in rows
+        )
+    }
+    assert got == brute
