@@ -130,6 +130,21 @@ PAGERANK_ITERS = 5        # pagerank_parts: fixed power iterations
 BLOOM_MIN_BAL = 8000.0    # bloom_join_revenue: dim-side balance filter
 MERGE_SYNTH_SHIFT = 50_000_000  # merge_customers: synthetic insert keys
 MERGE_DELETE_CNT = 25     # merge_customers: delete-arm order count
+KCORE_K = 2               # kcore_parts: minimum surviving degree
+KCORE_ROUNDS = 4          # kcore_parts: fixed synchronous peel rounds
+KCORE_SUPPORT = 2         # kcore_parts: edge min_support (denser graph
+                          # than pagerank's support-3 one: the peel is
+                          # non-vacuous at every fixture scale - 200 /
+                          # 1535 / 3 survivors at sf0.001/0.01/0.1)
+LP_ITERS = 4              # part_communities: min-label propagation iters
+EWMA_ALPHA = 0.5          # event_ewma: dyadic decay -> every weight is an
+                          # exact power of two, so Spark and the oracle
+                          # agree bit-for-bit (pow(0.7,k) differs by ulps
+                          # between JVM and libm; pow(0.5,k) is exact)
+EWMA_SPAN = 24            # event_ewma: trailing window, hours
+MAD_K = 3.5               # value_mad_outliers: Iglewicz-Hoaglin cutoff
+HLL_P = 6                 # hll_user_*: 2^6 = 64 registers
+CONTAIN_T = 0.5           # containment_dup_pairs: containment threshold
 EDIT_BAND = 32            # edit_distance_pairs: length-band width
 EDIT_MAX_DIST = 8         # edit_distance_pairs: levenshtein threshold
 CHECKPOINT_TS = "2024-01-15 00:00:00"   # incremental-replay cutoff
@@ -3529,6 +3544,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tri_hybrid_filtered_topk"] = tri_hybrid_filtered_topk_q
 
+    def _dense_part_edges(spark, sf):
+        # support-2 co-purchase graph: the support-3 one collapses to
+        # 4 nodes at sf0.1, support-2 keeps 200/1880/5922 nodes across
+        # the fixture scales — non-vacuous analytics everywhere
+        from distributed_vector_database_spark.operators.graph import (
+            cooccurrence_edges,
+        )
+
+        return cooccurrence_edges(
+            load_table(spark, sf, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            min_support=KCORE_SUPPORT,
+            max_basket=256,
+        )
+
+    def kcore_parts_q(spark, sf):
+        # fixed-round k-core peel: nodes surviving 4 synchronous
+        # degree->=2 rounds, with their in-core degree (support-2
+        # edges: the support-3 graph's 2-core is empty at sf0.01)
+        from distributed_vector_database_spark.operators.graph import kcore
+
+        return kcore(
+            _dense_part_edges(spark, sf), KCORE_K, rounds=KCORE_ROUNDS
+        )
+
+    q["kcore_parts"] = kcore_parts_q
+
+    def part_communities_q(spark, sf):
+        # synchronous min-label propagation (4 iters): deterministic
+        # community labels, one shuffle per iteration
+        from distributed_vector_database_spark.operators.graph import (
+            label_propagation,
+        )
+
+        return label_propagation(
+            _dense_part_edges(spark, sf), iterations=LP_ITERS
+        )
+
+    q["part_communities"] = part_communities_q
+
+    def part_link_prediction_q(spark, sf):
+        # link prediction: top-20 unconnected pairs by neighborhood
+        # Jaccard, candidates generated through common neighbors
+        from distributed_vector_database_spark.operators.graph import (
+            neighborhood_jaccard,
+        )
+
+        return neighborhood_jaccard(_dense_part_edges(spark, sf), top_n=20)
+
+    q["part_link_prediction"] = part_link_prediction_q
+
+    def event_ewma_q(spark, sf):
+        # trailing EWMA of hourly event counts per type; the bounded
+        # lag sequence turns the window into an equi join
+        from distributed_vector_database_spark.operators.timeseries import (
+            ewma_smooth,
+        )
+
+        return ewma_smooth(
+            load_table(spark, sf, "events"), alpha=EWMA_ALPHA, span=EWMA_SPAN
+        )
+
+    q["event_ewma"] = event_ewma_q
+
+    def value_mad_outliers_q(spark, sf):
+        # robust per-type outlier summary: median/MAD instead of
+        # mean/stddev (outliers cannot inflate their own cutoff)
+        from distributed_vector_database_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        return mad_outliers(load_table(spark, sf, "events"), k=MAD_K)
+
+    q["value_mad_outliers"] = value_mad_outliers_q
+
+    def cumulative_new_users_q(spark, sf):
+        # first-seen daily new users + running total; each user folds
+        # to one row before any window touches the data
+        from distributed_vector_database_spark.operators.timeseries import (
+            cumulative_new_users,
+        )
+
+        return cumulative_new_users(load_table(spark, sf, "events"))
+
+    q["cumulative_new_users"] = cumulative_new_users_q
+
+    def peak_concurrency_q(spark, sf):
+        # sweep-line peak simultaneous active users per day
+        from distributed_vector_database_spark.operators.timeseries import (
+            peak_concurrency,
+        )
+
+        return peak_concurrency(load_table(spark, sf, "events"))
+
+    q["peak_concurrency"] = peak_concurrency_q
+
+    def hll_user_registers_q(spark, sf):
+        # explicit HyperLogLog registers from md5 bits: cross-engine
+        # register-level parity, group-by-bucket MAX = sketch union
+        from distributed_vector_database_spark.operators.sketch import (
+            hll_registers,
+        )
+
+        return hll_registers(load_table(spark, sf, "events"), "user_id", p=HLL_P)
+
+    q["hll_user_registers"] = hll_user_registers_q
+
+    def hll_user_estimate_q(spark, sf):
+        # the estimate those registers imply, next to the exact count
+        from distributed_vector_database_spark.operators.sketch import (
+            hll_estimate,
+        )
+
+        return hll_estimate(load_table(spark, sf, "events"), "user_id", p=HLL_P)
+
+    q["hll_user_estimate"] = hll_user_estimate_q
+
+    def containment_dup_pairs_q(spark, sf):
+        # asymmetric n-gram containment (sub/superset duplication):
+        # |A.B| / min(|A|,|B|) — high where Jaccard goes blind
+        from distributed_vector_database_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        return ngram_containment_pairs(
+            load_table(spark, sf, "documents"), threshold=CONTAIN_T
+        )
+
+    q["containment_dup_pairs"] = containment_dup_pairs_q
+
     # -----------------------------------------------------------------------
     # Enumeration order: harnesses that enumerate this dict under a
     # query-count or time budget (each round records rows for exactly the
@@ -3551,28 +3697,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green one-shot queries — all hash-oracled and
     # full-gate-checked every round by tools/check_correctness.py.
     preferred = [
-        # --- r10 rotation, policy "new + code-changed + never-green
-        # first" (VERDICT r9 #3). Head: this round's new operators
-        # (both batches — the mining/graph/bloom/merge batch has never
-        # produced a driver row). ---
-        "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
-        "bm25_filtered_topk", "state_as_of", "gopher_rules",
-        "tri_hybrid_filtered_topk",
-        "frequent_pairs", "skyline_parts", "event_transitions",
-        "bloom_join_revenue", "merge_customers", "pagerank_parts",
-        "edit_distance_pairs", "association_rules", "transitions_served",
-        "session_paths", "part_triangles",
-        # --- code-changed paths owed a fresh driver row: the
-        # length_batches contract projection (r9's only ERR row, now a
-        # canonical string); the r9 lexical.py rewrite's veterans
-        # (bm25_postings_topk, hybrid_rrf_served, sparse_dot_topk,
-        # hybrid RRF/linear fusion — last driver rows r6-r8); the r10
-        # edge-case fixes (incremental clustering new_ids anti-join,
-        # grouped-budget boundary, sampling.py neighbors) ---
-        "length_batches", "bm25_postings_topk", "hybrid_rrf_served",
-        "sparse_dot_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
-        "near_dup_clusters_incremental", "source_token_caps",
-        "weighted_sample",
+        # --- r11 rotation, policy "new + code-changed + never-green
+        # first" (VERDICT r10 #2). Head: the six queries that have
+        # NEVER produced a driver CORRECTNESS row (the r10 monitoring
+        # batch), completing driver coverage of every contract query.
+        "dq_report", "dq_served", "event_trends", "volume_anomalies",
+        "volume_anomalies_served", "pca_whiten",
+        # --- r11 new operators (graph analytics / time series /
+        # sketches / containment dedup) ---
+        "kcore_parts", "part_communities", "part_link_prediction",
+        "event_ewma", "value_mad_outliers", "cumulative_new_users",
+        "peak_concurrency", "hll_user_registers", "hll_user_estimate",
+        "containment_dup_pairs",
+        # --- code-changed paths owed a fresh driver row:
+        # length_batches (oracle HUGEINT->BIGINT fix for the r10 hash
+        # fail), skyline_parts (now the per-brand grouped front),
+        # frequent_pairs/association_rules (bounded-broadcast guard),
+        # pagerank_parts/part_triangles (cache-release rework),
+        # bloom_join_revenue (NULL-key semi-join semantics) ---
+        "length_batches", "skyline_parts", "frequent_pairs",
+        "association_rules", "pagerank_parts", "part_triangles",
+        "bloom_join_revenue",
+        # --- r10 first-timers holding a single green round ---
+        "heavy_hitters", "merge_customers", "state_as_of",
+        "edit_distance_pairs",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -3586,11 +3734,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_join_exact", "ann_pq_layout_exact",
         "ann_ivfpq_layout_exact",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
-        # round by tools/check_correctness.py). Head of tier 2: the
-        # two r10-new monitoring queries that did not fit the budget —
-        # FIRST IN LINE for the r11 rotation (never-green policy) ----
-        "dq_report", "volume_anomalies", "volume_anomalies_served",
-        "event_trends", "pca_whiten", "dq_served",
+        # round by tools/check_correctness.py). Head: r10-rotation
+        # members displaced by the r11 batch — all hash-green in
+        # CORRECTNESS_r10 on code unchanged since ----
+        "zorder_curve", "weighted_sample_by_lang", "bm25_filtered_topk",
+        "gopher_rules", "tri_hybrid_filtered_topk", "event_transitions",
+        "transitions_served", "session_paths", "bm25_postings_topk",
+        "hybrid_rrf_served", "sparse_dot_topk", "hybrid_rrf_topk",
+        "hybrid_linear_topk", "near_dup_clusters_incremental",
+        "source_token_caps", "weighted_sample",
         # r9-green queries rotated down to make room for the second
         # new-operator batch — every displaced query is hash-green in
         # CORRECTNESS_r09 on code unchanged since (phrase_search,
@@ -4767,12 +4919,12 @@ FROM e GROUP BY event_type
 """
 
     o["part_triangles"] = f"""
-WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
 fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {FREQ_PAIR_SUPPORT}),
 pr AS (SELECT bi.b, bi.i FROM bi JOIN fi USING (i)),
 ok AS (SELECT b FROM pr GROUP BY b HAVING count(*) <= 256),
-pp AS (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
-und AS (
+pp AS MATERIALIZED (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
+und AS MATERIALIZED (
   SELECT x.i AS u, y.i AS v
   FROM pp x JOIN pp y ON x.b = y.b AND x.i < y.i
   GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_SUPPORT}
@@ -4789,7 +4941,7 @@ ed AS (
   JOIN deg da ON da.n = und.u
   JOIN deg db ON db.n = und.v
 ),
-o2 AS (
+o2 AS MATERIALIZED (
   SELECT CASE WHEN afirst THEN u ELSE v END AS s,
          CASE WHEN afirst THEN v ELSE u END AS d,
          CASE WHEN afirst THEN dv ELSE du END AS dd
@@ -4811,11 +4963,11 @@ FROM t
 """
 
     o["association_rules"] = f"""
-WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
 fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {FREQ_PAIR_SUPPORT}),
 pr AS (SELECT bi.b, bi.i FROM bi JOIN fi USING (i)),
 ok AS (SELECT b FROM pr GROUP BY b HAVING count(*) <= 256),
-pp AS (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
+pp AS MATERIALIZED (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
 n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM lineitem),
 isup AS (SELECT i, count(*) AS s FROM pp GROUP BY i),
 pairs AS (
@@ -4851,18 +5003,18 @@ r{_i} AS (
 )""")
         _prev = f"r{_i}"
     o["pagerank_parts"] = f"""
-WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
 fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {FREQ_PAIR_SUPPORT}),
 pr AS (SELECT bi.b, bi.i FROM bi JOIN fi USING (i)),
 ok AS (SELECT b FROM pr GROUP BY b HAVING count(*) <= 256),
-pp AS (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
-und AS (
+pp AS MATERIALIZED (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
+und AS MATERIALIZED (
   SELECT a.i AS src, c.i AS dst
   FROM pp a JOIN pp c ON a.b = c.b AND a.i < c.i
   GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_SUPPORT}
 ),
-edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
 consts AS (SELECT (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n AS jump FROM nn),
 r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg),
@@ -6955,6 +7107,249 @@ s AS (
 SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n_events,
   round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, sess
+"""
+
+
+    # ---- round-11 batch: graph analytics / time series / sketches ----
+    # AS MATERIALIZED: these CTEs are referenced once PER UNROLLED
+    # ROUND below; inlined they re-evaluate the whole edge build
+    # 2-3x per round (3^rounds blowup measured at sf0.1 — minutes of
+    # DuckDB CPU for a sub-second materialized plan)
+    _edge_ctes = f"""
+bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {FREQ_PAIR_SUPPORT}),
+pr AS (SELECT bi.b, bi.i FROM bi JOIN fi USING (i)),
+ok AS (SELECT b FROM pr GROUP BY b HAVING count(*) <= 256),
+pp AS MATERIALIZED (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
+und AS MATERIALIZED (
+  SELECT a.i AS src, c.i AS dst
+  FROM pp a JOIN pp c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_SUPPORT}
+),
+edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)"""
+
+    _kc = ["l0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    _prev_l = "l0"
+    for _i in range(1, KCORE_ROUNDS + 1):
+        _kc.append(
+            f"k{_i} AS MATERIALIZED (SELECT src FROM {_prev_l} GROUP BY src "
+            f"HAVING count(*) >= {KCORE_K})"
+        )
+        _kc.append(
+            f"l{_i} AS MATERIALIZED (SELECT e.src, e.dst FROM {_prev_l} e "
+            f"JOIN k{_i} a ON a.src = e.src "
+            f"JOIN k{_i} b ON b.src = e.dst)"
+        )
+        _prev_l = f"l{_i}"
+    _kcore_edge_ctes = _edge_ctes.replace(
+        f">= {FREQ_PAIR_SUPPORT}", f">= {KCORE_SUPPORT}"
+    )
+    o["kcore_parts"] = f"""
+WITH {_kcore_edge_ctes},
+{','.join(_kc)}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM {_prev_l} GROUP BY src HAVING count(*) >= {KCORE_K}
+"""
+
+    _lp = [
+        "lbl0 AS MATERIALIZED "
+        "(SELECT DISTINCT src AS node, src AS label FROM edges)"
+    ]
+    _prev_lbl = "lbl0"
+    for _i in range(1, LP_ITERS + 1):
+        _lp.append(
+            f"inc{_i} AS (SELECT e.dst AS node, min(p.label) AS minl "
+            f"FROM edges e JOIN {_prev_lbl} p ON p.node = e.src "
+            f"GROUP BY e.dst)"
+        )
+        _lp.append(
+            f"lbl{_i} AS MATERIALIZED (SELECT n.node, "
+            f"least(n.label, coalesce(i.minl, n.label)) AS label "
+            f"FROM {_prev_lbl} n LEFT JOIN inc{_i} i USING (node))"
+        )
+        _prev_lbl = f"lbl{_i}"
+    o["part_communities"] = f"""
+WITH {_kcore_edge_ctes},
+{','.join(_lp)}
+SELECT node, label FROM {_prev_lbl}
+"""
+
+    o["part_link_prediction"] = f"""
+WITH {_kcore_edge_ctes},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+com AS (
+  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.* FROM com c
+  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.src = c.a AND u.dst = c.b)
+)
+SELECT c.a, c.b, c.common,
+  round(c.common / CAST(da.deg + db.deg - c.common AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b
+ORDER BY jaccard DESC, a, b LIMIT 20
+"""
+
+    o["event_ewma"] = f"""
+WITH hourly AS (
+  SELECT event_type,
+    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600
+      AS hour_id,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT event_type, hour_id + t.i AS hour_id,
+    cnt * pow({1.0 - EWMA_ALPHA}, t.i) AS wx,
+    pow({1.0 - EWMA_ALPHA}, t.i) AS w
+  FROM hourly, range({EWMA_SPAN}) t(i)
+),
+sm AS (
+  SELECT event_type, hour_id, sum(wx) AS swx, sum(w) AS sw
+  FROM contrib GROUP BY 1, 2
+)
+SELECT h.event_type,
+  make_timestamp(h.hour_id * 3600 * 1000000) AS hour,
+  h.cnt, round(s.swx / s.sw, 6) AS ewma
+FROM hourly h
+JOIN sm s ON s.event_type = h.event_type AND s.hour_id = h.hour_id
+ORDER BY 1, 2
+"""
+
+    o["value_mad_outliers"] = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+madt AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, round(d.med, 6) AS med, round(t.mad, 6) AS mad,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN d.ad > {MAD_K} * t.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  round(sum(CASE WHEN d.ad > {MAD_K} * t.mad THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS outlier_rate,
+  round(max(d.ad), 6) AS max_abs_dev
+FROM dev d JOIN madt t USING (event_type)
+GROUP BY d.event_type, d.med, t.mad ORDER BY 1
+"""
+
+    o["cumulative_new_users"] = """
+WITH fs AS (
+  SELECT user_id, min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d
+  FROM events GROUP BY 1
+),
+nd AS (
+  SELECT CAST(d AS DATE) AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM fs GROUP BY 1
+),
+ad AS (
+  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+    AS day
+  FROM events
+),
+daily AS (
+  SELECT ad.day, coalesce(nd.new_users, 0) AS new_users
+  FROM ad LEFT JOIN nd USING (day)
+)
+SELECT day, new_users,
+  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+"""
+
+    o["peak_concurrency"] = """
+WITH spans AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id,
+    min(CAST(ts AS TIMESTAMP)) AS s, max(CAST(ts AS TIMESTAMP)) AS e
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT day, s AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT day, e AS t, -1 AS delta FROM spans
+),
+run AS (
+  SELECT day,
+    CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS BIGINT)
+      AS conc
+  FROM pts
+),
+pk AS (SELECT CAST(day AS DATE) AS day, max(conc) AS peak FROM run GROUP BY 1),
+nu AS (
+  SELECT CAST(day AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_users
+  FROM spans GROUP BY 1
+)
+SELECT pk.day, pk.peak, nu.n_users FROM pk JOIN nu USING (day) ORDER BY day
+"""
+
+    _hll_rest = 60 - HLL_P
+    _hll_m = 1 << HLL_P
+    _hll_regs_ctes = f"""
+h AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (SELECT CAST(hv % {_hll_m} AS INT) AS bucket, hv // {_hll_m} AS w FROM h),
+rr AS (
+  SELECT bucket,
+    CAST(CASE WHEN w = 0 THEN {_hll_rest + 1}
+              ELSE {_hll_rest} - length(bin(w)) + 1 END AS INT) AS rho
+  FROM r
+),
+regs AS (SELECT bucket, CAST(max(rho) AS INT) AS register FROM rr GROUP BY bucket)"""
+    o["hll_user_registers"] = f"""
+WITH {_hll_regs_ctes}
+SELECT bucket, register FROM regs ORDER BY bucket
+"""
+
+    from distributed_vector_database_spark.operators.sketch import _alpha as _hll_alpha
+    o["hll_user_estimate"] = f"""
+WITH {_hll_regs_ctes},
+agg AS (
+  SELECT sum(pow(2.0, -register)) AS s, CAST(count(*) AS BIGINT) AS ne
+  FROM regs
+),
+ex AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+  FROM events WHERE user_id IS NOT NULL
+),
+est AS (
+  SELECT CASE
+    WHEN ({_hll_alpha(_hll_m)} * {_hll_m * _hll_m}) / (s + ({_hll_m} - ne))
+           <= {2.5 * _hll_m}
+         AND ({_hll_m} - ne) > 0
+    THEN {float(_hll_m)} * ln({float(_hll_m)} / ({_hll_m} - ne))
+    ELSE ({_hll_alpha(_hll_m)} * {_hll_m * _hll_m}) / (s + ({_hll_m} - ne))
+  END AS e, ne FROM agg
+)
+SELECT round(est.e, 4) AS est, ex.exact,
+  round(abs(est.e - ex.exact) / ex.exact, 4) AS rel_err
+FROM est, ex
+"""
+
+    o["containment_dup_pairs"] = f"""
+WITH tok AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT id, list_distinct({_SHINGLES}) AS shingles FROM tok),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    len(list_intersect(a.shingles, b.shingles)) AS inter,
+    len(a.shingles) AS size_a, len(b.shingles) AS size_b
+  FROM sh a, sh b WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+  round(inter / CAST(least(size_a, size_b) AS DOUBLE), 6) AS containment,
+  round(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE inter > 0
+  AND round(inter / CAST(least(size_a, size_b) AS DOUBLE), 6) >= {CONTAIN_T}
 """
 
     return o

@@ -192,6 +192,27 @@ HEADLINE = [
     "pca_whiten",
     # round-10: maintained data-quality report (stateful uniqueness)
     "dq_served",
+    # round-11: fixed-round k-core peel (per-round checkpointed)
+    "kcore_parts",
+    # round-11: synchronous min-label propagation (one shuffle/iter)
+    "part_communities",
+    # round-11: neighborhood-Jaccard link prediction (wedge-generated)
+    "part_link_prediction",
+    # round-11: trailing EWMA as an equi join (exploded lag sequence)
+    "event_ewma",
+    # round-11: median/MAD robust outlier summary (two exact-percentile
+    # passes)
+    "value_mad_outliers",
+    # round-11: first-seen daily actives + running total
+    "cumulative_new_users",
+    # round-11: sweep-line peak concurrency (day-partitioned)
+    "peak_concurrency",
+    # round-11: explicit HLL registers (md5 bits, mergeable by MAX)
+    "hll_user_registers",
+    # round-11: the HLL estimate next to the exact count
+    "hll_user_estimate",
+    # round-11: asymmetric n-gram containment (sub/superset dedup)
+    "containment_dup_pairs",
 ]
 
 

@@ -143,6 +143,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs: containment =
+    |A ∩ B| / min(|A|, |B|) — the asymmetric dual of ngram_jaccard_pairs
+    for sub/superset duplication. A short doc pasted inside a long one
+    has tiny Jaccard (the union is dominated by the long doc) but
+    containment ~1; quote-heavy and concatenated training documents are
+    exactly this failure mode, so the dedup stack needs both measures.
+
+    Same never-all-pairs plan as ngram_jaccard_pairs (shared-shingle
+    equi self-join → per-pair intersection → sizes by join); both
+    scores are emitted so callers can see WHY a pair matched.
+    Returns (id_a < id_b, containment, jaccard), containment ≥ t."""
+    sh = (
+        ensure_parallelism(docs, id_col)
+        .withColumn("__toks", tokenize(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles_from_tokens("__toks", n)).alias(
+                "shingles"
+            ),
+        )
+        .cache()
+    )
+    sizes = sh.select("id", F.size("shingles").alias("set_size"))
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter") / F.least("size_a", "size_b"), 6
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame,
     docs: DataFrame,

@@ -185,3 +185,153 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(n_nodes, n_edges, tri)], "nodes long, edges long, triangles long"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+) -> DataFrame:
+    """Fixed-round k-core peel over a symmetric edge list: repeatedly
+    drop nodes whose degree in the SURVIVING subgraph is < k. After
+    `rounds` synchronous rounds, returns (node, deg) for survivors
+    with their in-core degree.
+
+    Fixed rounds (like pagerank) keep the computation a deterministic
+    DAG and make the operator oracle-expressible as unrolled CTEs —
+    the driver-contract anchor runs both sides at the SAME round
+    count, so the hash match never depends on convergence. Real k-core
+    converges in O(peel-depth) rounds; callers needing the fixpoint
+    raise `rounds` (each extra round is one degree-agg + two semi
+    joins, each a single shuffle bounded by the shrinking edge set).
+
+    100 TB shape: per round, one groupBy-count on src (symmetric edges
+    make in-degree = out-degree, so ONE aggregation covers both ends)
+    and two left-semi joins keyed src/dst against the |nodes|-sized
+    survivor relation — never an all-pairs step, and the relation can
+    only shrink round over round.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    # each round reads the previous survivor set THREE times (degree
+    # agg + two semi joins); without materialization the upstream plan
+    # re-evaluates 3^rounds times. Checkpoint the shrinking edge set
+    # per round — cost is one write of an ever-smaller relation.
+    live = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        live = (
+            live.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("src").alias("node"), "deg")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous min-label propagation over a symmetric edge list:
+    label_0(v) = v; label_{t+1}(v) = min(label_t(v), min over
+    neighbors u of label_t(u)). Deterministic (min is order-free), so
+    it is oracle-expressible as unrolled CTEs at the same iteration
+    count; run to convergence it computes connected components (the
+    label is the component's minimum node id), and at a fixed budget
+    it is the communities-by-proximity heuristic.
+
+    One shuffle per iteration: edges ⋈ labels on src, then a
+    min-groupBy on dst folded with the node's own label — the same
+    iterative one-shuffle discipline as pagerank. Label state is
+    |nodes|-sized; the static edge relation is pre-partitioned on the
+    join key once and reused (no per-iteration edge shuffle).
+    """
+    nparts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    adj = edges.repartition(nparts, "src").persist()
+    labels = (
+        adj.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .repartition(nparts, "node")
+    )
+    for _ in range(iterations):
+        incoming = (
+            adj.join(labels, adj["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .repartition(nparts, "node")
+        )
+    out = labels.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    top_n: int = 20,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: for node pairs (a, b),
+    a < b, NOT directly connected, score = |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)|. Returns the top_n by (jaccard desc, a, b) with the
+    common-neighbor count.
+
+    Candidate pairs are generated THROUGH common neighbors (the wedge
+    join: two edges sharing an endpoint), never by an all-pairs
+    product — a pair with zero common neighbors has jaccard 0 and is
+    correctly absent. Union size comes from the degree aggregate via
+    inclusion-exclusion, so neighbor SETS are never materialized. The
+    wedge join is the triangle-counting shuffle shape; degree caps
+    from cooccurrence_edges' apriori input keep hub wedges bounded.
+    """
+    e1 = edges.select(F.col("src").alias("n"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    common = (
+        e1.join(e2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    # drop directly-connected pairs (we predict MISSING links)
+    direct = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).filter(F.col("a") < F.col("b"))
+    candidates = common.join(direct, ["a", "b"], "left_anti")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        candidates.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(top_n)
+    )

@@ -66,30 +66,30 @@ ROWS_ONLY = {
 }
 
 ROTATED_IN = {
-    # r10 rotation, policy "new + code-changed + never-green first"
-    # (VERDICT r9 #3):
-    # round-10 new operators (first batch)
-    "heavy_hitters", "zorder_curve", "weighted_sample_by_lang",
-    "bm25_filtered_topk", "state_as_of", "gopher_rules",
-    "tri_hybrid_filtered_topk",
-    # round-10 new operators (second batch: mining/graph/bloom/merge —
-    # never produced a driver row; displaced nine r9-green queries)
-    "frequent_pairs", "skyline_parts", "event_transitions",
-    "bloom_join_revenue", "merge_customers", "pagerank_parts",
-    "edit_distance_pairs", "association_rules", "transitions_served",
-    "session_paths", "part_triangles",
-    # code-changed paths owed a fresh driver row: the length_batches
-    # contract projection (r9's only ERR), the r9 lexical.py rewrite
-    # veterans whose last driver rows predate it, and the r10
-    # edge-case fixes (incremental clustering new_ids anti-join,
-    # grouped-budget boundary)
-    "length_batches", "bm25_postings_topk", "hybrid_rrf_served",
-    "sparse_dot_topk", "hybrid_rrf_topk", "hybrid_linear_topk",
-    "near_dup_clusters_incremental", "source_token_caps",
-    "weighted_sample",
-    # (the r9 first-timers' second-green-round slots all rotated down
-    # to tier 2 — every one r9-green on unchanged code — to fit the
-    # 11-query second new-operator batch)
+    # r11 rotation, policy "new + code-changed + never-green first"
+    # (VERDICT r10 #2):
+    # the six never-driver-sampled r10 monitoring queries — their
+    # green rows complete driver coverage of the whole contract
+    "dq_report", "dq_served", "event_trends", "volume_anomalies",
+    "volume_anomalies_served", "pca_whiten",
+    # round-11 new operators (graph analytics / time series /
+    # sketches / containment dedup)
+    "kcore_parts", "part_communities", "part_link_prediction",
+    "event_ewma", "value_mad_outliers", "cumulative_new_users",
+    "peak_concurrency", "hll_user_registers", "hll_user_estimate",
+    "containment_dup_pairs",
+    # code-changed paths owed a fresh driver row: length_batches
+    # (oracle HUGEINT cast fix for the r10 hash-fail), skyline_parts
+    # (per-brand grouped front), the bounded-broadcast guard
+    # (frequent_pairs/association_rules), the graph cache-release
+    # rework (pagerank_parts/part_triangles), and the bloom NULL-key
+    # fix (bloom_join_revenue)
+    "length_batches", "skyline_parts", "frequent_pairs",
+    "association_rules", "pagerank_parts", "part_triangles",
+    "bloom_join_revenue",
+    # r10 first-timers holding a single green round
+    "heavy_hitters", "merge_customers", "state_as_of",
+    "edit_distance_pairs",
 }
 
 

@@ -61,3 +61,69 @@ def test_image_meta_stats(spark, blob_dir):
     stats = image_meta_stats(read_binary_dir(spark, blob_dir)).collect()
     assert len(stats) == 1
     assert stats[0]["modality"] == "image" and stats[0]["n_items"] == 2
+
+
+def _torch_stack_present() -> bool:
+    try:
+        import PIL  # noqa: F401
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _torch_stack_present(), reason="torch/transformers/Pillow absent"
+)
+def test_clip_real_image_path(spark):
+    # real forward pass: 512-d unit-norm vectors; similar images closer
+    # than dissimilar ones. Runs only on clusters with the model stack.
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def png(color):
+        img = Image.new("RGB", (32, 32), color)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [("red1", png((255, 0, 0))), ("red2", png((250, 5, 5))),
+         ("blue", png((0, 0, 255)))],
+        "key string, content binary",
+    )
+    rows = {
+        r["key"]: np.array(r["embedding"])
+        for r in embed_binary_clip(df, batch_size=2).collect()
+    }
+    assert all(v.shape == (512,) for v in rows.values())
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in rows.values())
+    assert rows["red1"] @ rows["red2"] > rows["red1"] @ rows["blue"]
+
+
+@pytest.mark.skipif(
+    not _torch_stack_present(), reason="torch/transformers/Pillow absent"
+)
+def test_clip_real_text_path(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.semantic import (
+        embed_text_clip,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a photo of a red apple"), (2, "a crimson apple fruit"),
+         (3, "quarterly earnings report")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: np.array(r["embedding"])
+        for r in embed_text_clip(df, batch_size=2).collect()
+    }
+    assert all(v.shape == (512,) for v in rows.values())
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in rows.values())
+    assert rows[1] @ rows[2] > rows[1] @ rows[3]

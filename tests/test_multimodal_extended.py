@@ -56,3 +56,30 @@ def test_resize_gated_without_pil(spark):
         pass
     with pytest.raises(NotImplementedError):
         resize_image(_blobs(spark), 224, 224)
+
+
+def _pil_present() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_present(), reason="Pillow absent")
+def test_resize_real_path(spark):
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (64, 48), (10, 200, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("k", buf.getvalue())], "key string, content binary"
+    )
+    out = resize_image(df, 224, 224).collect()
+    assert out[0]["img_width"] == 224 and out[0]["img_height"] == 224
+    round_trip = Image.open(io.BytesIO(bytes(out[0]["content"])))
+    assert round_trip.size == (224, 224)
