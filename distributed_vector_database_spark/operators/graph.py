@@ -55,6 +55,12 @@ def cooccurrence_edges(
         .filter(F.col("__sup") >= min_support)
         .select("src", "dst")
     )
+    # und stays lazy: its input is the MATERIALIZED pruned relation
+    # (see _frequent_basket_items), so re-evaluation is one cheap
+    # self-join, and every iterative consumer (pagerank, k-core,
+    # label propagation, triangle_count) persists or checkpoints its
+    # own working relation anyway — a second checkpoint here would
+    # just add a write+read job to single-action callers
     return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 

@@ -76,26 +76,33 @@ def frequent_pairs(
     )
 
 
-MAX_BROADCAST_ITEMS = 1_000_000  # frequent-item sets above this shuffle
-
-
 def _frequent_basket_items(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
     min_support: int,
     max_basket: int,
-    max_broadcast_items: int = MAX_BROADCAST_ITEMS,
+    max_broadcast_items: int | None = None,
 ) -> DataFrame:
     """Distinct (basket, item) rows restricted to frequent items and
-    capped baskets — the pruned input shared by pair mining.
+    capped baskets — the pruned input shared by pair mining. Returned
+    LAZY: within one action Spark's exchange reuse dedupes the
+    double-read of the downstream self-join, and every iterative
+    consumer (pagerank, k-core, label propagation, triangle_count)
+    persists or checkpoints its own working relation — eager
+    materialization here was measured to ADD ~3.5 s of job overhead
+    per call at sf0.1 (bi cache job + probe job + checkpoint job)
+    against a 2 s query.
 
-    The frequent-item semi join is broadcast only while the set is
-    provably small: a bounded limit(N+1).count() probe checks the
-    cardinality first, and above the threshold the hint is dropped so
-    a low min_support over a huge vocabulary at 100x degrades to a
-    shuffle semi join instead of OOMing the driver (same bounded-
-    broadcast discipline as knn.knn_join's max_query_rows guard)."""
+    Bounded broadcast: with max_broadcast_items=None (default) the
+    frequent-item semi join carries a static broadcast hint — correct
+    whenever the item domain is a bounded catalog (parts, SKUs,
+    vocab-limited tokens). For UNBOUNDED vocabularies (n-grams, URLs,
+    user ids) pass a threshold: a limit(N+1).count() probe checks the
+    aggregate's cardinality first and drops the hint above it, so a
+    low min_support at 100x degrades to a shuffle semi join instead
+    of OOMing the driver (knn_join's max_query_rows discipline, paid
+    only by callers that need it)."""
     bi = baskets.select(basket_col, item_col).distinct()
     freq_items = (
         bi.groupBy(item_col)
@@ -103,9 +110,12 @@ def _frequent_basket_items(
         .filter(F.col("__item_support") >= min_support)
         .select(item_col)
     )
-    probe = freq_items.limit(max_broadcast_items + 1).count()
-    if probe <= max_broadcast_items:
+    if max_broadcast_items is None:
         freq_items = F.broadcast(freq_items)
+    else:
+        probe = freq_items.limit(max_broadcast_items + 1).count()
+        if probe <= max_broadcast_items:
+            freq_items = F.broadcast(freq_items)
     pruned = bi.join(freq_items, item_col, "left_semi")
     basket_sizes = (
         pruned.groupBy(basket_col)

@@ -393,8 +393,8 @@ def test_merge_into_null_delete_predicate_means_not_deleted(spark):
 
 
 def test_frequent_pairs_shuffle_fallback_above_broadcast_bound(spark):
-    # force the bounded-broadcast probe over its threshold: the hint is
-    # dropped and the shuffle semi join must produce identical pairs
+    # force the bounded-broadcast probe over its threshold: the hint
+    # is dropped and the shuffle semi join must produce identical rows
     from distributed_vector_database_spark.operators.mining import (
         _frequent_basket_items,
     )
