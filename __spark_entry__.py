@@ -1677,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     _rollup_memo: dict[tuple, str] = {}
     _transitions_memo: dict[tuple, str] = {}
+    _hll_state_memo: dict[tuple, str] = {}
     _pca_memo: dict[tuple, dict] = {}
     _dq_memo: dict[tuple, str] = {}
 
@@ -3502,6 +3503,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transitions_served"] = transitions_served_q
 
+    def _hll_state(spark, sf):
+        # maintained HLL registers for a fixture dir: built once per
+        # process by folding the events in three time-split
+        # micro-batches through the replay-safe versioned MAX fold —
+        # serving the snapshot proves register-level batch/stream
+        # equivalence (the oracle is the one-shot register SQL over
+        # all events)
+        import os as _os
+        import tempfile
+
+        from distributed_vector_database_spark.streaming.hll_state import (
+            build_hll_fold,
+        )
+
+        src_path = _os.path.join(sf, "events.parquet")
+        try:
+            st = _os.stat(src_path)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        path = _hll_state_memo.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="dvdb_hll_")
+            ev = load_table(spark, sf, "events")
+            fold = build_hll_fold(path, "user_id", p=HLL_P)
+            fold(ev.filter(F.col("ts") < "2024-01-11"), 0)
+            fold(
+                ev.filter(
+                    (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+                ),
+                1,
+            )
+            fold(ev.filter(F.col("ts") >= "2024-01-21"), 2)
+            _hll_state_memo[key] = path
+        return path
+
+    def hll_served_q(spark, sf):
+        from distributed_vector_database_spark.streaming.hll_state import (
+            read_latest_registers,
+        )
+
+        return read_latest_registers(spark, _hll_state(spark, sf))
+
+    q["hll_served"] = hll_served_q
+
     def tri_hybrid_filtered_topk_q(spark, sf):
         # FILTERED tri-hybrid serving: the same metadata candidate set
         # (lang = 'en') pushed into ALL THREE legs before their top-k
@@ -3718,9 +3764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches", "skyline_parts", "frequent_pairs",
         "association_rules", "pagerank_parts", "part_triangles",
         "bloom_join_revenue",
+        # --- the streaming MAX fold's serving anchor ---
+        "hll_served",
         # --- r10 first-timers holding a single green round ---
         "heavy_hitters", "merge_customers", "state_as_of",
-        "edit_distance_pairs",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -3737,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round by tools/check_correctness.py). Head: r10-rotation
         # members displaced by the r11 batch — all hash-green in
         # CORRECTNESS_r10 on code unchanged since ----
+        "edit_distance_pairs",
         "zorder_curve", "weighted_sample_by_lang", "bm25_filtered_topk",
         "gopher_rules", "tri_hybrid_filtered_topk", "event_transitions",
         "transitions_served", "session_paths", "bm25_postings_topk",
@@ -7309,6 +7357,10 @@ regs AS (SELECT bucket, CAST(max(rho) AS INT) AS register FROM rr GROUP BY bucke
 WITH {_hll_regs_ctes}
 SELECT bucket, register FROM regs ORDER BY bucket
 """
+
+    # the maintained fold must serve the SAME registers the one-shot
+    # computation produces over all events
+    o["hll_served"] = o["hll_user_registers"]
 
     from distributed_vector_database_spark.operators.sketch import _alpha as _hll_alpha
     o["hll_user_estimate"] = f"""

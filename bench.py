@@ -213,6 +213,8 @@ HEADLINE = [
     "hll_user_estimate",
     # round-11: asymmetric n-gram containment (sub/superset dedup)
     "containment_dup_pairs",
+    # round-11: maintained HLL registers served from the MAX fold
+    "hll_served",
 ]
 
 

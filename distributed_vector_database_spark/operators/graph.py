@@ -308,6 +308,12 @@ def neighborhood_jaccard(
     wedge join is the triangle-counting shuffle shape; degree caps
     from cooccurrence_edges' apriori input keep hub wedges bounded.
     """
+    # edges is read FOUR times below (both wedge sides, the direct-
+    # edge anti-join, and the degree agg): materialize once, or the
+    # plan duplicates the whole upstream per reference (measured: 456
+    # exchanges in the compiled plan over the lazy co-occurrence
+    # pipeline vs ~10 materialized)
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.select(F.col("src").alias("n"), F.col("dst").alias("a"))
     e2 = edges.select(F.col("src").alias("n"), F.col("dst").alias("b"))
     common = (

@@ -87,9 +87,11 @@ ROTATED_IN = {
     "length_batches", "skyline_parts", "frequent_pairs",
     "association_rules", "pagerank_parts", "part_triangles",
     "bloom_join_revenue",
-    # r10 first-timers holding a single green round
+    # the streaming MAX fold's serving anchor
+    "hll_served",
+    # r10 first-timers holding a single green round (edit_distance_pairs
+    # rotated down: judge-verified non-vacuous at sf0.1 in r10)
     "heavy_hitters", "merge_customers", "state_as_of",
-    "edit_distance_pairs",
 }
 
 
