@@ -3415,23 +3415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # column rules + FK orphans fold additively, uniqueness via
         # the per-key count state (a cross-batch duplicate is only
         # visible to the stateful fold)
-        import os as _os
-        import tempfile
-
         from distributed_vector_database_spark.streaming.expectations import (
             build_dq_fold,
         )
 
-        src = _os.path.join(sf, "orders.parquet")
-        try:
-            st = _os.stat(src)
-            key = (sf, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = (sf, None, None)
-        path = _dq_memo.get(key)
-        if path is None:
-            path = tempfile.mkdtemp(prefix="dvdb_dq_")
-            orders = load_table(spark, sf, "orders")
+        def run_folds(path, orders):
             customer = load_table(spark, sf, "customer")
             fold = build_dq_fold(
                 path,
@@ -3441,8 +3429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             for i in range(3):
                 fold(orders.filter(F.col("o_orderkey") % 3 == i), i)
-            _dq_memo[key] = path
-        return path
+
+        return _memoized_fold_state(
+            spark, sf, _dq_memo, "dvdb_dq_", "orders", run_folds
+        )
 
     def dq_served_q(spark, sf):
         from distributed_vector_database_spark.streaming.expectations import (
@@ -3458,41 +3448,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dq_served"] = dq_served_q
 
-    def _transitions_state(spark, sf):
-        # maintained transition matrix for a fixture dir: built once
-        # per process by folding the events in THREE TIME-SPLIT
-        # micro-batches (the fold's per-user ordering contract)
-        # through the replay-safe versioned fold — serving the
-        # snapshot then proves the ledger bridges batch boundaries
-        # (the oracle is the one-shot window over all events)
+    # shared micro-batch window boundaries for the event-fold _served
+    # queries: defined ONCE so the transition and HLL folds can never
+    # split the fixture differently (batch/stream equivalence only
+    # holds when both legs see the same batches)
+    EVENT_FOLD_SPLITS = ("2024-01-11", "2024-01-21")
+
+    def _memoized_fold_state(spark, sf, memo, prefix, table, run_folds):
+        """Stat-keyed per-process memo for a maintained-state dir:
+        build the state once per (fixture dir, file mtime/size) by
+        handing run_folds(path, df) the fixture table."""
         import os as _os
         import tempfile
 
+        src_path = _os.path.join(sf, f"{table}.parquet")
+        try:
+            st = _os.stat(src_path)
+            key = (sf, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, None, None)
+        path = memo.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix=prefix)
+            run_folds(path, load_table(spark, sf, table))
+            memo[key] = path
+        return path
+
+    def _fold_events_in_three(fold, ev):
+        """Drive a foreachBatch fold with the standard three time-split
+        event micro-batches."""
+        lo, hi = EVENT_FOLD_SPLITS
+        fold(ev.filter(F.col("ts") < lo), 0)
+        fold(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), 1)
+        fold(ev.filter(F.col("ts") >= hi), 2)
+
+    def _transitions_state(spark, sf):
+        # maintained transition matrix for a fixture dir: folding the
+        # events in three time-split micro-batches (the fold's
+        # per-user ordering contract) through the replay-safe
+        # versioned fold — serving the snapshot then proves the ledger
+        # bridges batch boundaries (the oracle is the one-shot window
+        # over all events)
         from distributed_vector_database_spark.streaming.transitions import (
             build_transitions_fold,
         )
 
-        src = _os.path.join(sf, "events.parquet")
-        try:
-            st = _os.stat(src)
-            key = (sf, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = (sf, None, None)
-        path = _transitions_memo.get(key)
-        if path is None:
-            path = tempfile.mkdtemp(prefix="dvdb_transitions_")
-            ev = load_table(spark, sf, "events")
-            fold = build_transitions_fold(path)
-            fold(ev.filter(F.col("ts") < "2024-01-11"), 0)
-            fold(
-                ev.filter(
-                    (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
-                ),
-                1,
-            )
-            fold(ev.filter(F.col("ts") >= "2024-01-21"), 2)
-            _transitions_memo[key] = path
-        return path
+        return _memoized_fold_state(
+            spark, sf, _transitions_memo, "dvdb_transitions_", "events",
+            lambda path, ev: _fold_events_in_three(
+                build_transitions_fold(path), ev
+            ),
+        )
 
     def transitions_served_q(spark, sf):
         from distributed_vector_database_spark.streaming.transitions import (
@@ -3504,40 +3510,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transitions_served"] = transitions_served_q
 
     def _hll_state(spark, sf):
-        # maintained HLL registers for a fixture dir: built once per
-        # process by folding the events in three time-split
-        # micro-batches through the replay-safe versioned MAX fold —
-        # serving the snapshot proves register-level batch/stream
-        # equivalence (the oracle is the one-shot register SQL over
-        # all events)
-        import os as _os
-        import tempfile
-
+        # maintained HLL registers for a fixture dir: the same three
+        # time-split batches through the replay-safe versioned MAX
+        # fold — serving the snapshot proves register-level
+        # batch/stream equivalence (the oracle is the one-shot
+        # register SQL over all events)
         from distributed_vector_database_spark.streaming.hll_state import (
             build_hll_fold,
         )
 
-        src_path = _os.path.join(sf, "events.parquet")
-        try:
-            st = _os.stat(src_path)
-            key = (sf, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = (sf, None, None)
-        path = _hll_state_memo.get(key)
-        if path is None:
-            path = tempfile.mkdtemp(prefix="dvdb_hll_")
-            ev = load_table(spark, sf, "events")
-            fold = build_hll_fold(path, "user_id", p=HLL_P)
-            fold(ev.filter(F.col("ts") < "2024-01-11"), 0)
-            fold(
-                ev.filter(
-                    (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
-                ),
-                1,
-            )
-            fold(ev.filter(F.col("ts") >= "2024-01-21"), 2)
-            _hll_state_memo[key] = path
-        return path
+        return _memoized_fold_state(
+            spark, sf, _hll_state_memo, "dvdb_hll_", "events",
+            lambda path, ev: _fold_events_in_three(
+                build_hll_fold(path, "user_id", p=HLL_P), ev
+            ),
+        )
 
     def hll_served_q(spark, sf):
         from distributed_vector_database_spark.streaming.hll_state import (
@@ -7162,19 +7149,24 @@ FROM s GROUP BY user_id, sess
     # AS MATERIALIZED: these CTEs are referenced once PER UNROLLED
     # ROUND below; inlined they re-evaluate the whole edge build
     # 2-3x per round (3^rounds blowup measured at sf0.1 — minutes of
-    # DuckDB CPU for a sub-second materialized plan)
-    _edge_ctes = f"""
+    # DuckDB CPU for a sub-second materialized plan). Parameterized by
+    # support so the dense-graph (support-2) oracles cannot drift from
+    # the support-3 ones via textual substitution.
+    def _edge_ctes_for(support: int) -> str:
+        return f"""
 bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {FREQ_PAIR_SUPPORT}),
+fi AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= {support}),
 pr AS (SELECT bi.b, bi.i FROM bi JOIN fi USING (i)),
 ok AS (SELECT b FROM pr GROUP BY b HAVING count(*) <= 256),
 pp AS MATERIALIZED (SELECT pr.b, pr.i FROM pr JOIN ok USING (b)),
 und AS MATERIALIZED (
   SELECT a.i AS src, c.i AS dst
   FROM pp a JOIN pp c ON a.b = c.b AND a.i < c.i
-  GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_SUPPORT}
+  GROUP BY 1, 2 HAVING count(*) >= {support}
 ),
 edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)"""
+
+    _edge_ctes = _edge_ctes_for(FREQ_PAIR_SUPPORT)
 
     _kc = ["l0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
     _prev_l = "l0"
@@ -7189,9 +7181,7 @@ edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM u
             f"JOIN k{_i} b ON b.src = e.dst)"
         )
         _prev_l = f"l{_i}"
-    _kcore_edge_ctes = _edge_ctes.replace(
-        f">= {FREQ_PAIR_SUPPORT}", f">= {KCORE_SUPPORT}"
-    )
+    _kcore_edge_ctes = _edge_ctes_for(KCORE_SUPPORT)
     o["kcore_parts"] = f"""
 WITH {_kcore_edge_ctes},
 {','.join(_kc)}

@@ -107,7 +107,34 @@ def ngram_jaccard_pairs(
     docs sharing ≥1 shingle ever meet — no cross join) → per-pair
     intersection count → Jaccard from per-doc set sizes. This is the
     exact oracle; minhash_lsh_pairs is its approximation at scale."""
-    # cached: referenced three times below (sizes + both join sides)
+    return (
+        _shingle_pair_counts(docs, n, id_col, text_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id_a < id_b, inter, size_a, size_b) for every doc pair sharing
+    at least one n-gram shingle — the exact-pair pipeline shared by the
+    Jaccard and containment scorers (shared-shingle equi self-join, so
+    no cross join ever).
+
+    The shingle relation is referenced three times (sizes + both join
+    sides); it is materialized via localCheckpoint rather than cache()
+    because checkpoint blocks are GC-managed (released once the result
+    goes unreachable) while a CacheManager entry pins executor storage
+    for the life of the session — the leak class fixed in
+    graph.pagerank this round."""
     sh = (
         ensure_parallelism(docs, id_col)
         .withColumn("__toks", tokenize(text_col))  # staged: no-CSE rule
@@ -117,7 +144,7 @@ def ngram_jaccard_pairs(
                 "shingles"
             ),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.select("id", F.size("shingles").alias("set_size"))
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
@@ -128,18 +155,16 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return pairs.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+            "set_size", "size_a"
+        ),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+            "set_size", "size_b"
+        ),
+        "id_b",
     )
 
 
@@ -161,39 +186,8 @@ def ngram_containment_pairs(
     equi self-join → per-pair intersection → sizes by join); both
     scores are emitted so callers can see WHY a pair matched.
     Returns (id_a < id_b, containment, jaccard), containment ≥ t."""
-    sh = (
-        ensure_parallelism(docs, id_col)
-        .withColumn("__toks", tokenize(text_col))
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles_from_tokens("__toks", n)).alias(
-                "shingles"
-            ),
-        )
-        .cache()
-    )
-    sizes = sh.select("id", F.size("shingles").alias("set_size"))
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-    pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     return (
-        pairs.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
-                "set_size", "size_a"
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
-                "set_size", "size_b"
-            ),
-            "id_b",
-        )
+        _shingle_pair_counts(docs, n, id_col, text_col)
         .withColumn(
             "containment",
             F.round(

@@ -18,6 +18,13 @@ Plan-shape notes (100 TB discipline):
   static edge relation — only the small rank relation moves).
 - ranks are node-sized, edges are edge-sized; nothing is collected to
   the driver and nothing grows with iteration count.
+- materialization is localCheckpoint(eager=True): blocks are executor-
+  local and GC-managed, the right trade on a single JVM and for
+  short-lived results (release-on-unreachable, no CacheManager pin).
+  Caveat for long-lived results on clusters with executor loss /
+  dynamic allocation: localCheckpoint truncates lineage, so lost
+  blocks are unrecoverable — flip to reliable checkpoint
+  (spark.sparkContext.setCheckpointDir + .checkpoint()) there.
 """
 
 from __future__ import annotations
@@ -55,12 +62,12 @@ def cooccurrence_edges(
         .filter(F.col("__sup") >= min_support)
         .select("src", "dst")
     )
-    # und stays lazy: its input is the MATERIALIZED pruned relation
-    # (see _frequent_basket_items), so re-evaluation is one cheap
-    # self-join, and every iterative consumer (pagerank, k-core,
-    # label propagation, triangle_count) persists or checkpoints its
-    # own working relation anyway — a second checkpoint here would
-    # just add a write+read job to single-action callers
+    # und stays lazy: within one action Spark's exchange reuse dedupes
+    # the double read of the union below, and every multi-action
+    # consumer (pagerank, k-core, label propagation, triangle_count,
+    # neighborhood_jaccard) persists or checkpoints its own working
+    # relation — a checkpoint here would just add a write+read job to
+    # single-action callers (measured in SCALE.md's r11 adjudication)
     return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 

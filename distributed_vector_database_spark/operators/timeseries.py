@@ -55,7 +55,12 @@ def ewma_smooth(
     hourly = (
         events.select(
             F.col(type_col).alias("event_type"),
-            (F.unix_seconds(F.date_trunc("hour", F.col(ts_col))) / 3600)
+            # floor, not cast: cast-to-long truncates toward zero, so a
+            # pre-epoch timestamp (-0.5h) would merge into bucket 0
+            # while the oracle's integer floor-division yields -1
+            F.floor(
+                F.unix_seconds(F.date_trunc("hour", F.col(ts_col))) / 3600
+            )
             .cast("long")
             .alias("hour_id"),
         )
