@@ -137,6 +137,8 @@ KCORE_SUPPORT = 2         # kcore_parts: edge min_support (denser graph
                           # non-vacuous at every fixture scale - 200 /
                           # 1535 / 3 survivors at sf0.001/0.01/0.1)
 LP_ITERS = 4              # part_communities: min-label propagation iters
+PPR_ITERS = 4             # ppr_parts: personalized-PageRank iterations
+PPR_SEEDS = 5             # ppr_parts: |seed set| (smallest node ids)
 EWMA_ALPHA = 0.5          # event_ewma: dyadic decay -> every weight is an
                           # exact power of two, so Spark and the oracle
                           # agree bit-for-bit (pow(0.7,k) differs by ulps
@@ -3629,6 +3631,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_link_prediction"] = part_link_prediction_q
 
+    def ppr_parts_q(spark, sf):
+        # personalized PageRank (random walk with restart): similarity
+        # to a 5-node seed set over the dense co-purchase graph
+        from distributed_vector_database_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edges = _dense_part_edges(spark, sf)
+        seeds = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(PPR_SEEDS)
+        )
+        return personalized_pagerank(edges, seeds, iterations=PPR_ITERS)
+
+    q["ppr_parts"] = ppr_parts_q
+
     def event_ewma_q(spark, sf):
         # trailing EWMA of hourly event counts per type; the bounded
         # lag sequence turns the window into an equi join
@@ -3751,10 +3771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches", "skyline_parts", "frequent_pairs",
         "association_rules", "pagerank_parts", "part_triangles",
         "bloom_join_revenue",
-        # --- the streaming MAX fold's serving anchor ---
-        "hll_served",
-        # --- r10 first-timers holding a single green round ---
-        "heavy_hitters", "merge_customers", "state_as_of",
+        # --- the streaming MAX fold's serving anchor + the seeded
+        # random-walk ranking ---
+        "hll_served", "ppr_parts",
+        # --- r10 first-timers holding a single green round
+        # (state_as_of rotated down: judge-verified at sf0.1 in r10) ---
+        "heavy_hitters", "merge_customers",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -3771,7 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round by tools/check_correctness.py). Head: r10-rotation
         # members displaced by the r11 batch — all hash-green in
         # CORRECTNESS_r10 on code unchanged since ----
-        "edit_distance_pairs",
+        "edit_distance_pairs", "state_as_of",
         "zorder_curve", "weighted_sample_by_lang", "bm25_filtered_topk",
         "gopher_rules", "tri_hybrid_filtered_topk", "event_transitions",
         "transitions_served", "session_paths", "bm25_postings_topk",
@@ -7210,6 +7232,53 @@ FROM {_prev_l} GROUP BY src HAVING count(*) >= {KCORE_K}
 WITH {_kcore_edge_ctes},
 {','.join(_lp)}
 SELECT node, label FROM {_prev_lbl}
+"""
+
+    _ppr = []
+    _prev_ppr = "ppr0"
+    for _i in range(1, PPR_ITERS + 1):
+        _ppr.append(
+            f"""m{_i} AS (
+  SELECT e.dst AS node, sum(p.rank / dg.deg) AS mass
+  FROM edges e
+  JOIN {_prev_ppr} p ON p.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        _ppr.append(
+            f"""ppr{_i} AS MATERIALIZED (
+  SELECT n.node,
+    (CASE WHEN sd.node IS NOT NULL
+          THEN (SELECT tele FROM consts) ELSE 0.0 END)
+    + 0.85 * coalesce(m.mass, 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN m{_i} m ON m.node = n.node
+)"""
+        )
+        _prev_ppr = f"ppr{_i}"
+    o["ppr_parts"] = f"""
+WITH {_kcore_edge_ctes},
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+seeds AS MATERIALIZED (
+  SELECT node FROM nodes ORDER BY node LIMIT {PPR_SEEDS}
+),
+ns AS (SELECT count(*) AS s FROM seeds),
+consts AS (
+  SELECT (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s AS tele FROM ns
+),
+ppr0 AS MATERIALIZED (
+  SELECT n.node,
+    CASE WHEN sd.node IS NOT NULL
+         THEN CAST(1 AS DOUBLE) / (SELECT s FROM ns) ELSE 0.0 END AS rank
+  FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node
+),
+{','.join(_ppr)}
+SELECT node,
+  round(rank * (SELECT count(*) FROM nodes), 6) AS rank_rel
+FROM {_prev_ppr}
 """
 
     o["part_link_prediction"] = f"""

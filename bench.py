@@ -215,6 +215,8 @@ HEADLINE = [
     "containment_dup_pairs",
     # round-11: maintained HLL registers served from the MAX fold
     "hll_served",
+    # round-11: personalized PageRank (random walk with restart)
+    "ppr_parts",
 ]
 
 

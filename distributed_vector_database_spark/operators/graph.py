@@ -354,3 +354,101 @@ def neighborhood_jaccard(
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(top_n)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass returns to a SEED set
+    instead of spreading uniformly — the similarity-to-these-nodes
+    ranking recommenders and related-item queries run (random walk
+    with restart). Contract: nodes = distinct src of the symmetric
+    edge list (so no dangling mass); rank_0 = 1/|S| on seeds, else 0;
+    rank_{t+1}(v) = (1-d)·1[v∈S]/|S| + d·Σ_{(u,v)} rank_t(u)/deg(u).
+    Returns (node, rank_rel = rank_T · N rounded to 6) — the same
+    O(1)-value scaling as pagerank, so rounding is oracle-stable.
+
+    Same one-shuffle-per-iteration discipline as pagerank, with one
+    difference: nodes without in-mass this round still need their
+    teleport term, so each iteration rebuilds ranks from the static
+    node relation (left join on the contribution aggregate) rather
+    than from the aggregate alone. `seeds` must have a `node` column;
+    non-existent seed nodes are ignored (semi join against nodes).
+    """
+    nparts = int(
+        partitions
+        or edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = edges.join(deg, "src").repartition(nparts, "src").persist()
+    nodes = (
+        adj.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .repartition(nparts, "node")
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        adj.unpersist()
+        nodes.unpersist()
+        raise ValueError("personalized_pagerank: empty edge list")
+    seed_nodes = (
+        nodes.join(
+            seeds.select(F.col("node")).distinct(), "node", "left_semi"
+        )
+        .withColumn("__is_seed", F.lit(True))
+        .persist()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        adj.unpersist()
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        raise ValueError("personalized_pagerank: no seed intersects the graph")
+
+    def with_seed_flag(df: DataFrame) -> DataFrame:
+        return df.join(seed_nodes, "node", "left").select(
+            df["*"], F.coalesce("__is_seed", F.lit(False)).alias("__seed")
+        )
+
+    ranks = with_seed_flag(nodes).select(
+        "node",
+        F.when(F.col("__seed"), F.lit(1.0) / n_seeds)
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    teleport = (1.0 - damping) / n_seeds
+    for _ in range(iterations):
+        in_mass = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            with_seed_flag(nodes)
+            .join(in_mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed"), F.lit(teleport)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .repartition(nparts, "node")
+        )
+    out = ranks.select(
+        "node", F.round(F.col("rank") * n, 6).alias("rank_rel")
+    ).localCheckpoint(eager=True)
+    adj.unpersist()
+    nodes.unpersist()
+    seed_nodes.unpersist()
+    return out

@@ -87,11 +87,12 @@ ROTATED_IN = {
     "length_batches", "skyline_parts", "frequent_pairs",
     "association_rules", "pagerank_parts", "part_triangles",
     "bloom_join_revenue",
-    # the streaming MAX fold's serving anchor
-    "hll_served",
+    # the streaming MAX fold's serving anchor + the seeded
+    # random-walk ranking
+    "hll_served", "ppr_parts",
     # r10 first-timers holding a single green round (edit_distance_pairs
-    # rotated down: judge-verified non-vacuous at sf0.1 in r10)
-    "heavy_hitters", "merge_customers", "state_as_of",
+    # and state_as_of rotated down: judge-verified at sf0.1 in r10)
+    "heavy_hitters", "merge_customers",
 }
 
 

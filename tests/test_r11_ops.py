@@ -251,3 +251,67 @@ def test_containment_finds_subset_jaccard_misses(spark):
     assert (1, 2) in out
     c, j = out[(1, 2)]
     assert c == 1.0 and j < 0.5  # the asymmetric measure sees what J cannot
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (4, 5)]
+    edges = _sym(spark, und)
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {
+        r.node: r.rank_rel
+        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+    }
+
+    nodes = sorted({x for e in und for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, b in und:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = np.zeros(n)
+    s = [idx[1], idx[2]]
+    r[s] = 1 / len(s)
+    d = 0.85
+    for _ in range(4):
+        nxt = np.zeros(n)
+        nxt[s] += (1 - d) / len(s)
+        for a, b in und:
+            nxt[idx[b]] += d * r[idx[a]] / deg[idx[a]]
+            nxt[idx[a]] += d * r[idx[b]] / deg[idx[b]]
+        r = nxt
+    expect = {v: round(r[idx[v]] * n, 6) for v in nodes}
+    assert set(got) == set(expect)
+    for v in nodes:
+        assert abs(got[v] - expect[v]) < 1e-6
+    # restart mass concentrates near the seeds
+    assert got[1] > got[5] and got[2] > got[5]
+
+
+def test_personalized_pagerank_conserves_mass(spark):
+    from distributed_vector_database_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = personalized_pagerank(edges, seeds, iterations=6).collect()
+    total = sum(r.rank_rel for r in out)  # ranks scaled by n: sum = n
+    assert abs(total - 4.0) < 1e-4
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    from distributed_vector_database_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = _sym(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds)
