@@ -3087,6 +3087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_support=FREQ_PAIR_SUPPORT,
             max_basket=256,
             top_n=25,
+            # parts are a bounded catalog: static broadcast hint, no
+            # cardinality-probe job (the 5M default guard is for
+            # unbounded item domains)
+            max_broadcast_items=None,
         )
 
     q["frequent_pairs"] = frequent_pairs_q
@@ -3198,22 +3202,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_customers"] = merge_customers_q
 
+    _graph_layout_memo: dict[tuple, str] = {}
+
+    def _graph_layout(spark, sf, min_support):
+        # derive-once, serve-many: the part co-purchase graph for a
+        # fixture dir is derived ONCE (the basket self-join is the
+        # expensive step) into a persisted symmetric (src, dst, deg)
+        # layout — write-audit-publish like postings/IVF/HNSW — and
+        # every graph contract query reads it (VERDICT r11 #2: at
+        # 100 TB a graph is derived once and queried many times;
+        # rebuilding it per query multiplied the derivation cost by
+        # six). Stat-keyed on the source parquet so a fixture
+        # regeneration rebuilds, never serves a stale graph.
+        import os as _os
+        import tempfile
+
+        from distributed_vector_database_spark.operators.graph import (
+            cooccurrence_edges,
+            graph_write,
+        )
+
+        src = _os.path.join(sf, "lineitem.parquet")
+        try:
+            st = _os.stat(src)
+            key = (sf, min_support, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (sf, min_support, None, None)
+        path = _graph_layout_memo.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="dvdb_graph_")
+            edges = cooccurrence_edges(
+                load_table(spark, sf, "lineitem"),
+                "l_orderkey",
+                "l_partkey",
+                min_support=min_support,
+                max_basket=256,
+                # parts are a bounded catalog: static broadcast hint,
+                # no cardinality-probe job needed
+                max_broadcast_items=None,
+            )
+            graph_write(edges, path)
+            _graph_layout_memo[key] = path
+        return path
+
+    def _graph_edges(spark, sf, min_support, with_deg=False):
+        from distributed_vector_database_spark.operators.graph import (
+            graph_read,
+        )
+
+        adj = graph_read(spark, _graph_layout(spark, sf, min_support))
+        return adj if with_deg else adj.select("src", "dst")
+
     def pagerank_parts_q(spark, sf):
         # fixed-iteration PageRank over the part co-purchase graph:
         # one shuffle per iteration against a cached, pre-partitioned
-        # adjacency; ranks scaled by N for oracle-stable rounding
+        # adjacency; ranks scaled by N for oracle-stable rounding.
+        # Serves the persisted layout — deg pre-attached, so the
+        # degree join disappears from the query path entirely
         from distributed_vector_database_spark.operators.graph import (
-            cooccurrence_edges,
             pagerank,
         )
 
-        edges = cooccurrence_edges(
-            load_table(spark, sf, "lineitem"),
-            "l_orderkey",
-            "l_partkey",
-            min_support=FREQ_PAIR_SUPPORT,
-            max_basket=256,
-        )
+        edges = _graph_edges(spark, sf, FREQ_PAIR_SUPPORT, with_deg=True)
         return pagerank(edges, iterations=PAGERANK_ITERS, damping=0.85)
 
     q["pagerank_parts"] = pagerank_parts_q
@@ -3249,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_support=FREQ_PAIR_SUPPORT,
             max_basket=256,
             top_n=25,
+            max_broadcast_items=None,  # bounded parts catalog
         )
 
     q["association_rules"] = association_rules_q
@@ -3268,20 +3319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def part_triangles_q(spark, sf):
         # exact triangle count over the part co-purchase graph via
-        # degree-ordered orientation (hub-safe wedge join)
+        # degree-ordered orientation (hub-safe wedge join); reads the
+        # persisted layout, so the wedge join runs over a parquet
+        # scan instead of re-deriving the basket self-join
         from distributed_vector_database_spark.operators.graph import (
-            cooccurrence_edges,
             triangle_count,
         )
 
-        edges = cooccurrence_edges(
-            load_table(spark, sf, "lineitem"),
-            "l_orderkey",
-            "l_partkey",
-            min_support=FREQ_PAIR_SUPPORT,
-            max_basket=256,
-        )
-        return triangle_count(edges)
+        return triangle_count(_graph_edges(spark, sf, FREQ_PAIR_SUPPORT))
 
     q["part_triangles"] = part_triangles_q
 
@@ -3366,17 +3411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_trends"] = event_trends_q
 
-    def pca_whiten_q(spark, sf):
-        # PCA whitening of the embedding corpus (rows-only: the d×d
-        # eigendecomposition is not SQL-expressible; numpy parity and
-        # identity-covariance are pinned by tests/test_pca.py).
-        # Distributed moments -> driver eigh -> codegen projection;
-        # per-row output is scalar pc columns (contract lint: no
-        # array-typed result columns)
-        from distributed_vector_database_spark.operators.pca import (
-            pca_fit,
-            pca_project,
-        )
+    def _pca_model(spark, sf):
+        # stat-keyed memo for the fitted PCA model (k=4) — shared by
+        # the whitening projection and its invariants query
+        from distributed_vector_database_spark.operators.pca import pca_fit
 
         import os as _os
 
@@ -3387,11 +3425,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         except OSError:
             key = (sf, None, None)
         model = _pca_memo.get(key)
-        emb = _emb(spark, sf)
         if model is None:
-            model = pca_fit(emb, k=4)
+            model = pca_fit(_emb(spark, sf), k=4)
             _pca_memo[key] = model
-        proj = pca_project(emb, model, whiten=True)
+        return model
+
+    def pca_whiten_q(spark, sf):
+        # PCA whitening of the embedding corpus (rows-only: the d×d
+        # eigendecomposition is not SQL-expressible; numpy parity and
+        # identity-covariance are pinned by tests/test_pca.py, and the
+        # pca_invariants companion query is hash-matched).
+        # Distributed moments -> driver eigh -> codegen projection;
+        # per-row output is scalar pc columns (contract lint: no
+        # array-typed result columns)
+        from distributed_vector_database_spark.operators.pca import (
+            pca_project,
+        )
+
+        model = _pca_model(spark, sf)
+        proj = pca_project(_emb(spark, sf), model, whiten=True)
         return proj.select(
             "vec_id",
             *[
@@ -3401,6 +3453,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pca_whiten"] = pca_whiten_q
+
+    def pca_invariants_q(spark, sf):
+        # SQL-checkable PCA invariants (VERDICT r11 #5): the
+        # eigendecomposition itself is not SQL, but its defining
+        # identities are — (a) trace preservation: the sum of ALL
+        # per-dim population variances of the raw embeddings equals
+        # the trace of the fitted covariance, which the model exposes
+        # as eigenvalue/explained-ratio; (b) whitened per-component
+        # variance is exactly 1; (c) whitened components are
+        # uncorrelated (covar_pop 0). DuckDB computes (a) directly
+        # from the fixture and (b)/(c) are literals, so the last
+        # no-oracle component gains a hash-matched driver row.
+        # total_var_raw is a Spark JVM aggregate over the raw dims,
+        # total_var_model comes from the fitted eigenvalues: a hash
+        # match proves raw trace == model trace == DuckDB trace.
+        from distributed_vector_database_spark.operators.pca import (
+            pca_project,
+        )
+
+        model = _pca_model(spark, sf)
+        emb = _emb(spark, sf).filter(F.col("embedding").isNotNull())
+        proj = pca_project(emb, model, whiten=True)
+        dim = len(model["mean"])
+        total_model = sum(model["eigenvalues"]) / max(
+            sum(model["explained"]), 1e-300
+        )
+        p = [F.element_at("proj", i + 1) for i in range(4)]
+        aggs = [
+            F.round(
+                sum(
+                    F.var_pop(F.element_at("embedding", j + 1))
+                    for j in range(dim)
+                ),
+                4,
+            ).alias("total_var_raw"),
+        ]
+        # + 0.0 normalizes IEEE -0.0 (round of a tiny negative) to 0.0
+        # so the value hash cannot differ from the oracle's literal
+        aggs += [
+            (F.round(F.var_pop(p[i]), 4) + F.lit(0.0)).alias(f"wvar{i + 1}")
+            for i in range(4)
+        ]
+        aggs += [
+            (F.round(F.covar_pop(p[i], p[j]), 4) + F.lit(0.0)).alias(
+                f"wcov{i + 1}{j + 1}"
+            )
+            for i in range(4)
+            for j in range(i + 1, 4)
+        ]
+        return proj.agg(*aggs).select(
+            F.lit(4).cast("int").alias("n_components"),
+            F.lit(round(total_model, 4)).cast("double").alias(
+                "total_var_model"
+            ),
+            "*",
+        )
+
+    q["pca_invariants"] = pca_invariants_q
 
     def _dq_rules():
         return {
@@ -3433,7 +3543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 fold(orders.filter(F.col("o_orderkey") % 3 == i), i)
 
         return _memoized_fold_state(
-            spark, sf, _dq_memo, "dvdb_dq_", "orders", run_folds
+            spark, sf, _dq_memo, "dvdb_dq_", "orders", run_folds,
+            extra_tables=("customer",),  # FK leg reads it: key must too
         )
 
     def dq_served_q(spark, sf):
@@ -3456,19 +3567,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # holds when both legs see the same batches)
     EVENT_FOLD_SPLITS = ("2024-01-11", "2024-01-21")
 
-    def _memoized_fold_state(spark, sf, memo, prefix, table, run_folds):
+    def _memoized_fold_state(
+        spark, sf, memo, prefix, table, run_folds, extra_tables=()
+    ):
         """Stat-keyed per-process memo for a maintained-state dir:
         build the state once per (fixture dir, file mtime/size) by
-        handing run_folds(path, df) the fixture table."""
+        handing run_folds(path, df) the fixture table. The key stats
+        EVERY table the fold reads — primary plus `extra_tables` — so
+        regenerating any input (e.g. customer under the dq fold's FK
+        leg) invalidates the memo, never serving stale state."""
         import os as _os
         import tempfile
 
-        src_path = _os.path.join(sf, f"{table}.parquet")
-        try:
-            st = _os.stat(src_path)
-            key = (sf, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = (sf, None, None)
+        key_parts = [sf]
+        for t in (table, *extra_tables):
+            src_path = _os.path.join(sf, f"{t}.parquet")
+            try:
+                st = _os.stat(src_path)
+                key_parts.extend((st.st_mtime_ns, st.st_size))
+            except OSError:
+                key_parts.extend((None, None))
+        key = tuple(key_parts)
         path = memo.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix=prefix)
@@ -3478,9 +3597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _fold_events_in_three(fold, ev):
         """Drive a foreachBatch fold with the standard three time-split
-        event micro-batches."""
+        event micro-batches. NULL-ts rows ride in the FIRST batch
+        explicitly: the oracles are one-shot SQL over ALL events, so a
+        ts-range split that silently dropped NULL ts would break
+        served/oracle parity the day a fixture carries one."""
         lo, hi = EVENT_FOLD_SPLITS
-        fold(ev.filter(F.col("ts") < lo), 0)
+        fold(ev.filter((F.col("ts") < lo) | F.col("ts").isNull()), 0)
         fold(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), 1)
         fold(ev.filter(F.col("ts") >= hi), 2)
 
@@ -3579,21 +3701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tri_hybrid_filtered_topk"] = tri_hybrid_filtered_topk_q
 
-    def _dense_part_edges(spark, sf):
+    def _dense_part_edges(spark, sf, with_deg=False):
         # support-2 co-purchase graph: the support-3 one collapses to
         # 4 nodes at sf0.1, support-2 keeps 200/1880/5922 nodes across
-        # the fixture scales — non-vacuous analytics everywhere
-        from distributed_vector_database_spark.operators.graph import (
-            cooccurrence_edges,
-        )
-
-        return cooccurrence_edges(
-            load_table(spark, sf, "lineitem"),
-            "l_orderkey",
-            "l_partkey",
-            min_support=KCORE_SUPPORT,
-            max_basket=256,
-        )
+        # the fixture scales — non-vacuous analytics everywhere.
+        # Served from the persisted layout (derived once per fixture)
+        return _graph_edges(spark, sf, KCORE_SUPPORT, with_deg=with_deg)
 
     def kcore_parts_q(spark, sf):
         # fixed-round k-core peel: nodes surviving 4 synchronous
@@ -3638,7 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             personalized_pagerank,
         )
 
-        edges = _dense_part_edges(spark, sf)
+        edges = _dense_part_edges(spark, sf, with_deg=True)
         seeds = (
             edges.select(F.col("src").alias("node"))
             .distinct()
@@ -3648,6 +3761,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return personalized_pagerank(edges, seeds, iterations=PPR_ITERS)
 
     q["ppr_parts"] = ppr_parts_q
+
+    def part_degree_toplist_q(spark, sf):
+        # direct hash-check of the persisted graph LAYOUT contents:
+        # the denormalized per-edge degree column, distinct per node,
+        # top-20 by (degree desc, node) — the oracle recomputes the
+        # co-purchase degrees from the raw fact, so a layout that
+        # drifted from its derivation (stale version, audit gap,
+        # degree-denormalization bug) hash-fails here even if the
+        # iterative queries happen to mask it
+        adj = _dense_part_edges(spark, sf, with_deg=True)
+        return (
+            adj.select(F.col("src").alias("node"), F.col("deg"))
+            .distinct()
+            .orderBy(F.desc("deg"), "node")
+            .limit(20)
+        )
+
+    q["part_degree_toplist"] = part_degree_toplist_q
 
     def event_ewma_q(spark, sf):
         # trailing EWMA of hourly event counts per type; the bounded
@@ -3750,33 +3881,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green one-shot queries — all hash-oracled and
     # full-gate-checked every round by tools/check_correctness.py.
     preferred = [
-        # --- r11 rotation, policy "new + code-changed + never-green
-        # first" (VERDICT r10 #2). Head: the six queries that have
-        # NEVER produced a driver CORRECTNESS row (the r10 monitoring
-        # batch), completing driver coverage of every contract query.
-        "dq_report", "dq_served", "event_trends", "volume_anomalies",
-        "volume_anomalies_served", "pca_whiten",
-        # --- r11 new operators (graph analytics / time series /
-        # sketches / containment dedup) ---
-        "kcore_parts", "part_communities", "part_link_prediction",
+        # --- r12 rotation, policy "new + code-changed + never-green
+        # first". Head: the two r12-new queries (pca_invariants gives
+        # the PCA component its first HASH row — the last no_oracle
+        # err becomes a match, VERDICT r11 #5; part_degree_toplist
+        # hash-checks the persisted graph layout's contents directly).
+        "pca_invariants", "part_degree_toplist",
+        # --- every query whose code path changed this round: the six
+        # graph queries now serve the persisted layout (graph_write/
+        # graph_read; deg pre-attached for pagerank/ppr; materialized
+        # one-directional edge aggregate), frequent_pairs/
+        # association_rules carry the re-defaulted broadcast guard
+        # threading, pca_whiten shares the refactored model memo, and
+        # the three event-fold served queries + dq_served carry the
+        # NULL-ts batch routing + multi-table memo key fixes ---
+        "pagerank_parts", "part_triangles", "kcore_parts",
+        "part_communities", "part_link_prediction", "ppr_parts",
+        "frequent_pairs", "association_rules", "pca_whiten",
+        "dq_served", "transitions_served", "hll_served",
+        # --- r11 first-timers holding a single green driver round
+        # (13 of them: heavy_hitters/merge_customers rotate down with
+        # two green rounds each, volume_anomalies_served rotates down
+        # sharing its sibling's oracle — the head must leave all 23
+        # exact-recall anchors inside the 50-row budget) ---
+        "dq_report", "event_trends", "volume_anomalies",
         "event_ewma", "value_mad_outliers", "cumulative_new_users",
         "peak_concurrency", "hll_user_registers", "hll_user_estimate",
         "containment_dup_pairs",
-        # --- code-changed paths owed a fresh driver row:
-        # length_batches (oracle HUGEINT->BIGINT fix for the r10 hash
-        # fail), skyline_parts (now the per-brand grouped front),
-        # frequent_pairs/association_rules (bounded-broadcast guard),
-        # pagerank_parts/part_triangles (cache-release rework),
-        # bloom_join_revenue (NULL-key semi-join semantics) ---
-        "length_batches", "skyline_parts", "frequent_pairs",
-        "association_rules", "pagerank_parts", "part_triangles",
-        "bloom_join_revenue",
-        # --- the streaming MAX fold's serving anchor + the seeded
-        # random-walk ranking ---
-        "hll_served", "ppr_parts",
-        # --- r10 first-timers holding a single green round
-        # (state_as_of rotated down: judge-verified at sf0.1 in r10) ---
-        "heavy_hitters", "merge_customers",
+        "length_batches", "skyline_parts", "bloom_join_revenue",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -3790,9 +3922,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_join_exact", "ann_pq_layout_exact",
         "ann_ivfpq_layout_exact",
         # ---- tier 2 (below the 50-row budget; full-gate-checked every
-        # round by tools/check_correctness.py). Head: r10-rotation
-        # members displaced by the r11 batch — all hash-green in
-        # CORRECTNESS_r10 on code unchanged since ----
+        # round by tools/check_correctness.py). Head: r11-rotation
+        # members displaced by the r12 batch, then r10-rotation
+        # members displaced by r11 — all hash-green on their last
+        # driver sample ----
+        "volume_anomalies_served", "heavy_hitters", "merge_customers",
         "edit_distance_pairs", "state_as_of",
         "zorder_curve", "weighted_sample_by_lang", "bm25_filtered_topk",
         "gopher_rules", "tri_hybrid_filtered_topk", "event_transitions",
@@ -7204,6 +7338,17 @@ edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM u
         )
         _prev_l = f"l{_i}"
     _kcore_edge_ctes = _edge_ctes_for(KCORE_SUPPORT)
+
+    # layout-contents anchor: recompute the co-purchase degrees from
+    # the raw fact — hash-fails if the served layout ever drifts from
+    # its derivation (stale version, degree-denormalization bug)
+    o["part_degree_toplist"] = f"""
+WITH {_kcore_edge_ctes}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM edges GROUP BY src
+ORDER BY deg DESC, node LIMIT 20
+"""
+
     o["kcore_parts"] = f"""
 WITH {_kcore_edge_ctes},
 {','.join(_kc)}
@@ -7461,6 +7606,35 @@ SELECT id_a, id_b,
 FROM pairs
 WHERE inter > 0
   AND round(inter / CAST(least(size_a, size_b) AS DOUBLE), 6) >= {CONTAIN_T}
+"""
+
+    # PCA invariants (VERDICT r11 #5): DuckDB computes the covariance
+    # TRACE directly from the fixture (sum of per-dim population
+    # variances over the non-null embeddings) — the eigendecomposition
+    # must preserve it, so both the Spark raw-aggregate column and the
+    # model-derived column hash against it. Whitened per-component
+    # variance is 1 and cross-covariance 0 by construction, so those
+    # columns are literals: a hash mismatch means the whitening is
+    # broken, not that the oracle drifted.
+    _pca_dim = 64
+    _pca_trace = " + ".join(
+        f"var_pop(embedding[{j + 1}])" for j in range(_pca_dim)
+    )
+    _pca_ones = ", ".join(
+        f"CAST(1.0 AS DOUBLE) AS wvar{i + 1}" for i in range(4)
+    )
+    _pca_zeros = ", ".join(
+        f"CAST(0.0 AS DOUBLE) AS wcov{i + 1}{j + 1}"
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    o["pca_invariants"] = f"""
+SELECT CAST(4 AS INTEGER) AS n_components,
+  round({_pca_trace}, 4) AS total_var_model,
+  round({_pca_trace}, 4) AS total_var_raw,
+  {_pca_ones},
+  {_pca_zeros}
+FROM embeddings WHERE embedding IS NOT NULL
 """
 
     return o

@@ -66,33 +66,26 @@ ROWS_ONLY = {
 }
 
 ROTATED_IN = {
-    # r11 rotation, policy "new + code-changed + never-green first"
-    # (VERDICT r10 #2):
-    # the six never-driver-sampled r10 monitoring queries — their
-    # green rows complete driver coverage of the whole contract
-    "dq_report", "dq_served", "event_trends", "volume_anomalies",
-    "volume_anomalies_served", "pca_whiten",
-    # round-11 new operators (graph analytics / time series /
-    # sketches / containment dedup)
-    "kcore_parts", "part_communities", "part_link_prediction",
+    # r12 rotation, policy "new + code-changed + never-green first":
+    # the two r12-new queries — pca_invariants turns the last
+    # no_oracle err row into a hash match (VERDICT r11 #5),
+    # part_degree_toplist hash-checks the persisted graph layout
+    "pca_invariants", "part_degree_toplist",
+    # every query whose code path changed in r12: the six graph
+    # queries now serve the persisted layout, the mining pair carries
+    # the re-defaulted broadcast guard, pca_whiten shares the
+    # refactored model memo, and the served folds carry the NULL-ts
+    # batch routing + multi-table memo key fixes
+    "pagerank_parts", "part_triangles", "kcore_parts",
+    "part_communities", "part_link_prediction", "ppr_parts",
+    "frequent_pairs", "association_rules", "pca_whiten",
+    "dq_served", "transitions_served", "hll_served",
+    # r11 first-timers holding a single green driver round
+    "dq_report", "event_trends", "volume_anomalies",
     "event_ewma", "value_mad_outliers", "cumulative_new_users",
     "peak_concurrency", "hll_user_registers", "hll_user_estimate",
     "containment_dup_pairs",
-    # code-changed paths owed a fresh driver row: length_batches
-    # (oracle HUGEINT cast fix for the r10 hash-fail), skyline_parts
-    # (per-brand grouped front), the bounded-broadcast guard
-    # (frequent_pairs/association_rules), the graph cache-release
-    # rework (pagerank_parts/part_triangles), and the bloom NULL-key
-    # fix (bloom_join_revenue)
-    "length_batches", "skyline_parts", "frequent_pairs",
-    "association_rules", "pagerank_parts", "part_triangles",
-    "bloom_join_revenue",
-    # the streaming MAX fold's serving anchor + the seeded
-    # random-walk ranking
-    "hll_served", "ppr_parts",
-    # r10 first-timers holding a single green round (edit_distance_pairs
-    # and state_as_of rotated down: judge-verified at sf0.1 in r10)
-    "heavy_hitters", "merge_customers",
+    "length_batches", "skyline_parts", "bloom_join_revenue",
 }
 
 

@@ -44,6 +44,37 @@ def test_frequent_pairs_counts_and_pruning(spark):
     assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2, (3, 4): 2}
 
 
+def test_frequent_pairs_broadcast_guard_paths_agree(spark):
+    """The three broadcast-guard modes — static hint (None), probe
+    that admits the hint (large threshold), probe that DROPS the hint
+    (threshold below the frequent-item count, the unbounded-vocabulary
+    degradation at 100x) — must return identical pairs."""
+    expected = {(1, 2): 3, (1, 3): 2, (2, 3): 2, (3, 4): 2}
+    for mbi in (None, 1000, 1):
+        out = frequent_pairs(
+            _baskets(spark), "basket", "item", min_support=2, top_n=10,
+            max_broadcast_items=mbi,
+        ).collect()
+        got = {(r.item_a, r.item_b): r.pair_support for r in out}
+        assert got == expected, f"max_broadcast_items={mbi}"
+
+
+def test_association_rules_guard_threaded(spark):
+    from distributed_vector_database_spark.operators.mining import (
+        association_rules,
+    )
+
+    base = association_rules(
+        _baskets(spark), "basket", "item", min_support=2
+    ).collect()
+    guarded = association_rules(
+        _baskets(spark), "basket", "item", min_support=2,
+        max_broadcast_items=1,
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))
+    assert base  # non-vacuous
+
+
 def test_frequent_pairs_basket_cap_drops_skewed_basket(spark):
     rows = [(1, i) for i in range(10)] + [(2, i) for i in range(10)]
     df = spark.createDataFrame(rows, "basket long, item long")
