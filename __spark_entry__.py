@@ -3780,6 +3780,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_degree_toplist"] = part_degree_toplist_q
 
+    _graph_fold_memo: dict[tuple, str] = {}
+
+    def _graph_fold_state(spark, sf):
+        # maintained co-occurrence supports: fold the lineitem baskets
+        # in three orderkey-split micro-batches (complete-basket
+        # delivery — a basket IS an orderkey, so the split can never
+        # tear one) through the replay-safe versioned fold
+        from distributed_vector_database_spark.streaming.graph_maintenance import (
+            build_graph_fold,
+        )
+
+        def run_folds(path, li):
+            fold = build_graph_fold(path, "l_orderkey", "l_partkey")
+            for i in range(3):
+                fold(li.filter(F.col("l_orderkey") % 3 == i), i)
+
+        return _memoized_fold_state(
+            spark, sf, _graph_fold_memo, "dvdb_graphfold_", "lineitem",
+            run_folds,
+        )
+
+    def graph_served_edges_q(spark, sf):
+        # the INGEST-level graph maintenance story served: co-purchase
+        # edges (src, dst, sup) from the accumulated pair/item support
+        # fold — the oracle is the one-shot computation under the
+        # fold's own semantics (raw-size cap, read-time item pruning),
+        # so the hash match proves the ledger bridges batch boundaries
+        from distributed_vector_database_spark.streaming.graph_maintenance import (
+            read_cooccurrence_graph,
+        )
+
+        # support-2 (KCORE_SUPPORT): the support-3 graph collapses to
+        # a handful of edges at sf0.1 — same reason the dense graph
+        # family uses it. min_support binds at READ, not in the state,
+        # so the fold itself is support-agnostic
+        return read_cooccurrence_graph(
+            spark, _graph_fold_state(spark, sf),
+            min_support=KCORE_SUPPORT,
+        )
+
+    q["graph_served_edges"] = graph_served_edges_q
+
     def event_ewma_q(spark, sf):
         # trailing EWMA of hourly event counts per type; the bounded
         # lag sequence turns the window into an equi join
@@ -3882,11 +3924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-gate-checked every round by tools/check_correctness.py.
     preferred = [
         # --- r12 rotation, policy "new + code-changed + never-green
-        # first". Head: the two r12-new queries (pca_invariants gives
-        # the PCA component its first HASH row — the last no_oracle
-        # err becomes a match, VERDICT r11 #5; part_degree_toplist
-        # hash-checks the persisted graph layout's contents directly).
-        "pca_invariants", "part_degree_toplist",
+        # first". Head: the three r12-new queries (pca_invariants
+        # gives the PCA component its first HASH row — the last
+        # no_oracle err becomes a match, VERDICT r11 #5;
+        # part_degree_toplist hash-checks the persisted graph layout's
+        # contents directly; graph_served_edges hash-checks the
+        # ingest-level maintenance fold against its one-shot oracle).
+        "pca_invariants", "part_degree_toplist", "graph_served_edges",
         # --- every query whose code path changed this round: the six
         # graph queries now serve the persisted layout (graph_write/
         # graph_read; deg pre-attached for pagerank/ppr; materialized
@@ -3900,15 +3944,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs", "association_rules", "pca_whiten",
         "dq_served", "transitions_served", "hll_served",
         # --- r11 first-timers holding a single green driver round
-        # (13 of them: heavy_hitters/merge_customers rotate down with
+        # (12 of them: heavy_hitters/merge_customers rotate down with
         # two green rounds each, volume_anomalies_served rotates down
-        # sharing its sibling's oracle — the head must leave all 23
+        # sharing its sibling's oracle, bloom_join_revenue rotates
+        # down untouched-since-r11 — the head must leave all 23
         # exact-recall anchors inside the 50-row budget) ---
         "dq_report", "event_trends", "volume_anomalies",
         "event_ewma", "value_mad_outliers", "cumulative_new_users",
         "peak_concurrency", "hll_user_registers", "hll_user_estimate",
         "containment_dup_pairs",
-        "length_batches", "skyline_parts", "bloom_join_revenue",
+        "length_batches", "skyline_parts",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -3927,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # members displaced by r11 — all hash-green on their last
         # driver sample ----
         "volume_anomalies_served", "heavy_hitters", "merge_customers",
+        "bloom_join_revenue",
         "edit_distance_pairs", "state_as_of",
         "zorder_curve", "weighted_sample_by_lang", "bm25_filtered_topk",
         "gopher_rules", "tri_hybrid_filtered_topk", "event_transitions",
@@ -7347,6 +7393,27 @@ WITH {_kcore_edge_ctes}
 SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
 FROM edges GROUP BY src
 ORDER BY deg DESC, node LIMIT 20
+"""
+
+    # fold-served co-occurrence edges under the FOLD's own semantics:
+    # raw-size basket cap at ingest, pair support accumulated over all
+    # batches, frequent-item pruning applied at read — one-shot SQL of
+    # exactly that contract (differs from _edge_ctes_for's
+    # prune-then-cap; see streaming/graph_maintenance.py docstring)
+    o["graph_served_edges"] = f"""
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 256),
+pp AS MATERIALIZED (SELECT bi.b, bi.i FROM bi JOIN ok USING (b)),
+ps AS (
+  SELECT a.i AS src, c.i AS dst, count(*) AS sup
+  FROM pp a JOIN pp c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2
+),
+fi AS (SELECT i FROM pp GROUP BY i HAVING count(*) >= {KCORE_SUPPORT})
+SELECT src, dst, CAST(sup AS BIGINT) AS sup
+FROM ps
+WHERE sup >= {KCORE_SUPPORT}
+  AND src IN (SELECT i FROM fi) AND dst IN (SELECT i FROM fi)
 """
 
     o["kcore_parts"] = f"""

@@ -222,6 +222,9 @@ HEADLINE = [
     "pca_invariants",
     # round-12: direct hash-check of the persisted graph layout
     "part_degree_toplist",
+    # round-12: ingest-level graph maintenance served from the
+    # accumulated pair/item support fold
+    "graph_served_edges",
 ]
 
 

@@ -445,9 +445,15 @@ def label_propagation(
 
     One shuffle per iteration: edges ⋈ labels on src, then a
     min-groupBy on dst folded with the node's own label — the same
-    iterative one-shuffle discipline as pagerank. Label state is
-    |nodes|-sized; the static edge relation is pre-partitioned on the
-    join key once and reused (no per-iteration edge shuffle).
+    iterative one-shuffle discipline as pagerank, with one extra
+    wrinkle: each iteration reads `labels` TWICE (the neighbor
+    aggregate and the fold join), so the state is materialized per
+    iteration — left lazy, the plan doubles per round (2^iters reads
+    of the base relation; r12 measured part_communities at 6.3 s from
+    exactly this). The checkpoint is a |nodes|-sized write per
+    iteration, the same trade kcore makes per peel round. Label state
+    is |nodes|-sized; the static edge relation is pre-partitioned on
+    the join key once and reused (no per-iteration edge shuffle).
     """
     nparts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -458,6 +464,7 @@ def label_propagation(
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
         .repartition(nparts, "node")
+        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
         incoming = (
@@ -475,10 +482,10 @@ def label_propagation(
                 ).alias("label"),
             )
             .repartition(nparts, "node")
+            .localCheckpoint(eager=True)
         )
-    out = labels.localCheckpoint(eager=True)
     adj.unpersist()
-    return out
+    return labels
 
 
 def neighborhood_jaccard(

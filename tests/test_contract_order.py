@@ -69,8 +69,9 @@ ROTATED_IN = {
     # r12 rotation, policy "new + code-changed + never-green first":
     # the two r12-new queries — pca_invariants turns the last
     # no_oracle err row into a hash match (VERDICT r11 #5),
-    # part_degree_toplist hash-checks the persisted graph layout
-    "pca_invariants", "part_degree_toplist",
+    # part_degree_toplist hash-checks the persisted graph layout;
+    # graph_served_edges hash-checks the ingest-level maintenance fold
+    "pca_invariants", "part_degree_toplist", "graph_served_edges",
     # every query whose code path changed in r12: the six graph
     # queries now serve the persisted layout, the mining pair carries
     # the re-defaulted broadcast guard, pca_whiten shares the
@@ -85,7 +86,7 @@ ROTATED_IN = {
     "event_ewma", "value_mad_outliers", "cumulative_new_users",
     "peak_concurrency", "hll_user_registers", "hll_user_estimate",
     "containment_dup_pairs",
-    "length_batches", "skyline_parts", "bloom_join_revenue",
+    "length_batches", "skyline_parts",
 }
 
 

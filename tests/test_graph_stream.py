@@ -1,0 +1,117 @@
+"""Tests for the maintained co-occurrence graph fold
+(streaming/graph_maintenance.py): batch/stream equivalence under
+complete-basket delivery, replay safety, read-time frequent-item
+pruning (the late-crossing case a batch prune-then-join cannot do
+incrementally), the raw-size skew cap, and parity with the batch
+operator where the cap never binds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.graph import (
+    cooccurrence_edges,
+)
+from distributed_vector_database_spark.streaming.graph_maintenance import (
+    build_graph_fold,
+    read_cooccurrence_graph,
+)
+
+ROWS = [
+    # pair (1,2) in baskets 10,11,12 ; (1,3)/(2,3) in 10,12 ;
+    # (3,4) in 13,14 ; item 9 appears once (infrequent at support 2)
+    (10, 1), (10, 2), (10, 3), (10, 9),
+    (11, 1), (11, 2),
+    (12, 1), (12, 2), (12, 3),
+    (13, 3), (13, 4),
+    (14, 3), (14, 4),
+]
+
+
+def _baskets(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "basket long, item long")
+
+
+def _edges(spark, state, min_support=2):
+    return sorted(
+        map(tuple, read_cooccurrence_graph(spark, state, min_support).collect())
+    )
+
+
+def test_fold_in_batches_equals_one_shot(spark, tmp_path):
+    one = str(tmp_path / "one")
+    fold1 = build_graph_fold(one, "basket", "item")
+    fold1(_baskets(spark), 0)
+
+    split = str(tmp_path / "split")
+    fold2 = build_graph_fold(split, "basket", "item")
+    df = _baskets(spark)
+    # complete-basket split: baskets 10-11 then 12-14
+    fold2(df.filter(F.col("basket") <= 11), 0)
+    fold2(df.filter(F.col("basket") >= 12), 1)
+
+    assert _edges(spark, one) == _edges(spark, split)
+    assert _edges(spark, one)  # non-vacuous
+
+
+def test_fold_matches_batch_operator_when_cap_unbound(spark, tmp_path):
+    state = str(tmp_path / "g")
+    fold = build_graph_fold(state, "basket", "item")
+    df = _baskets(spark)
+    fold(df.filter(F.col("basket") % 2 == 0), 0)
+    fold(df.filter(F.col("basket") % 2 == 1), 1)
+    served = sorted(
+        (r["src"], r["dst"])
+        for r in read_cooccurrence_graph(
+            spark, state, min_support=2, symmetric=True
+        ).collect()
+    )
+    direct = sorted(
+        map(tuple, cooccurrence_edges(df, "basket", "item", 2).collect())
+    )
+    assert served == direct and served
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    state = str(tmp_path / "re")
+    fold = build_graph_fold(state, "basket", "item")
+    df = _baskets(spark)
+    fold(df, 7)
+    before = _edges(spark, state)
+    fold(df, 7)  # at-least-once redelivery must not double supports
+    assert _edges(spark, state) == before
+    sup = {
+        (r["src"], r["dst"]): r["sup"]
+        for r in read_cooccurrence_graph(spark, state, 2).collect()
+    }
+    assert sup[(1, 2)] == 3  # not 6
+
+
+def test_late_frequency_crossing_brings_historical_pairs(spark, tmp_path):
+    """Item 7 appears once in batch 0 (infrequent) and once in batch
+    1: at support 2 its batch-0 pair must surface — read-time pruning
+    sees the accumulated item support, where prune-then-join inside
+    each batch would have dropped the batch-0 co-occurrence forever."""
+    state = str(tmp_path / "late")
+    fold = build_graph_fold(state, "basket", "item")
+    fold(_baskets(spark, [(1, 7), (1, 8)]), 0)
+    fold(_baskets(spark, [(2, 7), (2, 8)]), 1)
+    assert _edges(spark, state, min_support=2) == [(7, 8, 2)]
+
+
+def test_raw_size_cap_drops_skewed_basket_at_ingest(spark, tmp_path):
+    state = str(tmp_path / "cap")
+    fold = build_graph_fold(state, "basket", "item", max_basket=5)
+    rows = [(1, i) for i in range(10)] + [(2, i) for i in range(10)]
+    fold(_baskets(spark, rows), 0)
+    # both baskets exceed the cap -> state publishes but serves empty
+    assert _edges(spark, state, min_support=2) == []
+    # a small basket in the same fold still contributes
+    state2 = str(tmp_path / "cap2")
+    fold2 = build_graph_fold(state2, "basket", "item", max_basket=5)
+    fold2(_baskets(spark, rows + [(3, 100), (3, 101), (4, 100), (4, 101)]), 0)
+    assert _edges(spark, state2, min_support=2) == [(100, 101, 2)]
+
+
+def test_read_requires_published_state(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_cooccurrence_graph(spark, str(tmp_path / "missing"))
