@@ -185,6 +185,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _stat_key(sf_dir: str, *tables: str, extra: tuple = ()) -> tuple:
+    """Shared memo-key builder for every build-once-serve-many state
+    (layouts, folds, fitted models): (sf_dir, extra..., then one
+    (mtime_ns, size) pair PER source table the artifact reads) — so
+    regenerating ANY input invalidates the memo, never serving stale
+    state, and the three dozen memo sites cannot drift in key shape."""
+    import os as _os
+
+    parts: list = [sf_dir, *extra]
+    for t in tables:
+        try:
+            st = _os.stat(_os.path.join(sf_dir, f"{t}.parquet"))
+            parts.extend((st.st_mtime_ns, st.st_size))
+        except OSError:
+            parts.extend((None, None))
+    return tuple(parts)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == QUERY_VEC_ID).first()
     return list(row["embedding"])
@@ -3214,7 +3232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rebuilding it per query multiplied the derivation cost by
         # six). Stat-keyed on the source parquet so a fixture
         # regeneration rebuilds, never serves a stale graph.
-        import os as _os
         import tempfile
 
         from distributed_vector_database_spark.operators.graph import (
@@ -3222,12 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             graph_write,
         )
 
-        src = _os.path.join(sf, "lineitem.parquet")
-        try:
-            st = _os.stat(src)
-            key = (sf, min_support, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = (sf, min_support, None, None)
+        key = _stat_key(sf, "lineitem", extra=(min_support,))
         path = _graph_layout_memo.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="dvdb_graph_")
@@ -3416,14 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the whitening projection and its invariants query
         from distributed_vector_database_spark.operators.pca import pca_fit
 
-        import os as _os
-
-        src = _os.path.join(sf, "embeddings.parquet")
-        try:
-            st = _os.stat(src)
-            key = (sf, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = (sf, None, None)
+        key = _stat_key(sf, "embeddings")
         model = _pca_memo.get(key)
         if model is None:
             model = pca_fit(_emb(spark, sf), k=4)
@@ -3502,9 +3507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for i in range(4)
             for j in range(i + 1, 4)
         ]
+        # F.round, not Python round(): Python rounds half-even while
+        # Spark/DuckDB round half-away-from-zero — a trace landing on a
+        # 4th-decimal half boundary must round the same way in all
+        # three of total_var_model / total_var_raw / the oracle
         return proj.agg(*aggs).select(
             F.lit(4).cast("int").alias("n_components"),
-            F.lit(round(total_model, 4)).cast("double").alias(
+            F.round(F.lit(total_model), 4).cast("double").alias(
                 "total_var_model"
             ),
             "*",
@@ -3576,18 +3585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         EVERY table the fold reads — primary plus `extra_tables` — so
         regenerating any input (e.g. customer under the dq fold's FK
         leg) invalidates the memo, never serving stale state."""
-        import os as _os
         import tempfile
 
-        key_parts = [sf]
-        for t in (table, *extra_tables):
-            src_path = _os.path.join(sf, f"{t}.parquet")
-            try:
-                st = _os.stat(src_path)
-                key_parts.extend((st.st_mtime_ns, st.st_size))
-            except OSError:
-                key_parts.extend((None, None))
-        key = tuple(key_parts)
+        key = _stat_key(sf, table, *extra_tables)
         path = memo.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix=prefix)

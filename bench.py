@@ -738,7 +738,11 @@ def main() -> None:
             worst = max(headline, key=headline.get)
             out["max_ratio"] = headline[worst]
             out["max_ratio_query"] = worst
-            out["max_ratio_min_pin_sec"] = 0.5 if substantial else 0.0
+            # record the ACTUAL admission rule (a sub-0.5s-pin query
+            # can enter via the absolute-slowdown clause)
+            out["max_ratio_admission"] = (
+                "pin>=0.5s or abs_slowdown>1s" if substantial else "all"
+            )
             worst_any = max(ratios, key=ratios.get)
             out["max_ratio_any"] = ratios[worst_any]
             out["max_ratio_any_query"] = worst_any

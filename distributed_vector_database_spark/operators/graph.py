@@ -142,12 +142,17 @@ def _write_version(edges_sym: DataFrame, path: str, version: int,
     )
     # audit the files a reader would see, not the plan we meant to write
     back = spark.read.parquet(adj_dir)
+    # coalesce the sums: over an EMPTY edge set (graph_update removing
+    # the last edge) F.sum yields NULL and every comparison below would
+    # be vacuously falsy — the audit must still publish honest zeros,
+    # not n_edges=None
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
     stats = back.agg(
         F.count(F.lit(1)).alias("m"),
         F.count_distinct("src").alias("n"),
-        F.sum(F.when(F.col("src") < F.col("dst"), 1).otherwise(0)).alias("fwd"),
-        F.sum(F.when(F.col("src") > F.col("dst"), 1).otherwise(0)).alias("bwd"),
-        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias("loops"),
+        zsum(F.when(F.col("src") < F.col("dst"), 1).otherwise(0)).alias("fwd"),
+        zsum(F.when(F.col("src") > F.col("dst"), 1).otherwise(0)).alias("bwd"),
+        zsum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias("loops"),
     ).collect()[0]
     bad_deg = (
         back.groupBy("src")
@@ -216,6 +221,7 @@ def graph_update(
     add_edges: DataFrame | None = None,
     remove_edges: DataFrame | None = None,
     partitions: int | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """Fold an undirected edge delta into the layout as version N+1:
     adds are unioned in (idempotent — already-present edges are
@@ -224,7 +230,12 @@ def graph_update(
     old version until the marker lands — a crash mid-update leaves an
     unpublished dir, never a torn graph. Deltas are given as
     one-directional OR symmetric (src, dst) pairs; both are
-    canonicalized, self-loops dropped."""
+    canonicalized, self-loops dropped.
+
+    Each version is a FULL graph copy, so old versions are GC'd after
+    publish: the newest `keep_versions` stay on disk (current +
+    previous covers any reader that resolved the marker just before
+    the swap); pass a larger value to retain deeper history."""
     v = _latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no published graph version under {path}")
@@ -250,7 +261,18 @@ def graph_update(
     sym = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return _write_version(sym, path, v + 1, partitions)
+    meta = _write_version(sym, path, v + 1, partitions)
+    # GC superseded full-copy versions (marker first, then data — a
+    # crash between the two leaves an unreadable orphan dir, never a
+    # published marker pointing at deleted data)
+    import shutil
+
+    for old in range(v + 2 - max(keep_versions, 1)):
+        marker = os.path.join(_applied_dir(path), f"v{old}.json")
+        if os.path.exists(marker):
+            os.remove(marker)
+        shutil.rmtree(os.path.join(path, "adj", f"v{old}"), ignore_errors=True)
+    return meta
 
 
 def pagerank(

@@ -102,10 +102,16 @@ def create_app(
     try:
         from starlette.middleware.cors import CORSMiddleware
 
+        # deliberate deviation from the reference (clip/backend.py:21-27
+        # sets allow_credentials=True with the wildcard): Starlette
+        # resolves that combination by ECHOING the request Origin, which
+        # grants every site credentialed cross-origin access — a full
+        # CORS bypass if the deployment ever sits behind cookie auth.
+        # The facade serves anonymous search; credentials stay off.
         app.add_middleware(
             CORSMiddleware,
             allow_origins=["*"],
-            allow_credentials=True,
+            allow_credentials=False,
             allow_methods=["*"],
             allow_headers=["*"],
         )

@@ -115,6 +115,41 @@ def test_graph_update_publish_is_versioned(spark, tmp_path):
     assert graph_meta(path)["version"] == 1
 
 
+def test_graph_update_gc_keeps_newest_versions(spark, tmp_path):
+    path = str(tmp_path / "gc")
+    graph_write(_sym(spark, [(1, 2)]), path)
+    for i in range(2):
+        graph_update(
+            spark,
+            path,
+            add_edges=spark.createDataFrame(
+                [(10 + i, 20 + i)], "src long, dst long"
+            ),
+        )
+    # default keep_versions=2: v0 (marker + data) GC'd, v1/v2 kept
+    assert sorted(os.listdir(os.path.join(path, "applied"))) == [
+        "v1.json", "v2.json",
+    ]
+    assert sorted(os.listdir(os.path.join(path, "adj"))) == ["v1", "v2"]
+    assert graph_meta(path)["version"] == 2
+    assert graph_read(spark, path).count() == 6  # 3 und-edges symmetric
+
+
+def test_graph_update_to_empty_publishes_honest_zeros(spark, tmp_path):
+    """Removing the last edge must publish an audited EMPTY version
+    (n_edges 0, not None from NULL sums) — the graph being empty is a
+    valid state; a vacuously-passed audit with null meta is not."""
+    path = str(tmp_path / "toempty")
+    graph_write(_sym(spark, [(1, 2)]), path)
+    meta = graph_update(
+        spark,
+        path,
+        remove_edges=spark.createDataFrame([(1, 2)], "src long, dst long"),
+    )
+    assert meta == {"version": 1, "n_nodes": 0, "n_edges": 0}
+    assert graph_read(spark, path).count() == 0
+
+
 def test_pagerank_reuses_layout_degrees(spark, tmp_path):
     """pagerank over graph_read (deg pre-attached) must equal pagerank
     over the bare symmetric edges (deg computed in-query)."""
