@@ -3822,6 +3822,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_served_edges"] = graph_served_edges_q
 
+    def pagerank_weighted_q(spark, sf):
+        # weighted random walk over the maintained co-occurrence
+        # graph: rank distributes proportionally to edge SUPPORT
+        # (rank·w/strength), composing the ingest-level fold with the
+        # iterative operator — the recommender shape where stronger
+        # co-purchase ties carry more mass
+        from distributed_vector_database_spark.operators.graph import (
+            pagerank,
+        )
+        from distributed_vector_database_spark.streaming.graph_maintenance import (
+            read_cooccurrence_graph,
+        )
+
+        edges = read_cooccurrence_graph(
+            spark, _graph_fold_state(spark, sf),
+            min_support=KCORE_SUPPORT, symmetric=True,
+        )
+        return pagerank(
+            edges, iterations=PAGERANK_ITERS, damping=0.85, weight_col="sup"
+        )
+
+    q["pagerank_weighted"] = pagerank_weighted_q
+
     def event_ewma_q(spark, sf):
         # trailing EWMA of hourly event counts per type; the bounded
         # lag sequence turns the window into an equi join
@@ -3929,8 +3952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no_oracle err becomes a match, VERDICT r11 #5;
         # part_degree_toplist hash-checks the persisted graph layout's
         # contents directly; graph_served_edges hash-checks the
-        # ingest-level maintenance fold against its one-shot oracle).
+        # ingest-level maintenance fold against its one-shot oracle;
+        # pagerank_weighted composes the fold with the weighted walk).
         "pca_invariants", "part_degree_toplist", "graph_served_edges",
+        "pagerank_weighted",
         # --- every query whose code path changed this round: the six
         # graph queries now serve the persisted layout (graph_write/
         # graph_read; deg pre-attached for pagerank/ppr; materialized
@@ -3944,16 +3969,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs", "association_rules", "pca_whiten",
         "dq_served", "transitions_served", "hll_served",
         # --- r11 first-timers holding a single green driver round
-        # (12 of them: heavy_hitters/merge_customers rotate down with
+        # (11 of them: heavy_hitters/merge_customers rotate down with
         # two green rounds each, volume_anomalies_served rotates down
-        # sharing its sibling's oracle, bloom_join_revenue rotates
-        # down untouched-since-r11 — the head must leave all 23
-        # exact-recall anchors inside the 50-row budget) ---
+        # sharing its sibling's oracle, bloom_join_revenue and
+        # length_batches rotate down untouched-since-r11 — the head
+        # must leave all 23 exact-recall anchors inside the 50-row
+        # budget) ---
         "dq_report", "event_trends", "volume_anomalies",
         "event_ewma", "value_mad_outliers", "cumulative_new_users",
         "peak_concurrency", "hll_user_registers", "hll_user_estimate",
         "containment_dup_pairs",
-        "length_batches", "skyline_parts",
+        "skyline_parts",
         # --- exact-recall anchors (budget-pinned by contract tests;
         # one hash-matched exact anchor per ANN index family) ---
         "ann_ivf_knn_join_exact", "ann_ivf_topk_exact", "ann_sq_topk_exact",
@@ -3972,7 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # members displaced by r11 — all hash-green on their last
         # driver sample ----
         "volume_anomalies_served", "heavy_hitters", "merge_customers",
-        "bloom_join_revenue",
+        "bloom_join_revenue", "length_batches",
         "edit_distance_pairs", "state_as_of",
         "zorder_curve", "weighted_sample_by_lang", "bm25_filtered_topk",
         "gopher_rules", "tri_hybrid_filtered_topk", "event_transitions",
@@ -7414,6 +7440,51 @@ SELECT src, dst, CAST(sup AS BIGINT) AS sup
 FROM ps
 WHERE sup >= {KCORE_SUPPORT}
   AND src IN (SELECT i FROM fi) AND dst IN (SELECT i FROM fi)
+"""
+
+    # weighted PageRank over the fold-served graph: same unrolled
+    # power-iteration discipline, with rank·w/strength in place of
+    # rank/deg (strength = per-node out-weight sum)
+    _pgw_iters = []
+    _pgw_prev = "r0"
+    for _i in range(1, PAGERANK_ITERS + 1):
+        _pgw_iters.append(f"""
+r{_i} AS (
+  SELECT e.dst AS node,
+         (SELECT jump FROM consts)
+           + CAST(0.85 AS DOUBLE) * sum(p.rank * e.w / dg.deg) AS rank
+  FROM wedges e
+  JOIN {_pgw_prev} p ON p.node = e.src
+  JOIN wdeg dg ON dg.src = e.src
+  GROUP BY e.dst
+)""")
+        _pgw_prev = f"r{_i}"
+    o["pagerank_weighted"] = f"""
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 256),
+pp AS MATERIALIZED (SELECT bi.b, bi.i FROM bi JOIN ok USING (b)),
+ps AS MATERIALIZED (
+  SELECT a.i AS src, c.i AS dst, count(*) AS sup
+  FROM pp a JOIN pp c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2
+),
+fi AS (SELECT i FROM pp GROUP BY i HAVING count(*) >= {KCORE_SUPPORT}),
+und AS MATERIALIZED (
+  SELECT src, dst, sup FROM ps
+  WHERE sup >= {KCORE_SUPPORT}
+    AND src IN (SELECT i FROM fi) AND dst IN (SELECT i FROM fi)
+),
+wedges AS MATERIALIZED (
+  SELECT src, dst, CAST(sup AS DOUBLE) AS w FROM und
+  UNION ALL
+  SELECT dst, src, CAST(sup AS DOUBLE) FROM und
+),
+wdeg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM wedges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM wdeg),
+consts AS (SELECT (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n AS jump FROM nn),
+r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM wdeg),
+{','.join(_pgw_iters)}
+SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_rel FROM {_pgw_prev}
 """
 
     o["kcore_parts"] = f"""

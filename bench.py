@@ -225,6 +225,8 @@ HEADLINE = [
     # round-12: ingest-level graph maintenance served from the
     # accumulated pair/item support fold
     "graph_served_edges",
+    # round-12: weighted walk over the fold-served graph
+    "pagerank_weighted",
 ]
 
 

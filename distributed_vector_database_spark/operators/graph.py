@@ -194,15 +194,29 @@ def graph_write(
     return _write_version(edges, path, 0, partitions)
 
 
-def graph_read(spark: SparkSession, path: str) -> DataFrame:
-    """Serving scan of the latest PUBLISHED graph version: symmetric
-    (src, dst, deg) rows, hash-partitioned on src. Downstream
-    operators detect the pre-attached deg column and skip their own
-    degree join (pagerank/personalized_pagerank)."""
-    v = _latest_version(path)
-    if v is None:
-        raise FileNotFoundError(f"no published graph version under {path}")
-    return spark.read.parquet(os.path.join(path, "adj", f"v{v}"))
+def graph_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Serving scan of a PUBLISHED graph version (latest by default):
+    symmetric (src, dst, deg) rows, hash-partitioned on src.
+    Downstream operators detect the pre-attached deg column and skip
+    their own degree join (pagerank/personalized_pagerank).
+    `version` reads an older retained snapshot (time travel within
+    graph_update's keep_versions window) — an unpublished or GC'd
+    version raises, never serves torn data."""
+    if version is None:
+        version = _latest_version(path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published graph version under {path}"
+            )
+    elif not os.path.exists(
+        os.path.join(_applied_dir(path), f"v{version}.json")
+    ):
+        raise FileNotFoundError(
+            f"graph version {version} not published (or GC'd) under {path}"
+        )
+    return spark.read.parquet(os.path.join(path, "adj", f"v{version}"))
 
 
 def graph_meta(path: str) -> dict:
@@ -280,6 +294,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a symmetric edge list.
 
@@ -290,21 +305,36 @@ def pagerank(
     rank_T * N rounded to 6 — scaling by N keeps the value O(1) so a
     fixed decimal rounding is oracle-stable at any graph size.
 
+    With `weight_col`, the walk is WEIGHTED: a node distributes its
+    rank proportionally to edge weights (rank_t(u)·w(u,v)/strength(u),
+    strength = Σ out-weights) — the natural ranking over a
+    co-occurrence graph whose edges carry support counts. Same plan
+    shape: the strength aggregate replaces the degree count.
+
     Each iteration is exactly one shuffle: edges ⋈ ranks on src
     (both sides pre-partitioned on the key once, reused every round),
-    then groupBy dst with map-side partial sums. An input that already
-    carries a `deg` column (the graph_read serving layout denormalizes
-    it) skips the degree aggregation + join entirely.
+    then groupBy dst with map-side partial sums. An unweighted input
+    that already carries a `deg` column (the graph_read serving layout
+    denormalizes it) skips the degree aggregation + join entirely.
     """
     nparts = partitions or edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
     nparts = int(nparts)
-    if "deg" in edges.columns:
+    if weight_col is not None:
+        adj = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("__w")
+        )
+        deg = adj.groupBy("src").agg(F.sum("__w").alias("deg"))
+        adj = adj.join(deg, "src")
+        num = F.col("rank") * F.col("__w")
+    elif "deg" in edges.columns:
         adj = edges.select("src", "dst", "deg")
+        num = F.col("rank")
     else:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         adj = edges.join(deg, "src")
+        num = F.col("rank")
     # static relation: partition once on the iteration join key, cache
     adj = adj.repartition(nparts, "src").persist()
     n = adj.select("src").distinct().count()
@@ -321,7 +351,7 @@ def pagerank(
             adj.join(ranks, adj["src"] == ranks["node"])
             .select(
                 F.col("dst"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                (num / F.col("deg")).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))

@@ -135,8 +135,9 @@ def read_cooccurrence_graph(
     snapshot: pairs with sup >= min_support whose BOTH endpoints are
     frequent (item support >= min_support, applied here at read time
     from the accumulated item state). Returns one-directional
-    (src, dst, sup) rows, or the symmetric (src, dst) edge list ready
-    for the graph operators / graph_write when symmetric=True."""
+    (src, dst, sup) rows, or the symmetric (src, dst, sup) edge list
+    ready for the graph operators / graph_write when symmetric=True —
+    sup rides along as the edge weight (pagerank weight_col)."""
     pdir, idir = f"{state_dir}/pairs", f"{state_dir}/items"
     v = latest_version(pdir)
     if v >= 0 and _applied_batch(pdir, v) is None:
@@ -157,9 +158,10 @@ def read_cooccurrence_graph(
     )
     if not symmetric:
         return und
-    e = und.select("src", "dst")
-    return e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return und.union(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "sup"
+        )
     )
 
 

@@ -70,8 +70,10 @@ ROTATED_IN = {
     # the two r12-new queries — pca_invariants turns the last
     # no_oracle err row into a hash match (VERDICT r11 #5),
     # part_degree_toplist hash-checks the persisted graph layout;
-    # graph_served_edges hash-checks the ingest-level maintenance fold
+    # graph_served_edges hash-checks the ingest-level maintenance
+    # fold; pagerank_weighted composes the fold with the weighted walk
     "pca_invariants", "part_degree_toplist", "graph_served_edges",
+    "pagerank_weighted",
     # every query whose code path changed in r12: the six graph
     # queries now serve the persisted layout, the mining pair carries
     # the re-defaulted broadcast guard, pca_whiten shares the
@@ -85,8 +87,7 @@ ROTATED_IN = {
     "dq_report", "event_trends", "volume_anomalies",
     "event_ewma", "value_mad_outliers", "cumulative_new_users",
     "peak_concurrency", "hll_user_registers", "hll_user_estimate",
-    "containment_dup_pairs",
-    "length_batches", "skyline_parts",
+    "containment_dup_pairs", "skyline_parts",
 }
 
 

@@ -185,6 +185,61 @@ def test_ppr_reuses_layout_degrees(spark, tmp_path):
     assert a == b
 
 
+def test_graph_read_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    graph_write(_sym(spark, [(1, 2)]), path)
+    graph_update(
+        spark, path,
+        add_edges=spark.createDataFrame([(2, 3)], "src long, dst long"),
+    )
+    assert graph_read(spark, path).count() == 4  # latest: 2 und-edges
+    assert graph_read(spark, path, version=0).count() == 2
+    with pytest.raises(FileNotFoundError, match="not published"):
+        graph_read(spark, path, version=5)
+
+
+def test_pagerank_weighted_numpy_parity(spark):
+    """Weighted walk vs a dense numpy power iteration on a small
+    weighted graph (path 1-2-3 with weights 3 and 1)."""
+    import numpy as np
+
+    rows = [(1, 2, 3.0), (2, 3, 1.0)]
+    und = spark.createDataFrame(rows, "src long, dst long, w double")
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    got = {
+        r["node"]: r["rank_rel"]
+        for r in pagerank(edges, iterations=4, weight_col="w").collect()
+    }
+    nodes = [1, 2, 3]
+    W = np.zeros((3, 3))
+    for s, d, w in rows:
+        W[nodes.index(s), nodes.index(d)] = w
+        W[nodes.index(d), nodes.index(s)] = w
+    P = W / W.sum(axis=1, keepdims=True)  # row-stochastic
+    r = np.full(3, 1 / 3)
+    for _ in range(4):
+        r = (1 - 0.85) / 3 + 0.85 * (P.T @ r)
+    expected = {n: round(v * 3, 6) for n, v in zip(nodes, r)}
+    assert got == pytest.approx(expected)
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    edges = _sym(spark, TRIANGLE_PLUS_TAIL).withColumn("w", F.lit(2.5))
+    weighted = {
+        r["node"]: r["rank_rel"]
+        for r in pagerank(edges, iterations=3, weight_col="w").collect()
+    }
+    plain = {
+        r["node"]: r["rank_rel"]
+        for r in pagerank(
+            edges.select("src", "dst"), iterations=3
+        ).collect()
+    }
+    assert weighted == pytest.approx(plain)
+
+
 def test_cooccurrence_layout_matches_direct(spark, tmp_path):
     """graph_write(cooccurrence_edges(...)) then graph_read serves the
     exact edge set the direct derivation produces."""
