@@ -3,18 +3,39 @@ operators/graph.cooccurrence_edges over continual basket ingest.
 
 A 100 TB fact table cannot re-run the basket self-join per question;
 it maintains (src, dst, sup) pair supports and (item, sup) item
-supports ADDITIVELY and serves the graph from the snapshot. The
-reference has no graph surface at all (its query model is put/get/
-k-NN, src/datanode/handler.py); this completes the graph family's
+supports and serves the graph from the snapshot. The reference has no
+graph surface at all (its query model is put/get/k-NN,
+src/datanode/handler.py); this completes the graph family's
 maintenance story at the INGEST level, below graph.graph_update's
 edge-delta level: raw baskets stream in, the served edge set follows.
 
+Unlike the bounded streaming states (the |types|²-sized transition
+matrix, HLL registers, hourly rollup), the pair-support state is
+UNBOUNDED — so the fold must be O(batch), not O(state). This module
+uses the log-structured shape the repo's other unbounded states use
+(postings_append, dedup signature tables):
+
+- each micro-batch APPENDS a delta segment of within-batch pair/item
+  supports (`pairs/seg=<name>/`, `items/seg=<name>/`) — no read or
+  rewrite of accumulated state on the ingest path;
+- a MANIFEST (`manifest/v=N.json`, atomically os.replace'd) lists the
+  live segments; readers load the latest manifest and aggregate
+  supports across exactly those segments — a crash mid-fold leaves an
+  unreferenced orphan dir, never a torn read;
+- `compact_graph_state` folds all live segments into one base segment
+  and publishes a manifest pointing only at it (then GCs superseded
+  data), bounding the read-side segment count — the postings/IVF
+  compaction story;
+- replay ledger: `applied/batch-<id>.json` markers are written after
+  a batch's segments are referenced and are NEVER deleted (they are
+  bytes-sized), so an at-least-once redelivery is skipped even after
+  compaction has absorbed the original segment.
+
 Contract: a basket NEVER spans micro-batches (complete-basket
-delivery — the natural unit of an order/session log, the same
-batch-shape contract the transitions fold documents for per-user
-ordering). Pair and item supports are then additive per batch, so
-folding in any batch split is exactly equal to the one-shot fold
-over the union — pinned by tests/test_graph_stream.py.
+delivery — the natural unit of an order/session log). Pair and item
+supports are then additive per batch, so folding in any batch split —
+with or without interleaved compactions — is exactly equal to the
+one-shot fold over the union, pinned by tests/test_graph_stream.py.
 
 Fold semantics (documented, deliberately different from the batch
 operator in two places where incrementality forces it):
@@ -28,26 +49,50 @@ operator in two places where incrementality forces it):
   prune-then-join cannot do incrementally.
 On corpora where the cap never binds (TPC-H order baskets max out
 far below 256) the served edges are identical to cooccurrence_edges.
-
-Replay safety: the same write-audit-publish versioned fold as the
-transitions / BM25 / rollup states — the batch_id marker makes
-at-least-once foreachBatch delivery exactly-once.
-
-State layout:
-  {state_dir}/pairs/v=N  (src, dst, sup)  one-directional (src < dst)
-  {state_dir}/items/v=N  (item, sup)      distinct-basket supports
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_vector_database_spark.streaming.compaction import latest_version
-from distributed_vector_database_spark.streaming.lexical_stats import (
-    _applied_batch,
-    _write_marker,
-)
+
+def _manifest_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest")
+
+
+def _latest_manifest(state_dir: str) -> tuple[int, list[str]] | None:
+    """(version, live segment names) of the newest manifest, or None."""
+    try:
+        versions = [
+            int(f[2:-5])
+            for f in os.listdir(_manifest_dir(state_dir))
+            if f.startswith("v=") and f.endswith(".json")
+        ]
+    except OSError:
+        return None
+    if not versions:
+        return None
+    v = max(versions)
+    with open(os.path.join(_manifest_dir(state_dir), f"v={v}.json")) as f:
+        return v, json.load(f)["segments"]
+
+
+def _publish_manifest(state_dir: str, version: int, segments: list[str]) -> None:
+    os.makedirs(_manifest_dir(state_dir), exist_ok=True)
+    target = os.path.join(_manifest_dir(state_dir), f"v={version}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"segments": segments}, f)
+    os.replace(tmp, target)  # atomic publish
+
+
+def _batch_marker(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, "applied", f"batch-{batch_id}.json")
 
 
 def _batch_supports(
@@ -55,7 +100,7 @@ def _batch_supports(
 ) -> tuple[DataFrame, DataFrame]:
     """(pair supports, item supports) for ONE batch of complete
     baskets: distinct (basket, item), raw-size cap, within-basket
-    self-join — the classic shape, bounded per batch."""
+    self-join — the classic shape, bounded by the batch."""
     bi = batch.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -80,49 +125,93 @@ def _batch_supports(
     return pairs, items
 
 
-def _merge_supports(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
-    return (
-        base.unionByName(delta)
-        .groupBy(*keys)
-        .agg(F.sum("sup").alias("sup"))
-    )
-
-
 def build_graph_fold(
     state_dir: str,
     basket_col: str,
     item_col: str,
     max_basket: int = 256,
 ):
-    """foreachBatch body: fold one micro-batch of complete baskets
-    into {state_dir}/pairs/v=N and /items/v=N, skipping at-least-once
-    replays via the batch_id marker (kept on the pairs dir)."""
+    """foreachBatch body: append one delta segment per micro-batch of
+    complete baskets — O(batch) work, the accumulated state is never
+    read or rewritten on the ingest path. At-least-once replays are
+    skipped via the permanent batch ledger."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        spark_ = batch.sparkSession
-        pdir, idir = f"{state_dir}/pairs", f"{state_dir}/items"
-        v = latest_version(pdir)
-        if v >= 0:
-            applied = _applied_batch(pdir, v)
-            if applied == batch_id:
-                return
-            if applied is None:
-                v -= 1
+        if os.path.exists(_batch_marker(state_dir, batch_id)):
+            return  # replay of an already-folded batch
         pairs, items = _batch_supports(batch, basket_col, item_col, max_basket)
-        if v >= 0:
-            pairs = _merge_supports(
-                spark_.read.parquet(f"{pdir}/v={v}"), pairs, ["src", "dst"]
-            )
-            items = _merge_supports(
-                spark_.read.parquet(f"{idir}/v={v}"), items, ["item"]
-            )
-        items.write.mode("overwrite").parquet(f"{idir}/v={v + 1}")
-        pairs.write.mode("overwrite").parquet(f"{pdir}/v={v + 1}")
-        _write_marker(pdir, v + 1, batch_id)
+        seg = f"b{batch_id}"
+        items.write.mode("overwrite").parquet(
+            f"{state_dir}/items/seg={seg}"
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{state_dir}/pairs/seg={seg}"
+        )
+        latest = _latest_manifest(state_dir)
+        v, live = latest if latest is not None else (-1, [])
+        # idempotent append: a crash between manifest and ledger makes
+        # the re-fold overwrite the same segment name — it must not be
+        # referenced twice (double count)
+        if seg not in live:
+            _publish_manifest(state_dir, v + 1, [*live, seg])
+        # ledger AFTER the manifest: a crash in between re-folds the
+        # batch into an orphan segment next time (harmless duplicate
+        # dir, deduped by name) rather than silently dropping it
+        os.makedirs(os.path.dirname(_batch_marker(state_dir, batch_id)),
+                    exist_ok=True)
+        tmp = _batch_marker(state_dir, batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segment": seg}, f)
+        os.replace(tmp, _batch_marker(state_dir, batch_id))
 
     return fold
+
+
+def _live_supports(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pair supports, item supports) aggregated across the latest
+    manifest's live segments."""
+    latest = _latest_manifest(state_dir)
+    if latest is None or not latest[1]:
+        raise FileNotFoundError(f"no graph state under {state_dir}")
+    _, segs = latest
+    pairs = spark.read.parquet(
+        *[f"{state_dir}/pairs/seg={s}" for s in segs]
+    )
+    items = spark.read.parquet(
+        *[f"{state_dir}/items/seg={s}" for s in segs]
+    )
+    if len(segs) > 1:
+        pairs = pairs.groupBy("src", "dst").agg(F.sum("sup").alias("sup"))
+        items = items.groupBy("item").agg(F.sum("sup").alias("sup"))
+    return pairs, items
+
+
+def compact_graph_state(spark: SparkSession, state_dir: str) -> int:
+    """Fold every live segment into one base segment and publish a
+    manifest referencing only it, then GC the superseded data dirs
+    (batch ledger markers are kept forever — they are the replay
+    guard). Returns the number of segments absorbed. Bounds the
+    read-side segment count; run it on whatever cadence keeps reads
+    cheap (the postings/IVF compaction story)."""
+    latest = _latest_manifest(state_dir)
+    if latest is None or not latest[1]:
+        raise FileNotFoundError(f"no graph state under {state_dir}")
+    v, segs = latest
+    if len(segs) == 1 and segs[0].startswith("c"):
+        return 0  # already compacted, nothing to absorb
+    pairs, items = _live_supports(spark, state_dir)
+    seg = f"c{v + 1}"
+    items.write.mode("overwrite").parquet(f"{state_dir}/items/seg={seg}")
+    pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs/seg={seg}")
+    _publish_manifest(state_dir, v + 1, [seg])
+    for old in segs:
+        shutil.rmtree(f"{state_dir}/pairs/seg={old}", ignore_errors=True)
+        shutil.rmtree(f"{state_dir}/items/seg={old}", ignore_errors=True)
+    return len(segs)
 
 
 def read_cooccurrence_graph(
@@ -131,25 +220,15 @@ def read_cooccurrence_graph(
     min_support: int = 2,
     symmetric: bool = False,
 ) -> DataFrame:
-    """Serve the co-occurrence edges from the newest fully-published
-    snapshot: pairs with sup >= min_support whose BOTH endpoints are
-    frequent (item support >= min_support, applied here at read time
-    from the accumulated item state). Returns one-directional
-    (src, dst, sup) rows, or the symmetric (src, dst, sup) edge list
-    ready for the graph operators / graph_write when symmetric=True —
-    sup rides along as the edge weight (pagerank weight_col)."""
-    pdir, idir = f"{state_dir}/pairs", f"{state_dir}/items"
-    v = latest_version(pdir)
-    if v >= 0 and _applied_batch(pdir, v) is None:
-        v -= 1
-    if v < 0:
-        raise FileNotFoundError(f"no graph state under {state_dir}")
-    pairs = spark.read.parquet(f"{pdir}/v={v}")
-    freq = (
-        spark.read.parquet(f"{idir}/v={v}")
-        .filter(F.col("sup") >= min_support)
-        .select(F.col("item"))
-    )
+    """Serve the co-occurrence edges from the latest manifest: pairs
+    with sup >= min_support whose BOTH endpoints are frequent (item
+    support >= min_support, applied here at read time from the
+    accumulated item state). Returns one-directional (src, dst, sup)
+    rows, or the symmetric (src, dst, sup) edge list ready for the
+    graph operators / graph_write when symmetric=True — sup rides
+    along as the edge weight (pagerank weight_col)."""
+    pairs, items = _live_supports(spark, state_dir)
+    freq = items.filter(F.col("sup") >= min_support).select(F.col("item"))
     und = (
         pairs.filter(F.col("sup") >= min_support)
         .join(freq.withColumnRenamed("item", "src"), "src", "left_semi")

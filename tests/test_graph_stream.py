@@ -13,6 +13,7 @@ from distributed_vector_database_spark.operators.graph import (
 )
 from distributed_vector_database_spark.streaming.graph_maintenance import (
     build_graph_fold,
+    compact_graph_state,
     read_cooccurrence_graph,
 )
 
@@ -115,3 +116,46 @@ def test_raw_size_cap_drops_skewed_basket_at_ingest(spark, tmp_path):
 def test_read_requires_published_state(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_cooccurrence_graph(spark, str(tmp_path / "missing"))
+
+
+def test_compaction_preserves_served_graph(spark, tmp_path):
+    """compact -> one base segment, same served edges; folds AFTER a
+    compaction keep accumulating on top of it."""
+    import os
+
+    state = str(tmp_path / "cpt")
+    fold = build_graph_fold(state, "basket", "item")
+    df = _baskets(spark)
+    fold(df.filter(F.col("basket") <= 11), 0)
+    fold(df.filter(F.col("basket") == 12), 1)
+    before = _edges(spark, state)
+    absorbed = compact_graph_state(spark, state)
+    assert absorbed == 2
+    assert _edges(spark, state) == before
+    # superseded delta segments are GC'd, one compacted segment lives
+    assert len(os.listdir(os.path.join(state, "pairs"))) == 1
+    # ingest continues on top of the compacted base
+    fold(df.filter(F.col("basket") >= 13), 2)
+    one_shot = str(tmp_path / "oneshot")
+    fold1 = build_graph_fold(one_shot, "basket", "item")
+    fold1(df, 0)
+    assert _edges(spark, state) == _edges(spark, one_shot)
+    # idempotent: nothing new to absorb after a fresh compact
+    compact_graph_state(spark, state)
+    assert compact_graph_state(spark, state) == 0
+
+
+def test_replay_skipped_even_after_compaction(spark, tmp_path):
+    """The batch ledger outlives compaction: a redelivery of a batch
+    whose delta segment was already absorbed must still be skipped."""
+    state = str(tmp_path / "replaycpt")
+    fold = build_graph_fold(state, "basket", "item")
+    df = _baskets(spark)
+    fold(df, 3)
+    compact_graph_state(spark, state)
+    fold(df, 3)  # replay after its segment no longer exists
+    sup = {
+        (r["src"], r["dst"]): r["sup"]
+        for r in read_cooccurrence_graph(spark, state, 2).collect()
+    }
+    assert sup[(1, 2)] == 3  # not 6
