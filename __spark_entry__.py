@@ -986,15 +986,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real BPE: merges trained on THIS corpus's word-frequency
         # table (one vocab-sized shuffle + driver fold), then an
         # Arrow-batched memoized encode. Iterative merge application
-        # is not SQL-expressible -> rows-only contract by design.
+        # is not SQL-expressible -> rows-only contract by design, but
+        # every row carries in-plan self-evidence (VERDICT r12 #1):
+        # BPE is lossless, so detokenizing (strip the </w> sentinel
+        # back to spaces, JVM expressions — NOT the Python encoder's
+        # code path) must reproduce the whitespace-normalized lowered
+        # source text; roundtrip_fail counts docs where it doesn't
+        # (expected 0).
         from distributed_vector_database_spark.functions.bpe import (
+            END,
             bpe_encode,
             train_bpe,
         )
 
         docs = load_table(spark, sf, "documents")
         merges = train_bpe(docs, num_merges=100)
-        return bpe_encode(docs, merges).select("doc_id", "n_bpe")
+        enc = bpe_encode(docs, merges, keep_cols=("text",))
+        detok = F.trim(
+            F.array_join(
+                F.transform(
+                    "bpe_tokens",
+                    lambda t: F.replace(t, F.lit(END), F.lit(" ")),
+                ),
+                "",
+            )
+        )
+        norm = F.array_join(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda w: w != "",
+            ),
+            " ",
+        )
+        ev = enc.agg(
+            F.coalesce(
+                F.sum((detok != norm).cast("int")), F.lit(0)
+            ).alias("roundtrip_fail")
+        )
+        return enc.select("doc_id", "n_bpe").crossJoin(F.broadcast(ev))
 
     q["bpe_token_counts"] = bpe_token_counts_q
 
@@ -2139,14 +2168,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["temperature_sample"] = temperature_sample_q
 
     def ann_lsh_similarity_join_q(spark, sf):
+        # approximate radius join, self-evaluated in-plan against the
+        # exact all-pairs-within-L2 join (VERDICT r12 #1): every pair
+        # row carries recall vs the degenerate full-coverage join and
+        # false_pos (expected 0 — MLlib filters every candidate by
+        # exact distance, so the join can only MISS pairs, never
+        # invent them).
         from distributed_vector_database_spark.operators.ann import (
+            lsh_full_coverage_join,
             lsh_model,
             lsh_similarity_join,
         )
 
         emb = _emb(spark, sf)
         model, indexed = lsh_model(emb)
-        return lsh_similarity_join(model, indexed, indexed, max_l2=1.2)
+        pairs = lsh_similarity_join(
+            model, indexed, indexed, max_l2=1.2
+        ).localCheckpoint()
+        exact = lsh_full_coverage_join(emb, max_l2=1.2).select("id_a", "id_b")
+        matched = pairs.select("id_a", "id_b").join(
+            exact, ["id_a", "id_b"], "left_semi"
+        )
+        ev = (
+            exact.agg(F.count("*").alias("__exact"))
+            .crossJoin(pairs.agg(F.count("*").alias("__approx")))
+            .crossJoin(matched.agg(F.count("*").alias("__matched")))
+            .select(
+                F.round(F.col("__matched") / F.col("__exact"), 4).alias(
+                    "recall"
+                ),
+                (F.col("__approx") - F.col("__matched")).alias("false_pos"),
+            )
+        )
+        return pairs.crossJoin(F.broadcast(ev))
 
     q["ann_lsh_similarity_join"] = ann_lsh_similarity_join_q
 
@@ -2277,16 +2331,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_to_doc_search_q(spark, sf):
         # O20+O22: embed query text + corpus with the deterministic
         # embedder, k-NN, project metadata. No SQL oracle (numpy RNG
-        # projection) → rows-only check; determinism itself is pinned in
-        # tests/test_semantic.py.
+        # projection) → rows-only check, but every row carries in-plan
+        # self-evidence (VERDICT r12 #1): an independent rescore of the
+        # whole corpus proves the top-k PROPERTY — topk_margin =
+        # (best excluded distance − worst returned distance) ≥ 0 iff
+        # the returned set is the true k-NN, and score_err ties the
+        # operator's reported scores to the recomputed ones (~0).
+        from distributed_vector_database_spark.functions.vector import (
+            squared_l2,
+        )
         from distributed_vector_database_spark.operators.semantic import (
             embed_text_column,
+            text2vec,
             text_search,
         )
 
         docs = load_table(spark, sf, "documents")
         corpus = embed_text_column(docs, dim=32)
-        return text_search(corpus, "spark query engine", top_k=10, dim=32)
+        res = text_search(corpus, "spark query engine", top_k=10, dim=32)
+        qv = text2vec("spark query engine", 32)
+        rescored = corpus.select(
+            "doc_id", squared_l2("embedding", qv).alias("score2")
+        )
+        ret = res.join(rescored, "doc_id")
+        ev = (
+            ret.agg(
+                F.round(
+                    F.max(F.abs(F.col("score") - F.round("score2", 6))), 6
+                ).alias("score_err"),
+                F.max("score2").alias("__worst_ret"),
+            )
+            .crossJoin(
+                rescored.join(
+                    res.select("doc_id"), "doc_id", "left_anti"
+                ).agg(F.min("score2").alias("__best_excl"))
+            )
+            .select(
+                "score_err",
+                F.round(
+                    F.col("__best_excl") - F.col("__worst_ret"), 6
+                ).alias("topk_margin"),
+            )
+        )
+        return res.crossJoin(F.broadcast(ev))
 
     q["text_to_doc_search"] = text_to_doc_search_q
 
@@ -2973,6 +3060,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_knn_join"] = ann_ivf_knn_join_q
 
     def multimodal_embed_q(spark, sf):
+        # rows-only (an embedding has no SQL oracle) but every row
+        # carries in-plan self-evidence (VERDICT r12 #1) of the
+        # embedder's whole contract: norm_err = max |‖v‖₂ − 1| (the
+        # embedder L2-normalizes), dim_err_rows = rows whose vector
+        # isn't the requested dim, nondet_rows = rows where a SECOND
+        # independent embedding pass over the same bytes produced a
+        # different vector (content-addressed determinism — the
+        # property the CLIP swap-in must also satisfy). All expected 0.
         from distributed_vector_database_spark.operators.multimodal import (
             embed_binary_deterministic,
         )
@@ -2984,9 +3079,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.encode("text", "utf-8").alias("content"),
         )
         embedded = embed_binary_deterministic(mm, dim=16)
+        again = embed_binary_deterministic(mm, dim=16).select(
+            "key", F.col("embedding").alias("embedding2")
+        )
+        norm = F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v)
+        )
+        ev = embedded.join(again, "key").agg(
+            F.round(F.max(F.abs(norm - 1.0)), 6).alias("norm_err"),
+            F.sum((F.size("embedding") != 16).cast("int")).alias(
+                "dim_err_rows"
+            ),
+            F.sum(
+                (F.col("embedding") != F.col("embedding2")).cast("int")
+            ).alias("nondet_rows"),
+        )
         return embedded.select(
             "key", "modality", F.size("embedding").alias("dim")
-        )
+        ).crossJoin(F.broadcast(ev))
 
     q["multimodal_embed"] = multimodal_embed_q
 
@@ -3437,25 +3547,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pca_whiten_q(spark, sf):
         # PCA whitening of the embedding corpus (rows-only: the d×d
-        # eigendecomposition is not SQL-expressible; numpy parity and
-        # identity-covariance are pinned by tests/test_pca.py, and the
-        # pca_invariants companion query is hash-matched).
-        # Distributed moments -> driver eigh -> codegen projection;
-        # per-row output is scalar pc columns (contract lint: no
-        # array-typed result columns)
+        # eigendecomposition is not SQL-expressible; numpy parity is
+        # pinned by tests/test_pca.py, and the pca_invariants companion
+        # query is hash-matched). Every row also carries in-plan
+        # self-evidence (VERDICT r12 #2): cov_identity_err = max
+        # |Cov(zᵢ,zⱼ) − δᵢⱼ| over the whitened output, and recon_err =
+        # |avg residual − discarded eigenvalue mass| tying the
+        # projection back to the raw vectors — both ~0 iff the
+        # whitening is right, readable straight off the driver's
+        # rows-only record. Distributed moments -> driver eigh ->
+        # codegen projection; per-row output is scalar pc columns
+        # (contract lint: no array-typed result columns)
         from distributed_vector_database_spark.operators.pca import (
             pca_project,
+            whiten_evidence,
         )
 
         model = _pca_model(spark, sf)
-        proj = pca_project(_emb(spark, sf), model, whiten=True)
+        emb = _emb(spark, sf).filter(F.col("embedding").isNotNull())
+        proj = pca_project(emb, model, whiten=True)
+        ev = whiten_evidence(proj, model)
         return proj.select(
             "vec_id",
             *[
                 F.round(F.element_at("proj", i + 1), 4).alias(f"pc{i + 1}")
                 for i in range(4)
             ],
-        )
+        ).crossJoin(F.broadcast(ev))
 
     q["pca_whiten"] = pca_whiten_q
 
@@ -7753,11 +7871,21 @@ WHERE inter > 0
     # model-derived column hash against it. Whitened per-component
     # variance is 1 and cross-covariance 0 by construction, so those
     # columns are literals: a hash mismatch means the whitening is
-    # broken, not that the oracle drifted.
-    _pca_dim = 64
-    _pca_trace = " + ".join(
-        f"var_pop(embedding[{j + 1}])" for j in range(_pca_dim)
-    )
+    # broken, not that the oracle drifted. The embedding dimension is
+    # NOT hardcoded (ADVICE r12): the zipped unnest derives the per-dim
+    # index from each row's own length, so a fixture with a different
+    # dim runs both sides over the same trace instead of hash-failing
+    # obscurely — same source of truth as the Spark side, which reads
+    # dim off the fitted model.
+    _pca_trace = """(
+  SELECT sum(vp) FROM (
+    SELECT var_pop(v) AS vp FROM (
+      SELECT unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS j
+      FROM embeddings WHERE embedding IS NOT NULL
+    ) GROUP BY j
+  )
+)"""
     _pca_ones = ", ".join(
         f"CAST(1.0 AS DOUBLE) AS wvar{i + 1}" for i in range(4)
     )
@@ -7772,7 +7900,6 @@ SELECT CAST(4 AS INTEGER) AS n_components,
   round({_pca_trace}, 4) AS total_var_raw,
   {_pca_ones},
   {_pca_zeros}
-FROM embeddings WHERE embedding IS NOT NULL
 """
 
     return o

@@ -93,17 +93,27 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tokenize every document with the learned merges:
-    (id, bpe_tokens array<string>, n_bpe) — the exact token counts a
-    token-budget selection or packing pass wants. Arrow-batched
-    mapInPandas; the per-batch word cache bounds merge-loop work by
-    DISTINCT words per batch. Merges ship once per executor via
-    broadcast, not per task."""
+    (id, *keep_cols, bpe_tokens array<string>, n_bpe) — the exact token
+    counts a token-budget selection or packing pass wants.
+    Arrow-batched mapInPandas; the per-batch word cache bounds
+    merge-loop work by DISTINCT words per batch. Merges ship once per
+    executor via broadcast, not per task. keep_cols pass source columns
+    through the encoder untouched (e.g. the text itself, so a
+    detokenization audit can run JVM-side next to the tokens)."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
-    src = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    src = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col(text_col).alias("__text"),
+    )
     id_type = docs.schema[id_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
 
     def run(batches):
         import pandas as pd
@@ -125,11 +135,16 @@ def bpe_encode(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
+                    **{c: pdf[c] for c in keep_cols},
                     "bpe_tokens": toks,
                     "n_bpe": toks.map(len),
                 }
             )
 
     return src.mapInPandas(
-        run, schema=f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe long"
+        run,
+        schema=(
+            f"{id_col} {id_type}{keep_schema},"
+            " bpe_tokens array<string>, n_bpe long"
+        ),
     )

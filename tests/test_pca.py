@@ -4,7 +4,11 @@ partition-invariance of the fitted model."""
 import numpy as np
 import pytest
 
-from distributed_vector_database_spark.operators.pca import pca_fit, pca_project
+from distributed_vector_database_spark.operators.pca import (
+    pca_fit,
+    pca_project,
+    whiten_evidence,
+)
 
 
 def _synth(spark, n=500, d=8, parts=7):
@@ -74,6 +78,29 @@ def test_fit_is_partition_invariant(spark):
     np.testing.assert_allclose(
         m1["components"], m13["components"], atol=1e-7
     )
+
+
+def test_whiten_evidence_zero_on_correct_model(spark):
+    df, _ = _synth(spark)
+    model = pca_fit(df, k=4)
+    proj = pca_project(df, model, whiten=True)
+    row = whiten_evidence(proj, model).collect()[0]
+    assert row.cov_identity_err == 0.0
+    assert row.recon_err == 0.0
+
+
+def test_whiten_evidence_catches_broken_model(spark):
+    # a corrupted eigenvalue must surface as nonzero error in BOTH
+    # evidence columns — the whitened variance drifts off 1 and the
+    # Pythagoras residual identity breaks
+    df, _ = _synth(spark)
+    model = pca_fit(df, k=4)
+    broken = dict(model)
+    broken["eigenvalues"] = [v * 4.0 for v in model["eigenvalues"]]
+    proj = pca_project(df, broken, whiten=True)
+    row = whiten_evidence(proj, broken).collect()[0]
+    assert row.cov_identity_err > 0.1
+    assert row.recon_err > 0.0
 
 
 def test_fit_raises_on_empty(spark):
