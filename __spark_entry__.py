@@ -3386,7 +3386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         edges = _graph_edges(spark, sf, FREQ_PAIR_SUPPORT, with_deg=True)
-        return pagerank(edges, iterations=PAGERANK_ITERS, damping=0.85)
+        return pagerank(
+            edges, iterations=PAGERANK_ITERS, damping=0.85, use_deg_col=True
+        )
 
     q["pagerank_parts"] = pagerank_parts_q
 
@@ -3876,7 +3878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("node")
             .limit(PPR_SEEDS)
         )
-        return personalized_pagerank(edges, seeds, iterations=PPR_ITERS)
+        return personalized_pagerank(
+            edges, seeds, iterations=PPR_ITERS, use_deg_col=True
+        )
 
     q["ppr_parts"] = ppr_parts_q
 

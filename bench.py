@@ -619,7 +619,7 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
     out["graph_build"] = round(time.time() - t0, 3)
     out["pagerank_served_probe"] = probe_best_of_2(
         lambda: pagerank(
-            graph_read(spark, f"{tmp}/graph"), iterations=5
+            graph_read(spark, f"{tmp}/graph"), iterations=5, use_deg_col=True
         ).count()
     )
 

@@ -18,13 +18,16 @@ Plan-shape notes (100 TB discipline):
   static edge relation — only the small rank relation moves).
 - ranks are node-sized, edges are edge-sized; nothing is collected to
   the driver and nothing grows with iteration count.
-- materialization is localCheckpoint(eager=True): blocks are executor-
-  local and GC-managed, the right trade on a single JVM and for
-  short-lived results (release-on-unreachable, no CacheManager pin).
-  Caveat for long-lived results on clusters with executor loss /
-  dynamic allocation: localCheckpoint truncates lineage, so lost
-  blocks are unrecoverable — flip to reliable checkpoint
-  (spark.sparkContext.setCheckpointDir + .checkpoint()) there.
+- materialization defaults to localCheckpoint(eager=True): blocks are
+  executor-local and GC-managed, the right trade on a single JVM and
+  for short-lived results (release-on-unreachable, no CacheManager
+  pin). localCheckpoint truncates lineage, so a lost executor makes
+  its blocks unrecoverable mid-job — every iterative operator
+  therefore takes `reliable`: True switches to a durable checkpoint
+  (setCheckpointDir + .checkpoint(), recomputable from files), False
+  forces executor-local, and the default (None) auto-selects reliable
+  when spark.dynamicAllocation.enabled is set — the configuration
+  under which executor loss is routine, not exceptional.
 """
 
 from __future__ import annotations
@@ -39,6 +42,33 @@ from distributed_vector_database_spark.operators.mining import (
     DEFAULT_MAX_BROADCAST_ITEMS,
     _frequent_basket_items,
 )
+
+
+def _materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Truncate lineage for per-iteration state (see module header).
+
+    reliable=None auto-detects: durable checkpoint when dynamic
+    allocation is on (executors come and go by design there — an
+    executor-local block is a lost job waiting to happen), else the
+    cheaper executor-local localCheckpoint. A durable checkpoint needs
+    a checkpoint dir; production clusters should setCheckpointDir to
+    shared storage (HDFS/object store) — if unset, a driver-local temp
+    dir is installed as a fallback so local runs work out of the box
+    (it survives executor restarts, not driver loss)."""
+    spark = df.sparkSession
+    if reliable is None:
+        reliable = (
+            spark.conf.get("spark.dynamicAllocation.enabled", "false")
+            == "true"
+        )
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="dvdb_ckpt_"))
+    return df.checkpoint(eager=True)
 
 
 def cooccurrence_edges(
@@ -295,6 +325,8 @@ def pagerank(
     damping: float = 0.85,
     partitions: int | None = None,
     weight_col: str | None = None,
+    use_deg_col: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a symmetric edge list.
 
@@ -313,9 +345,18 @@ def pagerank(
 
     Each iteration is exactly one shuffle: edges ⋈ ranks on src
     (both sides pre-partitioned on the key once, reused every round),
-    then groupBy dst with map-side partial sums. An unweighted input
-    that already carries a `deg` column (the graph_read serving layout
-    denormalizes it) skips the degree aggregation + join entirely.
+    then groupBy dst with map-side partial sums.
+
+    `use_deg_col=True` (opt-in) trusts a pre-attached `deg` column and
+    skips the degree aggregation + join entirely — the graph_read
+    serving layout denormalizes exactly this. PRECONDITION: `deg` must
+    be the undirected degree of THE EXACT edge set passed. A filtered
+    subgraph of graph_read output (e.g. after k-core peeling) carries
+    stale degrees — recompute by leaving use_deg_col off, or the walk
+    leaks rank mass silently. Opt-in (not sniffed from the schema) so
+    an incidental `deg` column can never trigger the fast path.
+
+    `reliable` picks the result materialization mode (module header).
     """
     nparts = partitions or edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
@@ -328,12 +369,15 @@ def pagerank(
         deg = adj.groupBy("src").agg(F.sum("__w").alias("deg"))
         adj = adj.join(deg, "src")
         num = F.col("rank") * F.col("__w")
-    elif "deg" in edges.columns:
+    elif use_deg_col:
         adj = edges.select("src", "dst", "deg")
         num = F.col("rank")
     else:
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        adj = edges.join(deg, "src")
+        # recompute from the edge set as passed (drop any incidental
+        # deg column so the join below can't turn ambiguous)
+        pairs = edges.select("src", "dst")
+        deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        adj = pairs.join(deg, "src")
         num = F.col("rank")
     # static relation: partition once on the iteration join key, cache
     adj = adj.repartition(nparts, "src").persist()
@@ -367,9 +411,10 @@ def pagerank(
     # MEMORY_AND_DISK relation per call for the life of the session.
     # Materialize the node-sized result eagerly (severing the lineage),
     # then release the edge cache before returning.
-    out = ranks.select(
-        "node", F.round(F.col("rank") * n, 6).alias("rank_rel")
-    ).localCheckpoint(eager=True)
+    out = _materialize(
+        ranks.select("node", F.round(F.col("rank") * n, 6).alias("rank_rel")),
+        reliable,
+    )
     adj.unpersist()
     return out
 
@@ -440,6 +485,7 @@ def kcore(
     edges: DataFrame,
     k: int,
     rounds: int = 8,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peel over a symmetric edge list: repeatedly
     drop nodes whose degree in the SURVIVING subgraph is < k. After
@@ -466,14 +512,15 @@ def kcore(
     # agg + two semi joins); without materialization the upstream plan
     # re-evaluates 3^rounds times. Checkpoint the shrinking edge set
     # per round — cost is one write of an ever-smaller relation.
-    live = edges.localCheckpoint(eager=True)
+    live = _materialize(edges, reliable)
     for _ in range(rounds):
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
-        live = (
-            live.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+        live = _materialize(
+            live.join(keep, "src", "left_semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            ),
+            reliable,
         )
     return (
         live.groupBy("src")
@@ -486,6 +533,7 @@ def kcore(
 def label_propagation(
     edges: DataFrame,
     iterations: int = 5,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Synchronous min-label propagation over a symmetric edge list:
     label_0(v) = v; label_{t+1}(v) = min(label_t(v), min over
@@ -511,12 +559,12 @@ def label_propagation(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     adj = edges.repartition(nparts, "src").persist()
-    labels = (
+    labels = _materialize(
         adj.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .repartition(nparts, "node")
-        .localCheckpoint(eager=True)
+        .repartition(nparts, "node"),
+        reliable,
     )
     for _ in range(iterations):
         incoming = (
@@ -525,7 +573,7 @@ def label_propagation(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        labels = _materialize(
             labels.join(incoming, "node", "left")
             .select(
                 "node",
@@ -533,8 +581,8 @@ def label_propagation(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .repartition(nparts, "node")
-            .localCheckpoint(eager=True)
+            .repartition(nparts, "node"),
+            reliable,
         )
     adj.unpersist()
     return labels
@@ -605,6 +653,8 @@ def personalized_pagerank(
     iterations: int = 4,
     damping: float = 0.85,
     partitions: int | None = None,
+    use_deg_col: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Personalized PageRank: the teleport mass returns to a SEED set
     instead of spreading uniformly — the similarity-to-these-nodes
@@ -621,16 +671,22 @@ def personalized_pagerank(
     node relation (left join on the contribution aggregate) rather
     than from the aggregate alone. `seeds` must have a `node` column;
     non-existent seed nodes are ignored (semi join against nodes).
+
+    `use_deg_col` / `reliable`: same contract as pagerank — the deg
+    fast path is opt-in and requires `deg` to match the exact edge set
+    passed (a filtered subgraph carries stale degrees); `reliable`
+    picks the materialization mode (module header).
     """
     nparts = int(
         partitions
         or edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    if "deg" in edges.columns:
+    if use_deg_col:
         adj = edges.select("src", "dst", "deg")
     else:
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        adj = edges.join(deg, "src")
+        pairs = edges.select("src", "dst")
+        deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        adj = pairs.join(deg, "src")
     adj = adj.repartition(nparts, "src").persist()
     nodes = (
         adj.select("src")
@@ -699,9 +755,10 @@ def personalized_pagerank(
             )
             .repartition(nparts, "node")
         )
-    out = ranks.select(
-        "node", F.round(F.col("rank") * n, 6).alias("rank_rel")
-    ).localCheckpoint(eager=True)
+    out = _materialize(
+        ranks.select("node", F.round(F.col("rank") * n, 6).alias("rank_rel")),
+        reliable,
+    )
     adj.unpersist()
     nodes.unpersist()
     seed_nodes.unpersist()

@@ -187,9 +187,15 @@ def knn_join(
     (SURVEY §2.3 "similarity search").
 
     `max_query_rows` guards the broadcast-the-query-side assumption;
-    `on_exceed="warn"` keeps the pre-guard behavior (proceed anyway,
-    with a warning) for callers who accept the driver memory cost —
-    the scale path for large query sides is ann.ivf_knn_join.
+    `on_exceed="warn"` proceeds anyway — but CHUNKED: the query side
+    streams through `toLocalIterator()` in max_query_rows-sized
+    slices, each slice runs the kernel independently, and the per-
+    slice top-k plans are unioned (slices own disjoint query keys, so
+    per-slice ranking equals global ranking). The driver never holds
+    more than one slice of Row objects at a time; the corpus is
+    re-scanned once per slice, which is the honest cost of brute
+    force past the broadcast budget — the scale path for large query
+    sides is ann.ivf_knn_join.
 
     Plan: the query side (assumed ≪ corpus) is collected and broadcast
     into a vectorized per-partition kernel: each corpus partition
@@ -208,32 +214,21 @@ def knn_join(
     # with a clear message instead of silently pulling the world into
     # the driver. For query sets beyond the budget, chunk the query
     # side or swap sides (k-NN join is symmetric in who broadcasts).
-    qrows = queries.select(query_key, query_vec).limit(max_query_rows + 1).collect()
-    if len(qrows) > max_query_rows:
-        if on_exceed == "warn":
-            import warnings
-
-            warnings.warn(
-                f"knn_join query side exceeds max_query_rows={max_query_rows}; "
-                "proceeding (on_exceed='warn') — consider ann.ivf_knn_join "
-                "for large-x-large joins",
-                stacklevel=2,
-            )
-            qrows = queries.select(query_key, query_vec).collect()
-        else:
-            raise ValueError(
-                f"knn_join query side exceeds max_query_rows={max_query_rows}; "
-                "this kernel broadcasts the query side into every corpus "
-                "partition — chunk the queries, raise the budget explicitly "
-                "(or pass on_exceed='warn' to proceed), or use "
-                "ann.ivf_knn_join for large-x-large joins"
-            )
+    qside = queries.select(query_key, query_vec)
+    qrows = qside.limit(max_query_rows + 1).collect()
+    exceeded = len(qrows) > max_query_rows
+    if exceeded and on_exceed != "warn":
+        raise ValueError(
+            f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+            "this kernel broadcasts the query side into every corpus "
+            "partition — chunk the queries, raise the budget explicitly "
+            "(or pass on_exceed='warn' to proceed chunked), or use "
+            "ann.ivf_knn_join for large-x-large joins"
+        )
     if not qrows:
         return queries.sparkSession.createDataFrame(
             [], f"{query_key} long, {corpus_key} long, score double, rank int"
         )
-    qids = [r[query_key] for r in qrows]
-    qmat_list = [[float(x) for x in r[query_vec]] for r in qrows]
 
     key_type = dict(corpus.dtypes)[corpus_key]
     qkey_type = dict(queries.dtypes)[query_key]
@@ -242,43 +237,78 @@ def knn_join(
     )
     # null corpus vectors would crash np.stack in the kernel
     proj = corpus.filter(F.col(corpus_vec).isNotNull()).select(corpus_key, corpus_vec)
-
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm = np.asarray(qmat_list, dtype=np.float64)  # (nq, dim)
-        best: pd.DataFrame | None = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
-            parts = []
-            for j, qid in enumerate(qids):
-                d = mat - qm[j]
-                scores = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            query_key: qid,
-                            corpus_key: pdf[corpus_key].to_numpy(),
-                            "score": scores,
-                        }
-                    )
-                )
-            cand = pd.concat(parts) if best is None else pd.concat([best, *parts])
-            best = (
-                cand.sort_values(["score", corpus_key])
-                .groupby(query_key, sort=False)
-                .head(k)
-            )
-        if best is not None:
-            yield best
-
-    local = proj.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy(query_key).orderBy("score", corpus_key)
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key, corpus_key, "score", "rank")
+
+    def _chunk_topk(chunk_rows) -> DataFrame:
+        # one kernel run for one bounded slice of the query side; the
+        # slice ships to executors as plain float lists via closure
+        qids = [r[query_key] for r in chunk_rows]
+        qmat_list = [[float(x) for x in r[query_vec]] for r in chunk_rows]
+
+        def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = np.asarray(qmat_list, dtype=np.float64)  # (nq, dim)
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+                parts = []
+                for j, qid in enumerate(qids):
+                    d = mat - qm[j]
+                    scores = np.round(np.einsum("ij,ij->i", d, d), SCORE_DECIMALS)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                query_key: qid,
+                                corpus_key: pdf[corpus_key].to_numpy(),
+                                "score": scores,
+                            }
+                        )
+                    )
+                cand = pd.concat(parts) if best is None else pd.concat([best, *parts])
+                best = (
+                    cand.sort_values(["score", corpus_key])
+                    .groupby(query_key, sort=False)
+                    .head(k)
+                )
+            if best is not None:
+                yield best
+
+        local = proj.mapInPandas(local_topk, schema=out_schema)
+        # ranking per chunk == global ranking: chunks own disjoint
+        # query keys and the window partitions by query key
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_key, corpus_key, "score", "rank")
+        )
+
+    if not exceeded:
+        return _chunk_topk(qrows)
+
+    import warnings
+    from functools import reduce
+
+    warnings.warn(
+        f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+        "proceeding CHUNKED (on_exceed='warn'): the corpus is re-scanned "
+        "once per query slice — consider ann.ivf_knn_join for "
+        "large-x-large joins",
+        stacklevel=2,
     )
+    # stream the query side partition-by-partition; the driver holds at
+    # most one max_query_rows slice of Rows at a time (plus the plans'
+    # compact float lists), never the whole query set as Row objects
+    outs: list[DataFrame] = []
+    chunk: list = []
+    for r in qside.toLocalIterator():
+        chunk.append(r)
+        if len(chunk) == max_query_rows:
+            outs.append(_chunk_topk(chunk))
+            chunk = []
+    if chunk:
+        outs.append(_chunk_topk(chunk))
+    return reduce(DataFrame.unionByName, outs)
 
 
 def maxsim_topk(

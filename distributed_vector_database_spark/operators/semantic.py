@@ -165,10 +165,15 @@ def text_search(
     vec_col: str = "embedding",
     project_cols: Sequence[str] = ("source",),
     dim: int = 64,
+    predicate=None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """O22: text2vec(query) → distributed k-NN → project metadata
     columns with the score (the {file_path, score} projection of
-    clip/db_operation.py:148-158)."""
+    clip/db_operation.py:148-158). `predicate`/`threshold` pass
+    through to knn_exact — the search-RPC parameters the reference
+    declares (src/vector_db.thrift:26-27) surface here too, so every
+    entry point (CLI, HTTP facade, this operator) honors them."""
     qvec = text2vec(query_text, dim)
     return knn_exact(
         corpus,
@@ -176,5 +181,7 @@ def text_search(
         k=top_k,
         key_col=key_col,
         vec_col=vec_col,
+        predicate=predicate,
+        threshold=threshold,
         extra_cols=tuple(project_cols),
     )

@@ -35,14 +35,29 @@ def make_search_fn(
     vec_col: str = "embedding",
     project_cols: tuple[str, ...] = ("source",),
     dim: int = 64,
-) -> Callable[[str, int], DataFrame]:
-    """Bind a corpus into a (text, topk) -> DataFrame search callable
-    over semantic.text_search — the O22 path the endpoint serves."""
+) -> Callable[..., DataFrame]:
+    """Bind a corpus into a (text, topk, filter, threshold) ->
+    DataFrame search callable over semantic.text_search — the O22 path
+    the endpoint serves. `filter` is a dict of column=value equality
+    predicates (the CLI's --filter semantics, __main__.py) applied
+    BEFORE distance so it pushes to the scan; `threshold` is the max
+    squared-L2 score cutoff (src/vector_db.thrift:27)."""
+    from pyspark.sql import functions as F
+
     from distributed_vector_database_spark.operators.semantic import (
         text_search,
     )
 
-    def _search(text: str, topk: int) -> DataFrame:
+    def _search(
+        text: str,
+        topk: int,
+        filter: dict | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        predicate = None
+        for k, v in (filter or {}).items():
+            clause = F.col(str(k)) == v
+            predicate = clause if predicate is None else predicate & clause
         return text_search(
             corpus,
             text,
@@ -51,18 +66,33 @@ def make_search_fn(
             vec_col=vec_col,
             project_cols=project_cols,
             dim=dim,
+            predicate=predicate,
+            threshold=threshold,
         )
 
     return _search
 
 
 def search_handler(
-    search_fn: Callable[[str, int], DataFrame], payload: Any
+    search_fn: Callable[..., DataFrame], payload: Any
 ) -> tuple[dict, int]:
     """The /api/search request handler as a plain function:
     (body, status). Collects only the bounded top-k result rows —
     never the corpus. Mirrors the reference's response contract:
-    success + results list, or success=false + error + 500."""
+    success + results list, or success=false + error + 500; also
+    honors the search parameters the reference declares but drops
+    (`filter` metadata equality map, `threshold` max-score cutoff —
+    src/vector_db.thrift:26-27, dropped at
+    src/coordinator/handler.py:186-189).
+
+    Deliberate deviation from the reference on errors (same
+    note-the-tradeoff discipline as the CORS block below): the
+    reference returns str(e) verbatim (clip/backend.py:55), which for
+    an engine-level failure can leak Spark plan text and filesystem
+    paths to external clients. Input-validation errors (ValueError —
+    messages this handler writes itself) keep their text; everything
+    else logs the full exception server-side and answers a generic
+    'internal error'."""
     try:
         if not isinstance(payload, dict):
             raise ValueError("request body must be a JSON object")
@@ -71,13 +101,33 @@ def search_handler(
         if topk <= 0:
             raise ValueError("topk must be positive")
         topk = min(topk, MAX_TOPK)
-        rows = search_fn(text, topk).collect()
+        flt = payload.get("filter")
+        if flt is not None and (
+            not isinstance(flt, dict)
+            or any(isinstance(v, (dict, list)) for v in flt.values())
+        ):
+            raise ValueError("filter must be a flat object of column: value")
+        threshold = payload.get("threshold")
+        if threshold is not None:
+            threshold = float(threshold)
+            if threshold < 0:
+                raise ValueError("threshold must be non-negative")
+        rows = search_fn(text, topk, filter=flt, threshold=threshold).collect()
         return {
             "success": True,
             "results": [r.asDict(recursive=True) for r in rows],
         }, 200
-    except Exception as e:  # reference returns the message verbatim
+    except ValueError as e:  # our own validation text — safe to echo
         return {"success": False, "results": [], "error": str(e)}, 500
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).exception("search_handler failed")
+        return {
+            "success": False,
+            "results": [],
+            "error": "internal error (see server log)",
+        }, 500
 
 
 def create_app(

@@ -82,13 +82,28 @@ def _latest_manifest(state_dir: str) -> tuple[int, list[str]] | None:
         return v, json.load(f)["segments"]
 
 
-def _publish_manifest(state_dir: str, version: int, segments: list[str]) -> None:
+def _publish_manifest(
+    state_dir: str, version: int, segments: list[str]
+) -> bool:
+    """Check-and-fail atomic publish (ADVICE r12): the manifest file
+    appears atomically WITH its full content via os.link from a
+    private tmp file, and the link fails with FileExistsError if
+    another writer already published this version — so an ingest fold
+    and a compaction racing to v+1 can never clobber each other;
+    the loser re-reads the manifest and retries against the new head.
+    Returns True on success, False if the version was taken."""
     os.makedirs(_manifest_dir(state_dir), exist_ok=True)
     target = os.path.join(_manifest_dir(state_dir), f"v={version}.json")
-    tmp = target + ".tmp"
+    tmp = f"{target}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"segments": segments}, f)
-    os.replace(tmp, target)  # atomic publish
+    try:
+        os.link(tmp, target)  # atomic, EEXIST if the version is taken
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
 
 
 def _batch_marker(state_dir: str, batch_id: int) -> str:
@@ -130,41 +145,68 @@ def build_graph_fold(
     basket_col: str,
     item_col: str,
     max_basket: int = 256,
+    run_id: str | None = None,
 ):
     """foreachBatch body: append one delta segment per micro-batch of
     complete baskets — O(batch) work, the accumulated state is never
     read or rewritten on the ingest path. At-least-once replays are
-    skipped via the permanent batch ledger."""
+    skipped via the permanent batch ledger.
+
+    `run_id` names the STREAM IDENTITY (run_graph_stream passes its
+    checkpoint_dir): the ledger skips a batch id only when the marker
+    was written by the SAME identity (ADVICE r12 — Spark restarts
+    batch ids at 0 when a stream gets a fresh checkpoint dir, so
+    without the identity a re-pointed stream would silently discard
+    its first batches as 'replays'). Segment names carry the identity
+    tag too, so a new stream's batch 0 cannot overwrite an old
+    stream's still-referenced segment. Leaving run_id=None keeps the
+    legacy single-stream layout (markers with no identity match it).
+    """
+    tag = ""
+    if run_id is not None:
+        import hashlib
+
+        tag = hashlib.sha1(run_id.encode()).hexdigest()[:8] + "-"
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        if os.path.exists(_batch_marker(state_dir, batch_id)):
-            return  # replay of an already-folded batch
+        marker = _batch_marker(state_dir, batch_id)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                rec = json.load(f)
+            if rec.get("run") == run_id:
+                return  # replay of an already-folded batch
+            # same batch id from a DIFFERENT stream identity (fresh
+            # checkpoint dir over existing state): genuinely new data
         pairs, items = _batch_supports(batch, basket_col, item_col, max_basket)
-        seg = f"b{batch_id}"
+        seg = f"{tag}b{batch_id}"
         items.write.mode("overwrite").parquet(
             f"{state_dir}/items/seg={seg}"
         )
         pairs.write.mode("overwrite").parquet(
             f"{state_dir}/pairs/seg={seg}"
         )
-        latest = _latest_manifest(state_dir)
-        v, live = latest if latest is not None else (-1, [])
-        # idempotent append: a crash between manifest and ledger makes
+        # check-and-fail publish loop: if a concurrent compaction (or
+        # another fold) takes our version, re-read the head and retry.
+        # Idempotent append: a crash between manifest and ledger makes
         # the re-fold overwrite the same segment name — it must not be
-        # referenced twice (double count)
-        if seg not in live:
-            _publish_manifest(state_dir, v + 1, [*live, seg])
+        # referenced twice (double count), hence the `in live` stop.
+        while True:
+            latest = _latest_manifest(state_dir)
+            v, live = latest if latest is not None else (-1, [])
+            if seg in live or _publish_manifest(
+                state_dir, v + 1, [*live, seg]
+            ):
+                break
         # ledger AFTER the manifest: a crash in between re-folds the
         # batch into an orphan segment next time (harmless duplicate
         # dir, deduped by name) rather than silently dropping it
-        os.makedirs(os.path.dirname(_batch_marker(state_dir, batch_id)),
-                    exist_ok=True)
-        tmp = _batch_marker(state_dir, batch_id) + ".tmp"
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"segment": seg}, f)
-        os.replace(tmp, _batch_marker(state_dir, batch_id))
+            json.dump({"segment": seg, "run": run_id}, f)
+        os.replace(tmp, marker)
 
     return fold
 
@@ -196,7 +238,16 @@ def compact_graph_state(spark: SparkSession, state_dir: str) -> int:
     (batch ledger markers are kept forever — they are the replay
     guard). Returns the number of segments absorbed. Bounds the
     read-side segment count; run it on whatever cadence keeps reads
-    cheap (the postings/IVF compaction story)."""
+    cheap (the postings/IVF compaction story).
+
+    Safe to run concurrently with the ingest fold (ADVICE r12): the
+    publish is check-and-fail, so if a micro-batch lands a manifest
+    while this compaction is folding, the compactor loses the version
+    race, re-reads the head, and carries the fold's NEW segments
+    forward next to the compacted base — no segment is dropped or
+    double-counted. Run at most ONE compactor at a time, though: two
+    concurrent compactions would race on the compacted segment's
+    parquet dir itself, below the manifest protocol."""
     latest = _latest_manifest(state_dir)
     if latest is None or not latest[1]:
         raise FileNotFoundError(f"no graph state under {state_dir}")
@@ -207,11 +258,22 @@ def compact_graph_state(spark: SparkSession, state_dir: str) -> int:
     seg = f"c{v + 1}"
     items.write.mode("overwrite").parquet(f"{state_dir}/items/seg={seg}")
     pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs/seg={seg}")
-    _publish_manifest(state_dir, v + 1, [seg])
-    for old in segs:
+    absorbed = set(segs)
+    new_live, v_next = [seg], v + 1
+    while not _publish_manifest(state_dir, v_next, new_live):
+        head = _latest_manifest(state_dir)
+        assert head is not None  # a manifest beat us, so one exists
+        v_head, live_head = head
+        # keep everything folded in AFTER our snapshot read
+        new_live = [
+            seg,
+            *[s for s in live_head if s not in absorbed and s != seg],
+        ]
+        v_next = v_head + 1
+    for old in absorbed:
         shutil.rmtree(f"{state_dir}/pairs/seg={old}", ignore_errors=True)
         shutil.rmtree(f"{state_dir}/items/seg={old}", ignore_errors=True)
-    return len(segs)
+    return len(absorbed)
 
 
 def read_cooccurrence_graph(
@@ -256,8 +318,17 @@ def run_graph_stream(
     max_files_per_trigger: int | None = None,
 ):
     """Continuously maintain the co-occurrence supports over arriving
-    JSON basket rows. Returns the StreamingQuery."""
-    fold = build_graph_fold(state_dir, basket_col, item_col, max_basket)
+    JSON basket rows. Returns the StreamingQuery. The checkpoint dir
+    doubles as the replay-ledger identity: re-pointing a FRESH
+    checkpoint at existing state folds its restarted batch ids as new
+    data instead of skipping them as replays."""
+    fold = build_graph_fold(
+        state_dir,
+        basket_col,
+        item_col,
+        max_basket,
+        run_id=os.path.abspath(checkpoint_dir),
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

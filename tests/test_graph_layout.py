@@ -158,7 +158,9 @@ def test_pagerank_reuses_layout_degrees(spark, tmp_path):
     graph_write(edges, path)
     from_layout = {
         r["node"]: r["rank_rel"]
-        for r in pagerank(graph_read(spark, path), iterations=3).collect()
+        for r in pagerank(
+            graph_read(spark, path), iterations=3, use_deg_col=True
+        ).collect()
     }
     from_edges = {
         r["node"]: r["rank_rel"]
@@ -175,7 +177,7 @@ def test_ppr_reuses_layout_degrees(spark, tmp_path):
     a = {
         r["node"]: r["rank_rel"]
         for r in personalized_pagerank(
-            graph_read(spark, path), seeds, iterations=3
+            graph_read(spark, path), seeds, iterations=3, use_deg_col=True
         ).collect()
     }
     b = {
@@ -260,3 +262,50 @@ def test_cooccurrence_layout_matches_direct(spark, tmp_path):
     )
     direct = sorted((r["src"], r["dst"]) for r in edges.collect())
     assert served == direct and served  # non-vacuous
+
+
+def test_stale_deg_fast_path_is_opt_in(spark, tmp_path):
+    """A filtered subgraph of graph_read output carries stale
+    denormalized degrees; the default (use_deg_col off) recomputes
+    degrees from the edge set as passed, so ranks stay correct."""
+    path = str(tmp_path / "stale")
+    graph_write(_sym(spark, TRIANGLE_PLUS_TAIL), path)
+    # peel node 4: its edges go, but surviving rows keep old deg values
+    sub = graph_read(spark, path).filter("src != 4 and dst != 4")
+    fresh = _sym(spark, [(1, 2), (1, 3), (2, 3)])
+    want = {r["node"]: r["rank_rel"] for r in pagerank(fresh, 3).collect()}
+    got = {r["node"]: r["rank_rel"] for r in pagerank(sub, 3).collect()}
+    assert got == want
+    # the opt-in fast path on the same stale input is the documented
+    # wrong answer — proving the default guards against exactly this
+    stale = {
+        r["node"]: r["rank_rel"]
+        for r in pagerank(sub, 3, use_deg_col=True).collect()
+    }
+    assert stale != want
+
+
+def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    """reliable=True materializes iterative state to checkpoint FILES:
+    after every executor-local block is dropped (simulated executor
+    loss), the result is still readable — while the executor-local
+    default (reliable=False) loses its blocks unrecoverably, which is
+    the module-header caveat this flag exists for."""
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = _sym(spark, TRIANGLE_PLUS_TAIL)
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    fragile = pagerank(edges, iterations=2, reliable=False)
+    durable = pagerank(edges, iterations=2, reliable=True)
+    want = sorted(map(tuple, durable.collect()))
+    assert sorted(map(tuple, fragile.collect())) == want
+    # simulate executor loss: drop every block this test created
+    master = sc._jvm.org.apache.spark.SparkEnv.get().blockManager().master()
+    for rid in sc._jsc.getPersistentRDDs().keySet().toArray():
+        if rid not in before:
+            master.removeRdd(int(rid), True)
+    # durable state recomputes from the checkpoint files on disk
+    assert sorted(map(tuple, durable.collect())) == want
+    # the executor-local blocks are gone for good
+    with pytest.raises(Exception, match="[Cc]heckpoint"):
+        fragile.collect()

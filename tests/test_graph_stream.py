@@ -159,3 +159,82 @@ def test_replay_skipped_even_after_compaction(spark, tmp_path):
         for r in read_cooccurrence_graph(spark, state, 2).collect()
     }
     assert sup[(1, 2)] == 3  # not 6
+
+
+def test_publish_manifest_is_check_and_fail(tmp_path):
+    # two writers racing to the same version: exactly one wins, and
+    # the published content is the winner's, never a clobber
+    from distributed_vector_database_spark.streaming.graph_maintenance import (
+        _latest_manifest,
+        _publish_manifest,
+    )
+
+    state = str(tmp_path / "race")
+    assert _publish_manifest(state, 0, ["b0"]) is True
+    assert _publish_manifest(state, 1, ["b0", "b1"]) is True
+    # the loser's attempt at an existing version fails cleanly
+    assert _publish_manifest(state, 1, ["b0", "COMPACT-CLOBBER"]) is False
+    assert _latest_manifest(state) == (1, ["b0", "b1"])
+
+
+def test_compaction_losing_publish_race_keeps_folded_segment(
+    spark, tmp_path, monkeypatch
+):
+    """A micro-batch folds WHILE compaction runs: the compactor loses
+    the version race, retries, and must carry the concurrent fold's
+    segment forward — the silent-drop scenario the check-and-fail
+    publish exists for."""
+    import distributed_vector_database_spark.streaming.graph_maintenance as gm
+
+    state = str(tmp_path / "cc")
+    fold = build_graph_fold(state, "basket", "item")
+    df = _baskets(spark)
+    fold(df.filter(F.col("basket") <= 12), 0)
+    before = _edges(spark, state)
+
+    real_publish = gm._publish_manifest
+    raced = {"done": False}
+
+    def racing_publish(sd, version, segments):
+        # first publish attempt from the compactor: a concurrent
+        # micro-batch lands first (baskets 13-14 as segment b1)
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.setattr(gm, "_publish_manifest", real_publish)
+            fold(df.filter(F.col("basket") >= 13), 1)
+        return real_publish(sd, version, segments)
+
+    monkeypatch.setattr(gm, "_publish_manifest", racing_publish)
+    absorbed = compact_graph_state(spark, state)
+    assert absorbed == 1
+    v, live = gm._latest_manifest(state)
+    assert any(s.startswith("c") for s in live)
+    assert "b1" in live  # the concurrent fold survived
+    # served graph = one-shot fold over ALL baskets
+    one = str(tmp_path / "one")
+    build_graph_fold(one, "basket", "item")(df, 0)
+    assert _edges(spark, state) == _edges(spark, one)
+    assert _edges(spark, state) != before  # non-vacuous: b1 added pairs
+
+
+def test_fresh_checkpoint_identity_is_not_a_replay(spark, tmp_path):
+    """Batch ids restart at 0 when a stream gets a new checkpoint dir;
+    the ledger must fold them as new data (matching identities still
+    skip true replays)."""
+    state = str(tmp_path / "ident")
+    df = _baskets(spark)
+    fold_a = build_graph_fold(state, "basket", "item", run_id="ckpt-A")
+    fold_a(df.filter(F.col("basket") <= 12), 0)
+    partial = _edges(spark, state)
+    # true replay, same identity: skipped
+    fold_a(df.filter(F.col("basket") <= 12), 0)
+    assert _edges(spark, state) == partial
+    # new stream identity, restarted batch id 0: folded, not skipped
+    fold_b = build_graph_fold(state, "basket", "item", run_id="ckpt-B")
+    fold_b(df.filter(F.col("basket") >= 13), 0)
+    one = str(tmp_path / "one")
+    build_graph_fold(one, "basket", "item")(df, 0)
+    assert _edges(spark, state) == _edges(spark, one)
+    # and B's batch 0 replay is now skipped too
+    fold_b(df.filter(F.col("basket") >= 13), 0)
+    assert _edges(spark, state) == _edges(spark, one)

@@ -107,6 +107,44 @@ def test_knn_join_query_budget_guard(tables):
         knn_join(qs, emb, k=2, max_query_rows=3)
 
 
+def test_knn_join_warn_path_chunks_and_matches_unchunked(tables, monkeypatch):
+    # the over-budget warn path must (a) produce exactly the
+    # in-budget result and (b) never materialize more than
+    # max_query_rows (+1 for the guard probe) Rows in one driver call
+    # — chunked via toLocalIterator, not one big collect()
+    import warnings
+
+    from pyspark.sql import DataFrame
+
+    emb = tables["embeddings"]
+    qs = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    budget = 3
+    seen: list[int] = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = knn_join(
+            qs, emb, k=2, max_query_rows=budget, on_exceed="warn"
+        ).collect()
+    assert any("CHUNKED" in str(x.message) for x in w)
+    # every driver-side collect during plan build stayed within budget
+    # (+1 = the fail-fast guard probe); the final result collect of 20
+    # rows is ours, not the operator's
+    assert all(n <= budget + 1 for n in seen[:-1])
+    monkeypatch.undo()
+    want = knn_join(qs, emb, k=2, max_query_rows=100).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_null_vectors_excluded_not_ranked(spark):
     """Spark orderBy asc is nulls-FIRST: without an explicit guard a
     corrupt null-embedding row would outrank every real neighbor (and

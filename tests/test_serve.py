@@ -86,3 +86,61 @@ def test_create_app_import_gate(search_fn):
     else:
         with pytest.raises(NotImplementedError, match="fastapi"):
             create_app(search_fn)
+
+
+def test_search_handler_filter_narrows_results(search_fn, spark):
+    # the filter param the reference declares-but-drops
+    # (src/coordinator/handler.py:186-189) is honored: every hit
+    # satisfies the metadata equality predicate
+    all_body, _ = search_handler(search_fn, {"text": "q", "topk": 5})
+    labels = {r["label"] for r in all_body["results"]}
+    assert len(labels) > 1  # non-vacuous: unfiltered mixes labels
+    want = sorted(labels)[0]
+    body, status = search_handler(
+        search_fn, {"text": "q", "topk": 5, "filter": {"label": want}}
+    )
+    assert status == 200
+    assert body["results"] and all(
+        r["label"] == want for r in body["results"]
+    )
+
+
+def test_search_handler_threshold_cuts_tail(search_fn):
+    body, _ = search_handler(search_fn, {"text": "q", "topk": 5})
+    scores = [r["score"] for r in body["results"]]
+    cut = scores[2]  # keep the best 3 (ties keep more, none here)
+    tb, status = search_handler(
+        search_fn, {"text": "q", "topk": 5, "threshold": cut}
+    )
+    assert status == 200
+    assert all(r["score"] <= cut for r in tb["results"])
+    assert len(tb["results"]) < len(body["results"])
+
+
+def test_search_handler_rejects_bad_filter_and_threshold(search_fn):
+    body, status = search_handler(
+        search_fn, {"text": "q", "filter": ["not", "a", "dict"]}
+    )
+    assert status == 500 and "filter" in body["error"]
+    body, status = search_handler(
+        search_fn, {"text": "q", "filter": {"label": {"$gt": 1}}}
+    )
+    assert status == 500 and "filter" in body["error"]
+    body, status = search_handler(search_fn, {"text": "q", "threshold": -1})
+    assert status == 500 and "threshold" in body["error"]
+
+
+def test_search_handler_sanitizes_internal_errors(caplog):
+    # engine-level failures must not leak plan text / paths to the
+    # client; the full exception goes to the server log instead
+    def exploding(text, topk, filter=None, threshold=None):
+        raise RuntimeError("secret /path/to/warehouse plan details")
+
+    import logging
+
+    with caplog.at_level(logging.ERROR):
+        body, status = search_handler(exploding, {"text": "q"})
+    assert status == 500
+    assert "secret" not in body["error"]
+    assert body["error"] == "internal error (see server log)"
+    assert any("secret /path" in r.getMessage() or "search_handler" in r.getMessage() for r in caplog.records)
