@@ -32,6 +32,9 @@ from distributed_vector_database_spark.functions.hashing import (
     hamming64,
     minhash_bands,
 )
+from distributed_vector_database_spark.functions.materialize import (
+    materialize,
+)
 from distributed_vector_database_spark.functions.text import (
     fingerprint,
     shingles_from_tokens,
@@ -608,6 +611,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into clusters: every id gets the
     MIN id of its connected component as `rep_id` (singletons represent
@@ -625,8 +629,11 @@ def dedup_clusters(
     pointer-jumping argument — Kiveris et al., "Connected Components in
     MapReduce and Beyond", gives the same bound for star operations).
     Each round is two joins + one aggregate on |edge endpoints| rows;
-    labels are localCheckpoint'ed to keep the lineage (and thus task
-    closures) constant-size at scale.
+    labels are materialized per round to keep the lineage (and thus
+    task closures) constant-size at scale. `reliable` picks the mode
+    (functions/materialize.py): executor-local by default, durable
+    checkpoint files when True or when dynamic allocation is on —
+    same durability switch as the iterative graph operators.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -644,7 +651,9 @@ def dedup_clusters(
     # references edge_nodes, and a cached lineage still embeds the whole
     # candidate-pair (sketch) plan in every consumer — checkpointing the
     # small endpoint set keeps the final composed plan constant-size
-    edge_nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    edge_nodes = materialize(
+        edges.select(F.col("src").alias("id")).distinct(), reliable
+    )
     singletons = (
         all_ids.select(F.col(id_col).alias("id"))
         .join(edge_nodes, "id", "left_anti")
@@ -680,17 +689,16 @@ def dedup_clusters(
         reps = prop.select(
             F.col("id").alias("__rid"), F.col("rep_id").alias("__rrep")
         )
-        new_labels = (
-            prop.join(reps, prop["rep_id"] == reps["__rid"], "left")
-            .select(
+        new_labels = materialize(
+            prop.join(reps, prop["rep_id"] == reps["__rid"], "left").select(
                 "id",
                 F.coalesce("__rrep", "rep_id").alias("rep_id"),
                 (
                     F.col("__chg")
                     | (F.coalesce("__rrep", "rep_id") < F.col("rep_id"))
                 ).alias("__chg"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         labels = new_labels.select("id", "rep_id")
         if it % 2 == 1 or it == max_iterations - 1:
@@ -707,6 +715,7 @@ def dedup_clusters_incremental(
     new_ids: DataFrame | None = None,
     id_col: str = "id",
     max_iterations: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Continual-ingest clustering: fold a NEW batch of duplicate
     pairs (and optionally new singleton ids) into a persisted
@@ -742,24 +751,25 @@ def dedup_clusters_incremental(
     pairs = new_pairs.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
-    ends = (
+    ends = materialize(
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     # reps of every touched OLD component (batch-bounded)
-    touched_reps = (
+    touched_reps = materialize(
         labels.join(F.broadcast(ends), "id", "left_semi")
         .select("rep_id")
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     # hydrate those components in full: their stars must re-resolve
     # together (a merge can relabel every member)
-    touched = labels.join(
-        F.broadcast(touched_reps), "rep_id", "left_semi"
-    ).localCheckpoint()
+    touched = materialize(
+        labels.join(F.broadcast(touched_reps), "rep_id", "left_semi"),
+        reliable,
+    )
     # giant-component watch: both frames are eager checkpoints, so
     # these counts are metadata-cheap; a touched mass far above the
     # batch size means an edge landed in a mega-component and this
@@ -802,6 +812,7 @@ def dedup_clusters_incremental(
         scope_ids,
         star_pairs.unionByName(pairs),
         max_iterations=max_iterations,
+        reliable=reliable,
     )
     untouched = labels.join(
         F.broadcast(touched_reps), "rep_id", "left_anti"

@@ -44,31 +44,12 @@ from distributed_vector_database_spark.operators.mining import (
 )
 
 
-def _materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
-    """Truncate lineage for per-iteration state (see module header).
-
-    reliable=None auto-detects: durable checkpoint when dynamic
-    allocation is on (executors come and go by design there — an
-    executor-local block is a lost job waiting to happen), else the
-    cheaper executor-local localCheckpoint. A durable checkpoint needs
-    a checkpoint dir; production clusters should setCheckpointDir to
-    shared storage (HDFS/object store) — if unset, a driver-local temp
-    dir is installed as a fallback so local runs work out of the box
-    (it survives executor restarts, not driver loss)."""
-    spark = df.sparkSession
-    if reliable is None:
-        reliable = (
-            spark.conf.get("spark.dynamicAllocation.enabled", "false")
-            == "true"
-        )
-    if not reliable:
-        return df.localCheckpoint(eager=True)
-    sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="dvdb_ckpt_"))
-    return df.checkpoint(eager=True)
+# per-iteration state materialization with the durability switch —
+# shared with the dedup CC loop (see functions/materialize.py for the
+# full local-vs-durable trade discussion)
+from distributed_vector_database_spark.functions.materialize import (
+    materialize as _materialize,
+)
 
 
 def cooccurrence_edges(

@@ -639,3 +639,26 @@ def test_record_link_incremental_matches_full_recompute(spark):
     )
     assert inc == full and len(inc) >= 1
     assert all(r[0] == 1 for r in inc)  # only the near-dup batch row links
+
+
+def test_dedup_clusters_reliable_mode_parity(spark, tmp_path):
+    # the durable-checkpoint materialization mode (executor-loss
+    # safety, functions/materialize.py) must not change the labeling
+    from distributed_vector_database_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    ids = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    # a chain (0..5) exercising pointer doubling + a pair + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)],
+        "id_a long, id_b long",
+    )
+    local = {r["id"]: r["rep_id"] for r in dedup_clusters(ids, pairs).collect()}
+    durable = {
+        r["id"]: r["rep_id"]
+        for r in dedup_clusters(ids, pairs, reliable=True).collect()
+    }
+    assert local == durable
+    assert durable[5] == 0 and durable[8] == 7 and durable[11] == 11
