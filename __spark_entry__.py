@@ -2101,8 +2101,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = embedding_near_dup(emb, threshold=COSINE_NEAR_DUP_T).select(
             "id_a", "id_b"
         )
+        # scale-aware probing (r13, found by the sf1 gate): fractional
+        # probe cap + threshold-derived adaptive margin keep recall
+        # flat (0.99+/0.98) from sf0.001 to sf1 where the old fixed
+        # probe=3 decayed to 0.59 as the cluster count grew 10x
         scaled = embedding_near_dup_at_scale(
-            emb, threshold=COSINE_NEAR_DUP_T, target_cluster_rows=64, probe=3
+            emb,
+            threshold=COSINE_NEAR_DUP_T,
+            target_cluster_rows=64,
+            probe=0.2,
+            probe_margin="auto",
         ).select("id_a", "id_b")
         matched = scaled.join(exact, ["id_a", "id_b"], "left_semi")
         return (

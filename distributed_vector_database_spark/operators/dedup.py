@@ -1000,11 +1000,25 @@ def _probe_assign_clusters(
     cent_list: list,
     proj_list: list | None,
     probe: int,
+    probe_margin: float | None = None,
 ) -> DataFrame:
-    """Assign every (id, v) row to its `probe` nearest centroids with
-    one Arrow-batched matmul → (cluster, id, v) rows, `probe` per
-    input row. A pair is compared iff the two share an assigned
-    centroid, so probe >= 2 catches cluster-boundary pairs."""
+    """Assign every (id, v) row to nearby centroids with one
+    Arrow-batched matmul → (cluster, id, v) rows. A pair is compared
+    iff the two share an assigned centroid.
+
+    Fixed mode (probe_margin=None): exactly `probe` nearest centroids
+    per row — probe >= 2 catches cluster-boundary pairs, but recall
+    DECAYS as the centroid count grows with the corpus (a fixed probe
+    covers a shrinking fraction of the boundary; the sf1 gate measured
+    0.59 recall at 10x with probe=3 where sf0.1 gave 0.99+).
+
+    Adaptive mode (probe_margin set): each row is assigned to its
+    nearest centroid PLUS every centroid whose cosine-to-row is within
+    `probe_margin` of the best, capped at `probe`. Interior points
+    (one dominant centroid) stay at 1 assignment; only genuine
+    boundary points — exactly where missed pairs live — fan out. Cost
+    adapts to the data instead of the knob, and recall holds as the
+    cluster count scales."""
     import numpy as np
     import pandas as pd
 
@@ -1012,6 +1026,7 @@ def _probe_assign_clusters(
     # < requested when the bounded sample is small): argpartition with
     # kth >= k_eff would raise in every executor
     probe = max(1, min(int(probe), len(cent_list)))
+    margin = None if probe_margin is None else float(probe_margin)
 
     def assign_probe(batches):
         cmat = np.asarray(cent_list, dtype=np.float64)  # (k, d or d')
@@ -1033,11 +1048,23 @@ def _probe_assign_clusters(
                 pn[pn == 0.0] = 1.0
                 mat_n = mat_n / pn
             sims = mat_n @ cmat.T  # (rows, k)
-            top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
-            ids = np.repeat(pdf["id"].to_numpy(), probe)
-            vs = pdf["v"].to_numpy().repeat(probe)
+            if probe == len(cent_list):
+                top = np.argsort(-sims, axis=1)[:, :probe]
+            else:
+                top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
+            if margin is None:
+                ids = np.repeat(pdf["id"].to_numpy(), probe)
+                vs = pdf["v"].to_numpy().repeat(probe)
+                clusters = top.ravel()
+            else:
+                cand = np.take_along_axis(sims, top, axis=1)
+                keep = cand >= cand.max(axis=1, keepdims=True) - margin
+                rows_ix, cols_ix = np.nonzero(keep)
+                clusters = top[rows_ix, cols_ix]
+                ids = pdf["id"].to_numpy()[rows_ix]
+                vs = pdf["v"].to_numpy()[rows_ix]
             yield pd.DataFrame(
-                {"cluster": top.ravel().astype("int32"), "id": ids, "v": vs}
+                {"cluster": clusters.astype("int32"), "id": ids, "v": vs}
             )
 
     return unit.mapInPandas(
@@ -1078,16 +1105,20 @@ def embedding_cluster_assign(
     probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_margin: float | None = None,
 ) -> DataFrame:
     """Probe-assign a corpus (or batch) against a FROZEN cluster model
     → the (cluster, id, v) table embedding_near_dup_incremental joins
     batches against. Persist this for the base corpus; per-batch cost
-    is one matmul pass over the batch only."""
+    is one matmul pass over the batch only. `probe_margin` switches to
+    adaptive boundary fan-out (see _probe_assign_clusters)."""
     cent_list, proj_list = model
     unit = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    return _probe_assign_clusters(unit, cent_list, proj_list, probe)
+    return _probe_assign_clusters(
+        unit, cent_list, proj_list, probe, probe_margin
+    )
 
 
 _NEAR_DUP_CHUNK = 4096
@@ -1154,11 +1185,12 @@ def embedding_near_dup_at_scale(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cluster_rows: int = 4096,
-    probe: int = 2,
+    probe: int | float = 2,
     train_sample: int = 100_000,
     lloyd_iters: int = 8,
     seed: int = 42,
     assign_dim: int | None = None,
+    probe_margin: float | str | None = None,
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup: coarse k-means
     clustering → EXACT cosine GEMM within each cluster only (the
@@ -1172,7 +1204,24 @@ def embedding_near_dup_at_scale(
     2. Assign every vector to its `probe` nearest centroids with one
        Arrow-batched matmul — a pair is compared iff the two share an
        assigned centroid, so `probe` ≥ 2 catches cluster-boundary
-       pairs.
+       pairs. A FIXED probe covers a shrinking boundary fraction as
+       the centroid count grows with the corpus (the sf1 gate measured
+       recall 0.99+ → 0.59 going 31 → 312 clusters at probe=3);
+       `probe_margin` switches to adaptive fan-out — every centroid
+       within the margin of a row's best, capped at `probe` — so
+       interior rows stay at one assignment, boundary rows (where the
+       missed pairs live) take more, and recall holds at any scale.
+       Scale-aware knobs: a FLOAT probe in (0,1) means a FRACTION of
+       the trained cluster count (cap grows with the corpus instead
+       of being a constant; floor 4 so tiny corpora keep headroom),
+       and probe_margin="auto" derives the margin from the threshold
+       as 0.6·(1−t) — tight thresholds (true near-dups, the SemDeDup
+       case: every cos≥0.99 pair was found even at the failing fixed
+       probe) fan out barely at all; only genuinely wide-radius
+       requests pay wide probing. Measured (probe=0.2, margin=auto,
+       t=0.35): recall 0.996/1.0/0.990/0.978 at sf0.001/0.01/0.1/sf1
+       — flat across a 1000× corpus range — at ~1/5 the exact cost at
+       sf1; cos≥0.99 band recall 1.0 throughout.
     3. Inside each centroid group, the same chunked-GEMM cosine kernel
        as the exact oracle: upper-triangle, round(cos, 6) ≥ t,
        (min_id, max_id) orientation. A pair sharing several centroids
@@ -1225,7 +1274,18 @@ def embedding_near_dup_at_scale(
     cent_list, proj_list = _train_spherical_centroids(
         unit, n, n_clusters, train_sample, lloyd_iters, seed, assign_dim
     )
-    assigned = _probe_assign_clusters(unit, cent_list, proj_list, probe)
+    if isinstance(probe, float) and 0.0 < probe < 1.0:
+        import math
+
+        probe = max(4, math.ceil(probe * len(cent_list)))
+    if probe_margin == "auto":
+        # 0.6·(1−t): measured across sf0.001→sf1 fixtures at t=0.35
+        # (margin 0.4) → recall 0.996/1.0/0.990/0.978; tight
+        # thresholds get proportionally tight margins (t=0.95 → 0.03)
+        probe_margin = 0.6 * (1.0 - t)
+    assigned = _probe_assign_clusters(
+        unit, cent_list, proj_list, int(probe), probe_margin
+    )
     pairs = assigned.groupBy("cluster").applyInPandas(
         _triangle_pairs_kernel(t), schema="id_a long, id_b long, cosine double"
     )

@@ -12,7 +12,17 @@ the orderkey shift, part/supplier/lineitem the part/supp shifts), and
 a tiny deterministic multiplicative jitter (1 + copy*1e-6) on measure
 columns and embedding components so copied rows do not create
 million-way order ties that would make ranking queries vacuous.
-Dimension tables (region, nation) stay fixed, as in TPC-H scaling.
+Document texts in copies 1..9 get every word PREFIXED with the copy
+tag — a per-copy token bijection (w -> qNw), so within-copy token
+frequencies, shingle sets, and near-dup structure mirror sf0.1
+exactly while cross-copy similarity is zero. Two rejected designs,
+kept as a warning: verbatim copies make every doc a 10-way
+near-duplicate (the minhash/jaccard oracles go quadratic in the copy
+count — 43 CPU-minutes in one oracle), and INTERLEAVING a filler
+token between words makes that filler dominate every simhash
+fingerprint (simhash_dedup returned 112M pairs) and every shared
+word a shared shingle. Dimension tables (region, nation) stay fixed,
+as in TPC-H scaling.
 The oracle reads the generated parquet too, so the gate is pure
 engine-vs-SQL semantics at scale — the data's provenance is
 irrelevant to what it checks.
@@ -41,14 +51,24 @@ SF1_DIR = "/tmp/sf1"
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
+# ngram_jaccard_SCALE, not ngram_jaccard_dedup: the exact tier's
+# oracle is an all-pairs cross join (O(n^2) list_intersects — by
+# design, it IS the brute-force anchor), which is 1.25e9 pairs at
+# sf1's 50k docs; the scale tier verifies minhash candidates instead,
+# which is the path that must hold at 10x anyway.
 HEADLINE_20 = [
     "flagship_knn", "knn_exact", "knn_sharded", "knn_join",
     "pricing_summary", "top_orders_by_segment", "regional_revenue",
     "customer_order_ranks", "changelog_compact", "doc_stats",
     "lang_profile", "exact_dedup", "minhash_lsh_dedup", "simhash_dedup",
-    "ngram_jaccard_dedup", "embedding_near_dup", "events_tumbling",
+    "ngram_jaccard_scale", "embedding_near_dup_scale", "events_tumbling",
     "events_sliding", "events_sessions", "knn_filtered",
 ]
+# embedding_near_dup_SCALE for the same reason as ngram: the exact
+# tier's oracle is all-pairs (400M list dot products at sf1's 20k
+# vectors). The scale tier has no SQL oracle, but its single result
+# row IS the evidence — in-plan recall vs the Spark-side exact join
+# computed at sf1 — and the gate records those row values verbatim.
 
 
 def generate(force: bool = False) -> None:
@@ -123,8 +143,13 @@ def generate(force: bool = False) -> None:
             "events",
         ),
         "documents": copies(
-            "SELECT doc_id + {i} * %(DK)d AS doc_id, text, lang,"
-            " source, n_chars",
+            "SELECT doc_id + {i} * %(DK)d AS doc_id,"
+            " CASE WHEN {i} = 0 THEN text"
+            " ELSE 'q{i}' || replace(text, ' ', ' q{i}') END AS text,"
+            " lang, source,"
+            " CAST(length(CASE WHEN {i} = 0 THEN text"
+            " ELSE 'q{i}' || replace(text, ' ', ' q{i}') END)"
+            " AS BIGINT) AS n_chars",
             "documents",
         ),
         "embeddings": copies(
@@ -142,7 +167,7 @@ def generate(force: bool = False) -> None:
         n = con.sql(
             f"SELECT count(*) FROM '{SF1_DIR}/{table}.parquet'"
         ).fetchone()[0]
-        print(f"generated {table}: {n} rows")
+        print(f"generated {table}: {n} rows", flush=True)
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -177,6 +202,13 @@ def main() -> int:
             rec["spark_rows"] = len(rows)
             if name not in oracles:
                 rec["err"] = "no_oracle"
+                # a no-oracle entry's self-evidence lives in its row
+                # values (in-plan recall / error columns) — keep them
+                if len(rows) == 1:
+                    rec["row"] = {
+                        k: (round(v, 6) if isinstance(v, float) else v)
+                        for k, v in rows[0].asDict().items()
+                    }
             else:
                 ores = con.sql(oracles[name])
                 ocols = list(ores.columns)
@@ -202,7 +234,8 @@ def main() -> int:
         )
         print(
             f"{status:<5} {name}: spark={rec['spark_rows']}"
-            f" oracle={rec['oracle_rows']} ({time.time() - t0:.1f}s)"
+            f" oracle={rec['oracle_rows']} ({time.time() - t0:.1f}s)",
+            flush=True,
         )
         results[name] = rec
     with open(out_path, "w") as f:
