@@ -70,6 +70,18 @@ HEADLINE_20 = [
 # row IS the evidence — in-plan recall vs the Spark-side exact join
 # computed at sf1 — and the gate records those row values verbatim.
 
+# Second set: the ANN family's self-evidencing queries. Each carries
+# an in-plan recall-vs-exact column; running them here records the
+# whole approximate family's quality AT 10x (the scale where fixed
+# probe budgets decay — exactly what this gate caught in
+# embedding_near_dup_scale). Rows-only by design; the evidence is the
+# recorded recall value.
+ANN_EVIDENCE = [
+    "ann_lsh_topk", "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk",
+    "ann_ivfpq_topk", "ann_hnsw_topk", "ann_bq_topk", "ann_ivfbq_topk",
+    "ann_ivf_filtered", "ann_ivf_knn_join", "ann_lsh_similarity_join",
+]
+
 
 def generate(force: bool = False) -> None:
     marker = os.path.join(SF1_DIR, ".complete")
@@ -189,7 +201,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results, n_fail = {}, 0
-    for name in HEADLINE_20:
+    for name in HEADLINE_20 + ANN_EVIDENCE:
         t0 = time.time()
         rec = {
             "rows_match": None, "schema_match": None, "hash_match": None,
@@ -204,10 +216,25 @@ def main() -> int:
                 rec["err"] = "no_oracle"
                 # a no-oracle entry's self-evidence lives in its row
                 # values (in-plan recall / error columns) — keep them
+                ev_cols = [
+                    c for c in cols
+                    if c in ("recall", "false_pos", "score_err",
+                             "topk_margin", "norm_err", "nondet_rows",
+                             "cov_identity_err", "recon_err",
+                             "roundtrip_fail", "dim_err_rows")
+                ]
                 if len(rows) == 1:
                     rec["row"] = {
                         k: (round(v, 6) if isinstance(v, float) else v)
                         for k, v in rows[0].asDict().items()
+                    }
+                elif rows and ev_cols:
+                    rec["row"] = {
+                        c: (round(v, 6) if isinstance(v, float) else v)
+                        for c, v in zip(
+                            ev_cols,
+                            (rows[0][c] for c in ev_cols),
+                        )
                     }
             else:
                 ores = con.sql(oracles[name])
@@ -241,8 +268,8 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump({"sf": 1, "sf_dir": SF1_DIR, "queries": results}, f,
                   indent=1)
-    print(f"\n{len(HEADLINE_20) - n_fail}/{len(HEADLINE_20)} clean ->"
-          f" {out_path}")
+    total = len(HEADLINE_20) + len(ANN_EVIDENCE)
+    print(f"\n{total - n_fail}/{total} clean -> {out_path}")
     return 1 if n_fail else 0
 
 
