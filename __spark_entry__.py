@@ -1011,9 +1011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "",
             )
         )
+        # (?U) = Java UNICODE_CHARACTER_CLASS, matching Python
+        # str.split()'s Unicode-whitespace semantics (U+00A0, U+3000,
+        # ...) — ASCII-only \s would falsely indict the encoder on
+        # any doc with non-ASCII spacing
         norm = F.array_join(
             F.filter(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                F.split(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"(?U)\s+",
+                ),
                 lambda w: w != "",
             ),
             " ",

@@ -296,6 +296,22 @@ def knn_join(
         "large-x-large joins",
         stacklevel=2,
     )
+    # the per-slice ranking == global ranking argument REQUIRES slices
+    # to own disjoint query keys; a key duplicated across slices would
+    # silently emit up to 2k rows ranked 1..k twice. One cheap agg
+    # verifies the precondition instead of assuming it.
+    counts = qside.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(query_key).alias("d"),
+    ).collect()[0]
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            "knn_join on_exceed='warn' requires distinct query keys "
+            f"({counts['n']} rows, {counts['d']} distinct {query_key}): "
+            "the chunked path ranks each slice independently, so a key "
+            "split across slices would get duplicate ranks — "
+            "dropDuplicates the query side first"
+        )
     # stream the query side partition-by-partition; the driver holds at
     # most one max_query_rows slice of Rows at a time (plus the plans'
     # compact float lists), never the whole query set as Row objects

@@ -112,7 +112,26 @@ def search_handler(
             threshold = float(threshold)
             if threshold < 0:
                 raise ValueError("threshold must be non-negative")
-        rows = search_fn(text, topk, filter=flt, threshold=threshold).collect()
+        # pass the optional params only when the request carries them:
+        # a plain (text, topk) search_fn wired before these params
+        # existed keeps working for every plain request, and a request
+        # that DOES use them against such a backend fails with a clear
+        # message instead of a swallowed TypeError
+        kwargs = {}
+        if flt is not None:
+            kwargs["filter"] = flt
+        if threshold is not None:
+            kwargs["threshold"] = threshold
+        try:
+            df = search_fn(text, topk, **kwargs)
+        except TypeError as e:
+            if kwargs and "argument" in str(e):
+                raise ValueError(
+                    "this search backend does not support "
+                    f"{sorted(kwargs)} parameters"
+                ) from e
+            raise
+        rows = df.collect()
         return {
             "success": True,
             "results": [r.asDict(recursive=True) for r in rows],
@@ -131,7 +150,7 @@ def search_handler(
 
 
 def create_app(
-    search_fn: Callable[[str, int], DataFrame],
+    search_fn: Callable[..., DataFrame],
     static_dir: str | None = None,
 ):
     """FastAPI app over search_handler — import-gated: environments

@@ -92,9 +92,19 @@ def _publish_manifest(
     and a compaction racing to v+1 can never clobber each other;
     the loser re-reads the manifest and retries against the new head.
     Returns True on success, False if the version was taken."""
+    import threading
+    import uuid
+
     os.makedirs(_manifest_dir(state_dir), exist_ok=True)
     target = os.path.join(_manifest_dir(state_dir), f"v={version}.json")
-    tmp = f"{target}.tmp.{os.getpid()}"
+    # tmp must be private per WRITER, not per process: the documented
+    # concurrent fold+compaction runs in one driver process (streaming
+    # thread vs main thread), where a pid-keyed tmp would be shared —
+    # the winner could link the loser's content
+    tmp = (
+        f"{target}.tmp.{os.getpid()}.{threading.get_ident()}."
+        f"{uuid.uuid4().hex[:8]}"
+    )
     with open(tmp, "w") as f:
         json.dump({"segments": segments}, f)
     try:
@@ -175,7 +185,14 @@ def build_graph_fold(
         if os.path.exists(marker):
             with open(marker) as f:
                 rec = json.load(f)
-            if rec.get("run") == run_id:
+            # markers with no run field (pre-identity layout) or a
+            # None run (written by an identity-less fold) match ANY
+            # identity, and an identity-less fold honors any marker
+            # (its pre-identity behavior) — treating either as a
+            # mismatch would re-fold the batch under a new tagged
+            # segment name next to the still-live old one and
+            # double-count its supports on upgrade
+            if run_id is None or rec.get("run") in (None, run_id):
                 return  # replay of an already-folded batch
             # same batch id from a DIFFERENT stream identity (fresh
             # checkpoint dir over existing state): genuinely new data

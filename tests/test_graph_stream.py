@@ -238,3 +238,19 @@ def test_fresh_checkpoint_identity_is_not_a_replay(spark, tmp_path):
     # and B's batch 0 replay is now skipped too
     fold_b(df.filter(F.col("basket") >= 13), 0)
     assert _edges(spark, state) == _edges(spark, one)
+
+
+def test_legacy_marker_without_run_matches_any_identity(spark, tmp_path):
+    """Pre-identity markers (no 'run' field) must be honored as true
+    replays by identity-tagged folds: on upgrade, a replayed legacy
+    batch would otherwise re-fold under a new tagged segment name next
+    to the still-live untagged one and double-count its supports."""
+    state = str(tmp_path / "legacy")
+    df = _baskets(spark)
+    # legacy layout: fold with no identity (markers carry no run)
+    build_graph_fold(state, "basket", "item")(df, 0)
+    before = _edges(spark, state)
+    # upgraded code, same checkpoint lineage: replay of batch 0 must
+    # be SKIPPED even though the fold now carries an identity
+    build_graph_fold(state, "basket", "item", run_id="ckpt-A")(df, 0)
+    assert _edges(spark, state) == before

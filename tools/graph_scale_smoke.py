@@ -62,7 +62,7 @@ def main() -> None:
 
         adj = graph_read(spark, f"{tmp}/g")
         t0 = time.time()
-        pr = pagerank(adj, iterations=5)
+        pr = pagerank(adj, iterations=5, use_deg_col=True)
         n_pr = pr.count()
         t_pr = time.time() - t0
         print(f"pagerank x5 over layout: {t_pr:.1f}s ({n_pr} ranks)")
