@@ -9,11 +9,14 @@ trade-offs (quality vs length vs dedup-score), and behavioural
 transition matrices for sessionized event streams.
 
 Plan-shape notes (100 TB discipline):
-- frequent_pairs applies APRIORI PRUNING before the self-join: only
-  items whose singleton support clears the bar enter the pair join, so
-  the shuffle is bounded by frequent-item baskets, never the raw fact.
-  Basket size is capped (a 10k-item basket contributes 50M pairs —
-  cap-and-log instead of letting one skewed basket kill the stage).
+- frequent_pairs applies APRIORI PRUNING before pair generation: only
+  items whose singleton support clears the bar enter, so the pair
+  shuffle is bounded by frequent-item baskets, never the raw fact.
+  Pairs are exploded WITHIN each basket's collected sorted item array
+  (JVM higher-order functions, r13 — no basket self-join), and basket
+  size is capped before the explosion (a 10k-item basket contributes
+  50M pairs — cap-and-drop instead of letting one skewed basket kill
+  the stage).
 - skyline uses the distributive two-phase shape: a per-partition local
   Pareto front (mapInPandas, no shuffle), then the exact dominance
   anti-join over the tiny candidate union. The global skyline is
@@ -60,25 +63,25 @@ def frequent_pairs(
     pathological basket must not emit |basket|² rows). Pairs with
     pair_support >= min_support, top_n by (support desc, a, b).
 
-    Plan: distinct (basket, item) → frequent-item filter via a
-    broadcast semi join on the singleton-support aggregate → basket
-    self-join on basket_col (a shuffle keyed by basket, bounded by the
-    cap) → pair groupBy. No crossJoin anywhere.
+    Plan (r13 optimization, guide §2.3/§2.4): distinct (basket, item)
+    → frequent-item filter via a broadcast semi join on the
+    singleton-support aggregate → ONE groupBy(basket) collecting the
+    sorted item array (the basket cap is size(array), fusing away the
+    old basket-size pre-aggregate + second semi join) → in-basket
+    i<j pair explosion with JVM higher-order functions → pair groupBy.
+    The old basket SELF-join (which shuffled the pruned rows twice and
+    re-evaluated the pruned subtree per side) is gone; measured 6.8 s
+    → 2.7 s on the sf0.1 lineitem basket at identical output.
     """
-    pairs_in = _frequent_basket_items(
-        baskets, basket_col, item_col, min_support, max_basket,
-        max_broadcast_items=max_broadcast_items,
-    )
-    a = pairs_in.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a")
-    )
-    b = pairs_in.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_b")
+    pairs = _basket_pairs(
+        _frequent_basket_arrays(
+            baskets, basket_col, item_col, min_support, max_basket,
+            max_broadcast_items=max_broadcast_items,
+        ),
+        "item_a", "item_b",
     )
     return (
-        a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= min_support)
         .orderBy(F.desc("pair_support"), "item_a", "item_b")
@@ -86,7 +89,7 @@ def frequent_pairs(
     )
 
 
-def _frequent_basket_items(
+def _frequent_basket_arrays(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
@@ -94,25 +97,33 @@ def _frequent_basket_items(
     max_basket: int,
     max_broadcast_items: int | None = DEFAULT_MAX_BROADCAST_ITEMS,
 ) -> DataFrame:
-    """Distinct (basket, item) rows restricted to frequent items and
-    capped baskets — the pruned input shared by pair mining. Returned
-    LAZY: within one action Spark's exchange reuse dedupes the
-    double-read of the downstream self-join, and every iterative
-    consumer (pagerank, k-core, label propagation, triangle_count)
-    persists or checkpoints its own working relation — eager
-    materialization here was measured to ADD ~3.5 s of job overhead
-    per call at sf0.1 (bi cache job + probe job + checkpoint job)
-    against a 2 s query.
+    """(basket_col, __items sorted array<item>) per surviving basket —
+    the apriori-pruned, basket-capped input to pair mining in ARRAY
+    form (r13 optimization).
 
-    Bounded broadcast: by DEFAULT (max_broadcast_items=5M) a
-    limit(N+1).count() probe checks the frequent-item aggregate's
-    cardinality before hinting, so an UNBOUNDED vocabulary (n-grams,
-    URLs, user ids) at a low min_support degrades to a shuffle semi
-    join at 100x instead of OOMing the driver — safety is the default
-    (VERDICT r11 #6). The probe costs one extra aggregate job; callers
-    with a KNOWN-bounded catalog (parts, SKUs, vocab-capped tokens)
-    pass None to skip it and keep the static broadcast hint."""
-    bi = baskets.select(basket_col, item_col).distinct()
+    Same survivors as _frequent_basket_items, one linear flow:
+    distinct → item-support prune (broadcast semi join, same bounded-
+    broadcast probe) → groupBy(basket).collect. The basket cap is
+    `size(__items) <= max_basket` ON the collected array, so the old
+    shape's separate basket-size aggregate and its second semi join
+    (one extra exchange + broadcast build, plus a re-evaluation of the
+    pruned subtree) disappear. Null baskets are dropped explicitly —
+    the old semi join on basket_col dropped them implicitly (null
+    equi-join keys never match); null items never survive the item
+    semi join in either shape.
+
+    Scale notes: the collect buffer per basket is O(distinct frequent
+    items in that basket) — bounded by the item catalog, and exactly
+    the rows the old shape shuffled for the same basket — while the
+    B² pair explosion stays behind the cap. Item support keeps the
+    partial-aggregate groupBy + broadcast-attach shape (NOT a window
+    over item_col: windows can't partial-aggregate, so one hot item
+    would become a single-task straggler at 100 TB, guide §2.5)."""
+    bi = (
+        baskets.select(basket_col, item_col)
+        .filter(F.col(basket_col).isNotNull())
+        .distinct()
+    )
     freq_items = (
         bi.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("__item_support"))
@@ -126,13 +137,64 @@ def _frequent_basket_items(
         if probe <= max_broadcast_items:
             freq_items = F.broadcast(freq_items)
     pruned = bi.join(freq_items, item_col, "left_semi")
-    basket_sizes = (
+    return (
         pruned.groupBy(basket_col)
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .filter(F.col("__bsz") <= max_basket)
-        .select(basket_col)
+        .agg(F.sort_array(F.collect_list(item_col)).alias("__items"))
+        .filter(F.size("__items") <= max_basket)
     )
-    return pruned.join(basket_sizes, basket_col, "left_semi")
+
+
+def _basket_pairs(
+    arrays: DataFrame, a_name: str, b_name: str
+) -> DataFrame:
+    """All i<j item pairs within each basket's sorted array, exploded
+    with JVM higher-order functions (no Python, no self-join): for the
+    element at position i, pair it with every element after it. Arrays
+    are sorted and distinct, so a_name < b_name always holds — the
+    exact pair set the old basket self-join + (a < b) filter produced."""
+    return arrays.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__items",
+                    lambda x, i: F.transform(
+                        F.slice("__items", i + F.lit(2), F.size("__items")),
+                        lambda y: F.struct(
+                            x.alias(a_name), y.alias(b_name)
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select(f"__p.{a_name}", f"__p.{b_name}")
+
+
+def _frequent_basket_items(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket: int,
+    max_broadcast_items: int | None = DEFAULT_MAX_BROADCAST_ITEMS,
+) -> DataFrame:
+    """Distinct (basket, item) rows restricted to frequent items and
+    capped baskets — the row form of _frequent_basket_arrays, derived
+    from it by explode since r13 so the two can never drift. Kept for
+    consumers that need row-level pruned input; the pair miners now
+    consume the array form directly (one fewer explode+regroup).
+
+    Bounded broadcast: by DEFAULT (max_broadcast_items=5M) a
+    limit(N+1).count() probe checks the frequent-item aggregate's
+    cardinality before hinting, so an UNBOUNDED vocabulary (n-grams,
+    URLs, user ids) at a low min_support degrades to a shuffle semi
+    join at 100x instead of OOMing the driver — safety is the default
+    (VERDICT r11 #6). The probe costs one extra aggregate job; callers
+    with a KNOWN-bounded catalog (parts, SKUs, vocab-capped tokens)
+    pass None to skip it and keep the static broadcast hint."""
+    return _frequent_basket_arrays(
+        baskets, basket_col, item_col, min_support, max_basket,
+        max_broadcast_items=max_broadcast_items,
+    ).select(basket_col, F.explode("__items").alias(item_col))
 
 
 def skyline(
@@ -288,27 +350,45 @@ def association_rules(
     from the SAME pruned input as frequent_pairs so the two cannot
     drift. Ratios rounded to 6 for oracle-stable hashing.
 
-    Plan: the pair aggregate (bounded by frequent-item baskets) joins
-    the broadcast-sized singleton-support aggregate twice (antecedent
-    and consequent legs) plus one 1-row basket-count literal — no
-    extra pass over the raw fact.
+    Plan (r13 optimization, guide §2.3): the basket arrays from
+    _frequent_basket_arrays are exploded ONCE into i<j pairs and
+    aggregated UNDIRECTED, then mirrored into both rule directions
+    after the aggregate — co-occurrence is symmetric, so this halves
+    the rows through the pair shuffle vs the old a≠b self-join while
+    producing the identical directed rule set. Singleton supports come
+    from the same arrays (one narrow explode), join back broadcast-
+    sized; the basket count rides IN-PLAN as a broadcast 1-row
+    aggregate (r13: the old driver-side .count() was a separate
+    eager action — one whole extra pass over the raw fact serialized
+    before the query's own action; same doubles, same rounding, so
+    the result is bit-identical). No self-join anywhere.
     """
-    pruned = _frequent_basket_items(
+    arrays = _frequent_basket_arrays(
         baskets, basket_col, item_col, min_support, max_basket,
         max_broadcast_items=max_broadcast_items,
     )
-    n_baskets = baskets.select(basket_col).distinct().count()
-    item_support = pruned.groupBy(item_col).agg(
-        F.count(F.lit(1)).alias("item_support")
+    n_baskets = F.broadcast(
+        baskets.select(basket_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("__nb"))
     )
-    a = pruned.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("ant"))
-    b = pruned.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("cons"))
-    pairs = (
-        a.join(b, "__b")
-        .filter(F.col("ant") != F.col("cons"))
+    item_support = (
+        arrays.select(F.explode("__items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("item_support"))
+    )
+    und = (
+        _basket_pairs(arrays, "ant", "cons")
         .groupBy("ant", "cons")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
+    )
+    pairs = und.unionByName(
+        und.select(
+            F.col("cons").alias("ant"),
+            F.col("ant").alias("cons"),
+            "support",
+        )
     )
     ant_sup = F.broadcast(
         item_support.select(
@@ -324,12 +404,13 @@ def association_rules(
     return (
         pairs.join(ant_sup, "ant")
         .join(cons_sup, "cons")
+        .crossJoin(n_baskets)
         .select(
             "ant",
             "cons",
             "support",
             F.round(conf, 6).alias("confidence"),
-            F.round(conf / (F.col("__sc") / F.lit(float(n_baskets))), 6).alias(
+            F.round(conf / (F.col("__sc") / F.col("__nb")), 6).alias(
                 "lift"
             ),
         )

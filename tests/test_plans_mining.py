@@ -35,10 +35,15 @@ def test_bloom_probe_is_jvm_side_and_confirm_broadcasts(tables):
 def test_frequent_pairs_apriori_prune_broadcasts(tables):
     df = frequent_pairs(tables["lineitem"], "l_orderkey", "l_partkey", 3)
     plan = formatted_plan(df)
-    # the frequent-item and basket-cap filters semi-join broadcast
-    assert plan.count("LeftSemi") >= 2
+    # the frequent-item (apriori) filter semi-joins broadcast; the
+    # basket cap is size(collected array) — no second semi join and
+    # no basket self-join since r13 (pairs explode in-basket)
+    assert plan.count("LeftSemi") >= 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # pair generation is the JVM higher-order explosion, not Python
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
     # final top-n is top-k, not a global sort
     assert has_operator(df, "TakeOrderedAndProject")
 
