@@ -1383,7 +1383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a duplicated vec across queries must fan out to BOTH dense
         # legs, where a map literal throws on the duplicate key (or
         # silently drops one leg under a lenient dedup policy)
-        vmap = spark.createDataFrame(
+        from distributed_vector_database_spark.functions.localrel import (
+            local_df,
+        )
+
+        vmap = local_df(
+            spark,
             [(cfg["vec"], qid) for qid, cfg in sorted(FUSE_BATCH.items())],
             "vec_id long, query_id string",
         )

@@ -1,0 +1,71 @@
+"""Fast driver-local relations (r13 optimization, guide §4.1).
+
+`spark.createDataFrame(list_of_rows)` parallelizes the rows into
+`defaultParallelism` RDD slices and plans a `Scan ExistingRDD
+(applySchemaToPythonRDD)`: EVERY execution of that plan round-trips
+each slice through a Python worker — 32 Python-worker invocations for
+a 1-row frame on local[32], and `.coalesce(1)` chains them
+SEQUENTIALLY (measured 5-7 s for one row). Driver-built small frames
+(centroid tables, batch-query membership, config rows) sit inside hot
+probe plans, so that cost recurs per action.
+
+Converting through pandas + Arrow instead plans a `LocalTableScan`:
+the rows are shipped once as an Arrow batch and every downstream
+execution is pure JVM (measured 6.9 s -> 2.0 s for a 100-row write,
+~0 marginal cost inside probes).
+
+`local_df` is the drop-in: same (rows, schema) contract as
+createDataFrame for the list-of-tuples shapes this engine builds, with
+the plain path as fallback for anything pandas/Arrow cannot represent.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_df(
+    spark: SparkSession,
+    rows: Sequence[Any],
+    schema: Any,
+) -> DataFrame:
+    """createDataFrame(rows, schema) that plans a LocalTableScan.
+
+    rows: list of tuples/lists (or single values when the schema has
+    one column). Empty input and conversion failures fall back to the
+    plain createDataFrame path — correctness first, the fast path is
+    an optimization.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+
+        first = rows[0]
+        if not isinstance(first, (tuple, list)):
+            data = [(r,) for r in rows]
+        else:
+            data = [tuple(r) for r in rows]
+        ncols = len(data[0])
+        # column-major dict; names are placeholders — createDataFrame
+        # applies the authoritative names/types from `schema`. Columns
+        # are built dtype=object so a None stays a NULL through Arrow
+        # (a float64 column would coerce None -> NaN, a silent
+        # semantic drift the WAL's delete rows must not suffer).
+        pdf = pd.DataFrame(
+            {
+                f"_{i}": pd.Series([r[i] for r in data], dtype=object)
+                for i in range(ncols)
+            }
+        )
+        out = spark.createDataFrame(pdf, schema=schema)
+        # the pandas path silently degrades to the RDD path when Arrow
+        # conversion fails; cheap plan sniff keeps us honest
+        if "ExistingRDD" in out._jdf.queryExecution().simpleString():
+            return spark.createDataFrame(data, schema)
+        return out
+    except Exception:  # noqa: BLE001 - any conversion trouble: use the
+        # battle-tested slow path rather than risk a type drift
+        return spark.createDataFrame(rows, schema)

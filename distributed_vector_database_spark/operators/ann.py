@@ -29,6 +29,9 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.localrel import (
+    local_df,
+)
 from distributed_vector_database_spark.functions.vector import squared_l2
 from distributed_vector_database_spark.operators.knn import knn_exact
 
@@ -702,8 +705,8 @@ def ivf_delete(
         if not ids:
             return 0
         key_type = dict(stored.dtypes)[key_col]
-        kdf = spark.createDataFrame(
-            [(k,) for k in ids], f"{key_col} {key_type}"
+        kdf = local_df(
+            spark, [(k,) for k in ids], f"{key_col} {key_type}"
         ).distinct()
     victim = stored.join(F.broadcast(kdf), key_col, "left_semi").cache()
     try:
@@ -871,7 +874,8 @@ def ivf_cell_stats(
     of cell c, so a range query can PROVE entire cells empty of
     results without reading them (ivf_range_search)."""
     spark = assigned.sparkSession
-    cent = spark.createDataFrame(
+    cent = local_df(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in centroids],
         "centroid_id int, _cent array<double>",
     )
@@ -1035,7 +1039,8 @@ def ivf_range_join(
         return spark.createDataFrame([], empty_schema)
     import pandas as pd
 
-    pairs_df = spark.createDataFrame(
+    pairs_df = local_df(
+        spark,
         [(i, ca, cb) for i, (ca, cb) in enumerate(pairs)],
         "__pid int, __ca int, __cb int",
     )

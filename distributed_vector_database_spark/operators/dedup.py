@@ -24,6 +24,7 @@ cluster, a plain aggregation.
 
 from __future__ import annotations
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1627,8 +1628,8 @@ def span_state_write(
         .partitionBy("bucket")
         .parquet(f"{path}/state")
     )
-    state.sparkSession.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+    local_df(
+        state.sparkSession, [(int(n_buckets),)], "n_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 

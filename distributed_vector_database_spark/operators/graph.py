@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from distributed_vector_database_spark.operators.mining import (
     DEFAULT_MAX_BROADCAST_ITEMS,
     _basket_pairs,
@@ -461,8 +462,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_edges = und.count()
     und.unpersist()
     spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(n_nodes, n_edges, tri)], "nodes long, edges long, triangles long"
+    return local_df(
+        spark,
+        [(n_nodes, n_edges, tri)],
+        "nodes long, edges long, triangles long",
     )
 
 

@@ -31,6 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from distributed_vector_database_spark.functions.text import tokenize
 
 
@@ -401,8 +402,8 @@ def postings_write(
     _postings_rows(toks, doc_col, n_buckets, "base").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings")
-    docs.sparkSession.createDataFrame(
-        [(n_buckets,)], "n_buckets int"
+    local_df(
+        docs.sparkSession, [(n_buckets,)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus")
     totals = toks.agg(
         F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("t")
@@ -893,7 +894,8 @@ def sparse_dot_batch_search(
     if doc_weight is None:
         tf = F.col("tf").cast("double")
         doc_weight = tf / (tf + F.lit(1.0))
-    memb = spark.createDataFrame(
+    memb = local_df(
+        spark,
         [
             (t, qid, w)
             for qid, qw in sorted(norm_q.items())
@@ -1145,7 +1147,8 @@ def bm25_batch_search(
     if mode == "literal":
         slice_ = base.filter(F.col("term").isin(all_terms))
     else:
-        memb = spark.createDataFrame(
+        memb = local_df(
+            spark,
             [(t, q) for t, qs in sorted(term_qids.items()) for q in qs],
             "term string, query_id string",
         )

@@ -18,6 +18,7 @@ Plan-shape notes (what to look for in .explain at scale):
 
 from __future__ import annotations
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -512,8 +513,10 @@ def report_from_steps_completed(
     zero-filled via a left join onto a literal steps frame. Both
     funnel_report and streaming/funnel_state.py::serve_funnel_report
     call this, so the served-equals-batch hash contract can't drift."""
-    steps_df = per_user.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    steps_df = local_df(
+        per_user.sparkSession,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, step_name string",
     )
     step_idx = F.explode(
         F.sequence(F.lit(1), F.lit(len(steps)))

@@ -12,6 +12,7 @@ one window shuffle on the stratum key).
 
 from __future__ import annotations
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -111,7 +112,7 @@ def select_by_token_budget(
                 "cum_tokens", F.lit(0).cast("long")
             )
         off_df = F.broadcast(
-            spark.createDataFrame(live, ["__pid", "__offset"])
+            local_df(spark, live, ["__pid", "__offset"])
         )
         w = Window.partitionBy("__pid").orderBy(
             F.desc(order_col), F.asc(id_col)
@@ -213,7 +214,8 @@ def select_by_token_budget_grouped(
             )
         gtype = dict(df.dtypes)[group_col]
         off_df = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 live,
                 f"__pid int, {group_col} {gtype}, "
                 "__offset long, __budget long",
@@ -276,7 +278,7 @@ def _enumerate_positions(
                 out_col, F.lit(0).cast("long")
             )
         off_df = F.broadcast(
-            spark.createDataFrame(live, ["__pid", "__offset"])
+            local_df(spark, live, ["__pid", "__offset"])
         )
         w = Window.partitionBy("__pid").orderBy(*order)
         out = (

@@ -9,6 +9,7 @@ summarize by language'.
 
 from __future__ import annotations
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -630,7 +631,7 @@ def build_training_examples(
                 [], "example_id long, n_docs int, text string"
             )
         off_df = F.broadcast(
-            spark.createDataFrame(live, ["__pid", "__offset"])
+            local_df(spark, live, ["__pid", "__offset"])
         )
         w = Window.partitionBy("__pid").orderBy(F.asc("__h"), F.asc(id_col))
         with_start = (
@@ -753,7 +754,7 @@ def length_grouped_batches(
                 "batch_id long, n_docs long, max_tokens long, "
                 f"sum_tokens long, members array<{id_type}>, pad_waste long",
             )
-        off_df = F.broadcast(spark.createDataFrame(live, ["__pid", "__offset"]))
+        off_df = F.broadcast(local_df(spark, live, ["__pid", "__offset"]))
         w = Window.partitionBy("__pid").orderBy(
             F.asc("n_tokens"), F.asc(id_col)
         )

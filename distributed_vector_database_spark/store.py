@@ -41,6 +41,7 @@ import os
 import time
 from collections.abc import Sequence
 
+from distributed_vector_database_spark.functions.localrel import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,7 +116,7 @@ class VectorStore:
         """Write buffered single-record ops as one log file."""
         if not self._buf:
             return
-        df = self.spark.createDataFrame(self._buf, LOG_SCHEMA)
+        df = local_df(self.spark, self._buf, LOG_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self._log_dir)
         self._buf = []
         self._maybe_auto_compact()
@@ -553,11 +554,13 @@ class VectorStore:
         # igen = index generation (epoch ms at write): lets index_search
         # deterministically prefer the newest row when appends re-wrote a key
         ivf_write(assigned.withColumn("igen", F.lit(int(time.time() * 1000))), f"{data_dir}/v={v}")
-        self.spark.createDataFrame(
+        local_df(
+            self.spark,
             [(int(i), c) for i, c in centroids],
             "centroid_id int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{cent_dir}/v={v}")
-        self.spark.createDataFrame(
+        local_df(
+            self.spark,
             [(log_ops, int(time.time() * 1000))],
             "log_ops_at_build long, built_at_ms long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/v={v}")
