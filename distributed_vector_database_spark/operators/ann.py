@@ -710,13 +710,18 @@ def ivf_delete(
         ).distinct()
     victim = stored.join(F.broadcast(kdf), key_col, "left_semi").cache()
     try:
-        cells = [
-            r["centroid_id"]
-            for r in victim.select("centroid_id").distinct().collect()
-        ]
+        # one grouped pass gives the affected cells AND the removed
+        # count (r13: was a distinct-collect plus a separate count —
+        # two jobs over the cached victims)
+        cell_rows = (
+            victim.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        cells = [r["centroid_id"] for r in cell_rows]
         if not cells:
             return 0
-        removed = victim.count()
+        removed = sum(r["__n"] for r in cell_rows)
         keep = (
             spark.read.parquet(path)
             .filter(F.col("centroid_id").isin(cells))

@@ -1570,6 +1570,7 @@ def remove_duplicate_spans_incremental(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_windows: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Continual-ingest span dedup: clean a NEW batch against an
     already-ingested corpus without ever re-windowing the corpus.
@@ -1588,8 +1589,19 @@ def remove_duplicate_spans_incremental(
     Per-batch cost: O(|batch| windows) + an equi-join against the
     state keyed by the BATCH's grams (left-semi probe; at scale the
     state is bucketed by gram so the probe prunes) — the corpus text
-    is never touched."""
+    is never touched.
+
+    materialize_windows (r13, guide §2.4/§5): the window-gram relation
+    feeds the state probe, the within-batch repeat window AND the
+    state delta; a caller that actions `cleaned` and `delta`
+    separately (the streaming fold writes each) re-tokenizes and
+    re-windows the batch once per action. True localCheckpoints the
+    (batch-sized) window table so it is computed exactly once —
+    per-batch state, never corpus-sized, so the materialization
+    respects the incremental-cost contract."""
     wins = _window_grams(batch, k, id_col, text_col)
+    if materialize_windows:
+        wins = wins.localCheckpoint(eager=True)
     counts = Window.partitionBy("gram")
     order = Window.partitionBy("gram").orderBy(id_col, "pos")
     in_corpus = wins.join(state.select("gram"), "gram", "left_semi").select(

@@ -143,44 +143,72 @@ def _write_version(edges_sym: DataFrame, path: str, version: int,
                    partitions: int | None) -> dict:
     """Write one graph version: attach degrees, write, AUDIT the
     written files, publish the marker only if the audit passes."""
+    from pyspark.sql.window import Window
+
     spark = edges_sym.sparkSession
     nparts = partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adj_dir = os.path.join(path, "adj", f"v{version}")
+    # r13 (guide §2.4): ONE exchange instead of three. The layout needs
+    # src-partitioned rows with the node's degree denormalized on; the
+    # old groupBy(src) + join(src) + repartition(src) keyed the same
+    # data by src three times. A count window over the single
+    # repartition produces identical rows — and adds no new skew,
+    # because the layout itself already demands every edge of a node
+    # in one partition.
     (
         edges_sym.select("src", "dst")
-        .join(deg, "src")
         .repartition(nparts, "src")
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .write.mode("overwrite")
         .parquet(adj_dir)
     )
-    # audit the files a reader would see, not the plan we meant to write
+    # audit the files a reader would see, not the plan we meant to
+    # write. r13: ONE scan + one narrow shuffle — the per-src grouped
+    # pass feeds both the degree-consistency check and the global
+    # symmetry/loop sums (was: two scans, one per check).
     back = spark.read.parquet(adj_dir)
     # coalesce the sums: over an EMPTY edge set (graph_update removing
     # the last edge) F.sum yields NULL and every comparison below would
     # be vacuously falsy — the audit must still publish honest zeros,
     # not n_edges=None
     zsum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
-    stats = back.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.count_distinct("src").alias("n"),
-        zsum(F.when(F.col("src") < F.col("dst"), 1).otherwise(0)).alias("fwd"),
-        zsum(F.when(F.col("src") > F.col("dst"), 1).otherwise(0)).alias("bwd"),
-        zsum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias("loops"),
-    ).collect()[0]
-    bad_deg = (
-        back.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("c"), F.min("deg").alias("lo"),
-             F.max("deg").alias("hi"))
-        .filter((F.col("c") != F.col("lo")) | (F.col("lo") != F.col("hi")))
-        .count()
+    per_src = back.groupBy("src").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min("deg").alias("__lo"),
+        F.max("deg").alias("__hi"),
+        F.sum(F.when(F.col("src") < F.col("dst"), 1).otherwise(0)).alias(
+            "__fwd"
+        ),
+        F.sum(F.when(F.col("src") > F.col("dst"), 1).otherwise(0)).alias(
+            "__bwd"
+        ),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias(
+            "__loops"
+        ),
     )
-    if stats["fwd"] != stats["bwd"] or stats["loops"] or bad_deg:
+    stats = per_src.agg(
+        zsum("__c").alias("m"),
+        F.count(F.lit(1)).alias("n"),
+        zsum("__fwd").alias("fwd"),
+        zsum("__bwd").alias("bwd"),
+        zsum("__loops").alias("loops"),
+        zsum(
+            F.when(
+                (F.col("__c") != F.col("__lo"))
+                | (F.col("__lo") != F.col("__hi")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_deg"),
+    ).collect()[0]
+    if stats["fwd"] != stats["bwd"] or stats["loops"] or stats["bad_deg"]:
         raise ValueError(
             f"graph audit failed at {adj_dir}: fwd={stats['fwd']} "
-            f"bwd={stats['bwd']} loops={stats['loops']} bad_deg={bad_deg}"
+            f"bwd={stats['bwd']} loops={stats['loops']} "
+            f"bad_deg={stats['bad_deg']}"
         )
     meta = {
         "version": version,

@@ -67,7 +67,7 @@ def build_span_fold(state_dir: str, out_dir: str, k: int = 8):
         if v >= 0:
             state = spark_.read.parquet(f"{state_dir}/v={v}")
             cleaned, delta = remove_duplicate_spans_incremental(
-                batch, state, k=k
+                batch, state, k=k, materialize_windows=True
             )
             merged = (
                 state.unionByName(delta)
@@ -79,7 +79,7 @@ def build_span_fold(state_dir: str, out_dir: str, k: int = 8):
             # first batch: only within-batch duplicates exist
             empty = spark_.createDataFrame([], "gram string, n long")
             cleaned, delta = remove_duplicate_spans_incremental(
-                batch, empty, k=k
+                batch, empty, k=k, materialize_windows=True
             )
             merged = delta
         cleaned.write.mode("overwrite").parquet(
