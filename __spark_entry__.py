@@ -360,7 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         stats = ivf_cell_stats(assigned, centroids)
         return ivf_range_join(
             spark, centroids, assigned, RANGE_RADIUS, cell_radii=stats
@@ -1378,7 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=HYBRID_POOL,
         )
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         # (vec_id, query_id) as a tiny joined frame, not create_map:
         # a duplicated vec across queries must fan out to BOTH dense
         # legs, where a map literal throws on the duplicate key (or
@@ -2334,7 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         return ivf_search(
             spark,
             centroids,
@@ -2485,7 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=16)
+        centroids, assigned = ivf_build(emb, n_centroids=16, trainer="numpy")
         books = pq_train(emb, m=8, k_codebook=32)
         return ivf_pq_search(
             centroids, pq_encode(assigned, books), books, _query_vec(spark, sf),
@@ -2526,7 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=16)
+        centroids, assigned = ivf_build(emb, n_centroids=16, trainer="numpy")
         means = bq_train(emb)
         return ivf_bq_search(
             centroids, bq_encode(assigned, means), means,
@@ -2547,7 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=16)
+        centroids, assigned = ivf_build(emb, n_centroids=16, trainer="numpy")
         return ivf_mrl_search(
             centroids, assigned, _query_vec(spark, sf), k=10,
             nprobe=len(centroids), prefix_dim=16, rerank=10**6,
@@ -2571,7 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         if sf not in _ivfmrl_memo:
             emb = _emb(spark, sf)
-            centroids, assigned = ivf_build(emb, n_centroids=16)
+            centroids, assigned = ivf_build(emb, n_centroids=16, trainer="numpy")
             path = tempfile.mkdtemp(prefix="dvdb_ivfmrl_")
             ivf_mrl_write(assigned, path, prefix_dim=16, centroids=centroids)
             _ivfmrl_memo[sf] = path
@@ -2623,7 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         if sf not in _ivfpq_layout_memo:
             emb = _emb(spark, sf)
-            centroids, assigned = ivf_build(emb, n_centroids=16)
+            centroids, assigned = ivf_build(emb, n_centroids=16, trainer="numpy")
             path = tempfile.mkdtemp(prefix="dvdb_ivfpqlayout_")
             ivf_pq_write(assigned, path, centroids=centroids, m=8,
                          k_codebook=32)
@@ -2645,7 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         qs = emb.filter(F.col("vec_id") < KNN_JOIN_NQUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -2684,7 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         return ivf_search(
             spark, centroids, assigned, _query_vec(spark, sf), k=10, nprobe=10**9
         )
@@ -2706,7 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         stats = ivf_cell_stats(assigned, centroids)
         return ivf_range_search(
             spark,
@@ -2731,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf)
-        centroids, assigned = ivf_build(emb, n_centroids=8)
+        centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
         stats = ivf_cell_stats(assigned, centroids)
         return ivf_range_search(
             spark,
@@ -2963,7 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("vec_id") % DELETE_MOD == 3
                 ).select("vec_id").collect()
             ]
-            centroids, assigned = ivf_build(emb, n_centroids=8)
+            centroids, assigned = ivf_build(emb, n_centroids=8, trainer="numpy")
             ivf_write(assigned, f"{root}/ivf")
             ivf_delete(spark, f"{root}/ivf", victims)
             hnsw_write(emb, f"{root}/hnsw", num_shards=4)

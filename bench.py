@@ -281,7 +281,9 @@ def _split_phase_rows(spark, sf_dir: str) -> dict[str, float]:
     # IVF: auto-tuned build persisted partitioned-by-centroid; probe is
     # a partition-pruned read + exact rank inside probed cells
     t0 = time.time()
-    centroids, assigned, nprobe = ivf_build_auto(emb)
+    # r13: offline build row uses the driver-side numpy quantizer —
+    # probe row-counts are quantizer-independent (k and radius fix them)
+    centroids, assigned, nprobe = ivf_build_auto(emb, trainer="numpy")
     ivf_write(assigned, f"{tmp}/ivf")
     out["ann_ivf_build"] = round(time.time() - t0, 3)
     stored = spark.read.parquet(f"{tmp}/ivf")

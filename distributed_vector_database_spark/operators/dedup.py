@@ -702,9 +702,14 @@ def dedup_clusters(
             reliable,
         )
         labels = new_labels.select("id", "rep_id")
-        if it % 2 == 1 or it == max_iterations - 1:
-            if new_labels.filter(F.col("__chg")).limit(1).count() == 0:
-                break
+        # r13: probe EVERY round (was every 2nd). The probe is a
+        # limit-1 scan over the just-checkpointed label blocks —
+        # metadata-cheap at any scale — while the round it saves is
+        # two joins plus a full label materialization. Worst case
+        # (convergence after an odd round count) the old cadence paid
+        # one whole extra round to save R/2 tiny probes.
+        if new_labels.filter(F.col("__chg")).limit(1).count() == 0:
+            break
     # edges/edge_nodes stay cached: the returned plan (singletons
     # anti-join) still reads them lazily
     return labels.unionByName(singletons)
