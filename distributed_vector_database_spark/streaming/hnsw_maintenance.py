@@ -105,10 +105,14 @@ def build_hnsw_changelog_fold(
             return
         spark_ = batch.sparkSession
         w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        # r13: materialize the newest-op-per-key view once — the fold
+        # actions it for the delete collect, the put-presence probe and
+        # the append scan; batch-sized (O(batch) fold contract holds)
         last = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            .localCheckpoint(eager=True)
         )
         puts = last.filter(F.col(op_col) == "put").select(key_col, vec_col)
         dels = [

@@ -77,10 +77,15 @@ def build_ivf_changelog_fold(
             return
         spark_ = batch.sparkSession
         w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        # r13: materialize the newest-op-per-key view once — the fold
+        # actions it three times (victim delete, put-presence probe,
+        # append scan); batch-sized, so the checkpoint respects the
+        # O(batch) fold contract
         last = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            .localCheckpoint(eager=True)
         )
         # a malformed put carrying a null vector would crash
         # ivf_assign's np.stack executor-side and kill the stream —
