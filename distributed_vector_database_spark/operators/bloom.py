@@ -64,15 +64,32 @@ def bloom_bitset(
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def _bitset_bytes(words: list[int]) -> bytes:
+    """Bitset longs -> little-endian bytes: bit p of the long layout
+    (words[p//64] >> (p%64)) is bit p%8 of byte p//8."""
+    return b"".join((w & ((1 << 64) - 1)).to_bytes(8, "little") for w in words)
+
+
 def bloom_might_contain(
     key: Column, words: list[int], m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
 ) -> Column:
-    """JVM-side membership probe: all k bits set in the literal bitset."""
-    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    """JVM-side membership probe: all k bits set in the bitset, bound
+    ONCE as a single BinaryType literal (m_bits/8 bytes).
+
+    The previous form inlined the bitset as an m/64-element
+    CreateArray of long literals per probe — ~k*m/64 (=4096 at the
+    defaults) expressions RE-EVALUATED PER ROW, and a codegen method
+    large enough to fall off JIT (measured 44x the pin at 8 cores).
+    A binary literal is a true constant; each probe is one
+    substr+conv+getbit chain (~6 expressions), so the filter stays a
+    small, JIT-friendly codegen method at any m_bits.
+    """
+    lit_bin = F.lit(_bitset_bytes(words))
     cond = F.lit(True)
     for pos in _bit_positions(key, m_bits, k):
-        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
-        bit = F.getbit(word, F.pmod(pos, F.lit(64)).cast("int"))
+        byte = F.substr(lit_bin, (pos / 8).cast("int") + 1, F.lit(1))
+        val = F.conv(F.hex(byte), 16, 10).cast("int")
+        bit = F.getbit(val, F.pmod(pos, F.lit(8)).cast("int"))
         cond = cond & (bit == 1)
     return cond
 
