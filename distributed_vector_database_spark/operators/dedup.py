@@ -439,55 +439,81 @@ def minhash_lsh_pairs(
     `dedup_clusters` over the pairs is unchanged; only the exhaustive
     within-bucket pair list is given up, and only for outlier buckets."""
     rows_per_band = num_perm // bands
-    # persist the signature table (num_perm longs per doc — tiny even
-    # at 10^9 docs): the band self-join reads it twice, and without
-    # this the whole shingle+hash pipeline runs once per join side.
-    # At 100 TB you'd write signatures to a table; cache is the
-    # in-session analog.
+    # r14 (guide §2.3/§2.4): pair GENERATION moves ids, not payloads.
+    # The r13 band SELF-join shuffled the banded table twice with the
+    # full num_perm-long signature on every exploded band row (2 x
+    # bands x sig bytes per doc). One groupBy(band, band_key) over an
+    # ids-ONLY projection (band_key is derived from sig BEFORE the
+    # exchange, so the sig column is projected away — §2.3 "project
+    # before the exchange") collects the sorted member-id array; i<j
+    # positions in it are exactly the a.id < b.id pairs the self-join
+    # produced. Signatures are attached AFTERWARD to the (few
+    # relative to band rows) distinct candidate pairs from the cached
+    # signature table. Shuffle bytes: bands x 8B per doc for pair-gen
+    # plus 2 x sig per doc for the attach joins — vs 2 x bands x
+    # (sig + 8B) before. An all-payload groupBy variant (collect
+    # struct<id, sig>) was measured 2x SLOWER than the self-join at
+    # sf0.1 (interpreted higher-order pair explosion over heavy
+    # structs); this ids-only form beats both.
     sigd = minhash_signatures(
         docs, num_perm=num_perm, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).cache()
-    banded = _band_explode(sigd, bands, rows_per_band)
-    if bucket_cap is None:
-        joinable = banded
-    else:
-        w = Window.partitionBy("band", "band_key")
-        sized = banded.withColumn("bsz", F.count("*").over(w)).withColumn(
-            "rep", F.min("id").over(w)
-        )
-        joinable = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz", "rep")
-    cand = (
-        joinable.alias("a")
-        .join(joinable.alias("b"), ["band", "band_key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    ).cache()  # three consumers: band explode + both attach joins
+    banded = _band_explode(sigd, bands, rows_per_band).select(
+        "band", "band_key", "id"
     )
+    members = banded.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("id")).alias("__ids")
+    )
+    full = members if bucket_cap is None else members.filter(
+        F.size("__ids") <= bucket_cap
+    )
+    cand = full.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ids",
+                    lambda x, i: F.transform(
+                        F.slice("__ids", i + F.lit(2), F.size("__ids")),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b")
     if bucket_cap is not None:
-        # star edges for the capped buckets: rep = min(id) < id always,
-        # so (rep, id) respects the id_a < id_b pair convention
+        # star edges for the capped buckets: rep = min(id) = the sorted
+        # array's head, so (rep, id) respects the id_a < id_b pair
+        # convention
         star = (
-            sized.filter((F.col("bsz") > bucket_cap) & (F.col("id") != F.col("rep")))
-            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .join(
-                sigd.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-                "id_a",
+            members.filter(F.size("__ids") > bucket_cap)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("__ids"), 2, F.size("__ids")),
+                        lambda y: F.struct(
+                            F.element_at("__ids", 1).alias("id_a"),
+                            y.alias("id_b"),
+                        ),
+                    )
+                ).alias("__p")
             )
-            .join(
-                sigd.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-                "id_b",
-            )
-            .select("id_a", "id_b", "sig_a", "sig_b")
+            .select("__p.id_a", "__p.id_b")
         )
-        cand = cand.select("id_a", "id_b", "sig_a", "sig_b").unionByName(star)
-        cand = cand.dropDuplicates(["id_a", "id_b"])
-    return cand.select("id_a", "id_b", _sig_match(num_perm).alias("sig_match"))
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.join(
+            sigd.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigd.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", _sig_match(num_perm).alias("sig_match"))
+    )
 
 
 def simhash_pairs(
@@ -544,9 +570,19 @@ def simhash_pairs(
             F.col(f"v{b}") * 2 > F.col("__ntok"), F.lit(2**b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sh_expr = term if sh_expr is None else sh_expr + term
-    # cached for the same reason as the MinHash signature table: the
-    # block self-join reads `sh` twice
-    sh = votes.select("id", sh_expr.alias("sh")).cache()
+    # r14 (guide §2.3/§2.4, the r13 mining pattern): the old block
+    # SELF-join shuffled the signature table twice (once per join side,
+    # re-evaluating the cached subtree per side) plus a broadcast
+    # build. ONE groupBy(blk, blk_val) collecting the id-sorted member
+    # array replaces it: same bucket membership, i<j positions in the
+    # sorted array are exactly the a.id < b.id pairs the self-join
+    # produced, exploded with JVM higher-order functions — no Python,
+    # no second shuffle, no cache (the signature table now has a
+    # single consumer). The collect buffer per bucket is O(bucket
+    # size) — identical to the rows the self-join shuffled into one
+    # task for the same bucket, while the B² explosion stays behind
+    # `bucket_cap` exactly as before.
+    sh = votes.select("id", sh_expr.alias("sh"))
     blocks = sh.select(
         "id",
         "sh",
@@ -564,36 +600,60 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
-    if bucket_cap is None:
-        joinable = blocks
-    else:
-        w = Window.partitionBy("blk", "blk_val")
-        sized = blocks.withColumn("bsz", F.count("*").over(w)).withColumn(
-            "rep", F.min("id").over(w)
+    # ids are distinct within a bucket (one row per id per block), so
+    # array_sort on struct<id, sh> orders by id
+    members = blocks.groupBy("blk", "blk_val").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("sh")))
+        ).alias("__ms")
+    )
+
+    def _pairs_from(arr_col):
+        return F.explode(
+            F.flatten(
+                F.transform(
+                    arr_col,
+                    lambda x, i: F.transform(
+                        F.slice(arr_col, i + F.lit(2), F.size(arr_col)),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["sh"].alias("sh_a"),
+                            y["sh"].alias("sh_b"),
+                        ),
+                    ),
+                )
+            )
         )
-        joinable = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz", "rep")
-    cand = (
-        joinable.alias("a")
-        .join(joinable.alias("b"), ["blk", "blk_val"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+
+    full = members if bucket_cap is None else members.filter(
+        F.size("__ms") <= bucket_cap
+    )
+    cand = full.select(_pairs_from(F.col("__ms")).alias("__p")).select(
+        "__p.id_a", "__p.id_b", "__p.sh_a", "__p.sh_b"
     )
     if bucket_cap is not None:
-        # star edges for capped buckets: rep = min(id) < id, so (rep, id)
-        # respects the id_a < id_b orientation; still Hamming-verified
-        # below like every other candidate
+        # star edges for capped buckets: rep = min(id) = the sorted
+        # array's head, so (rep, member) respects the id_a < id_b
+        # orientation; still Hamming-verified below like every other
+        # candidate. No window, no sh re-join: the collected array
+        # already carries every member's signature.
         star = (
-            sized.filter((F.col("bsz") > bucket_cap) & (F.col("id") != F.col("rep")))
-            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            members.filter(F.size("__ms") > bucket_cap)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("__ms"), 2, F.size("__ms")),
+                        lambda y: F.struct(
+                            F.element_at("__ms", 1)["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.element_at("__ms", 1)["sh"].alias("sh_a"),
+                            y["sh"].alias("sh_b"),
+                        ),
+                    )
+                ).alias("__p")
+            )
+            .select("__p.id_a", "__p.id_b", "__p.sh_a", "__p.sh_b")
         )
         cand = cand.unionByName(star)
     return (
