@@ -54,6 +54,35 @@ from distributed_vector_database_spark.functions.materialize import (
 )
 
 
+def _iter_partitions(edges: DataFrame, explicit: int | None) -> int:
+    """Partition count for the iterative-state exchanges. An explicit
+    caller value wins; otherwise derive from the optimizer's size
+    ESTIMATE of the edge relation (driver-side plan metadata — no job)
+    instead of pinning the session default: ~16 MB of edges per
+    partition, so a small graph collapses to a few tasks (per-iteration
+    scheduling overhead dominates below that) while never EXCEEDING
+    spark.sql.shuffle.partitions — the cluster-tuned value governs at
+    scale exactly as before. This is the adaptation AQE's coalescing
+    already applies to implicit shuffles, extended to the explicit
+    repartitions the iteration loop pins (guide §2: scale-adaptive
+    partitioning, not a constant tuned for one deployment). Unknown
+    sizes (the 8-EB sentinel on un-analyzable plans) keep the default —
+    never fewer partitions for an input that might be huge."""
+    spark = edges.sparkSession
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if explicit:
+        return int(explicit)
+    try:
+        size = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - estimate is best-effort
+        return default
+    if size <= 0 or size >= (1 << 59):
+        return default
+    return max(1, min(default, -(-size // (16 << 20))))
+
+
 def cooccurrence_edges(
     baskets: DataFrame,
     basket_col: str,
@@ -146,9 +175,11 @@ def _write_version(edges_sym: DataFrame, path: str, version: int,
     from pyspark.sql.window import Window
 
     spark = edges_sym.sparkSession
-    nparts = partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    # r14: scale-adaptive layout width (see _iter_partitions) — a small
+    # graph writes a few well-filled files instead of shuffle.partitions
+    # shards (guide §6: sensible output file sizing); derived inputs
+    # with unknown size estimates keep the session default.
+    nparts = _iter_partitions(edges_sym, partitions)
     adj_dir = os.path.join(path, "adj", f"v{version}")
     # r13 (guide §2.4): ONE exchange instead of three. The layout needs
     # src-partitioned rows with the node's degree denormalized on; the
@@ -189,6 +220,9 @@ def _write_version(edges_sym: DataFrame, path: str, version: int,
         F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias(
             "__loops"
         ),
+        # a NULL dst falls into NONE of fwd/bwd/loops (null comparison
+        # -> otherwise 0), which would silently skew the symmetry check
+        F.sum(F.col("dst").isNull().cast("int")).alias("__nulldst"),
     )
     stats = per_src.agg(
         zsum("__c").alias("m"),
@@ -203,12 +237,25 @@ def _write_version(edges_sym: DataFrame, path: str, version: int,
                 1,
             ).otherwise(0)
         ).alias("bad_deg"),
+        # ADVICE r13: `n` counts groupBy('src') GROUPS, which would
+        # count a NULL src as a node (the old count_distinct excluded
+        # nulls). No legal edge has a null endpoint — fail the audit
+        # instead of shifting n_nodes/symmetry counts.
+        zsum(F.col("src").isNull().cast("int")).alias("null_src"),
+        zsum("__nulldst").alias("null_dst"),
     ).collect()[0]
-    if stats["fwd"] != stats["bwd"] or stats["loops"] or stats["bad_deg"]:
+    if (
+        stats["fwd"] != stats["bwd"]
+        or stats["loops"]
+        or stats["bad_deg"]
+        or stats["null_src"]
+        or stats["null_dst"]
+    ):
         raise ValueError(
             f"graph audit failed at {adj_dir}: fwd={stats['fwd']} "
             f"bwd={stats['bwd']} loops={stats['loops']} "
-            f"bad_deg={stats['bad_deg']}"
+            f"bad_deg={stats['bad_deg']} null_src={stats['null_src']} "
+            f"null_dst={stats['null_dst']}"
         )
     meta = {
         "version": version,
@@ -372,29 +419,37 @@ def pagerank(
 
     `reliable` picks the result materialization mode (module header).
     """
-    nparts = partitions or edges.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
-    nparts = int(nparts)
+    from pyspark.sql.window import Window
+
+    nparts = _iter_partitions(edges, partitions)
+    # r14 (guide §2.4, the r13 graph_write pattern): the degree /
+    # strength aggregate used to be a separate groupBy + join back —
+    # two extra exchanges keyed by the same src the adjacency is
+    # about to be repartitioned on. A window over the single src
+    # repartition produces identical rows with ONE exchange, and adds
+    # no new skew (the loop already demands every edge of a node in
+    # one partition).
     if weight_col is not None:
         adj = edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("__w")
+        ).repartition(nparts, "src").withColumn(
+            "deg", F.sum("__w").over(Window.partitionBy("src"))
         )
-        deg = adj.groupBy("src").agg(F.sum("__w").alias("deg"))
-        adj = adj.join(deg, "src")
         num = F.col("rank") * F.col("__w")
     elif use_deg_col:
-        adj = edges.select("src", "dst", "deg")
+        adj = edges.select("src", "dst", "deg").repartition(nparts, "src")
         num = F.col("rank")
     else:
         # recompute from the edge set as passed (drop any incidental
-        # deg column so the join below can't turn ambiguous)
-        pairs = edges.select("src", "dst")
-        deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        adj = pairs.join(deg, "src")
+        # deg column so downstream references can't turn ambiguous)
+        adj = edges.select("src", "dst").repartition(
+            nparts, "src"
+        ).withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         num = F.col("rank")
-    # static relation: partition once on the iteration join key, cache
-    adj = adj.repartition(nparts, "src").persist()
+    # static relation: partitioned once on the iteration join key, cache
+    adj = adj.persist()
     n = adj.select("src").distinct().count()
     if n == 0:
         raise ValueError("pagerank: empty edge list (no nodes)")
@@ -550,6 +605,7 @@ def label_propagation(
     edges: DataFrame,
     iterations: int = 5,
     reliable: bool | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Synchronous min-label propagation over a symmetric edge list:
     label_0(v) = v; label_{t+1}(v) = min(label_t(v), min over
@@ -571,9 +627,7 @@ def label_propagation(
     is |nodes|-sized; the static edge relation is pre-partitioned on
     the join key once and reused (no per-iteration edge shuffle).
     """
-    nparts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = _iter_partitions(edges, partitions)
     adj = edges.repartition(nparts, "src").persist()
     labels = _materialize(
         adj.select("src")
@@ -693,17 +747,20 @@ def personalized_pagerank(
     passed (a filtered subgraph carries stale degrees); `reliable`
     picks the materialization mode (module header).
     """
-    nparts = int(
-        partitions
-        or edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = _iter_partitions(edges, partitions)
+    from pyspark.sql.window import Window
+
+    # r14: degree via a count window over the single src repartition
+    # instead of groupBy + join back — see pagerank.
     if use_deg_col:
-        adj = edges.select("src", "dst", "deg")
+        adj = edges.select("src", "dst", "deg").repartition(nparts, "src")
     else:
-        pairs = edges.select("src", "dst")
-        deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        adj = pairs.join(deg, "src")
-    adj = adj.repartition(nparts, "src").persist()
+        adj = edges.select("src", "dst").repartition(
+            nparts, "src"
+        ).withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    adj = adj.persist()
     nodes = (
         adj.select("src")
         .distinct()
