@@ -1204,19 +1204,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def source_token_caps_q(spark, sf):
         # per-source domain cap (dataset-card curation: 'at most X
         # tokens per source, best quality first') — grouped
-        # distributed prefix-sum, no per-group single-reducer window
+        # distributed prefix-sum, no per-group single-reducer window.
+        # r14 (guide §6: scan once): doc_id is the documents PK, so
+        # doc_stats(docs) ⋈ docs ON doc_id is just attaching `source`
+        # to each annotated row — ONE projection over ONE scan computes
+        # the identical relation (same quality_score/token_count
+        # expressions doc_stats uses), dropping a second full scan of
+        # documents plus the join exchange. partitions derives from
+        # defaultParallelism (scale-adaptive) instead of a constant 8;
+        # cum_tokens is an exact global prefix sum, invariant to the
+        # partition count (oracle re-proven).
+        from distributed_vector_database_spark.functions.text import (
+            quality_score,
+            token_count,
+        )
         from distributed_vector_database_spark.operators.sampling import (
             select_by_token_budget_grouped,
         )
 
         docs = load_table(spark, sf, "documents")
-        ann = (
-            doc_stats(docs)
-            .select("doc_id", "quality", "n_tokens")
-            .join(docs.select("doc_id", "source"), "doc_id")
+        ann = docs.select(
+            "doc_id",
+            "source",
+            quality_score("text").alias("quality"),
+            token_count("text").alias("n_tokens"),
         )
         return select_by_token_budget_grouped(
-            ann, SOURCE_CAP, group_col="source", partitions=8
+            ann, SOURCE_CAP, group_col="source"
         ).select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
 
     q["source_token_caps"] = source_token_caps_q

@@ -40,17 +40,21 @@ def training_pipeline(
     gated = docs.filter(quality_score("text") >= min_quality)
 
     # 2. exact dedup: keep the min doc_id per normalized-content
-    #    fingerprint (one hash shuffle)
-    reps = (
-        gated.select(F.col("doc_id"), fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    #    fingerprint. r14 (guide §2.3/§2.4): min_by on the full row in
+    #    ONE fp-keyed aggregate replaces the old min-id-per-fp aggregate
+    #    + semi join back — which scanned the gated corpus TWICE
+    #    (evaluating the quality gate twice) and paid a second exchange.
+    #    doc_id is unique, so argmin-by-doc_id per fp selects exactly
+    #    the rows the semi join kept; partial aggregation keeps at most
+    #    one row per fp per map partition before the shuffle.
+    exact_unique = (
+        gated.groupBy(fingerprint("text").alias("__fp"))
+        .agg(F.min_by(F.struct(*gated.columns), "doc_id").alias("__r"))
+        .select("__r.*")
     )
-    # cached: the survivors' subtree (quality expressions + fingerprint
-    # shuffle) feeds the sketch, the cluster ids, AND the final semi-join
-    # — without this it re-executes once per consumer
-    exact_unique = gated.join(reps, "doc_id", "left_semi").cache()
+    # cached: the survivors' subtree feeds the sketch, the cluster ids,
+    # AND the final semi-join — without this it re-executes per consumer
+    exact_unique = exact_unique.cache()
 
     # 3. near-dup removal: MinHash-LSH candidates over the survivors,
     #    connected components, keep only cluster representatives

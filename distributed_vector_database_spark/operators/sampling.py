@@ -89,6 +89,12 @@ def select_by_token_budget(
         raise ValueError("token_budget must be >= 0")
     spark = df.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
+    # r14 (guide §1.2/§6): repartitionByRange runs a SEPARATE sampling
+    # job over the child to sketch range boundaries, so an expensive
+    # input (per-doc tokenize/quality annotation) was evaluated twice —
+    # once for the sample, once for the exchange. Persist the input:
+    # the sampling job fills the cache, the exchange reads it.
+    df = df.persist()
     ranged = df.repartitionByRange(
         p, F.desc(order_col), F.asc(id_col)
     ).withColumn("__pid", F.spark_partition_id())
@@ -134,6 +140,7 @@ def select_by_token_budget(
         return out.localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
+        df.unpersist()
 
 
 def select_by_token_budget_grouped(
@@ -179,6 +186,10 @@ def select_by_token_budget_grouped(
     df = df.filter(F.col(group_col).isNotNull())
     spark = df.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
+    # r14: persist the input so repartitionByRange's boundary-sampling
+    # job doesn't re-run the (expensive) annotation upstream — see
+    # select_by_token_budget.
+    df = df.persist()
     ranged = df.repartitionByRange(
         p, F.asc(group_col), F.desc(order_col), F.asc(id_col)
     ).withColumn("__pid", F.spark_partition_id())
@@ -238,6 +249,7 @@ def select_by_token_budget_grouped(
         return out.localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
+        df.unpersist()
 
 
 def _enumerate_positions(
