@@ -26,6 +26,22 @@ from typing import Any, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _as_struct_type(schema: Any):
+    """Schema -> StructType when it declares TYPES (StructType or DDL
+    string); None for names-only schemas (list of names / single
+    name), where both paths infer types from the data."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        return schema
+    if isinstance(schema, str):
+        try:
+            return StructType.fromDDL(schema)
+        except Exception:  # noqa: BLE001 - not a DDL schema
+            return None
+    return None
+
+
 def local_df(
     spark: SparkSession,
     rows: Sequence[Any],
@@ -54,6 +70,19 @@ def local_df(
         # are built dtype=object so a None stays a NULL through Arrow
         # (a float64 column would coerce None -> NaN, a silent
         # semantic drift the WAL's delete rows must not suffer).
+        # Preserve the plain path's type strictness (ADVICE r13): the
+        # Arrow conversion CASTS where createDataFrame(list) VERIFIES —
+        # local_df(spark, [(1.7,)], "x long") would silently truncate
+        # to 1 where the old code raised. Run the same verifier the
+        # plain path runs; any mismatch falls through to the plain
+        # path, which raises the canonical error.
+        struct = _as_struct_type(schema)
+        if struct is not None:
+            from pyspark.sql.types import _make_type_verifier
+
+            verify = _make_type_verifier(struct)
+            for r in data:
+                verify(r)
         pdf = pd.DataFrame(
             {
                 f"_{i}": pd.Series([r[i] for r in data], dtype=object)

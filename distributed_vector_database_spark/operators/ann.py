@@ -351,15 +351,22 @@ def _kmeans_single(X, k: int, seed: int, max_iter: int, tol: float):
     assign = np.argmin(cnorm[None, :] - 2.0 * (X @ centers.T), axis=1)
     for _ in range(max_iter):
         moved = 0.0
+        donated: set[int] = set()
         for j in range(k):
             mask = assign == j
             if mask.any():
                 new_c = X[mask].mean(0)
             else:
-                # empty cluster: grab the globally worst-fit point
-                far = np.argmax(
-                    ((X - centers[assign]) ** 2).sum(1)
-                )
+                # empty cluster: grab the globally worst-fit point —
+                # excluding points already donated this pass (ADVICE
+                # r13: two clusters emptied in the same Lloyd pass
+                # would otherwise claim the SAME donor, yielding
+                # duplicate centroids and a permanently empty cell)
+                dists = ((X - centers[assign]) ** 2).sum(1)
+                if donated:
+                    dists[list(donated)] = -np.inf
+                far = int(np.argmax(dists))
+                donated.add(far)
                 new_c = X[far]
             moved = max(moved, float(((new_c - centers[j]) ** 2).sum()))
             centers[j] = new_c
