@@ -768,7 +768,14 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:
         print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
-    print(json.dumps(out))
+    # The driver captures stdout through a tail window; r12's one-line
+    # JSON grew past it and truncated mid-object, breaking the
+    # round-over-round chain (PERF_r13 n_common=0). Keep the stdout
+    # line LAST and small: drop the per-query ratio_vs_pinned dict
+    # (derivable from `queries` x BENCH_BASELINE.json, and persisted
+    # complete in BENCH_LOCAL.json); keep the scalar drift summary.
+    slim = {k: v for k, v in out.items() if k != "ratio_vs_pinned"}
+    print(json.dumps(slim))
     spark.stop()
 
 
